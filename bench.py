@@ -1,0 +1,70 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Results are materialized with the noop sink so timings measure full
+distributed compute without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    "cdc_change_summary",
+    "cdc_projection_update",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_revenue_by_nation",
+    "window_topk_customers_per_nation",
+    "window_running_revenue",
+    "events_sessionization",
+    "events_json_extract",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_stats_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.session import get_spark
+
+    spark = get_spark("galaxy_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "galaxy_spark headline query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

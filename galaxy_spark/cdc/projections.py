@@ -1,0 +1,93 @@
+"""Row projections P2-P4 and action routing S3.
+
+The reference zips positional binlog rows with the cached column
+list into named before/after documents
+(``internal/sync_server/process.go:114-214``):
+
+- insert (P2): ``after``  = zip(columns, row)        (:184-214)
+- delete (P3): ``before`` = zip(columns, row)        (:151-182)
+- update (P4): rows arrive in pairs; both maps built  (:114-149).
+  The reference assigns after<-Rows[i], before<-Rows[i+1] —
+  inverted vs MySQL's canonical (before, after) order (:138-141).
+  We follow canonical Debezium orientation: org_row = [before, after].
+
+Arity handling: the reference errors out when
+``len(row) != len(columns)`` (:120-122,169-171,190-192). Aborting a
+100 TB stream on one malformed row is wrong at scale, so we instead
+emit a ``quarantined`` flag and null maps for mismatched rows; the
+caller can route them to a dead-letter sink.
+
+Everything here is pure column algebra (``map_from_arrays``,
+``element_at``, ``when``) — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _zip_map(names: Sequence[str], row: Column) -> Column:
+    return F.map_from_arrays(F.array(*[F.lit(n) for n in names]), row)
+
+
+def _arity_ok(names: Sequence[str], row: Column) -> Column:
+    return F.size(row) == len(names)
+
+
+def project_changes(df: DataFrame, columns: Sequence[str],
+                    org_row_col: str = "org_row",
+                    action_col: str = "action") -> DataFrame:
+    """Attach ``before``/``after`` maps + ``quarantined`` flag.
+
+    ``df`` must carry ``action`` and ``org_row`` (array of positional
+    rows: insert=[after], delete=[before], update=[before, after]).
+    ``columns`` is the ordered column-name list for this table (the
+    schema-registry lookup result, P1).
+    """
+    action = F.col(action_col)
+    rows = F.col(org_row_col)
+    first, second = rows.getItem(0), rows.getItem(1)
+
+    before_row = (
+        F.when(action == "delete", first)
+        .when(action == "update", first)
+    )  # insert -> NULL
+    after_row = (
+        F.when(action == "insert", first)
+        .when(action == "update", second)
+    )  # delete -> NULL
+
+    expected_rows = F.when(action == "update", F.lit(2)).otherwise(F.lit(1))
+    bad = (F.size(rows) != expected_rows) | ~F.coalesce(
+        _arity_ok(columns, F.coalesce(before_row, after_row)), F.lit(False)
+    )
+
+    return (
+        df.withColumn("quarantined", bad)
+        .withColumn(
+            "before",
+            F.when(~bad & before_row.isNotNull(), _zip_map(columns, before_row)),
+        )
+        .withColumn(
+            "after",
+            F.when(~bad & after_row.isNotNull(), _zip_map(columns, after_row)),
+        )
+    )
+
+
+def route_actions(df: DataFrame, action_col: str = "action"
+                  ) -> dict[str, DataFrame]:
+    """S3 event-type dispatch: three filtered branches of one plan.
+
+    Mirrors the reference's switch on WRITE/UPDATE/DELETE_ROWS
+    (``internal/sync_server/sync.go:134-144``). Each branch shares
+    the upstream scan; Catalyst pushes each action predicate down.
+    """
+    return {
+        a: df.filter(F.col(action_col) == a)
+        for a in ("insert", "update", "delete")
+    }

@@ -1,0 +1,239 @@
+"""Deduplication operators for a document corpus.
+
+Tiers (all batch; streaming dedup lives in galaxy_spark.streaming):
+
+- exact: hash-groupBy on a content digest (sha2) — one shuffle on
+  the digest, scales to any corpus size.
+- ngram-Jaccard: exact near-dup via shingle inverted index
+  (explode → equi-join on shingle → count-based Jaccard). The join
+  shuffles on the shingle key; hot shingles are the skew risk, so
+  extremely common shingles can be dropped (df-style cutoff) before
+  the join — classic public MinHash/shingling pipeline shape.
+- MinHash-LSH: signatures via deterministic per-band xxhash64 minima,
+  banded into buckets; only bucket-colliding pairs get verified.
+  This is the 100 TB path: candidate generation is linear + one
+  shuffle on (band, bucket) instead of a quadratic self-join.
+- SimHash: 64-bit weighted-bit fingerprint; near-dups = small
+  Hamming distance (verified within LSH-band buckets).
+- embedding cosine near-dup: delegates to operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators.text import word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups keyed by content digest.
+
+    Returns (canonical_id, n_copies); canonical = min id.
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("digest"))
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count("*").alias("n_copies"))
+        .drop("digest")
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
+                           id_col: str = "id") -> DataFrame:
+    """Keep exactly one row per distinct text (min id wins)."""
+    w_min = (
+        df.groupBy(text_col).agg(F.min(id_col).alias("__keep_id"))
+    )
+    return df.join(
+        w_min, (df[text_col] == w_min[text_col]) & (df[id_col] == w_min["__keep_id"])
+    ).select(df["*"])
+
+
+def shingle_pairs_jaccard(df: DataFrame, n: int = 5, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """All candidate pairs sharing ≥1 word n-gram, with exact
+    Jaccard over distinct-shingle sets. Returns
+    (id_a, id_b, n_shared, n_a, n_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(text_col, n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.withColumn(
+        "jaccard",
+        F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+    )
+
+
+def minhash_signature(shingles, n_hashes: int = 32, seed: int = 42):
+    """array<string> shingles -> array<long> of per-hash minima.
+
+    h_i(s) = xxhash64(seed+i, s); signature_i = min over shingles.
+    Deterministic and executor-local (no fitted model state, unlike
+    pyspark.ml's MinHashLSH — same algorithm family, public recipe).
+
+    NOTE: column-expression form, for single-pass/per-row use. The
+    LSH pipeline below uses the equivalent explode+aggregate form
+    instead — inlining this expression N_hashes times would make
+    Catalyst recompute the shingle subtree per hash.
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s)))
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_signatures_agg(df: DataFrame, n: int = 5, n_hashes: int = 32,
+                           seed: int = 42, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signatures via explode + min-agg.
+
+    Single pass over exploded shingles; the per-hash minima are
+    partial-aggregated map-side, so the shuffle carries one row per
+    (doc, 32 longs). This is the 100 TB formulation: cost is linear
+    in corpus size, parallelism is per-shingle not per-document.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_ngrams(text_col, n).alias("shingles"))
+    # test corpora arrive as one small parquet file -> force fan-out;
+    # at real scale the scan already yields many partitions and AQE
+    # coalesces this no-op shuffle.
+    ex = (sh.repartition(n_part, "id")
+          .select("id", F.explode("shingles").alias("shingle")))
+    return ex.groupBy("id").agg(*[
+        F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 5, n_hashes: int = 32,
+                           bands: int = 8, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows_per_band = n_hashes // bands; two docs collide if any band
+    of their signatures is identical. Returns distinct
+    (id_a, id_b, n_bands_hit) with id_a < id_b. The only wide
+    operation is the equi-join on (band, bucket) — no quadratic
+    pair enumeration outside colliding buckets.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_agg(df, n, n_hashes, 42, text_col, id_col)
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, df: DataFrame, n: int = 5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for an explicit (id_a, id_b) pair list.
+
+    Per-pair O(|shingles|) via ``array_intersect`` — this is the
+    verification stage after LSH candidate generation, NOT the
+    quadratic inverted-index join; at 100 TB only candidates (a tiny
+    fraction) pay the exact computation.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_ngrams(text_col, n).alias("shingles"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("sh_a") + F.size("sh_b") - inter))
+        .drop("sh_a", "sh_b")
+    )
+
+
+def simhash64(shingles, seed: int = 42):
+    """array<string> -> 64-bit SimHash fingerprint (as bigint).
+
+    Classic Charikar construction: per-shingle 64-bit hash votes
+    ±1 on each bit; fingerprint bit = sign of the tally. Implemented
+    as a per-bit fold, fully JVM-side.
+    """
+    hashes = F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
+    bit_cols = []
+    for bit in range(64):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))) != 0,
+                F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_val = F.when(votes > 0,
+                         F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+                         ).otherwise(F.lit(0))
+        bit_cols.append(bit_val.cast("long"))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_agg(df: DataFrame, n: int = 3, seed: int = 42,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) via explode + per-bit vote aggregation.
+
+    Same construction as :func:`simhash64` but in the scalable
+    explode/agg form (one pass, map-side partial votes, one row per
+    doc on the shuffle).
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.select(F.col(id_col).alias("id"),
+                   word_ngrams(text_col, n).alias("shingles"))
+    ex = (sh.repartition(n_part, "id")
+          .select("id", F.explode("shingles").alias("shingle"))
+          .select("id", F.xxhash64(F.lit(seed), "shingle").alias("h")))
+    votes = ex.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ])
+    fp = None
+    for bit in range(64):
+        bit_val = F.when(F.col(f"v{bit}") > 0,
+                         F.shiftleft(F.lit(1).cast("long"), bit)
+                         ).otherwise(F.lit(0).cast("long"))
+        fp = bit_val if fp is None else fp.bitwiseOR(bit_val)
+    return votes.select("id", fp.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))

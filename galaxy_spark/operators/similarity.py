@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness
+  baseline. Dot products run as JVM fold expressions
+  (``zip_with`` + ``aggregate``) with explicit double casts so the
+  result is bit-deterministic (and matches a sequential oracle).
+  Query side is broadcast; candidate side streams — at 100 TB the
+  cost is one scan of the corpus per query batch, no shuffle.
+
+- ``lsh_topk``: LSH-bucketed approximate variant (random-hyperplane
+  signatures → bucket equi-join → exact re-rank inside buckets).
+  The bucket join shuffles only on the signature key, which is how
+  this survives a corpus that doesn't fit per-executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (q_id, neighbor_id, cos_sim, rank). Deterministic
+    tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "q_id", "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec: Column, n_planes: int, dim: int,
+                         seed: int = 42) -> Column:
+    """Random-hyperplane (SimHash) bucket signature -> bigint.
+
+    Hyperplanes are derived from a deterministic integer hash of
+    (seed, plane, coordinate) — no driver-side RNG state, so the
+    same signature is computed on any executor / any run.
+    """
+    def coeff(p: int, i: int) -> Column:
+        # deterministic pseudo-random in [-1, 1): xxhash64 of the triple
+        h = F.xxhash64(F.lit(seed), F.lit(p), F.lit(i))
+        return (h % 2_000_003).cast("double") / 1_000_001.5
+
+    bits = []
+    for p in range(n_planes):
+        dot = None
+        for i in range(dim):
+            term = F.element_at(vec, i + 1).cast("double") * coeff(p, i)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) *
+                    F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+             exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any of
+    ``n_tables`` hyperplane tables, re-ranked by exact cosine.
+    """
+    def with_sigs(df: DataFrame, prefix: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            out = out.withColumn(
+                f"{prefix}sig{t}",
+                hyperplane_signature(F.col(vec_col), n_planes, dim, seed=42 + t))
+        return out
+
+    q = with_sigs(
+        queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec")).withColumnRenamed("q_vec", vec_col),
+        "q_")
+    c = with_sigs(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")).withColumnRenamed("c_vec", vec_col),
+        "c_")
+    q = q.withColumnRenamed(vec_col, "q_vec")
+    c = c.withColumnRenamed(vec_col, "c_vec")
+
+    cands = None
+    for t in range(n_tables):
+        m = q.join(c, F.col(f"q_sig{t}") == F.col(f"c_sig{t}")) \
+             .select("q_id", "q_vec", "neighbor_id", "c_vec")
+        cands = m if cands is None else cands.unionAll(m)
+    cands = cands.dropDuplicates(["q_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.filter(F.col("q_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,131 @@
+"""Text-analysis operators over a document corpus.
+
+All pure column algebra (split/regexp/aggregate) — JVM-side, no
+Python UDFs in the hot path, so they whole-stage-codegen and scale
+linearly with input splits. Designed for a ``documents``-shaped
+table (``doc_id, text, lang, source, n_chars``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small multilingual stopword set used by the quality score and the
+#: n-gram language-ID heuristic (deterministic, no external models)
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def punct_count(text: Column | str) -> Column:
+    """Number of punctuation chars (regexp-count, codegen'd)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.length(col) - F.length(F.regexp_replace(col, r"[\.,;:!\?'\"]", ""))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length + stopword presence −
+    punctuation excess. Mirrors the shape of C4/Gopher-style filters
+    (public recipe), not any proprietary scorer.
+    """
+    n_tok = token_count(text).cast("double")
+    col = F.col(text) if isinstance(text, str) else text
+    stop_ratio = stopword_count(text) / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = punct_count(text) / F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_term + F.lit(0.5) * F.least(stop_ratio * 5, F.lit(1.0))
+        - punct_ratio, 4)
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Distinct word n-grams ('shingles') -> array<string>."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def char_ngram_profile(text: Column | str, n: int = 2) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    col = F.col(text) if isinstance(text, str) else text
+    low = F.lower(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(low) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(low, i, n)))
+
+
+def rolling_fingerprint(text: Column | str, base: int = 257,
+                        mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash of the whole text -> bigint.
+
+    Deterministic document fingerprint: h = fold(h*base + code) mod p
+    over the char codes (fully JVM-side via ``F.aggregate``). Same
+    construction as public Rabin-Karp fingerprinting. ``mod`` must
+    satisfy mod*base + 255 < 2^63 (no int64 overflow in the fold).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + c) % F.lit(mod),
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """Tiny deterministic n-gram language-ID heuristic.
+
+    Scores the text's character-bigram profile against per-language
+    marker bigrams (public n-gram-LID recipe à la Cavnar-Trenkle,
+    shrunk to a fixed marker table). Returns the best-scoring
+    language code or 'und'.
+    """
+    markers = {
+        "en": ("th", "he", "in", "er", "an"),
+        "es": ("de", "la", "os", "el", "en"),
+        "de": ("en", "er", "ch", "de", "ei"),
+        "fr": ("le", "de", "es", "en", "on"),
+        "zh": ("zh", "ng", "sh", "ia", "ua"),
+    }
+    profile = char_ngram_profile(text, 2)
+    scores = F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in markers]),
+        F.array(*[
+            F.size(F.array_intersect(profile, F.array(*[F.lit(m) for m in ms])))
+            for lang, ms in markers.items()
+        ]),
+    )
+    entries = F.map_entries(scores)
+    best = F.array_max(F.transform(entries, lambda e: e.getField("value")))
+    top = F.filter(entries, lambda e: e.getField("value") == best)
+    return F.when(best > 0, F.element_at(top, 1).getField("key")).otherwise(F.lit("und"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token/stopword/punct counts + quality score."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        stopword_count(text_col).alias("n_stopwords"),
+        punct_count(text_col).alias("n_punct"),
+        quality_score(text_col).alias("quality"),
+    )

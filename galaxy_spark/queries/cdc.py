@@ -1,0 +1,191 @@
+"""Oracle-checked queries for the CDC operators (SURVEY.md §2.1).
+
+Each query synthesizes the MQEvent envelope from the driver's
+``events`` table (galaxy_spark.cdc.envelope — deterministic column
+arithmetic) and exercises one reference operator; the oracle SQL
+mirrors the envelope arithmetic directly so DuckDB computes the same
+rows without needing map types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galaxy_spark.cdc.envelope import EVENT_SOURCE_COLUMNS, envelope_from_events
+from galaxy_spark.cdc.filters import TaskFilter
+from galaxy_spark.cdc.projections import project_changes, route_actions
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+# DuckDB mirror of envelope_from_events (keep in lockstep!)
+_ENV_CTE = """
+WITH env AS (
+    SELECT 'db' || CAST(user_id % 3 AS VARCHAR) AS db,
+           event_type AS tbl,
+           CASE WHEN event_id % 10 <= 5 THEN 'insert'
+                WHEN event_id % 10 <= 8 THEN 'update'
+                ELSE 'delete' END AS action,
+           event_id, user_id, value
+    FROM events
+)
+"""
+
+
+@register(
+    "cdc_change_summary",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table", action,
+           COUNT(*) AS n_changes,
+           CAST(MIN(event_id) AS BIGINT) AS first_pos,
+           CAST(MAX(event_id) AS BIGINT) AS last_pos
+    FROM env
+    GROUP BY 1, 2, 3
+    """,
+)
+def cdc_change_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-(db, table, action) change counts + pos range.
+
+    Exercises S1 (scan), S3 (action classify) and the groupBy the
+    reference's consumers would run downstream. Partial aggregation
+    (map-side combine) keeps the shuffle tiny at any scale.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    return env.groupBy("database", "table", "action").agg(
+        F.count("*").alias("n_changes"),
+        F.min("event_header.log_pos").alias("first_pos"),
+        F.max("event_header.log_pos").alias("last_pos"),
+    )
+
+
+@register(
+    "cdc_filter_include_exclude",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table", action,
+           CAST(event_id AS BIGINT) AS log_pos
+    FROM env
+    WHERE db IN ('db0', 'db1')
+      AND (db || '.' || tbl IN ('db0.click', 'db0.view') OR db || '.*' IN ('db1.*'))
+      AND NOT (db || '.' || tbl IN ('db1.purchase'))
+    """,
+)
+def cdc_filter_include_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F3: db include, table include w/ ``db.*`` wildcard, exclude wins.
+
+    Semantics of ``internal/sync_server/process.go:40-75``. The
+    whole predicate collapses into the scan (pushdown) — verify with
+    ``.explain``: no separate Filter stage after AQE.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    flt = TaskFilter(
+        databases=("db0", "db1"),
+        tables=("db0.click", "db0.view", "db1.*"),
+        exclude_tables=("db1.purchase",),
+    )
+    return flt.apply(env).select(
+        "database", "table", "action",
+        F.col("event_header.log_pos").alias("log_pos"),
+    )
+
+
+@register(
+    "cdc_projection_insert",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table",
+           CAST(event_id AS BIGINT) AS after_event_id,
+           CAST(user_id AS BIGINT) AS after_user_id,
+           value AS after_value
+    FROM env WHERE action = 'insert'
+    """,
+)
+def cdc_projection_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 insert projection: positional row -> named ``after`` map.
+
+    Builds the map with ``map_from_arrays`` (JVM-side), then
+    flattens scalars back out for oracle comparability. String->
+    double round-trips are exact (shortest-repr rendering).
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    projected = project_changes(env, EVENT_SOURCE_COLUMNS)
+    inserts = route_actions(projected)["insert"]
+    return inserts.select(
+        "database", "table",
+        F.element_at("after", "event_id").cast("long").alias("after_event_id"),
+        F.element_at("after", "user_id").cast("long").alias("after_user_id"),
+        F.element_at("after", "value").cast("double").alias("after_value"),
+    )
+
+
+@register(
+    "cdc_projection_delete",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table",
+           CAST(event_id AS BIGINT) AS before_event_id,
+           value - 1.0 AS before_value
+    FROM env WHERE action = 'delete'
+    """,
+)
+def cdc_projection_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 delete projection: positional row -> named ``before`` map."""
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    projected = project_changes(env, EVENT_SOURCE_COLUMNS)
+    deletes = route_actions(projected)["delete"]
+    return deletes.select(
+        "database", "table",
+        F.element_at("before", "event_id").cast("long").alias("before_event_id"),
+        F.element_at("before", "value").cast("double").alias("before_value"),
+    )
+
+
+@register(
+    "cdc_projection_update",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table",
+           CAST(event_id AS BIGINT) AS log_pos,
+           value - 1.0 AS before_value,
+           value AS after_value
+    FROM env WHERE action = 'update'
+    """,
+)
+def cdc_projection_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 update pair-fold, canonical (before, after) orientation.
+
+    The reference inverts the pair (``process.go:138-141``); we emit
+    Debezium-canonical order — divergence documented in
+    galaxy_spark.cdc.envelope.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    projected = project_changes(env, EVENT_SOURCE_COLUMNS)
+    updates = route_actions(projected)["update"]
+    return updates.select(
+        "database", "table",
+        F.col("event_header.log_pos").alias("log_pos"),
+        F.element_at("before", "value").cast("double").alias("before_value"),
+        F.element_at("after", "value").cast("double").alias("after_value"),
+    )
+
+
+@register(
+    "cdc_sink_routing",
+    oracle=_ENV_CTE + """
+    SELECT 'task1.' || db || '.' || tbl AS topic,
+           db || '.' || tbl AS key,
+           COUNT(*) AS n_messages
+    FROM env
+    GROUP BY 1, 2
+    """,
+)
+def cdc_sink_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 keyed-sink routing: topic ``<task>.<db>.<table>``, key ``<db>.<table>``.
+
+    Mirrors ``internal/mq_manager/kafka/kafka.go:117-118``. In
+    production these columns feed ``writeStream.format("kafka")``
+    (topic-per-row is built in); here we aggregate message counts
+    per route for the oracle check.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    routed = env.select(
+        F.concat_ws(".", F.lit("task1"), "database", "table").alias("topic"),
+        F.concat_ws(".", "database", "table").alias("key"),
+    )
+    return routed.groupBy("topic", "key").agg(F.count("*").alias("n_messages"))

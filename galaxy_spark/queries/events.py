@@ -1,0 +1,105 @@
+"""Event-stream analytics (batch-checkable equivalents of the
+streaming surface: JSON extraction, windowed aggregation,
+sessionization). The live streaming variants are assembled in
+galaxy_spark.streaming and tested with the memory sink; these batch
+twins give the DuckDB oracle something to verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_total,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (``get_json_object``) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation (batch twin of the streaming
+    ``F.window`` aggregation in galaxy_spark.streaming.windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value,
+           MIN(ts) AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30 min inactivity gap).
+
+    Batch twin of streaming ``session_window``; one shuffle on
+    user_id, two window passes over the same sort order (Spark
+    reuses the sort).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap (truncating to seconds would disagree
+    # with the oracle at window boundaries)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    with_flag = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w2 = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_sess = with_flag.withColumn("session_id", F.sum("is_new").over(w2))
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.min("ts").alias("session_start"),
+    )

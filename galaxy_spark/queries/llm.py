@@ -1,0 +1,250 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity
+search over ``documents``/``embeddings`` (driver mandate,
+SURVEY.md §2.2 second table).
+
+Oracle-expressible operators get full DuckDB SQL mirrors; hash-based
+ones (MinHash-LSH, SimHash — xxhash64 has no DuckDB twin) register
+without an oracle and take the driver's rows-only check, plus unit
+tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import dedup, similarity, text
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_STOPS = "('the','a','an','of','and','to','in','is','it','for')"
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a content digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(tk)-4,0)+1),
+                   i -> array_to_string(tk[i:i+4], ' '))) AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_shared,
+           ROUND(n_shared * 1.0 / (n_a + n_b - n_shared), 4) AS jaccard
+    FROM pairs
+    WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-gram Jaccard >= 0.5.
+
+    Shingle inverted-index join — the exact (non-LSH) tier. At
+    100 TB the same plan runs with a document-frequency cutoff on
+    hot shingles before the join (skew guard); MinHash-LSH below is
+    the approximate scale path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_pairs_jaccard(docs, n=5)
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", "n_shared", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # xxhash64-based → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (32 hashes, 8 bands) + exact
+    Jaccard verification — the linear-cost near-dup path for corpora
+    where the quadratic shingle join is unaffordable."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, n=5, n_hashes=32, bands=8)
+    verified = dedup.jaccard_for_pairs(cands, docs, n=5)
+    return (
+        verified.filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "n_bands_hit",
+                F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints; near-dup pairs at Hamming distance <= 8
+    verified inside MinHash-LSH buckets (avoids the full self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash_agg(docs, n=3).withColumnRenamed("id", "doc_id")
+    cands = dedup.minhash_lsh_candidates(docs, n=3, n_hashes=16, bands=8)
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("hamming", dedup.hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@register(
+    "text_stats_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter({_TOKS}, t -> t IN {_STOPS})) AS INTEGER)
+             AS n_stopwords,
+           CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))
+             AS INTEGER) AS n_punct
+    FROM documents
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token / stopword / punctuation counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.stopword_count("text").alias("n_stopwords"),
+        text.punct_count("text").alias("n_punct"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+               CAST(len(list_filter({_TOKS}, tk -> tk IN {_STOPS})) AS DOUBLE)
+                 AS n_stop,
+               CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g'))
+                 AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.5 * least(n_tok / 100.0, 1.0)
+                 + 0.5 * least(n_stop / greatest(n_tok, 1.0) * 5, 1.0)
+                 - n_punct / greatest(n_chars, 1.0), 4) AS quality
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (C4/Gopher-style public recipe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH prof AS (
+        SELECT doc_id, lang AS label,
+               list_distinct(list_transform(
+                   range(1, greatest(length(lower(text))-1, 0)+1),
+                   i -> substr(lower(text), CAST(i AS INTEGER), 2))) AS bg
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, label,
+               len(list_intersect(bg, ['th','he','in','er','an'])) AS s_en,
+               len(list_intersect(bg, ['de','la','os','el','en'])) AS s_es,
+               len(list_intersect(bg, ['en','er','ch','de','ei'])) AS s_de,
+               len(list_intersect(bg, ['le','de','es','en','on'])) AS s_fr,
+               len(list_intersect(bg, ['zh','ng','sh','ia','ua'])) AS s_zh
+        FROM prof
+    )
+    SELECT doc_id, label,
+           CASE WHEN greatest(s_en,s_es,s_de,s_fr,s_zh) = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM scores
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-ID heuristic (Cavnar-Trenkle-style marker
+    bigrams; first-language-wins tie-break matching the oracle's
+    CASE precedence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("label"),
+        text.language_id("text").alias("pred_lang"))
+
+
+@register("text_fingerprint")  # fold-based rolling hash → rows-only check
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (unit-tested
+    against a Python reference implementation in tests/)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle="""
+    WITH pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+               AS cos_sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id<10.
+
+    Bit-deterministic: both engines fold the 64-dim dot product
+    sequentially in double precision.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(q, emb, k=5)
+    return out.select(
+        "q_id", "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"))
+
+
+@register("similarity_lsh_topk")  # xxhash64 hyperplanes → rows-only check
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH buckets + exact
+    re-rank (recall measured against brute force in tests/)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(q, emb, k=5, dim=64)

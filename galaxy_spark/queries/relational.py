@@ -1,0 +1,375 @@
+"""Relational query surface (SURVEY.md §2.2 first table).
+
+All stock DataFrame ops — Catalyst handles pushdown/pruning/join
+selection. Float aggregates are rounded identically in the Spark
+query and the oracle so parallel-vs-sequential summation order can't
+flip the driver's value hash.
+
+Scale notes (100 TB): every query here shuffles only on its group/
+join keys; dimension joins (region/nation/customer at star-schema
+ratios) stay broadcast; top-k per group uses window + row_number
+which AQE executes with partial shuffles per partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy group-agg; the engine's batch flagship.
+
+    Plan shape to preserve at scale: parquet scan with the shipdate
+    predicate pushed down, partial hash-agg before the (4-group)
+    shuffle, whole-stage codegen end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (o_orderpriority standing in for o_shippriority).
+
+    customer is the small side -> broadcast into orders; the big
+    orders⋈lineitem join shuffles on orderkey only after both scans'
+    date predicates are pushed down. Fully deterministic top-10 via
+    total tie-break (revenue, date, key).
+    """
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n_name, r_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ chain of broadcast dims, revenue per nation.
+
+    nation/region/customer are broadcast (no shuffle of lineitem on
+    dim keys); the only wide shuffle is the final small group-by.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (customers with no orders)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi_active_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+                  AND l_quantity > 45)
+    """,
+)
+def join_semi_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (suppliers with at least one big-quantity item)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+
+
+@register(
+    "join_full_outer_nation_balance",
+    oracle="""
+    SELECT n.n_nationkey, cs.c_total, ss.s_total
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, ROUND(SUM(c_acctbal), 2) AS c_total
+               FROM customer GROUP BY c_nationkey) cs
+      ON n.n_nationkey = cs.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS s_total
+               FROM supplier GROUP BY s_nationkey) ss
+      ON n.n_nationkey = ss.s_nationkey
+    """,
+)
+def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer joins with pre-aggregated (map-side-combinable) inputs."""
+    nation = load_table(spark, sf_dir, "nation")
+    cs = (load_table(spark, sf_dir, "customer")
+          .groupBy("c_nationkey")
+          .agg(F.round(F.sum("c_acctbal"), 2).alias("c_total")))
+    ss = (load_table(spark, sf_dir, "supplier")
+          .groupBy("s_nationkey")
+          .agg(F.round(F.sum("s_acctbal"), 2).alias("s_total")))
+    return (
+        nation.join(cs, nation.n_nationkey == cs.c_nationkey, "left")
+        .join(ss, nation.n_nationkey == ss.s_nationkey, "left")
+        .select("n_nationkey", "c_total", "s_total")
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+    )
+
+
+@register(
+    "agg_cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "agg_count_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (expand + two-phase agg under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "window_topk_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rk
+    FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t WHERE rk <= 3
+    """,
+)
+def window_topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (deterministic tie-break).
+
+    At scale this is the canonical top-k pattern: single shuffle on
+    the partition key, per-partition heap sort, no global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey",
+                F.round("c_acctbal", 2).alias("acctbal"), "rk")
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           LAG(o_orderkey) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + lag with an explicit rows frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@register(
+    "setops_part_brands",
+    oracle="""
+    (SELECT DISTINCT p_brand FROM part WHERE p_size < 20
+     INTERSECT
+     SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 1200)
+    UNION ALL
+    (SELECT DISTINCT p_brand FROM part WHERE p_size >= 45
+     EXCEPT
+     SELECT DISTINCT p_brand FROM part WHERE p_type LIKE 'SMALL%')
+    """,
+)
+def setops_part_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one plan."""
+    part = load_table(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") < 20).select("p_brand").distinct()
+    pricey = part.filter(F.col("p_retailprice") > 1200).select("p_brand").distinct()
+    big = part.filter(F.col("p_size") >= 45).select("p_brand").distinct()
+    small_type = part.filter(F.col("p_type").startswith("SMALL")).select("p_brand").distinct()
+    return small.intersect(pricey).unionAll(big.exceptAll(small_type))
+
+
+@register(
+    "scalar_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(SUBSTR(o_orderstatus, 1, 1)) AS status_u,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CONCAT('P-', o_orderpriority) AS pri_tag,
+           ROUND(sqrt(o_totalprice), 4) AS price_sqrt,
+           CAST(length(o_orderpriority) AS INTEGER) AS pri_len
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions (all JVM-side codegen)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderstatus", 1, 1)).alias("status_u"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.concat(F.lit("P-"), F.col("o_orderpriority")).alias("pri_tag"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.length("o_orderpriority").alias("pri_len"),
+    )
