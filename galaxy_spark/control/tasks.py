@@ -1,0 +1,221 @@
+"""Task lifecycle control plane (T1) + durability/recovery (T2).
+
+Reference surface (``internal/scheduler/api.go:13-27`` +
+``post_task.go``/``update_task.go``/``scheduler.go``):
+
+- create task (db/table filters + sink config), returns position info
+- stop: ``stop`` | ``recovery_v1`` (resume saved position) |
+  ``recovery_v2`` (jump to latest)
+- live filter update, delete, restore
+- durability goroutine persists task JSON on every change; boot
+  recovery re-launches all non-stopped tasks.
+
+Spark mapping: each task is one StreamingQuery. ``stop`` =
+``query.stop()`` + flag; recovery_v1 = restart with the SAME
+checkpointLocation (offset log resumes); recovery_v2 = restart with
+a FRESH checkpoint + ``startingOffsets=latest``; filter update =
+restart with the new predicate (the predicate is compiled into the
+plan — a restart-with-new-plan, which the streaming checkpoint
+explicitly supports). Task metadata persists as JSON next to the
+checkpoints; boot recovery iterates it and restarts non-stopped
+tasks — the analog of ``taskRecovery`` (``scheduler.go:69-116``).
+
+This module is deliberately framework-free (no HTTP); an API layer
+(FastAPI/Flask) would be a thin shim over TaskManager — the engine
+itself is the StreamingQuery management.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from galaxy_spark.cdc.filters import TaskFilter
+from galaxy_spark.streaming.pipeline import SinkConfig, start_pipeline
+
+
+@dataclass
+class TaskSpec:
+    """One replication task (reference: ``pkg.Task``,
+    ``pkg/req_resp.go:11-17,63-73``)."""
+
+    task_id: str
+    databases: tuple[str, ...] = ()
+    tables: tuple[str, ...] = ()
+    exclude_tables: tuple[str, ...] = ()
+    columns: tuple[str, ...] = ()
+    sink_kind: str = "memory"
+    sink_options: dict = field(default_factory=dict)
+    stopped: bool = False
+    #: bumped on recovery_v2 to point at a fresh checkpoint dir
+    checkpoint_epoch: int = 0
+
+    def task_filter(self) -> TaskFilter:
+        return TaskFilter(self.databases, self.tables, self.exclude_tables)
+
+    def sink(self) -> SinkConfig:
+        return SinkConfig(self.sink_kind, dict(self.sink_options))
+
+
+class TaskManager:
+    """Create/stop/resume/update CDC tasks; persist + recover."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 source_factory: Callable[[SparkSession, TaskSpec], DataFrame]):
+        """``source_factory`` builds the envelope *stream* for a task
+        (production: Kafka/Debezium readStream; tests: file source).
+        """
+        self.spark = spark
+        self.state_dir = state_dir
+        self.source_factory = source_factory
+        self.tasks: dict[str, TaskSpec] = {}
+        self.queries: dict[str, object] = {}
+        os.makedirs(state_dir, exist_ok=True)
+        self._meta_path = os.path.join(state_dir, "tasks.json")
+
+    # -- durability (T2) --------------------------------------------
+    def _persist(self) -> None:
+        data = {tid: asdict(spec) for tid, spec in self.tasks.items()}
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, default=list)
+        os.replace(tmp, self._meta_path)
+
+    def _load_meta(self) -> dict[str, TaskSpec]:
+        if not os.path.exists(self._meta_path):
+            return {}
+        with open(self._meta_path) as f:
+            raw = json.load(f)
+        out = {}
+        for tid, d in raw.items():
+            d = dict(d)
+            for k in ("databases", "tables", "exclude_tables", "columns"):
+                d[k] = tuple(d.get(k) or ())
+            out[tid] = TaskSpec(**d)
+        return out
+
+    def checkpoint_dir(self, spec: TaskSpec) -> str:
+        return os.path.join(self.state_dir, "checkpoints",
+                            f"{spec.task_id}-e{spec.checkpoint_epoch}")
+
+    # -- lifecycle (T1) ---------------------------------------------
+    def create_task(self, spec: TaskSpec) -> str:
+        """POST /v1/post_task analog."""
+        if spec.task_id in self.queries:
+            raise ValueError(f"task {spec.task_id} already running")
+        self.tasks[spec.task_id] = spec
+        self._start(spec)
+        self._persist()
+        return spec.task_id
+
+    def _start(self, spec: TaskSpec) -> None:
+        env = self.source_factory(self.spark, spec)
+        q = start_pipeline(
+            env, spec.task_id, spec.task_filter(), list(spec.columns),
+            spec.sink(), self.checkpoint_dir(spec),
+        )
+        self.queries[spec.task_id] = q
+        spec.stopped = False
+
+    def stop_task(self, task_id: str) -> None:
+        """stop_type='stop': cancel + flag; no auto-restart on boot
+        (``update_task.go:37-61``)."""
+        q = self.queries.pop(task_id, None)
+        if q is not None:
+            q.stop()
+        self.tasks[task_id].stopped = True
+        self._persist()
+
+    def recover_v1(self, task_id: str) -> None:
+        """Resume from the saved position: same checkpoint dir
+        (``update_task.go:63-65``)."""
+        spec = self.tasks[task_id]
+        if task_id in self.queries:
+            return
+        self._start(spec)
+        self._persist()
+
+    def recover_v2(self, task_id: str) -> None:
+        """Jump to latest: fresh checkpoint (the reference zeroes
+        PositionPos, ``update_task.go:66-68``). The source factory
+        should honor ``startingOffsets=latest`` for epoch>0."""
+        spec = self.tasks[task_id]
+        if task_id in self.queries:
+            self.stop_task(task_id)
+        spec.checkpoint_epoch += 1
+        self._start(spec)
+        self._persist()
+
+    def update_filters(self, task_id: str, databases=None, tables=None,
+                       exclude_tables=None) -> None:
+        """Live filter update = restart with the new predicate
+        (reference mutates shared maps under RWMutex,
+        ``update_task.go:150-197``; Spark compiles predicates into
+        the plan, so the stream restarts from its checkpoint —
+        offsets are preserved, no events lost)."""
+        spec = self.tasks[task_id]
+        running = task_id in self.queries
+        if running:
+            q = self.queries.pop(task_id)
+            q.stop()
+        if databases is not None:
+            spec.databases = tuple(databases)
+        if tables is not None:
+            spec.tables = tuple(tables)
+        if exclude_tables is not None:
+            spec.exclude_tables = tuple(exclude_tables)
+        if running:
+            self._start(spec)
+        self._persist()
+
+    def delete_task(self, task_id: str, drop_state: bool = True) -> None:
+        if task_id in self.queries:
+            self.stop_task(task_id)
+        self.tasks.pop(task_id, None)
+        if drop_state:
+            shutil.rmtree(os.path.join(self.state_dir, "checkpoints"),
+                          ignore_errors=True)
+        self._persist()
+
+    # -- boot recovery (T2) -----------------------------------------
+    def recover_all(self) -> list[str]:
+        """Boot-time re-launch of all non-stopped tasks
+        (``scheduler.go:69-116``)."""
+        self.tasks = self._load_meta()
+        started = []
+        for tid, spec in self.tasks.items():
+            if not spec.stopped:
+                self._start(spec)
+                started.append(tid)
+        return started
+
+    # -- introspection ----------------------------------------------
+    def status(self) -> dict[str, dict]:
+        out = {}
+        for tid, spec in self.tasks.items():
+            q = self.queries.get(tid)
+            out[tid] = {
+                "stopped": spec.stopped,
+                "active": q is not None and q.isActive,
+                "checkpoint": self.checkpoint_dir(spec),
+            }
+        return out
+
+    def await_all(self, timeout_s: float = 30.0) -> None:
+        """Drain all running queries (testing helper)."""
+        deadline = time.time() + timeout_s
+        for q in list(self.queries.values()):
+            q.processAllAvailable()
+            if time.time() > deadline:
+                break
+
+
+def new_task_id() -> str:
+    return uuid.uuid4().hex[:12]

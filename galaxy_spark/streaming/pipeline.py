@@ -1,0 +1,118 @@
+"""The CDC streaming pipeline (S1/S3 + F1-F3 + P2-P4 + K1/K2 + C1).
+
+Reference data plane (``internal/sync_server/sync.go:120-188``):
+binlog event -> action classify -> filters -> schema lookup ->
+projection -> keyed Kafka publish, with offset checkpointing.
+
+Spark-native re-expression:
+
+- source: any streaming DataFrame carrying the MQEvent envelope
+  (production: ``readStream.format("kafka")`` fed by a
+  Debezium/Canal connector; tests: file/rate sources mapped through
+  ``galaxy_spark.cdc.envelope``). ``startingOffsets`` plays the role
+  of the reference's saved ``(file, pos)``.
+- transforms: TaskFilter predicate + project_changes — identical
+  column algebra to the batch path (tested against the oracle).
+- sink: Kafka topic-per-row via the ``topic`` column
+  (``<task>.<db>.<table>``), key ``<db>.<table>`` — exactly the
+  reference's routing (``internal/mq_manager/kafka/kafka.go:117-118``)
+  but handled by the stock Kafka sink, no custom fan-out pool.
+- checkpointing: ``checkpointLocation`` per task replaces the
+  reference's ≤2-slot in-flight window + replay-skip
+  (``concurrently_task_manager.go:33-120``) with the streaming
+  offset/commit log — same at-least-once guarantee to Kafka,
+  exactly-once to idempotent sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from galaxy_spark.cdc.filters import TaskFilter
+from galaxy_spark.cdc.projections import project_changes
+from galaxy_spark.cdc.schema_registry import SchemaRegistry
+
+
+@dataclass
+class SinkConfig:
+    """K2 sink mux: pluggable sink selection per task.
+
+    The reference registers kafka > nsq > mongodb > es by first
+    non-nil config (``internal/mq_manager/manager.go:28-63``; only
+    Kafka is implemented there — the rest are
+    ``panic("implement me")`` stubs). Here: kafka and memory are
+    implemented; others raise NotImplementedError just like the
+    reference's stubs, but without killing the process.
+    """
+
+    kind: str = "memory"                      # kafka | memory | parquet
+    options: dict[str, str] = field(default_factory=dict)
+
+    def apply(self, writer, query_name: str):
+        if self.kind == "kafka":
+            return (writer.format("kafka")
+                    .options(**self.options))
+        if self.kind == "memory":
+            return writer.format("memory").queryName(query_name)
+        if self.kind == "parquet":
+            return writer.format("parquet").options(**self.options)
+        raise NotImplementedError(
+            f"sink {self.kind!r} not implemented (reference parity: "
+            "nsq/es/mongodb are stubs there too)")
+
+
+def transform_envelope(env: DataFrame, task_filter: TaskFilter,
+                       columns: Sequence[str]) -> DataFrame:
+    """filters (F1-F3) -> projections (P2-P4); identical plan for
+    batch and streaming inputs."""
+    return project_changes(task_filter.apply(env), columns)
+
+
+def routed_messages(events: DataFrame, task_id: str) -> DataFrame:
+    """K1: one JSON message per change, with topic/key routing
+    columns understood natively by the Kafka sink."""
+    body = [c for c in ("database", "table", "action", "before", "after",
+                        "org_row", "event_header") if c in events.columns]
+    payload = F.to_json(F.struct(*body))
+    return events.select(
+        F.concat_ws(".", F.lit(task_id), "database", "table").alias("topic"),
+        F.concat_ws(".", "database", "table").alias("key"),
+        payload.alias("value"),
+    )
+
+
+def start_pipeline(env_stream: DataFrame, task_id: str,
+                   task_filter: TaskFilter, columns: Sequence[str],
+                   sink: SinkConfig, checkpoint_dir: str,
+                   trigger: dict | None = None) -> StreamingQuery:
+    """Assemble + start one CDC task as a streaming query."""
+    projected = transform_envelope(env_stream, task_filter, columns)
+    good = projected.filter(~F.col("quarantined"))
+    msgs = routed_messages(good, task_id)
+    writer = msgs.writeStream.outputMode("append") \
+        .option("checkpointLocation", checkpoint_dir)
+    writer = sink.apply(writer, query_name=task_id)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def ddl_apply_batch(registry: SchemaRegistry, default_db: str):
+    """foreachBatch handler for the QueryEvent/DDL branch (P5).
+
+    The reference processes DDL inline in its single-threaded loop
+    (``process.go:216-242``); in Spark the DDL stream is a separate
+    low-volume branch whose batches mutate the registry on the
+    driver, then persist (the registry is re-broadcast to the data
+    plane on the next micro-batch).
+    """
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # tiny control stream: collect is bounded by DDL rate, not data
+        for row in batch_df.select("database", "query").collect():
+            registry.apply_ddl(row["database"] or default_db, row["query"])
+    return handle
