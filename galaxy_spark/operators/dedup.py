@@ -237,3 +237,32 @@ def simhash_agg(df: DataFrame, n: int = 3, seed: int = 42,
 
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine(vec_a, vec_b) >= threshold.
+
+    Exact all-pairs tier — correctness baseline with a full SQL
+    oracle. The dot product is a sequential JVM double fold
+    (similarity.cosine) so scores are bit-deterministic. At 100 TB
+    this tier is reserved for within-bucket verification: the scale
+    path first blocks candidates with hyperplane-LSH buckets
+    (similarity.lsh_topk's signature machinery) and only runs the
+    exact cosine inside buckets — same shape as MinHash-LSH for
+    text. The cross join here broadcasts the smaller side, so no
+    shuffle; cost is |a|x|b| dot products, embarrassingly parallel.
+    """
+    from galaxy_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        F.broadcast(a).crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,74 @@
+"""Custom join operators Spark lacks as built-ins: as-of join.
+
+As-of join (point-in-time lookup): for each left row, attach the
+most recent right row with the same key whose time is <= the left
+row's time. Spark has no native ASOF JOIN (DuckDB/Pandas do), so
+the engine composes it from a union + ordered window pass:
+
+    tag right rows side=0, left rows side=1
+    union on (key, time, side)
+    one shuffle: Window.partitionBy(key).orderBy(time, side)
+    last_value(right payload, ignorenulls=True) carries the latest
+    right row forward; keep only side=1 rows.
+
+Why this shape at 100 TB: the naive alternative (inequality join +
+row_number) explodes each left row by its full right-side history
+before pruning to rank 1; the union-scan shape is ONE shuffle on
+the key, linear in |left| + |right|, no row explosion, and the sort
+within each key partition is exactly what the window needs (AQE
+handles key skew by splitting oversized partitions for the sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Left as-of join: latest right row per key with
+    ``right_time <= left_time`` (inclusive). Left rows with no prior
+    right row keep NULL payload (left-outer semantics).
+
+    Tie policy: if several right rows share (key, time), the caller
+    must pre-aggregate to one row per (key, time) — this function
+    asserts nothing and would carry forward whichever sorts last, so
+    determinism is the caller's responsibility (mirrors DuckDB ASOF
+    which is likewise tie-unspecified).
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right_payload],
+        *[F.col(c) for c in lcols],
+    )
+    # right row sorts BEFORE a left row at the same instant -> the
+    # inclusive (<=) bound
+    w = (Window.partitionBy("__key").orderBy("__t", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = r.unionByName(l).select(
+        "__side", *lcols,
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__r_{c}")
+          for c in right_payload],
+    )
+    return (carried.filter(F.col("__side") == 1)
+            .select(*lcols,
+                    *[F.col(f"__r_{c}").alias(c) for c in right_payload]))

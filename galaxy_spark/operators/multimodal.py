@@ -1,0 +1,283 @@
+"""Multimodal column operators: image/audio/video as opaque binary.
+
+Model (driver mandate, SURVEY.md §2.2): media travels through the
+engine as an opaque ``binary`` payload column plus a typed metadata
+struct — the engine never interprets pixels on the JVM side. All
+decode / feature-extract / resize / frame-sample steps run as
+Arrow-batched ``mapInPandas`` stages so the hot path is vectorized
+numpy over columnar batches, never row-at-a-time Python.
+
+Scale notes (100 TB): every operator here is embarrassingly
+parallel — no shuffle, no state; cost is one scan of the payload
+column. Payload bytes stay off the driver. Partition sizing is the
+only knob that matters: media rows are fat, so inputs should be
+written with row-group sizes that keep a batch of payloads within
+executor memory (``spark.sql.files.maxPartitionBytes`` +
+``maxRecordsPerBatch`` bound Arrow batch memory).
+
+The *real* codec step (PIL/libsndfile/ffmpeg) is STUBBED: those
+libraries are not in this container. ``decode_payload`` dispatches
+to a clearly-marked deterministic fake (bytes -> uint8 tensor) and
+``real_decode`` raises NotImplementedError. The Spark-side plumbing
+— schema, UDF signatures, Arrow batch iteration, output shapes — is
+real and tested; swapping the fake for PIL is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed metadata carried next to every payload
+MEDIA_META_TYPE = T.StructType([
+    T.StructField("modality", T.StringType(), False),     # image|audio|video
+    T.StructField("fmt", T.StringType(), False),          # png|wav|mp4 (fake)
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),  # audio only
+    T.StructField("n_frames", T.IntegerType(), True),     # video only
+])
+
+MODALITIES = ("image", "audio", "video")
+_FMT = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from the ``documents``
+    fixture: payload = utf-8 bytes of the text, modality assigned
+    round-robin by id, dimensions derived from payload length.
+
+    This is the test-harness adapter; production reads parquet that
+    already carries ``(media_id, payload, meta)``. Kept as pure
+    column algebra so Catalyst prunes/pushes through it.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    plen = F.length(payload)
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col(id_col) % 3 + 1).cast("int"))
+    fmt = F.element_at(
+        F.array(*[F.lit(_FMT[m]) for m in MODALITIES]),
+        (F.col(id_col) % 3 + 1).cast("int"))
+    is_img, is_aud, is_vid = [modality == m for m in MODALITIES]
+    # image: widest 16xN grid that fits; video: 8x8 frames; audio: 1-D
+    width = F.when(is_img, F.least(plen, F.lit(16))) \
+             .when(is_vid, F.lit(8)).otherwise(F.lit(None)).cast("int")
+    height = F.when(is_img, F.floor(plen / 16)) \
+              .when(is_vid, F.lit(8)).otherwise(F.lit(None)).cast("int")
+    channels = F.when(is_img | is_vid, F.lit(1)).cast("int")
+    sample_rate = F.when(is_aud, F.lit(16000)).cast("int")
+    n_frames = F.when(is_vid, F.floor(plen / 64)).cast("int")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            modality.alias("modality"), fmt.alias("fmt"),
+            width.alias("width"), height.alias("height"),
+            channels.alias("channels"), sample_rate.alias("sample_rate"),
+            n_frames.alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def real_decode(payload: bytes, fmt: str) -> np.ndarray:
+    """Real codec hook — STUB.
+
+    In production this calls PIL.Image.open / soundfile.read /
+    pyav frame iteration. Those libraries are not available in this
+    container, so the engine ships the deterministic fake below and
+    this marker raises.
+    """
+    raise NotImplementedError(
+        f"real {fmt} decoding requires PIL/soundfile/pyav; "
+        "wire them here — all Spark-side plumbing already works")
+
+
+def _fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Deterministic fake decoder: payload bytes -> uint8 HxW tensor
+    (truncate/clip to the metadata dimensions)."""
+    need = height * width
+    arr = np.frombuffer(payload, dtype=np.uint8)[:need]
+    if arr.size < need:
+        arr = np.pad(arr, (0, need - arr.size))
+    return arr.reshape(height, width)
+
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("pixels", T.ArrayType(T.IntegerType()), False),
+])
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode image payloads -> flattened uint8 pixel arrays.
+
+    Arrow-batched ``mapInPandas``: each batch decodes vectorized,
+    emits one row per image. Non-image rows are dropped JVM-side
+    *before* the Python exchange (filter pushdown keeps audio/video
+    payload bytes out of the Arrow channel entirely).
+    """
+    imgs = media.filter(F.col("meta.modality") == "image") \
+                .select("media_id", "payload",
+                        F.col("meta.height").alias("h"),
+                        F.col("meta.width").alias("w"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "height": pdf["h"].astype("int32"),
+                "width": pdf["w"].astype("int32"),
+                "pixels": [
+                    _fake_decode(p, h, w).ravel().astype("int32").tolist()
+                    for p, h, w in zip(pdf["payload"], pdf["h"], pdf["w"])
+                ],
+            })
+
+    return imgs.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel tensors (numpy
+    fancy-indexing per Arrow batch — vectorized, no per-pixel Python).
+    """
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for h, w, px in zip(pdf["height"], pdf["width"], pdf["pixels"]):
+                img = np.asarray(px, dtype=np.int32).reshape(h, w)
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                out.append(img[np.ix_(ri, ci)].ravel().tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "height": np.int32(out_h), "width": np.int32(out_w),
+                "pixels": out,
+            })
+
+    return decoded.mapInPandas(resize, schema=schema)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mean_px", T.DoubleType(), False),
+    T.StructField("std_px", T.DoubleType(), False),
+    T.StructField("min_px", T.IntegerType(), False),
+    T.StructField("max_px", T.IntegerType(), False),
+])
+
+
+def image_features(decoded: DataFrame) -> DataFrame:
+    """Per-image intensity statistics (the feature-extraction stage;
+    a real embedding model would slot into the same signature)."""
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, px in zip(pdf["media_id"], pdf["pixels"]):
+                a = np.asarray(px, dtype=np.float64)
+                # E[x^2]-E[x]^2 over exact integer sums (not a.std()'s
+                # mean-centered pass) so any engine recomputing from
+                # the same bytes lands on the identical double
+                n = a.size
+                mean = float(a.sum()) / n
+                var = float((a * a).sum()) / n - mean * mean
+                rows.append((mid, mean, float(np.sqrt(max(var, 0.0))),
+                             int(a.min()), int(a.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "mean_px", "std_px", "min_px", "max_px"])
+
+    return decoded.mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def sample_frames(media: DataFrame, every_k: int = 4,
+                  frame_bytes: int = 64) -> DataFrame:
+    """Video frame sampling: split the payload into fixed-size frame
+    chunks, keep every k-th. Emits one row per sampled frame (output
+    cardinality > input — ``mapInPandas`` handles the fan-out without
+    an explode shuffle)."""
+    vids = media.filter(F.col("meta.modality") == "video") \
+                .select("media_id", "payload",
+                        F.col("meta.n_frames").alias("n_frames"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, frames = [], [], []
+            for mid, payload, nf in zip(pdf["media_id"], pdf["payload"],
+                                        pdf["n_frames"]):
+                for i in range(0, int(nf), every_k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(
+                        payload[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            })
+
+    return vids.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("rms", T.DoubleType(), False),
+    T.StructField("zero_crossings", T.IntegerType(), False),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction on the fake int8-waveform view of the
+    payload: RMS energy + zero-crossing count (vectorized numpy)."""
+    auds = media.filter(F.col("meta.modality") == "audio") \
+                .select("media_id", "payload")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                if wave.size == 0:
+                    rows.append((mid, 0, 0.0, 0))
+                    continue
+                zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+                rows.append((mid, wave.size,
+                             float(np.sqrt(np.mean(wave ** 2))), zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "rms", "zero_crossings"])
+
+    return auds.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)

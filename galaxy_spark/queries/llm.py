@@ -248,3 +248,61 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(q, emb, k=5, dim=64)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+             4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4), the
+    exact all-pairs tier; see operators.dedup.embedding_near_dup for
+    the LSH-blocked 100 TB shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup(emb, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to ASCII classes so
+#: Java (Spark) and RE2 (DuckDB) agree on its semantics
+_BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@register(
+    "text_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+             AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (contractions | words | numbers | punctuation runs | whitespace)
+    counted entirely JVM-side via regexp_extract_all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+         .alias("n_bpe_tokens"))

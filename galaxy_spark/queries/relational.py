@@ -373,3 +373,74 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
         F.length("o_orderpriority").alias("pri_len"),
     )
+
+
+@register(
+    "join_asof_latest_order",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach each event's most recent prior order.
+
+    Spark has no native ASOF JOIN; operators.joins.asof_join builds
+    it as union + one keyed window pass (no row explosion — see that
+    module's scale notes). Ties on (custkey, orderdate) are resolved
+    to the max orderkey on both sides for determinism.
+    """
+    from galaxy_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .select("o_custkey", "o_orderdate", "o_orderkey")
+              .withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") == 1).drop("__rk"))
+    return asof_join(
+        ev, orders,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with non-hierarchical sets (not a rollup/cube):
+    per-nation totals and per-segment totals in one pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.groupingSets(
+        [["n_name"], ["c_mktsegment"]], "n_name", "c_mktsegment"
+    ).agg(F.count("*").alias("n_customers"),
+          F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+
+
+@register("agg_approx_distinct")  # HLL sketches differ per engine → rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per return flag; exact
+    relative error is engine-specific so the driver runs the
+    rows-only check, and tests/ assert the estimate lands within the
+    configured rsd of the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))

@@ -56,4 +56,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.relational  # noqa: F401
     import galaxy_spark.queries.events  # noqa: F401
     import galaxy_spark.queries.llm  # noqa: F401
+    import galaxy_spark.queries.multimodal  # noqa: F401
     _LOADED = True

@@ -1,0 +1,114 @@
+"""Multimodal operator tests: the mapInPandas plumbing (schemas,
+batch iteration, fan-out) verified against plain-numpy references
+computed driver-side from the same synthesized payloads."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from galaxy_spark.operators import multimodal as mm
+from galaxy_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    return mm.synthesize_media(docs)
+
+
+@pytest.fixture(scope="module")
+def docs_local(spark):
+    rows = load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text").collect()
+    return {r.doc_id: r.text.encode("utf-8") for r in rows}
+
+
+def test_synthesize_covers_all_modalities(media):
+    got = {r.modality for r in
+           media.select("meta.modality").distinct().collect()}
+    assert got == {"image", "audio", "video"}
+
+
+def test_decode_matches_numpy_reference(media, docs_local):
+    decoded = {r.media_id: r for r in mm.decode_images(media).collect()}
+    img_ids = [i for i in docs_local if i % 3 == 0]
+    assert set(decoded) == set(img_ids)
+    for mid in img_ids:
+        payload = docs_local[mid]
+        w = min(len(payload), 16)
+        h = len(payload) // 16
+        ref = np.frombuffer(payload, dtype=np.uint8)[: h * w]
+        row = decoded[mid]
+        assert (row.height, row.width) == (h, w)
+        assert row.pixels == ref.astype(int).tolist()
+
+
+def test_resize_nearest_neighbor(spark, media):
+    resized = mm.resize_images(mm.decode_images(media), 8, 8).collect()
+    assert resized
+    for r in resized:
+        assert (r.height, r.width) == (8, 8)
+        assert len(r.pixels) == 64
+
+
+def test_image_features_match_reference(media, docs_local):
+    feats = {r.media_id: r for r in
+             mm.image_features(mm.decode_images(media)).collect()}
+    for mid, row in feats.items():
+        payload = docs_local[mid]
+        w = min(len(payload), 16)
+        h = len(payload) // 16
+        a = np.frombuffer(payload, dtype=np.uint8)[: h * w].astype(float)
+        assert row.mean_px == pytest.approx(a.mean(), abs=1e-9)
+        assert row.std_px == pytest.approx(a.std(), abs=1e-9)
+        assert (row.min_px, row.max_px) == (a.min(), a.max())
+
+
+def test_frame_sampling_fanout(media, docs_local):
+    frames = mm.sample_frames(media, every_k=4, frame_bytes=64).collect()
+    by_id: dict[int, list] = {}
+    for f in frames:
+        by_id.setdefault(f.media_id, []).append(f)
+    for mid, payload in docs_local.items():
+        if mid % 3 != 2:
+            continue
+        n_frames = len(payload) // 64
+        expect = list(range(0, n_frames, 4))
+        got = sorted(f.frame_idx for f in by_id.get(mid, []))
+        assert got == expect, mid
+        for f in by_id.get(mid, []):
+            ref = payload[f.frame_idx * 64:(f.frame_idx + 1) * 64]
+            assert bytes(f.frame) == ref
+
+
+def test_audio_features_reference(media, docs_local):
+    feats = {r.media_id: r for r in mm.audio_features(media).collect()}
+    aud_ids = [i for i in docs_local if i % 3 == 1]
+    assert set(feats) == set(aud_ids)
+    for mid in aud_ids:
+        wave = np.frombuffer(docs_local[mid], dtype=np.int8).astype(float)
+        row = feats[mid]
+        assert row.n_samples == wave.size
+        assert row.rms == pytest.approx(np.sqrt((wave ** 2).mean()), rel=1e-12)
+        zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+        assert row.zero_crossings == zc
+
+
+def test_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        mm.real_decode(b"\x89PNG", "png")
+
+
+def test_frame_md5_query_consistency(spark, docs_local):
+    """The registered query's md5 agrees with hashlib over raw bytes."""
+    from galaxy_spark.registry import all_queries
+    out = all_queries()["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+    for r in out[:20]:
+        payload = docs_local[r.media_id]
+        ref = hashlib.md5(
+            payload[r.frame_idx * 64:(r.frame_idx + 1) * 64]).hexdigest()
+        assert r.frame_md5 == ref
