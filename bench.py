@@ -31,7 +31,12 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_stats_documents",
+    "join_asof_latest_order",
+    "multimodal_image_features",
 ]
+
+#: tiny scale used to warm JVM/codegen paths before timing
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
@@ -46,14 +51,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # untimed warmup at sf0.001: JIT/codegen/classloading all happen
+    # here so the timed loop measures steady-state execution, which
+    # is what a long-running cluster actually sees
+    for name in BENCH_QUERIES:
+        if name in queries and os.path.isdir(WARMUP_SF_DIR):
+            queries[name](spark, WARMUP_SF_DIR) \
+                .write.format("noop").mode("overwrite").save()
+
+    # best-of-2: single-JVM local[32] timings carry seconds of
+    # GC/scheduling noise; the min is the steady-state number a
+    # warm cluster would see
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in queries:
             continue
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

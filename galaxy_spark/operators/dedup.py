@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from galaxy_spark.operators.text import word_ngrams
+from galaxy_spark.operators.util import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -57,9 +58,9 @@ def shingle_pairs_jaccard(df: DataFrame, n: int = 5, text_col: str = "text",
     Jaccard over distinct-shingle sets. Returns
     (id_a, id_b, n_shared, n_a, n_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(text_col, n).alias("shingles"),
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    sh = src.select(
+        "id", word_ngrams(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
@@ -106,14 +107,13 @@ def minhash_signatures_agg(df: DataFrame, n: int = 5, n_hashes: int = 32,
     (doc, 32 longs). This is the 100 TB formulation: cost is linear
     in corpus size, parallelism is per-shingle not per-document.
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_ngrams(text_col, n).alias("shingles"))
-    # test corpora arrive as one small parquet file -> force fan-out;
-    # at real scale the scan already yields many partitions and AQE
-    # coalesces this no-op shuffle.
-    ex = (sh.repartition(n_part, "id")
-          .select("id", F.explode("shingles").alias("shingle")))
+    # spread BEFORE the shingle expression: on a 1-partition test
+    # scan the n-gram computation itself is the expensive part, and
+    # hash-partitioning by id here lets the groupBy reuse the
+    # exchange (one shuffle total)
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    ex = src.select(
+        "id", F.explode(word_ngrams(text_col, n)).alias("shingle"))
     return ex.groupBy("id").agg(*[
         F.min(F.xxhash64(F.lit(seed + i), F.col("shingle"))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -164,8 +164,8 @@ def jaccard_for_pairs(pairs: DataFrame, df: DataFrame, n: int = 5,
     quadratic inverted-index join; at 100 TB only candidates (a tiny
     fraction) pay the exact computation.
     """
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_ngrams(text_col, n).alias("shingles"))
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    sh = src.select("id", word_ngrams(text_col, n).alias("shingles"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -213,11 +213,8 @@ def simhash_agg(df: DataFrame, n: int = 3, seed: int = 42,
     explode/agg form (one pass, map-side partial votes, one row per
     doc on the shuffle).
     """
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.select(F.col(id_col).alias("id"),
-                   word_ngrams(text_col, n).alias("shingles"))
-    ex = (sh.repartition(n_part, "id")
-          .select("id", F.explode("shingles").alias("shingle"))
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    ex = (src.select("id", F.explode(word_ngrams(text_col, n)).alias("shingle"))
           .select("id", F.xxhash64(F.lit(seed), "shingle").alias("h")))
     votes = ex.groupBy("id").agg(*[
         F.sum(
@@ -258,7 +255,8 @@ def embedding_near_dup(emb: DataFrame, threshold: float,
     from galaxy_spark.operators.similarity import cosine
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = spread(emb.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb")))
     return (
         F.broadcast(a).crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -59,6 +59,8 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
     already carries ``(media_id, payload, meta)``. Kept as pure
     column algebra so Catalyst prunes/pushes through it.
     """
+    from galaxy_spark.operators.util import spread
+    docs = spread(docs)  # 1-file test scan -> parallel Pandas stages
     payload = F.encode(F.col(text_col), "UTF-8")
     plen = F.length(payload)
     modality = F.element_at(

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Column
 
+from galaxy_spark.operators.util import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -52,8 +54,8 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = spread(corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")))
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("neighbor_id"))
@@ -115,8 +117,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                        F.col(vec_col).alias("q_vec")).withColumnRenamed("q_vec", vec_col),
         "q_")
     c = with_sigs(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec")).withColumnRenamed("c_vec", vec_col),
+        spread(corpus.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("c_vec"))
+               .withColumnRenamed("c_vec", vec_col)),
         "c_")
     q = q.withColumnRenamed(vec_col, "q_vec")
     c = c.withColumnRenamed(vec_col, "c_vec")
