@@ -120,6 +120,19 @@ def language_id(text: Column | str) -> Column:
     return F.when(best > 0, F.element_at(top, 1).getField("key")).otherwise(F.lit("und"))
 
 
+#: GPT-2-style pre-tokenizer regex (contractions | words | numbers |
+#: punctuation runs | whitespace), restricted to ASCII classes so
+#: Java-regex (Spark) and RE2 (DuckDB) agree on its semantics
+BPE_TOKEN_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: GPT-2 pre-tokenizer segments counted
+    entirely JVM-side (``regexp_extract_all``), no Python."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach token/stopword/punct counts + quality score."""
     return df.select(

@@ -282,11 +282,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-#: GPT-2-style pre-tokenizer regex, restricted to ASCII classes so
-#: Java (Spark) and RE2 (DuckDB) agree on its semantics
-_BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
-
-
 @register(
     "text_token_bpe",
     oracle=r"""
@@ -303,6 +298,4 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted entirely JVM-side via regexp_extract_all."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
-         .alias("n_bpe_tokens"))
+        "doc_id", text.bpe_token_count("text").alias("n_bpe_tokens"))

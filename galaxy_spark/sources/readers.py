@@ -1,0 +1,53 @@
+"""Batch readers: parquet tables + JDBC metadata bootstrap.
+
+The JDBC reader replaces the reference's schema bootstrap — galaxy
+runs ``SHOW FULL COLUMNS FROM `db`.`table``` over a single pooled
+MySQL connection (``internal/sync_server/baseinfo.go:15-36``,
+``sync.go:206-222`` with ``SetMaxOpenConns(1)``). The Spark-native
+equivalent queries ``information_schema.columns`` through the stock
+JDBC source; no live MySQL exists in this harness, so the builder
+returns the configured ``DataFrameReader`` (tested for option
+wiring) and executes only when a URL is reachable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from galaxy_spark.tables import load_table
+
+#: columns fetched for schema bootstrap, mirroring what the
+#: reference consumes from SHOW FULL COLUMNS (type/name/nullability
+#: — pkg/models.go:43-47)
+INFORMATION_SCHEMA_QUERY = """
+    SELECT table_schema, table_name, column_name, ordinal_position,
+           column_type, is_nullable
+    FROM information_schema.columns
+    WHERE table_schema = '{db}'
+"""
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch parquet scan with pushdown/pruning (delegates to
+    galaxy_spark.tables, which also handles the events table's
+    TIMESTAMP(NANOS) quirk)."""
+    return load_table(spark, sf_dir, name)
+
+
+def jdbc_table_reader(spark: SparkSession, url: str, db: str,
+                      user: str, password: str,
+                      num_partitions: int = 1):
+    """Configured JDBC reader for the schema-bootstrap query.
+
+    ``numPartitions=1`` mirrors the reference's single metadata
+    connection (``sync.go:213``); the result is tiny (one row per
+    column) so there is nothing to parallelize.
+    """
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", INFORMATION_SCHEMA_QUERY.format(db=db))
+        .option("user", user)
+        .option("password", password)
+        .option("numPartitions", str(num_partitions))
+    )

@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: lock in the physical-plan
+properties the engine's 100 TB story depends on (pushdown reaches
+the scan, pruning trims the scan schema, dim joins broadcast,
+shuffle counts stay minimal). A failure here means the plan
+regressed even if results are still correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from galaxy_spark.plans import (
+    broadcast_join_count,
+    codegen_span_count,
+    exchange_count,
+    plan_report,
+    pushed_filters,
+    read_schema_columns,
+)
+from galaxy_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def run(name):
+        return QUERIES[name](spark, SF_SMOKE)
+    return run
+
+
+def test_q1_filter_pushdown_and_pruning(q):
+    df = q("q1_pricing_summary")
+    assert any("l_shipdate" in f for f in pushed_filters(df)), \
+        "shipdate predicate must reach the parquet scan"
+    (scan,) = read_schema_columns(df)
+    assert "l_comment" not in scan and "l_partkey" not in scan, \
+        "scan must prune to the 7 referenced columns"
+    assert scan <= {"l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax", "l_shipdate"}
+
+
+def test_q1_single_shuffle(q):
+    # partial agg map-side, one exchange on the 4-value group key
+    assert exchange_count(q("q1_pricing_summary")) == 1
+
+
+def test_q3_broadcasts_customer(q):
+    df = q("q3_shipping_priority")
+    assert broadcast_join_count(df) >= 1
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_star_join_broadcasts_all_dims(q):
+    df = q("join_revenue_by_nation")
+    # customer, nation, region all broadcast; only orders⋈lineitem
+    # (orderkey) plus the final groupBy shuffle remain
+    assert broadcast_join_count(df) >= 3
+    assert exchange_count(df) <= 3
+
+
+def test_scalar_query_is_scan_only(q):
+    df = q("scalar_functions_showcase")
+    assert exchange_count(df) == 0, "pure projection must not shuffle"
+    assert codegen_span_count(df) >= 1
+
+
+def test_topk_single_shuffle(q):
+    # one hash exchange for the window partition key; dim join broadcast
+    df = q("window_topk_customers_per_nation")
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) == 1
+
+
+def test_minhash_signature_single_shuffle(spark, q):
+    # spread() hash-partitions by id; groupBy(id) must reuse that
+    # exchange instead of adding a second one
+    from galaxy_spark.operators.dedup import minhash_signatures_agg
+    from galaxy_spark.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = minhash_signatures_agg(docs, n=5, n_hashes=32)
+    assert exchange_count(sig) == 1
+
+
+def test_plan_report_keys(q):
+    rep = plan_report(q("q1_pricing_summary"))
+    assert set(rep) == {"pushed_filters", "read_schema",
+                       "broadcast_joins", "exchanges", "codegen_spans"}
