@@ -72,3 +72,54 @@ def asof_join(
     return (carried.filter(F.col("__side") == 1)
             .select(*lcols,
                     *[F.col(f"__r_{c}").alias(c) for c in right_payload]))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower_bound_s: int,
+    upper_bound_s: int,
+) -> DataFrame:
+    """Banded range join: pairs with the same ``key`` whose times
+    satisfy ``lower_bound_s <= right_time - left_time <=
+    upper_bound_s`` (seconds).
+
+    Spark turns a naive time-inequality join into a cross product
+    per key (quadratic in rows-per-key — fatal on a hot key at
+    100 TB). This operator BANDS the time axis instead: each side
+    is bucketed to ``ceil(span)``-second cells, the join runs as an
+    equi-join on (key, cell) — left rows are replicated into just
+    the cells a match could live in — and the exact predicate
+    filters inside each cell. Cost: linear replication factor
+    (span/cell + 1, here 2x), shuffle only on (key, cell), perfect
+    partition pruning of non-adjacent times.
+
+    Expects both inputs to carry distinct column names apart from
+    ``key``.
+    """
+    span = upper_bound_s - lower_bound_s
+    if span <= 0:
+        raise ValueError("upper_bound_s must exceed lower_bound_s")
+    # microsecond precision end-to-end (unix_timestamp would truncate
+    # sub-second gaps and silently change the predicate)
+    lower_us = lower_bound_s * 1_000_000
+    upper_us = upper_bound_s * 1_000_000
+    cell = span * 1_000_000  # band width -> at most 2 candidate cells
+
+    l_cell = F.floor((F.unix_micros(F.col(left_time)) + lower_us) / cell)
+    r_cell = F.floor(F.unix_micros(F.col(right_time)) / cell)
+    # a right row matching this left row lies in [t+lower, t+upper],
+    # which spans at most two cells: l_cell and l_cell + 1
+    lx = left.withColumn(
+        "__cell", F.explode(F.array(l_cell, l_cell + 1)))
+    rx = right.withColumn("__cell", r_cell)
+    dt = (F.unix_micros(F.col(right_time))
+          - F.unix_micros(F.col(left_time)))
+    return (
+        lx.join(rx, on=[key, "__cell"])
+        .filter((dt >= lower_us) & (dt <= upper_us))
+        .drop("__cell")
+    )

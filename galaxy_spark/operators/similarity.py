@@ -99,10 +99,16 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int,
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+             dim: int = 64, n_planes: int = 4, n_tables: int = 8,
              exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any of
     ``n_tables`` hyperplane tables, re-ranked by exact cosine.
+
+    Defaults (4 planes x 8 tables) are tuned for near-uniform
+    embeddings — the hardest regime for LSH, and what the synthetic
+    fixture contains (recall@5 ≈ 0.7 there, asserted in tests).
+    Clustered real-world embeddings allow more planes (smaller
+    candidate sets) at the same recall.
     """
     def with_sigs(df: DataFrame, prefix: str) -> DataFrame:
         out = df
@@ -136,3 +142,63 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
         "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4,
+             exclude_self: bool = True) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantizer + probed
+    inverted lists + exact re-rank.
+
+    - centroids: a deterministic 1-in-stride sample of the corpus
+      (public IVF recipe normally k-means; sampling keeps the
+      operator stateless/deterministic — swap in trained centroids
+      without touching the plan).
+    - build: every corpus vector is assigned to its nearest centroid
+      (broadcast centroids, one scan, shuffle only on the final
+      argmax window by id).
+    - search: each query probes its ``n_probe`` nearest centroids
+      and re-ranks exactly within those inverted lists only.
+
+    At 100 TB the inverted-list assignment is the partition layout
+    (write bucketed by cluster_id): a probe then touches
+    ``n_probe/n_centroids`` of the corpus instead of all of it —
+    that fraction is the speedup, recall is the price, measured in
+    tests against brute force.
+    """
+    n = corpus.count()
+    stride = max(n // n_centroids, 1)
+    cent = (corpus.filter(F.col(id_col) % stride == 0)
+            .orderBy(id_col).limit(n_centroids)   # deterministic pick
+            .select(F.col(id_col).alias("cent_id"),
+                    F.col(vec_col).alias("cent_vec")))
+
+    def nearest(df: DataFrame, idc: str, vec: str, keep: int,
+                out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            "*", cosine(F.col(vec), F.col("cent_vec")).alias("__cs"))
+        w = Window.partitionBy(idc).orderBy(F.desc("__cs"), F.asc("cent_id"))
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= keep)
+                .select(idc, vec, F.col("cent_id").alias(out)))
+
+    assigned = nearest(
+        spread(corpus.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("c_vec"))),
+        "neighbor_id", "c_vec", 1, "cluster_id")
+    probes = nearest(
+        queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec")),
+        "q_id", "q_vec", n_probe, "cluster_id")
+
+    cands = probes.join(assigned, "cluster_id")
+    if exclude_self:
+        cands = cands.filter(F.col("q_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "q_id", "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

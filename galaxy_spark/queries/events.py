@@ -103,3 +103,74 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("session_value"),
         F.min("ts").alias("session_start"),
     )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH slid AS (
+        -- an event at t belongs to window starts trunc30(t) and
+        -- trunc30(t) - 30min (1h width, 30min slide)
+        SELECT e.event_type, e.value,
+               time_bucket(INTERVAL 30 MINUTE, e.ts)
+                 - k * INTERVAL 30 MINUTE AS window_start
+        FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window, 30min slide: every event lands in exactly
+    two windows (F.window duplicates rows JVM-side; the oracle
+    mirrors with an explicit 2-way unnest). Batch twin of the
+    streaming sliding aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+@register(
+    "join_range_followup_events",
+    oracle="""
+    SELECT a.event_id AS first_id, b.event_id AS next_id,
+           a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+     AND a.event_id != b.event_id
+    """,
+)
+def join_range_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs <= 5 minutes apart.
+
+    Spark-native banded implementation (operators.joins.range_join):
+    equi-join on (user, time-cell) with 2x left replication instead
+    of the quadratic per-key cross product a naive time-inequality
+    join plans. The oracle runs the naive inequality join — small at
+    oracle scale, and exactly the semantics the banding must
+    reproduce.
+    """
+    from galaxy_spark.operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("event_id").alias("first_id"),
+                  F.col("ts").alias("ts_a"))
+    b = ev.select("user_id", F.col("event_id").alias("next_id"),
+                  F.col("ts").alias("ts_b"))
+    out = range_join(a, b, key="user_id", left_time="ts_a",
+                     right_time="ts_b", lower_bound_s=0, upper_bound_s=300)
+    return (
+        out.filter(F.col("first_id") != F.col("next_id"))
+        .select("first_id", "next_id", "user_id",
+                (F.unix_micros("ts_b") - F.unix_micros("ts_a"))
+                .alias("gap_us"))
+    )

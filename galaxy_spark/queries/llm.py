@@ -299,3 +299,13 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", text.bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+@register("similarity_ivf_topk")  # approximate → rows-only check
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: sampled-centroid coarse quantizer, probe the 4
+    nearest of 16 inverted lists, exact re-rank inside them (recall
+    vs brute force asserted in tests/test_similarity_recall.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)

@@ -1,0 +1,46 @@
+"""Approximate-ANN recall vs the exact brute-force baseline.
+
+LSH/IVF are rows-only at the driver (no SQL oracle can reproduce a
+probabilistic candidate set), so THIS is their correctness
+instrument: recall@5 against cosine_topk on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import similarity
+from galaxy_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _recall(approx_df, exact_df) -> float:
+    exact = {(r.q_id, r.neighbor_id) for r in exact_df.collect()}
+    approx = {(r.q_id, r.neighbor_id) for r in approx_df.collect()}
+    return len(exact & approx) / len(exact)
+
+
+def _queries_and_corpus(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return emb.filter(F.col("vec_id") < 10), emb
+
+
+def test_ivf_recall_beats_floor(spark):
+    q, emb = _queries_and_corpus(spark)
+    exact = similarity.cosine_topk(q, emb, k=5)
+    ivf = similarity.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+    assert _recall(ivf, exact) >= 0.3  # 4/16 lists probed
+
+def test_ivf_full_probe_equals_exact(spark):
+    # probing every list must recover brute force exactly
+    q, emb = _queries_and_corpus(spark)
+    exact = similarity.cosine_topk(q, emb, k=5)
+    full = similarity.ivf_topk(q, emb, k=5, n_centroids=8, n_probe=8)
+    assert _recall(full, exact) == 1.0
+
+
+def test_lsh_recall_beats_floor(spark):
+    q, emb = _queries_and_corpus(spark)
+    exact = similarity.cosine_topk(q, emb, k=5)
+    lsh = similarity.lsh_topk(q, emb, k=5, dim=64)
+    assert _recall(lsh, exact) >= 0.4
