@@ -309,3 +309,41 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "udf_grouped_token_totals",
+    oracle=r"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(MAX(length(text)) AS INTEGER) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def udf_grouped_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped aggregation (the UDAF surface):
+    per-language doc/token/char totals computed in vectorized pandas.
+
+    Integer-only aggregates, so the Arrow path is value-exact against
+    the SQL oracle. The JVM-side twin of this query is a plain
+    groupBy-agg; this one exists to pin the applyInPandas plumbing
+    (grouped Arrow exchange, schema mapping) with a full oracle.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def totals(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = pdf["text"].str.strip().str.split(r"\s+", regex=True)
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "total_tokens": [int(toks.str.len().sum())],
+            "max_chars": [int(pdf["text"].str.len().max())],
+        })
+
+    return docs.groupBy("lang").applyInPandas(
+        totals,
+        schema="lang string, n_docs bigint, total_tokens bigint, "
+               "max_chars int")

@@ -246,3 +246,28 @@ def test_sink_mux_unimplemented_kinds_raise(spark):
         SinkConfig("es").apply(None, "x")
     with pytest.raises(NotImplementedError):
         SinkConfig("mongodb").apply(None, "x")
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState cumulative per-(db,table) counts must
+    equal the batch groupBy at end of stream."""
+    from galaxy_spark.streaming.stateful import running_change_totals
+
+    env = envelope_from_events(_stream_events(spark, events_dir))
+    q = (running_change_totals(env)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("state_out").start())
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits one row per key per batch; last row per key wins
+    got = spark.sql("""
+        SELECT database, table, n_changes, last_pos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY database, table
+                                         ORDER BY n_changes DESC) rk
+            FROM state_out) WHERE rk = 1
+    """)
+    exp = (envelope_from_events(load_table(spark, SF, "events"))
+           .groupBy("database", "table")
+           .agg(F.count("*").alias("n_changes"),
+                F.max("event_header.log_pos").alias("last_pos")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
