@@ -189,3 +189,62 @@ def cdc_sink_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(".", "database", "table").alias("key"),
     )
     return routed.groupBy("topic", "key").agg(F.count("*").alias("n_messages"))
+
+
+@register(
+    "cdc_schema_attach",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table",
+           CASE tbl WHEN 'click' THEN 'event_id,user_id,value'
+                    WHEN 'view' THEN 'event_id,user_id'
+                    ELSE 'event_id,value' END AS after_schema,
+           COUNT(*) AS n_inserts
+    FROM env
+    WHERE action = 'insert' AND tbl IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2, 3
+    """,
+)
+def cdc_schema_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 schema lookup/attach: each table's events are projected
+    with THAT table's registry schema (different column lists per
+    table), mirroring the reference's per-event ``tableSchema``
+    cache resolve (``internal/sync_server/baseinfo.go:39-58``).
+
+    Spark shape: the registry is driver-side metadata compiled into
+    per-table plan branches (a filter + projection each, sharing one
+    scan) — a broadcast of column NAMES into the plan, never a
+    per-row join, so the registry adds zero shuffle at any scale.
+    """
+    from galaxy_spark.cdc.schema_registry import ColumnDef, SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.put("*", "click", [ColumnDef("event_id", "bigint"),
+                           ColumnDef("user_id", "bigint"),
+                           ColumnDef("value", "double")])
+    reg.put("*", "view", [ColumnDef("event_id", "bigint"),
+                          ColumnDef("user_id", "bigint")])
+    reg.put("*", "purchase", [ColumnDef("event_id", "bigint"),
+                              ColumnDef("value", "double")])
+
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    # the fixture's org_row is always (event_id, user_id, value); a
+    # narrower registry schema projects a PREFIX/SUBSET of positions
+    # the way a narrower real table would
+    pos = {"event_id": 0, "user_id": 1, "value": 2}
+    branches = []
+    for (_db, tbl) in reg.tables():
+        names = reg.column_names("*", tbl)
+        rows = F.col("org_row").getItem(0)
+        projected = F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]),
+            F.array(*[rows.getItem(pos[n]) for n in names]))
+        branches.append(
+            env.filter((F.col("table") == tbl) & (F.col("action") == "insert"))
+               .select("database", "table",
+                       F.concat_ws(",", F.map_keys(projected))
+                        .alias("after_schema")))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("database", "table", "after_schema").agg(
+        F.count("*").alias("n_inserts"))
