@@ -2,6 +2,7 @@ from galaxy_spark.plans.audit import (
     broadcast_join_count,
     codegen_span_count,
     exchange_count,
+    partition_filters,
     physical_plan,
     plan_report,
     pushed_filters,
@@ -12,6 +13,7 @@ __all__ = [
     "broadcast_join_count",
     "codegen_span_count",
     "exchange_count",
+    "partition_filters",
     "physical_plan",
     "plan_report",
     "pushed_filters",

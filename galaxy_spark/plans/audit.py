@@ -30,6 +30,15 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across the plan's scans
+    (partition pruning check for hive-partitioned layouts)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """Column sets actually read by each parquet scan (pruning
     check: a scan reading columns the query never uses is a bug)."""

@@ -444,3 +444,74 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+
+
+@register(
+    "agg_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts per priority x status.
+    Explicit value list -> single-pass conditional aggregation, no
+    second job to discover pivot values."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (orders.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .count().na.fill(0))
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("n_f"), F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"))
+
+
+@register(
+    "agg_percentiles_price",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). ``approx_percentile`` (t-digest) is
+    the 100 TB path — same call shape, engine-specific values, so
+    the exact variant carries the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "agg_stats_quantity_price",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(stddev_pop(l_quantity), 2) AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_discount), 3) AS cov_qty_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/corr/covar) — distributed
+    merge formulas vs DuckDB's sequential pass agree to far more
+    than the rounded precision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_pop("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 3)
+         .alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 3)
+         .alias("cov_qty_disc"),
+    )

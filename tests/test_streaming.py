@@ -271,3 +271,44 @@ def test_stateful_running_totals(spark, events_dir):
            .agg(F.count("*").alias("n_changes"),
                 F.max("event_header.log_pos").alias("last_pos")))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_stream_join_within_interval(spark, events_dir, tmp_path):
+    """Watermarked stream-stream inner join: click events joined to
+    the same user's purchase events within 1 hour — state on both
+    sides is bounded by the watermark + time-range condition."""
+    schema = spark.read.parquet(events_dir).schema
+    clicks = (spark.readStream.schema(schema).parquet(events_dir)
+              .filter(F.col("event_type") == "click")
+              .selectExpr("user_id", "ts AS click_ts",
+                          "event_id AS click_id")
+              .withWatermark("click_ts", "1 hour"))
+    buys = (spark.readStream.schema(schema).parquet(events_dir)
+            .filter(F.col("event_type") == "purchase")
+            .selectExpr("user_id AS b_user_id", "ts AS buy_ts",
+                        "event_id AS buy_id")
+            .withWatermark("buy_ts", "1 hour"))
+    joined = clicks.join(
+        buys,
+        F.expr("""user_id = b_user_id AND
+                  buy_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"""),
+    ).select("user_id", "click_id", "buy_id")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_out").start())
+    q.processAllAvailable()
+    q.stop()
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click") \
+          .selectExpr("user_id", "ts AS click_ts", "event_id AS click_id")
+    b = ev.filter(F.col("event_type") == "purchase") \
+          .selectExpr("user_id AS b_user_id", "ts AS buy_ts",
+                      "event_id AS buy_id")
+    exp = c.join(b, F.expr(
+        """user_id = b_user_id AND
+           buy_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"""
+    )).select("user_id", "click_id", "buy_id")
+    got = spark.sql("SELECT user_id, click_id, buy_id FROM ssj_out")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+    assert got.count() > 0
