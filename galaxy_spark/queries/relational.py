@@ -515,3 +515,87 @@ def agg_stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("l_quantity", "l_discount"), 3)
          .alias("cov_qty_disc"),
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold). Expressed via SQL so Catalyst performs the
+    decorrelation rewrite (subquery -> aggregated join) — the plan to
+    preserve at scale is ONE extra aggregate on l_partkey feeding a
+    broadcast-able join, not a per-row subquery execution."""
+    from galaxy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@register(
+    "window_range_frame_90d",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_orders_90d,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
+             AS spend_90d
+    FROM orders
+    """,
+)
+def window_range_frame_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per customer, rolling 90-day order count
+    and spend (value-range frame over epoch seconds, not row
+    counts — duplicate order dates share one frame)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-90 * 86400, Window.currentRow))
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.count("*").over(w).alias("n_orders_90d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
+
+
+@register(
+    "agg_decimal_exact_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS total_price,
+           SUM(CAST(l_quantity AS DECIMAL(14,2))) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact aggregation — the engine's UseDecimal guarantee
+    (reference: ``internal/sync_server/sync.go:52`` keeps binlog
+    decimals exact, never floats). DecimalType sums are associative
+    and exact, so NO rounding is needed for oracle agreement — the
+    strongest form of cross-engine value equality, independent of
+    partial-aggregation order at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+         .alias("total_price"),
+        F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("total_qty"),
+    )

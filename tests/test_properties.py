@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): the DDL parser and the
+column-expression text functions hold their invariants over
+generated inputs, not just the curated corpus."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from galaxy_spark.cdc.ddl import AddColumn, DropColumn, parse_alter
+from galaxy_spark.cdc.schema_registry import ColumnDef, SchemaRegistry
+
+IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+TYPES = st.sampled_from(
+    ["int", "bigint", "varchar(100)", "decimal(10,2)", "datetime", "text"])
+WS = st.sampled_from([" "])
+COMMENT = st.sampled_from(["", "/* ApplicationName=DBeaver */ "])
+QUOTE = st.sampled_from(["", "`"])
+
+
+@given(comment=COMMENT, db=IDENT, tbl=IDENT, col=IDENT, typ=TYPES,
+       q=QUOTE, first=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_parse_add_column_roundtrip(comment, db, tbl, col, typ, q, first):
+    pos = " FIRST" if first else ""
+    stmt = parse_alter(
+        f"{comment}alter table {q}{db}{q}.{q}{tbl}{q} "
+        f"add column {q}{col}{q} {typ} null{pos}")
+    assert stmt is not None
+    assert (stmt.database, stmt.table) == (db, tbl)
+    (op,) = stmt.ops
+    assert isinstance(op, AddColumn)
+    assert op.name == col
+    assert op.col_type is not None and op.col_type.startswith(typ.split("(")[0])
+    assert (op.position == "FIRST") == first
+
+
+@given(tbl=IDENT, col=IDENT, with_kw=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_parse_drop_column(tbl, col, with_kw):
+    kw = "column " if with_kw else ""
+    stmt = parse_alter(f"ALTER TABLE {tbl} DROP {kw}{col}")
+    assert stmt is not None and stmt.table == tbl
+    assert stmt.ops == (DropColumn(col),)
+
+
+@given(garbage=st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_parser_never_raises_on_garbage(garbage):
+    # non-ALTER statements (incl. BEGIN, random bytes) -> None, no crash
+    result = parse_alter(garbage)
+    if not re.match(r"\s*(/\*.*?\*/\s*)*alter\s", garbage, re.I | re.S):
+        assert result is None
+
+
+@given(cols=st.lists(IDENT, min_size=1, max_size=8, unique=True),
+       add=IDENT, anchor_idx=st.integers(min_value=0, max_value=7))
+@settings(max_examples=100, deadline=None)
+def test_registry_add_after_preserves_others(cols, add, anchor_idx):
+    if add in cols:
+        return
+    reg = SchemaRegistry()
+    reg.put("db", "t", [ColumnDef(c, "int") for c in cols])
+    anchor = cols[anchor_idx % len(cols)]
+    changed = reg.apply_ddl("db", f"alter table t add {add} bigint after {anchor}")
+    assert changed
+    got = reg.column_names("db", "t")
+    assert got.index(add) == cols.index(anchor) + 1   # inserted in place
+    assert [c for c in got if c != add] == cols       # others untouched
+    # evolution recorded as an {old, new} delta pair
+    (old, new) = reg.get("db", "t").history[-1]
+    assert [c.name for c in old] == cols and [c.name for c in new] == got
+
+
+@given(text=st.text(alphabet=st.characters(min_codepoint=32,
+                                           max_codepoint=126),
+                    min_size=0, max_size=80))
+@settings(max_examples=25, deadline=None)  # one Spark job per example
+def test_rolling_fingerprint_matches_python_reference(spark, text):
+    from galaxy_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(rolling_fingerprint("text").alias("fp")).collect()[0].fp
+    ref = 0
+    for ch in text:
+        ref = (ref * 257 + ord(ch)) % 1_000_000_007
+    assert got == ref
