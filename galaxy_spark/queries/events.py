@@ -174,3 +174,41 @@ def join_range_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_micros("ts_b") - F.unix_micros("ts_a"))
                 .alias("gap_us"))
     )
+
+
+@register(
+    "events_multi_rollup",
+    oracle="""
+    SELECT grain, bucket_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+               event_type, value FROM events
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), event_type, value FROM events
+    ) GROUP BY 1, 2, 3
+    """,
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour AND day
+    aggregates of the same stream in one pass (continuous-aggregate
+    pattern from the time-series world).
+
+    Shape: explode each event into its (grain, bucket) memberships,
+    one grouped aggregation — a single shuffle produces every
+    resolution, vs one job per grain. In production the same plan
+    runs incrementally under foreachBatch, upserting both grains'
+    partial aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    grains = ev.select(
+        F.explode(F.array(
+            F.struct(F.lit("hour").alias("grain"),
+                     F.date_trunc("hour", "ts").alias("bucket_start")),
+            F.struct(F.lit("day").alias("grain"),
+                     F.date_trunc("day", "ts").alias("bucket_start")),
+        )).alias("g"),
+        "event_type", "value",
+    ).select("g.grain", "g.bucket_start", "event_type", "value")
+    return grains.groupBy("grain", "bucket_start", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"))

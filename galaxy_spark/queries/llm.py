@@ -10,7 +10,7 @@ tests in tests/.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from galaxy_spark.operators import dedup, similarity, text
@@ -347,3 +347,85 @@ def udf_grouped_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals,
         schema="lang string, n_docs bigint, total_tokens bigint, "
                "max_chars int")
+
+
+@register(
+    "text_vocabulary_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rk
+    FROM counts ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens -> global top-20 by
+    frequency (the vocabulary-building pass of a tokenizer-training
+    pipeline). Partial counts combine map-side before the single
+    token shuffle; the final top-k is a driver-size sort."""
+    from galaxy_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
+    counts = (docs.select(F.explode(text.tokens("text")).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (counts.withColumn("rk", F.row_number().over(w).cast("int"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, ROUND(score, 4) AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rk
+          FROM scored) WHERE rk = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure DataFrame algebra (smoothed idf =
+    ln((N+1)/(df+1))+1, the public scikit-style formula): each
+    document's highest-scoring term.
+
+    Scale shape: two token-keyed aggregations + one broadcast-able
+    df join; no ml.Pipeline fitting state, so the same plan runs
+    streaming-incremental with the df table maintained as a
+    side table."""
+    from galaxy_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")
+                  .select("doc_id", "text"), "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (tf.join(dfreq, "token")
+              .select("doc_id", "token",
+                      (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+                                      + 1.0)).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", F.col("token").alias("top_term"),
+                    F.round("score", 4).alias("tfidf")))

@@ -42,3 +42,19 @@ def test_entry_smoke(spark):
     rows = e.entry(spark).collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_within_rsd(spark):
+    """agg_approx_distinct is rows-only at the driver; here we bound
+    its error against the exact count (rsd=0.01 -> allow 5%)."""
+    from pyspark.sql import functions as F
+    from galaxy_spark.tables import load_table
+
+    approx = {r.l_returnflag: r.approx_parts
+              for r in QUERIES["agg_approx_distinct"](spark, SF_ORACLE).collect()}
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    exact = {r.l_returnflag: r.n
+             for r in li.groupBy("l_returnflag")
+                        .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(0.05 * n, 2), (flag, approx[flag], n)
