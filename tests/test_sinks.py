@@ -27,3 +27,35 @@ def test_partitioned_write_and_pruning(spark, tmp_path):
     exp = env.filter((F.col("database") == "db0")
                      & (F.col("table") == "click")).count()
     assert pruned.count() == exp > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with ZERO
+    exchanges — the co-located fact-fact join layout."""
+    from galaxy_spark.plans import exchange_count
+    from galaxy_spark.sinks import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem") \
+        .select("l_orderkey", "l_quantity")
+    try:
+        write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                       str(tmp_path / "b_orders"), sort_col="o_orderkey")
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8,
+                       str(tmp_path / "b_lineitem"), sort_col="l_orderkey")
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey) \
+                   .groupBy("o_custkey") \
+                   .agg(F.sum("l_quantity").alias("qty"))
+        # the ONLY exchange is the final groupBy — the join itself
+        # rides the bucket layout
+        assert exchange_count(joined) <= 1
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey) \
+                      .groupBy("o_custkey").agg(F.sum("l_quantity").alias("qty"))
+        assert sorted(map(tuple, joined.collect())) == \
+            sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
