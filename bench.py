@@ -59,7 +59,7 @@ def main() -> None:
             queries[name](spark, WARMUP_SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
 
-    # best-of-2: single-JVM local[32] timings carry seconds of
+    # best-of-3: single-JVM local[32] timings carry seconds of
     # GC/scheduling noise; the min is the steady-state number a
     # warm cluster would see
     timings: dict[str, float] = {}
@@ -67,7 +67,7 @@ def main() -> None:
         if name not in queries:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()

@@ -77,15 +77,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (32 hashes, 8 bands) + exact
     Jaccard verification — the linear-cost near-dup path for corpora
-    where the quadratic shingle join is unaffordable."""
+    where the quadratic shingle join is unaffordable. Uses the fused
+    single-shingle-pass pipeline (dedup.minhash_near_dups)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, n=5, n_hashes=32, bands=8)
-    verified = dedup.jaccard_for_pairs(cands, docs, n=5)
-    return (
-        verified.filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "n_bands_hit",
-                F.round("jaccard", 4).alias("jaccard"))
-    )
+    verified = dedup.minhash_near_dups(docs, n=5, n_hashes=32, bands=8,
+                                       threshold=0.5)
+    return verified.select("id_a", "id_b", "n_bands_hit",
+                           F.round("jaccard", 4).alias("jaccard"))
 
 
 @register("dedup_simhash")  # xxhash64-based → rows-only check
