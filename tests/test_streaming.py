@@ -312,3 +312,74 @@ def test_stream_stream_join_within_interval(spark, events_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, exp.collect()))
     assert got.count() > 0
+
+
+def test_quarantine_malformed_rows(spark):
+    """Arity-mismatched rows are flagged, not fatal (divergence from
+    the reference, which errors out: process.go:120-122,190-192 —
+    documented in galaxy_spark.cdc.projections)."""
+    from galaxy_spark.cdc.projections import project_changes
+
+    rows = [
+        # good insert: 3 values for 3 columns
+        ("db0", "click", "insert", [["1", "10", "0.5"]]),
+        # bad insert: arity 2 != 3
+        ("db0", "click", "insert", [["2", "11"]]),
+        # bad update: only one row in the pair
+        ("db0", "click", "update", [["3", "12", "0.7"]]),
+        # good update
+        ("db0", "click", "update", [["4", "13", "0.1"], ["4", "13", "0.9"]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "database string, table string, action string, "
+              "org_row array<array<string>>")
+    out = project_changes(df, ("event_id", "user_id", "value"))
+    got = {r.org_row[0][0]: r for r in out.collect()}
+    assert not got["1"].quarantined and got["1"].after["value"] == "0.5"
+    assert got["2"].quarantined and got["2"].after is None
+    assert got["3"].quarantined
+    assert not got["4"].quarantined
+    assert got["4"].before["value"] == "0.1" and got["4"].after["value"] == "0.9"
+    # the stream survives: quarantined rows are routable, not thrown
+    assert out.count() == 4
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with watermark: rows arriving after
+    the watermark passed their window are DROPPED (late-data
+    semantics), not silently merged."""
+    import datetime as dt
+    src = str(tmp_path / "late_src")
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch 1: events in hour 0 and hour 6 -> watermark advances to
+    # max_ts - 1h = 05:00, far past hour 0's window end (01:00)
+    write_batch([(1, t0, 1.0),
+                 (2, t0 + dt.timedelta(hours=6), 1.0)], "b1")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_out").start())
+    q.processAllAvailable()
+    # batch 2: a LATE row for hour 0 (watermark is already 05:00)
+    write_batch([(3, t0 + dt.timedelta(minutes=30), 1.0)], "b2")
+    q.processAllAvailable()
+    # batch 3: advance watermark past hour 6 so its window emits too
+    write_batch([(4, t0 + dt.timedelta(hours=12), 1.0)], "b3")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.ws: r.n for r in spark.sql(
+        "SELECT w.start AS ws, n FROM late_out").collect()}
+    # hour-0 window emitted with ONLY the on-time row; the late row
+    # (event 3) was dropped, not added
+    assert got[t0] == 1
+    assert got[t0 + dt.timedelta(hours=6)] == 1
