@@ -383,3 +383,31 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # (event 3) was dropped, not added
     assert got[t0] == 1
     assert got[t0 + dt.timedelta(hours=6)] == 1
+
+
+def test_incremental_rollup_matches_batch(spark, events_dir, tmp_path):
+    """foreachBatch-maintained continuous aggregate == one-shot
+    batch aggregation over the same data."""
+    from galaxy_spark.streaming.rollup import (
+        RollupStore,
+        start_incremental_rollup,
+    )
+
+    stream = _stream_events(spark, events_dir)
+    store = RollupStore()
+    q = start_incremental_rollup(stream, store,
+                                 str(tmp_path / "rollup_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    ev = load_table(spark, SF, "events")
+    exp = sorted(
+        (r.grain, r.bucket_start, r.event_type, r.n_events,
+         round(r.total_value, 2))
+        for g in ("hour", "day")
+        for r in (ev.groupBy(F.lit(g).alias("grain"),
+                             F.date_trunc(g, "ts").alias("bucket_start"),
+                             "event_type")
+                  .agg(F.count("*").alias("n_events"),
+                       F.sum("value").alias("total_value"))).collect())
+    assert store.snapshot() == exp
