@@ -599,3 +599,65 @@ def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("total_price"),
         F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("total_qty"),
     )
+
+
+@register(
+    "join_full_outer_daily_activity",
+    oracle="""
+    SELECT CAST(COALESCE(o.d, e.d) AS TIMESTAMP) AS day,
+           o.n_orders, e.n_events
+    FROM (SELECT date_trunc('day', o_orderdate) AS d,
+                 COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+    FULL OUTER JOIN
+         (SELECT date_trunc('day', ts) AS d,
+                 COUNT(*) AS n_events FROM events GROUP BY 1) e
+      ON o.d = e.d
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True FULL OUTER join with both null sides populated (order
+    days 1995-2001 vs event days 2024 — disjoint domains, so every
+    row exercises one outer side)."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .groupBy(F.date_trunc("day", "o_orderdate").alias("od"))
+              .agg(F.count("*").alias("n_orders")))
+    events = (load_table(spark, sf_dir, "events")
+              .groupBy(F.date_trunc("day", "ts").alias("ed"))
+              .agg(F.count("*").alias("n_events")))
+    return (orders.join(events, orders.od == events.ed, "full_outer")
+            .select(F.coalesce("od", "ed").alias("day"),
+                    "n_orders", "n_events"))
+
+
+@register(
+    "unpivot_nation_balances",
+    oracle="""
+    WITH t AS (
+        SELECT n_nationkey,
+               (SELECT ROUND(SUM(c_acctbal), 2) FROM customer
+                WHERE c_nationkey = n_nationkey) AS customer_total,
+               (SELECT ROUND(SUM(s_acctbal), 2) FROM supplier
+                WHERE s_nationkey = n_nationkey) AS supplier_total
+        FROM nation
+    )
+    SELECT n_nationkey, side, total
+    FROM t UNPIVOT INCLUDE NULLS
+        (total FOR side IN (customer_total, supplier_total))
+    """,
+)
+def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-nation balance columns -> long
+    (nationkey, side, total) rows, nulls preserved."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (load_table(spark, sf_dir, "customer")
+            .groupBy("c_nationkey")
+            .agg(F.round(F.sum("c_acctbal"), 2).alias("customer_total")))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .groupBy("s_nationkey")
+           .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier_total")))
+    wide = (nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+            .join(sup, nation.n_nationkey == sup.s_nationkey, "left")
+            .select("n_nationkey", "customer_total", "supplier_total"))
+    return wide.unpivot(
+        ["n_nationkey"], ["customer_total", "supplier_total"],
+        "side", "total")
