@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "text_stats_documents",
     "join_asof_latest_order",
     "multimodal_image_features",
+    "similarity_cosine_topk_gemm",
+    "text_tfidf_top_term",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing

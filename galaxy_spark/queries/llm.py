@@ -427,3 +427,16 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("doc_id", F.col("token").alias("top_term"),
                     F.round("score", 4).alias("tfidf")))
+
+
+@register("similarity_cosine_topk_gemm")  # float-assoc order → rows-only
+def similarity_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (numpy-GEMM mapInPandas) brute-force cosine top-5
+    — the throughput tier of similarity_cosine_topk; equality with
+    the exact fold tier is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_gemm(q, emb, k=5)
+    return out.select("q_id", "neighbor_id",
+                      F.round("cos_sim", 4).alias("cos_sim"),
+                      F.col("rank").cast("int").alias("rank"))

@@ -44,3 +44,18 @@ def test_lsh_recall_beats_floor(spark):
     exact = similarity.cosine_topk(q, emb, k=5)
     lsh = similarity.lsh_topk(q, emb, k=5, dim=64)
     assert _recall(lsh, exact) >= 0.4
+
+
+def test_gemm_topk_equals_fold_topk(spark):
+    """The GEMM tier must return the same neighbors/ranks as the
+    bit-exact fold tier (scores agree to float tolerance)."""
+    q, emb = _queries_and_corpus(spark)
+    exact = {(r.q_id, r.rank): (r.neighbor_id, r.cos_sim)
+             for r in similarity.cosine_topk(q, emb, k=5).collect()}
+    gemm = {(r.q_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in similarity.cosine_topk_gemm(q, emb, k=5).collect()}
+    assert set(exact) == set(gemm)
+    for key, (nid, cs) in exact.items():
+        gnid, gcs = gemm[key]
+        assert gnid == nid, (key, nid, gnid)
+        assert abs(gcs - cs) < 1e-9
