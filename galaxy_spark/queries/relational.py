@@ -661,3 +661,53 @@ def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_nationkey"], ["customer_total", "supplier_total"],
         "side", "total")
+
+
+@register(
+    "agg_having_repeat_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 20 AND AVG(o_totalprice) > 100000
+    """,
+)
+def agg_having_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate): repeat
+    customers with high average spend. Catalyst folds the HAVING
+    into the aggregate's output filter — no second pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+            .filter((F.col("n_orders") >= 20)
+                    & (F.col("avg_price") > 100000)))
+
+
+@register(
+    "join_min_price_per_order",
+    oracle="""
+    SELECT l.l_orderkey, CAST(MIN(l.l_linenumber) AS BIGINT) AS linenumber,
+           ROUND(t.m, 2) AS min_price
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, MIN(l_extendedprice) AS m
+          FROM lineitem GROUP BY l_orderkey) t
+      ON l.l_orderkey = t.l_orderkey AND l.l_extendedprice = t.m
+    GROUP BY l.l_orderkey, t.m
+    """,
+)
+def join_min_price_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-per-group join-back (the decorrelated 'argmin' pattern,
+    TPC-H Q2's shape): each order's cheapest line item. One
+    aggregation + one self-join on the group key; deterministic
+    tie-break via MIN(linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mins = li.groupBy(F.col("l_orderkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("m"))
+    return (li.join(mins, (li.l_orderkey == mins.mk)
+                    & (li.l_extendedprice == mins.m))
+            .groupBy("l_orderkey", "m")
+            .agg(F.min("l_linenumber").cast("long").alias("linenumber"))
+            .select("l_orderkey", "linenumber",
+                    F.round("m", 2).alias("min_price")))
