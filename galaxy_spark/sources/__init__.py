@@ -7,7 +7,12 @@ played by standard Spark sources plus envelope mapping — see
 ``galaxy_spark.sources.readers`` (batch/bootstrap).
 """
 
-from galaxy_spark.sources.readers import jdbc_table_reader, read_parquet_table
+from galaxy_spark.sources.readers import (
+    jdbc_table_reader,
+    read_csv_table,
+    read_json_table,
+    read_parquet_table,
+)
 from galaxy_spark.sources.streams import (
     file_envelope_stream,
     kafka_cdc_stream,
@@ -19,5 +24,7 @@ __all__ = [
     "jdbc_table_reader",
     "kafka_cdc_stream",
     "rate_envelope_stream",
+    "read_csv_table",
+    "read_json_table",
     "read_parquet_table",
 ]

@@ -51,3 +51,27 @@ def jdbc_table_reader(spark: SparkSession, url: str, db: str,
         .option("password", password)
         .option("numPartitions", str(num_partitions))
     )
+
+
+def read_csv_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan with explicit schema (inference is a second full
+    pass over the data — never acceptable at 100 TB; callers pass
+    the schema or sample a fraction themselves)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")  # strings, one pass
+    return reader.csv(path)
+
+
+def read_json_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan; same explicit-schema policy as CSV.
+    Corrupt records land in ``_corrupt_record`` (PERMISSIVE mode)
+    instead of failing the scan — the batch twin of the CDC
+    quarantine policy."""
+    reader = spark.read.option("mode", "PERMISSIVE") \
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

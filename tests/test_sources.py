@@ -61,3 +61,38 @@ def test_functions_namespace(spark):
     assert out.n_bpe > out.n_tok  # BPE splits punctuation/whitespace
     assert isinstance(out.fp, int)
     assert out.lang == "en"
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from galaxy_spark.sources.readers import read_csv_table, read_json_table
+
+    nation = read_parquet_table(spark, SF_SMOKE, "nation")
+    csv_dir, json_dir = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.option("header", "true").mode("overwrite").csv(csv_dir)
+    nation.write.mode("overwrite").json(json_dir)
+
+    got_csv = read_csv_table(spark, csv_dir, schema=nation.schema)
+    got_json = read_json_table(spark, json_dir, schema=nation.schema)
+    exp = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, got_csv.collect())) == exp
+    assert sorted(map(tuple, got_json.collect())) == exp
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    from pyspark.sql import types as T
+    from galaxy_spark.sources.readers import read_json_table
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"a": 1, "b": "x"}\n{not json at all}\n{"a": 2, "b": "y"}\n')
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = read_json_table(spark, str(p), schema=schema).cache()
+    assert df.count() == 3
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert df.filter(F.col("a").isNotNull()).count() == 2
+    df.unpersist()
