@@ -711,3 +711,34 @@ def join_min_price_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("l_linenumber").cast("long").alias("linenumber"))
             .select("l_orderkey", "linenumber",
                     F.round("m", 2).alias("min_price")))
+
+
+@register(
+    "agg_histogram_prices",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER)
+                 AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 50000.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 50000.0 AS DOUBLE) AS hi,
+           COUNT(*) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order prices (10 x 50k buckets,
+    overflow clamped to the last) — single-pass numeric binning, the
+    profiling primitive for any quality dashboard."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000),
+                     F.lit(9)).cast("int")
+    return (orders.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_orders"))
+            .select("bucket",
+                    (F.col("bucket") * 50000.0).alias("lo"),
+                    ((F.col("bucket") + 1) * 50000.0).alias("hi"),
+                    "n_orders"))

@@ -57,3 +57,34 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def compact(spark: SparkSession, path: str,
+            target_file_mb: int = 256) -> int:
+    """Compact a small-files parquet directory in place.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    many small files; at 100 TB the file-listing and per-file open
+    overhead dominates scan time long before the bytes do. This
+    rewrites the dataset into ~``target_file_mb`` files (coalesce —
+    no shuffle; file count derived from actual byte size) through a
+    temp directory so readers never observe a half-written state.
+    Returns the new file count.
+    """
+    import glob
+    import os
+    import shutil
+
+    data_files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                       recursive=True)]
+    total_mb = sum(os.path.getsize(f) for f in data_files) / 1e6
+    n_files = max(int(total_mb // target_file_mb) + 1, 1)
+
+    tmp = path.rstrip("/") + ".compact.tmp"
+    spark.read.parquet(path).coalesce(n_files) \
+        .write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".compact.bak"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return n_files

@@ -59,3 +59,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    from galaxy_spark.sinks import compact
+
+    out = str(tmp_path / "many_small")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(out)  # 40 small files
+    import glob
+    assert len(glob.glob(out + "/*.parquet")) == 40
+
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n = compact(spark, out, target_file_mb=256)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n == 1   # tiny data -> one file
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
