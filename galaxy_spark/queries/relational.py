@@ -742,3 +742,86 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("bucket") * 50000.0).alias("lo"),
                     ((F.col("bucket") + 1) * 50000.0).alias("hi"),
                     "n_orders"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate. Every predicate
+    reaches the parquet scan (range + between + comparison all
+    pushdown-eligible); no shuffle beyond the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_items")))
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority counts of orders with at least
+    one slow-shipping line item — a correlated EXISTS with a
+    column-to-column date condition, executed as a left-semi join
+    (the Catalyst decorrelation)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    slow = orders.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.date_add("o_orderdate", 60)),
+        "left_semi")
+    return slow.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"))
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: broadcast dim join + conditional ratio aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+                 .alias("promo_revenue_pct")))
