@@ -23,3 +23,45 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def with_global_row_index(df, order_cols, index_col: str = "row_idx"):
+    """Globally-ordered 1-based row index WITHOUT the single-reducer
+    trap.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY pulls
+    the entire dataset through ONE task — the canonical way to stall
+    a 100 TB job. This operator instead:
+
+    1. range-partitions by the order columns (sorted partitions,
+       parallel),
+    2. counts rows per partition (tiny driver-side collect:
+       one long per partition),
+    3. broadcasts cumulative offsets back and adds
+       ``offset + local row_number`` per partition.
+
+    Ties across partition boundaries are broken by the range
+    partitioner's split, so pass a total ordering (include a unique
+    key in ``order_cols``) for deterministic output.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranged = df.repartitionByRange(*order_cols) \
+               .sortWithinPartitions(*order_cols) \
+               .withColumn("__pid", F.spark_partition_id())
+    counts = {r["__pid"]: r["n"] for r in
+              ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = ranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (ranged.join(F.broadcast(off_df), "__pid")
+            .withColumn(index_col,
+                        (F.col("__offset") + F.row_number().over(w))
+                        .cast("long"))
+            .drop("__pid", "__offset"))

@@ -825,3 +825,27 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
                  .alias("promo_revenue_pct")))
+
+
+@register(
+    "window_global_row_index",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS row_idx
+    FROM orders
+    """,
+)
+def window_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering over a total order — computed WITHOUT a
+    single-reducer window (operators.util.with_global_row_index:
+    range partition + per-partition offsets). The oracle is the
+    naive global ROW_NUMBER; the implementations must agree
+    exactly."""
+    from galaxy_spark.operators.util import with_global_row_index
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    return with_global_row_index(
+        orders, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "row_idx")
