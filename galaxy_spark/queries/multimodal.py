@@ -161,11 +161,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "frame_idx", F.md5("frame").alias("frame_md5"))
 
 
-@register("multimodal_resize_pipeline")  # pixel-array output → rows-only
+@register(
+    "multimodal_resize_pipeline",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    dims AS (
+        SELECT media_id, text,
+               CAST(least(plen, 16) AS INTEGER) AS w,
+               CAST(floor(plen / 16) AS INTEGER) AS h
+        FROM media WHERE modality = 'image'
+    ), px AS (
+        -- nearest-neighbor 8x8 resample: src index (r*h//8, c*w//8)
+        SELECT media_id,
+               flatten(list_transform(range(0, 8), r ->
+                   list_transform(range(0, 8), c ->
+                       CAST(ord(substr(text,
+                           CAST((r * h // 8) * w + (c * w // 8) + 1
+                                AS INTEGER), 1)) AS DOUBLE)))) AS p
+        FROM dims
+    )
+    SELECT media_id,
+           ROUND(list_sum(p) / 64, 4) AS mean_px,
+           ROUND(sqrt(list_sum(list_transform(p, x -> x * x)) / 64
+                      - (list_sum(p) / 64) * (list_sum(p) / 64)), 4)
+             AS std_px,
+           CAST(list_min(p) AS INTEGER) AS min_px,
+           CAST(list_max(p) AS INTEGER) AS max_px
+    FROM px
+    """,
+)
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → resize(8x8) → feature pipeline chained across three
-    mapInPandas stages (the shape a real embedding pipeline takes);
-    unit-tested against a numpy reference in tests/."""
+    mapInPandas stages (the shape a real embedding pipeline takes).
+    Value-level oracle: nearest-neighbor resampling is pure index
+    arithmetic over the deterministic fake-decoded bytes, so DuckDB
+    reproduces the resized tensor exactly."""
     media = _media(spark, sf_dir)
     resized = mm.resize_images(mm.decode_images(media), 8, 8)
-    return mm.image_features(resized)
+    feats = mm.image_features(resized)
+    return feats.select(
+        "media_id",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("std_px", 4).alias("std_px"),
+        "min_px", "max_px")
