@@ -65,3 +65,19 @@ def with_global_row_index(df, order_cols, index_col: str = "row_idx"):
                         (F.col("__offset") + F.row_number().over(w))
                         .cast("long"))
             .drop("__pid", "__offset"))
+
+
+def stratified_sample(df, strata_col: str, fractions: dict,
+                      seed: int = 42):
+    """Per-stratum Bernoulli sampling (``sampleBy``): deterministic
+    under a fixed seed AND a fixed partitioning of the input.
+
+    The scale story: sampling is a scan-local filter — no shuffle,
+    no state; downsampling skewed strata (e.g. capping an
+    over-represented language before tokenizer training) costs one
+    pass. Note determinism is per (seed, partition layout): resample
+    after repartitioning and rows hash differently — pin the layout
+    (or sample straight off the immutable source files) when the
+    sample must be reproducible.
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

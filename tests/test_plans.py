@@ -87,3 +87,41 @@ def test_plan_report_keys(q):
     rep = plan_report(q("q1_pricing_summary"))
     assert set(rep) == {"pushed_filters", "read_schema",
                        "broadcast_joins", "exchanges", "codegen_spans"}
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of union-scan shape: exactly one exchange (the keyed
+    window), never a join explosion."""
+    from galaxy_spark.plans.audit import physical_plan
+
+    df = QUERIES["join_asof_latest_order"](spark, SF_SMOKE)
+    assert exchange_count(df) <= 2  # events+orders union -> window key
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_range_join_is_equi_join(spark):
+    """Banded range join must plan as an equi-join on (key, cell) —
+    no BroadcastNestedLoop / cartesian fallback."""
+    from galaxy_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        QUERIES["join_range_followup_events"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    from galaxy_spark.operators.util import stratified_sample
+    from galaxy_spark.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    s = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    assert exchange_count(s) == 0
+    # deterministic under fixed seed + layout
+    a = sorted(r.doc_id for r in s.collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1},
+                                 seed=7).collect())
+    assert a == b and len(a) > 0
+    # only requested strata survive
+    assert set(r.lang for r in s.select("lang").distinct().collect()) \
+        <= {"en", "de"}
