@@ -59,3 +59,18 @@ def test_gemm_topk_equals_fold_topk(spark):
         gnid, gcs = gemm[key]
         assert gnid == nid, (key, nid, gnid)
         assert abs(gcs - cs) < 1e-9
+
+
+def test_lsh_near_dup_recall(spark):
+    """LSH-blocked near-dup pairs vs the exact all-pairs tier:
+    recall floor, zero false positives (exact verify inside
+    buckets can't invent pairs)."""
+    from galaxy_spark.operators.dedup import embedding_near_dup
+
+    _, emb = _queries_and_corpus(spark)
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_near_dup(emb, 0.4).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in similarity.lsh_near_dup_pairs(emb, 0.4).collect()}
+    assert lsh <= exact            # no false positives
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.5
