@@ -125,3 +125,16 @@ def test_stratified_sample_no_shuffle(spark):
     # only requested strata survive
     assert set(r.lang for r in s.select("lang").distinct().collect()) \
         <= {"en", "de"}
+
+
+def test_lsh_near_dup_all_band_joins_are_equi(spark):
+    """Every per-table band join in the LSH near-dup tier must plan
+    as a hash equi-join on the signature column — a nested-loop or
+    cartesian fallback would turn the linear-cost blocking tier back
+    into all-pairs."""
+    from galaxy_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        QUERIES["dedup_embedding_cosine_lsh"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
