@@ -81,3 +81,32 @@ def stratified_sample(df, strata_col: str, fractions: dict,
     sample must be reproducible.
     """
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
+                           fractions: dict, seed: int = 42) -> DataFrame:
+    """Layout-independent stratified Bernoulli sample: keep a row iff
+    the first 8 hex chars of ``md5(seed:key)`` fall below its
+    stratum's threshold (``fraction * 16^8``).
+
+    Unlike ``sampleBy`` (deterministic only per partition layout),
+    the sample is a pure function of (seed, key) — reproducible
+    across repartitioning, engines, and reruns, which is what a
+    100 TB corpus refresh needs (re-run = same sample, and the
+    sample can be audited in any engine with md5). One scan, no
+    shuffle: the threshold is a CASE over the stratum column and
+    the hash is scan-local.
+    """
+    from pyspark.sql import functions as F
+
+    thr = F.lit("00000000")  # unlisted strata -> drop
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction out of [0,1]: {stratum}={frac}")
+        # "g" sorts above every hex digit -> keep-all; strict < below
+        hex_thr = "g" if frac == 1.0 else format(int(frac * 16**8), "08x")
+        thr = F.when(F.col(strata_col) == stratum, F.lit(hex_thr)).otherwise(thr)
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(key_col).cast("string"))), 1, 8)
+    return df.filter(h < thr)

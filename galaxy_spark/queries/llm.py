@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from galaxy_spark.operators import dedup, similarity, text
+from galaxy_spark.operators import dedup, similarity, text, util
 from galaxy_spark.registry import register
 from galaxy_spark.tables import load_table
 
@@ -507,3 +507,26 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.4, dim=64, n_planes=4, n_tables=8)
     return pairs.select("id_a", "id_b",
                         F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@register(
+    "sample_stratified_documents",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5('42:' || doc_id), 1, 8) <
+          CASE lang WHEN 'en' THEN '80000000'
+                    WHEN 'de' THEN '40000000'
+                    ELSE '00000000' END
+    """,
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling of a skewed corpus (en@50%, de@25%,
+    rest dropped) via the layout-independent md5-threshold sampler —
+    reproducible across engines, so it carries a FULL value oracle
+    (sampleBy can't: its sample depends on partition layout).
+    Scale: one scan-local filter, no shuffle, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = util.stratified_hash_sample(
+        docs, strata_col="lang", key_col="doc_id",
+        fractions={"en": 0.5, "de": 0.25}, seed=42)
+    return out.select("doc_id", "lang")

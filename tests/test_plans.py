@@ -138,3 +138,22 @@ def test_lsh_near_dup_all_band_joins_are_equi(spark):
         QUERIES["dedup_embedding_cosine_lsh"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_sample_layout_independent_no_shuffle(spark):
+    """The md5-threshold sampler must (a) add no exchange and
+    (b) pick the SAME rows regardless of partition layout — the
+    property sampleBy lacks and the reason this tier carries a full
+    value oracle."""
+    from galaxy_spark.operators.util import stratified_hash_sample
+    from galaxy_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fr = {"en": 0.5, "de": 0.25}
+    s1 = stratified_hash_sample(docs, "lang", "doc_id", fr, seed=42)
+    assert exchange_count(s1) == 0
+    a = sorted(r.doc_id for r in s1.collect())
+    b = sorted(r.doc_id for r in
+               stratified_hash_sample(docs.repartition(13), "lang",
+                                      "doc_id", fr, seed=42).collect())
+    assert a == b and len(a) > 0
