@@ -849,3 +849,39 @@ def window_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_row_index(
         orders, ["o_orderdate", "o_orderkey"]).select(
         "o_orderkey", "row_idx")
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o_totalprice, big.total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact table, filter on the
+    aggregate (HAVING), then join the small qualifying set back to
+    orders/customer. Scale: ONE wide op on the 100 TB side (the
+    l_orderkey agg, map-side partial); the HAVING is selective, so
+    the join-back broadcasts the qualifying keys instead of
+    shuffling orders. Quantity sums are integer-valued doubles —
+    exact in any summation order, so the >300 cut is deterministic.
+    No LIMIT: the driver's compare is order-insensitive, and a
+    ties-at-the-boundary LIMIT would be engine-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("total_qty"))
+             .filter(F.col("total_qty") > 300))
+    return (F.broadcast(big)
+            .join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty"))
