@@ -53,16 +53,51 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
 
 
 def shingle_pairs_jaccard(df: DataFrame, n: int = 5, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          max_df: int | None = None) -> DataFrame:
     """All candidate pairs sharing ≥1 word n-gram, with exact
     Jaccard over distinct-shingle sets. Returns
     (id_a, id_b, n_shared, n_a, n_b, jaccard) with id_a < id_b.
+
+    ``max_df`` is the 100 TB skew guard: shingles appearing in more
+    than ``max_df`` documents are excluded from CANDIDATE GENERATION
+    (a hot shingle in d docs alone inflates the self-join by d²/2
+    rows while carrying no dedup signal). Heavy hitters are by
+    definition few, so the exclusion list broadcasts. Jaccard for
+    surviving pairs is still EXACT — it is recomputed from the full
+    shingle sets via array_intersect, not from the pruned index —
+    so the only approximation is losing pairs whose overlap is
+    hot-shingles-only.
     """
     src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     sh = src.select(
         "id", word_ngrams(text_col, n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        index = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        cands = (index.alias("a")
+                 .join(index.alias("b"),
+                       (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.id") < F.col("b.id")))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        sa = sh.select(F.col("id").alias("id_a"),
+                       F.col("shingles").alias("sh_a"),
+                       F.col("n_sh").alias("n_a"))
+        sb = sh.select(F.col("id").alias("id_b"),
+                       F.col("shingles").alias("sh_b"),
+                       F.col("n_sh").alias("n_b"))
+        return (cands.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("n_shared",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .select("id_a", "id_b", "n_a", "n_b", "n_shared")
+                .withColumn("jaccard", F.col("n_shared")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_shared"))))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

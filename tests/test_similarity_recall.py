@@ -74,3 +74,28 @@ def test_lsh_near_dup_recall(spark):
            for r in similarity.lsh_near_dup_pairs(emb, 0.4).collect()}
     assert lsh <= exact            # no false positives
     assert len(lsh & exact) / max(len(exact), 1) >= 0.5
+
+
+def test_jaccard_df_cutoff_exact_on_survivors(spark):
+    """The max_df skew guard must (a) never invent pairs, (b) keep
+    EXACT jaccard/n_shared for every surviving pair (verification
+    uses the full shingle sets, not the pruned index), and (c) be a
+    no-op when the cutoff exceeds every shingle's document
+    frequency."""
+    from galaxy_spark.operators.dedup import shingle_pairs_jaccard
+    from galaxy_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    key = lambda r: (r.id_a, r.id_b)
+    exact = {key(r): (r.n_shared, round(r.jaccard, 9))
+             for r in shingle_pairs_jaccard(docs, n=5).collect()}
+    loose = {key(r): (r.n_shared, round(r.jaccard, 9))
+             for r in shingle_pairs_jaccard(docs, n=5,
+                                            max_df=10**9).collect()}
+    assert loose == exact                      # (c) no-op cutoff
+    tight = {key(r): (r.n_shared, round(r.jaccard, 9))
+             for r in shingle_pairs_jaccard(docs, n=5, max_df=3).collect()}
+    assert set(tight) <= set(exact)            # (a) no invented pairs
+    assert all(tight[k] == exact[k] for k in tight)   # (b) exact values
+    assert len(tight) > 0
