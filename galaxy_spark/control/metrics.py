@@ -26,8 +26,11 @@ class MetricsListener(StreamingQueryListener):
         self.active = {}
 
     def onQueryStarted(self, event) -> None:
+        # Keyed by query id in BOTH start and terminate handlers —
+        # a name-keyed entry would never be cleared on termination
+        # (terminate events carry only the id).
         with self._lock:
-            self.active[event.name or event.id] = True
+            self.active[str(event.id)] = True
 
     def onQueryProgress(self, event) -> None:
         p = event.progress

@@ -27,6 +27,7 @@ itself is the StreamingQuery management.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -180,8 +181,13 @@ class TaskManager:
             self.stop_task(task_id)
         self.tasks.pop(task_id, None)
         if drop_state:
-            shutil.rmtree(os.path.join(self.state_dir, "checkpoints"),
-                          ignore_errors=True)
+            # Only this task's checkpoint epochs — the checkpoints
+            # root is shared by every task, and removing it would
+            # destroy the other tasks' saved offsets.
+            ckpt_root = os.path.join(self.state_dir, "checkpoints")
+            for d in glob.glob(os.path.join(
+                    ckpt_root, glob.escape(f"{task_id}-e") + "*")):
+                shutil.rmtree(d, ignore_errors=True)
         self._persist()
 
     # -- boot recovery (T2) -----------------------------------------

@@ -271,6 +271,100 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_band_near_dups(df: DataFrame, n: int = 3, bands: int = 17,
+                           hamming_max: int = 16, threshold: float = 0.5,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-dup pipeline: band-blocked candidates → Hamming
+    gate → exact-Jaccard verification (the classic Manku-style
+    bit-block blocking, public recipe).
+
+    The 64-bit fingerprint splits into ``bands`` contiguous bit
+    blocks; two docs are candidates iff they agree on at least one
+    full block. Pigeonhole guarantee: fingerprints within
+    ``hamming_max`` differing bits differ in at most ``hamming_max``
+    blocks, so with ``bands > hamming_max`` they MUST share an
+    unchanged block — candidate recall for the Hamming gate is 1.0
+    by construction, not probabilistically. Surviving pairs are
+    verified with exact n-gram Jaccard, so the OUTPUT is exactly the
+    all-pairs answer whenever every true near-dup pair sits within
+    ``hamming_max`` (which the oracle check + a pytest pin assert
+    at test scale).
+
+    Scale: linear signature pass (per-bit vote agg, one row/doc on
+    the shuffle), band equi-join on (band, block value) — never an
+    all-pairs product; only colliding pairs pay the exact verify.
+    """
+    if bands <= hamming_max:
+        raise ValueError(
+            f"bands={bands} must exceed hamming_max={hamming_max} for "
+            "the pigeonhole recall guarantee")
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    sh = src.select("id", word_ngrams(text_col, n).alias("shingles")) \
+            .localCheckpoint(eager=False)
+    ex = (sh.select("id", F.explode("shingles").alias("shingle"))
+          .select("id", F.xxhash64(F.lit(42), "shingle").alias("h")))
+    votes = ex.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ])
+    fp_expr = None
+    for bit in range(64):
+        bit_val = F.when(F.col(f"v{bit}") > 0,
+                         F.shiftleft(F.lit(1).cast("long"), bit)
+                         ).otherwise(F.lit(0).cast("long"))
+        fp_expr = bit_val if fp_expr is None else fp_expr.bitwiseOR(bit_val)
+    fp = votes.select("id", fp_expr.alias("simhash")) \
+              .localCheckpoint(eager=False)
+
+    # split 64 bits into `bands` blocks (width 64//bands, first
+    # 64 % bands blocks one bit wider)
+    base, extra = divmod(64, bands)
+    blocks, off = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        blocks.append((b, off, width))
+        off += width
+    banded = fp.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("block"),
+            )
+            for b, off, width in blocks
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.block")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    gated = (cands.join(fa, "id_a").join(fb, "id_b")
+             .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+             .filter(F.col("hamming") <= hamming_max)
+             .select("id_a", "id_b", "hamming"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        gated.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    inter / (F.size("sh_a") + F.size("sh_b") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "hamming", "jaccard")
+    )
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

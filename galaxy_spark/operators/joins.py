@@ -147,7 +147,18 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
 
     Cost: ``n_salts``x replication of the right side — use for
     medium right sides where broadcast is too big and skew is real.
+
+    Supported ``how``: inner / left / left_outer / cross / semi /
+    anti variants — joins where unmatched RIGHT rows are dropped.
+    Right/full outer would emit each unmatched right row once per
+    salt replica (``n_salts`` duplicate null-left rows), so they are
+    rejected; for those, salt the right side instead (swap the
+    inputs) or fall back to AQE skew-join handling.
     """
+    if how.lower().replace("outer", "").strip("_") in ("right", "full", ""):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched right "
+            "rows would duplicate once per salt replica")
     salt_cols = [F.col(salt_source)] if salt_source else [
         F.col(c) for c in left.columns]
     lx = left.withColumn(

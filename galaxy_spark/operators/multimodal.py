@@ -166,6 +166,10 @@ def resize_images(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
+            keep = pdf["height"] * pdf["width"] > 0
+            pdf = pdf[keep]
+            if pdf.empty:
+                continue
             out = []
             for h, w, px in zip(pdf["height"], pdf["width"], pdf["pixels"]):
                 img = np.asarray(px, dtype=np.int32).reshape(h, w)
@@ -204,6 +208,10 @@ def image_features(decoded: DataFrame) -> DataFrame:
                 # mean-centered pass) so any engine recomputing from
                 # the same bytes lands on the identical double
                 n = a.size
+                if n == 0:
+                    # zero-pixel image (payload shorter than one row):
+                    # no features, mirroring audio's empty-wave branch
+                    continue
                 mean = float(a.sum()) / n
                 var = float((a * a).sum()) / n - mean * mean
                 rows.append((mid, mean, float(np.sqrt(max(var, 0.0))),

@@ -71,7 +71,7 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT media_id, text,
                CAST(least(plen, 16) AS INTEGER) AS w,
                CAST(floor(plen / 16) AS INTEGER) AS h
-        FROM media WHERE modality = 'image'
+        FROM media WHERE modality = 'image' AND floor(plen / 16) > 0
     ), px AS (
         SELECT media_id, h, w,
                list_transform(range(1, h * w + 1),
@@ -169,7 +169,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT media_id, text,
                CAST(least(plen, 16) AS INTEGER) AS w,
                CAST(floor(plen / 16) AS INTEGER) AS h
-        FROM media WHERE modality = 'image'
+        FROM media WHERE modality = 'image' AND floor(plen / 16) > 0
     ), px AS (
         -- nearest-neighbor 8x8 resample: src index (r*h//8, c*w//8)
         SELECT media_id,

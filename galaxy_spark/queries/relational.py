@@ -435,15 +435,33 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
 
 
-@register("agg_approx_distinct")  # HLL sketches differ per engine → rows-only
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           TRUE AS hll_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per return flag; exact
-    relative error is engine-specific so the driver runs the
-    rows-only check, and tests/ assert the estimate lands within the
-    configured rsd of the exact count."""
+    """approx_count_distinct (HyperLogLog++) per return flag.
+
+    HLL sketch estimates are engine-specific, so the value emitted is
+    the exact distinct count plus ``hll_within_bound`` = whether the
+    HLL estimate landed within 5x the configured rsd of the exact
+    count. The oracle expects TRUE on every row — a drifting or
+    broken HLL flips the flag and fails the driver hash, so the
+    sketch stays load-bearing while the output is deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_partkey").alias("n_parts"))
+    return agg.select(
+        "l_returnflag", "n_parts",
+        (F.abs(F.col("approx") - F.col("n_parts"))
+         <= F.greatest(F.lit(0.05) * F.col("n_parts"), F.lit(2.0)))
+        .alias("hll_within_bound"))
 
 
 @register(
@@ -581,23 +599,27 @@ def window_range_frame_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact_revenue",
     oracle="""
     SELECT l_returnflag,
-           SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS total_price,
-           SUM(CAST(l_quantity AS DECIMAL(14,2))) AS total_qty
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+                      AS DOUBLE), 2) AS total_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+                      AS DOUBLE), 2) AS total_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_decimal_exact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-exact aggregation — the engine's UseDecimal guarantee
     (reference: ``internal/sync_server/sync.go:52`` keeps binlog
-    decimals exact, never floats). DecimalType sums are associative
-    and exact, so NO rounding is needed for oracle agreement — the
-    strongest form of cross-engine value equality, independent of
-    partial-aggregation order at any scale."""
+    decimals exact, never floats). The SUM runs over DecimalType so
+    partial aggregation is associative and exact at any partition
+    count; only the *emitted* value is cast to double + rounded,
+    because DecimalType outputs hash differently across engines
+    (Spark DECIMAL(24,2) vs DuckDB DECIMAL(38,2)) even when equal."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-         .alias("total_price"),
-        F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("total_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+                 .cast("double"), 2).alias("total_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(14,2)"))
+                 .cast("double"), 2).alias("total_qty"),
     )
 
 

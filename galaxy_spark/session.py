@@ -34,7 +34,6 @@ _DEFAULTS: dict[str, str] = {
     # keep partition files reasonably sized at large SF
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
@@ -49,6 +48,17 @@ def get_spark(app_name: str = "galaxy_spark", master: str | None = None,
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # Driver heap must be set BEFORE the driver JVM launches — a
+    # builder.config("spark.driver.memory", ...) at getOrCreate is
+    # silently ignored in a locally-launched PySpark process (the JVM
+    # already exists by then). Under spark-submit the submitter owns
+    # the heap and PYSPARK_SUBMIT_ARGS is preset, so this is a no-op.
+    from pyspark import SparkContext
+    if (SparkContext._active_spark_context is None
+            and "PYSPARK_SUBMIT_ARGS" not in os.environ):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell")
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     if extra_conf:

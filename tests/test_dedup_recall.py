@@ -1,0 +1,59 @@
+"""Recall pins at ORACLE scale (sf0.01) for the approximate tiers
+whose driver oracle is the exact all-pairs / brute-force SQL.
+
+These queries' correctness contract is: candidate generation has
+recall 1.0 at driver-check scale, and the emitted values are exact
+re-computation inside candidates — so output == exact answer. The
+oracle harness asserts that at SF_ORACLE (sf0.001 default); THESE
+tests pin it at sf0.01, the scale the driver actually hash-checks,
+because LSH/banding recall is data- and scale-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import dedup, similarity
+from galaxy_spark.tables import load_table
+
+SF_DRIVER = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_equals_exact_at_driver_scale(spark):
+    docs = load_table(spark, SF_DRIVER, "documents")
+    exact = _pairs(dedup.shingle_pairs_jaccard(docs, n=5)
+                   .filter(F.col("jaccard") >= 0.5))
+    mh = _pairs(dedup.minhash_near_dups(docs, n=5, n_hashes=32, bands=8,
+                                        threshold=0.5))
+    assert mh == exact, f"missed={exact - mh} extra={mh - exact}"
+
+
+def test_simhash_equals_exact_at_driver_scale(spark):
+    docs = load_table(spark, SF_DRIVER, "documents")
+    exact = _pairs(dedup.shingle_pairs_jaccard(docs, n=3)
+                   .filter(F.col("jaccard") >= 0.5))
+    sh = _pairs(dedup.simhash_band_near_dups(docs, n=3, bands=17,
+                                             hamming_max=16, threshold=0.5))
+    assert sh == exact, f"missed={exact - sh} extra={sh - exact}"
+
+
+def test_lsh_topk_equals_exact_at_driver_scale(spark):
+    emb = load_table(spark, SF_DRIVER, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda df: {(r.q_id, r.neighbor_id, r.rank) for r in df.collect()}
+    exact = key(similarity.cosine_topk(q, emb, k=5))
+    lsh = key(similarity.lsh_topk(q, emb, k=5, dim=64,
+                                  n_planes=2, n_tables=16))
+    assert lsh == exact
+
+
+def test_embedding_lsh_near_dup_equals_exact_at_driver_scale(spark):
+    emb = load_table(spark, SF_DRIVER, "embeddings")
+    exact = _pairs(dedup.embedding_near_dup(emb, threshold=0.4))
+    lsh = _pairs(similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=64,
+                                               n_planes=2, n_tables=16))
+    assert lsh == exact

@@ -45,16 +45,8 @@ def test_entry_smoke(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
-    """agg_approx_distinct is rows-only at the driver; here we bound
-    its error against the exact count (rsd=0.01 -> allow 5%)."""
-    from pyspark.sql import functions as F
-    from galaxy_spark.tables import load_table
-
-    approx = {r.l_returnflag: r.approx_parts
-              for r in QUERIES["agg_approx_distinct"](spark, SF_ORACLE).collect()}
-    li = load_table(spark, SF_ORACLE, "lineitem")
-    exact = {r.l_returnflag: r.n
-             for r in li.groupBy("l_returnflag")
-                        .agg(F.countDistinct("l_partkey").alias("n")).collect()}
-    for flag, n in exact.items():
-        assert abs(approx[flag] - n) <= max(0.05 * n, 2), (flag, approx[flag], n)
+    """The HLL estimate must land within the asserted bound on every
+    group — the query itself carries the comparison (its oracle
+    expects hll_within_bound=TRUE on every row)."""
+    rows = QUERIES["agg_approx_distinct"](spark, SF_ORACLE).collect()
+    assert rows and all(r.hll_within_bound for r in rows)
