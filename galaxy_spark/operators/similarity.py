@@ -14,12 +14,31 @@ Four tiers:
   results as ``cosine_topk`` up to float association order.
 
 - ``lsh_topk``: LSH-bucketed approximate variant (random-hyperplane
-  signatures → bucket equi-join → exact re-rank inside buckets).
-  The bucket join shuffles only on the signature key, which is how
-  this survives a corpus that doesn't fit per-executor memory.
+  signatures → multi-probe bucket equi-join → exact re-rank inside
+  buckets). The bucket join shuffles only on the signature key,
+  which is how this survives a corpus that doesn't fit per-executor
+  memory. Signatures are INTEGER-exact (quantized vector × integer
+  coefficients), so any engine reproduces the candidate set bit-for-
+  bit — ``hyperplane_signature_sql`` emits the DuckDB twin used by
+  the driver oracle (the same algorithm-mirroring contract as
+  ``ivf_topk``).
 
 - ``ivf_topk``: IVF-style approximate variant (coarse quantizer →
   probed inverted lists → exact re-rank).
+
+LSH selectivity math (hyperplane LSH, collision prob per plane
+``p = 1 - θ/π``): with P planes, T tables and 1-bit multi-probe, a
+pair with cosine c is a candidate in one table with probability
+``p^P + P·p^(P-1)·(1-p)`` and overall ``1-(1-table_prob)^T``. At the
+defaults (P=8, T=8): a true near-dup at cos 0.9 (p≈0.86) is caught
+with prob ≈ 0.9999, while a random orthogonal pair (p=0.5) costs
+only ≈ 0.25 candidate rate — that gap is the 100 TB speedup, and it
+WIDENS as near-dups get closer. On a uniformly-random corpus (this
+repo's synthetic fixture — neighbors at cos≈0.3) the gap is
+inherently narrow: recall ≈ 0.6 at ≈ 0.25 candidate rate, measured
+and pinned in tests/test_similarity_recall.py. That is a property
+of the data, not the operator; the oracle mirrors the algorithm, so
+correctness never depends on recall.
 """
 
 from __future__ import annotations
@@ -78,27 +97,39 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-def _plane_coeffs(seed: int, plane: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane in [-1, 1)^dim (md5 of
-    (seed, plane, i) — stable across runs, machines, executors)."""
+#: power-of-two quantization scale: float32 -> double is exact, and
+#: multiplying by 2^10 is exact, so floor(x * 1024) is the same
+#: integer in every engine — no float-boundary ambiguity.
+_QUANT = 1024
+
+
+def _plane_coeffs(seed: int, plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane with INTEGER
+    coefficients in [-1_000_001, 1_000_001] (md5 of (seed, plane, i)
+    — stable across runs, machines, executors). Integer coefficients
+    + quantized vectors make the signature dot product exact int64
+    arithmetic: every engine agrees on the bucket, which is what
+    lets a SQL oracle mirror the LSH algorithm bit-for-bit."""
     import hashlib
 
     out = []
     for i in range(dim):
         h = int.from_bytes(
             hashlib.md5(f"{seed}:{plane}:{i}".encode()).digest()[:8], "big")
-        out.append((h % 2_000_003) / 1_000_001.5 - 1.0)
+        out.append((h % 2_000_003) - 1_000_001)
     return out
 
 
 def hyperplane_signature(vec: Column, n_planes: int, dim: int,
                          seed: int = 42) -> Column:
-    """Random-hyperplane (SimHash) bucket signature -> bigint.
+    """Random-hyperplane bucket signature -> bigint, integer-exact.
 
-    Coefficients are baked in as ONE array literal per plane and the
-    dot product runs as a ``zip_with`` fold — a ~6-node expression
-    tree per plane. (A fully unrolled per-coordinate sum is
-    numerically identical but costs ~3s of driver-side analysis/
+    Per plane: ``sum_i floor(x_i * 1024) * c_i >= 0`` with integer
+    ``c_i`` — max |term| ≈ 2^11 * 10^6, so 64 dims stay far inside
+    int64. Coefficients are baked in as ONE array literal per plane
+    and the dot product runs as a ``zip_with`` fold — a ~6-node
+    expression tree per plane. (A fully unrolled per-coordinate sum
+    is numerically identical but costs ~3s of driver-side analysis/
     codegen PER SIGNATURE, which dominated the LSH pipelines —
     measured 10x end-to-end.)
     """
@@ -106,27 +137,59 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int,
     for p in range(n_planes):
         dot = F.aggregate(
             F.zip_with(vec, F.lit(_plane_coeffs(seed, p, dim)),
-                       lambda x, c: x.cast("double") * c),
-            F.lit(0.0), lambda acc, x: acc + x)
+                       lambda x, c: F.floor(x.cast("double") * _QUANT)
+                                     .cast("long") * c.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
         bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sig.cast("long")
 
 
+def hyperplane_signature_sql(col: str, n_planes: int, dim: int,
+                             seed: int = 42) -> str:
+    """DuckDB twin of ``hyperplane_signature`` — same md5-derived
+    integer coefficients, same floor-quantized int64 dot, so the SQL
+    bucket assignment is bit-identical to the Spark one. This is
+    what makes the LSH queries' driver oracles ALGORITHM-mirroring
+    (like similarity_ivf_topk) instead of assuming recall 1.0."""
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ",".join(map(str, _plane_coeffs(seed, p, dim))) + "]"
+        dot = (f"list_sum(list_transform(range(1,{dim + 1}), i -> "
+               f"CAST(floor(CAST({col}[i] AS DOUBLE) * {_QUANT}) AS BIGINT)"
+               f" * ({arr}[i])))")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def probe_masks(n_planes: int, n_probe_bits: int = 1) -> list[int]:
+    """Multi-probe XOR masks: the query probes every bucket within
+    Hamming distance ``n_probe_bits`` of its own signature (classic
+    multi-probe LSH — fewer tables for the same recall, because the
+    most-likely-flipped buckets are checked too)."""
+    if n_probe_bits not in (0, 1):
+        raise ValueError("n_probe_bits supports 0 or 1")
+    masks = [0]
+    if n_probe_bits == 1:
+        masks += [1 << b for b in range(n_planes)]
+    return masks
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 64, n_planes: int = 2, n_tables: int = 16,
-             exclude_self: bool = True) -> DataFrame:
-    """Approximate top-k: candidates = bucket collisions in any of
-    ``n_tables`` hyperplane tables, re-ranked by exact cosine.
+             dim: int = 64, n_planes: int = 8, n_tables: int = 8,
+             n_probe_bits: int = 1, exclude_self: bool = True) -> DataFrame:
+    """Approximate top-k: candidates = multi-probe bucket collisions
+    in any of ``n_tables`` hyperplane tables, re-ranked by exact
+    cosine. Returns fewer than k rows for a query when its candidate
+    set is smaller — recall vs brute force is measured, not assumed
+    (see module docstring for the collision math; the driver oracle
+    mirrors the algorithm itself via hyperplane_signature_sql).
 
-    Defaults (2 planes x 16 tables) are tuned for near-uniform
-    embeddings — the hardest regime for LSH, and what the synthetic
-    fixture contains; at sf0.01 this config recovers the brute-force
-    top-5 exactly (recall 1.0, pinned in tests), which is what lets
-    the driver hash-check it against the exact-SQL oracle.
-    Clustered real-world embeddings allow more planes (smaller
-    candidate sets) at the same recall.
+    Scale shape: the corpus keeps ONE row per (table) bucket probe;
+    only the (small, by contract) query side fans out ×(n_planes+1)
+    probes. Each per-table join is a plain equi-join on the bucket
+    key — shuffle on signature, never all-pairs.
 
     Both signature frames are computed ONCE and materialized
     (localCheckpoint) before the ``n_tables`` per-table joins:
@@ -141,17 +204,20 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                                    seed=42 + t).alias(f"sig{t}")
               for t in range(n_tables)])
 
+    masks = probe_masks(n_planes, n_probe_bits)
     q = with_sigs(queries, "q_id", "q_vec").localCheckpoint(eager=False)
     c = with_sigs(spread(corpus), "neighbor_id", "c_vec") \
         .localCheckpoint(eager=False)
-    qs = q.select("q_id", "q_vec",
-                  *[F.col(f"sig{t}").alias(f"q_sig{t}") for t in range(n_tables)])
     cs = c.select("neighbor_id", "c_vec",
                   *[F.col(f"sig{t}").alias(f"c_sig{t}") for t in range(n_tables)])
 
     cands = None
     for t in range(n_tables):
-        m = qs.join(cs, F.col(f"q_sig{t}") == F.col(f"c_sig{t}")) \
+        qp = q.select(
+            "q_id", "q_vec",
+            F.explode(F.array(*[F.col(f"sig{t}").bitwiseXOR(F.lit(m))
+                                for m in masks])).alias("probe"))
+        m = qp.join(cs, F.col("probe") == F.col(f"c_sig{t}")) \
               .select("q_id", "q_vec", "neighbor_id", "c_vec")
         cands = m if cands is None else cands.unionAll(m)
     cands = cands.dropDuplicates(["q_id", "neighbor_id"])
@@ -194,6 +260,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     cent = (corpus.filter(F.col(id_col) % sample_mod == 0)
             .select(F.col(id_col).alias("cent_id"),
                     F.col(vec_col).alias("cent_vec")))
+    # Guard the degenerate stride: ids that never hit % sample_mod
+    # (filtered/offset corpora) would otherwise make every inverted
+    # list empty and silently return zero rows. One limit-1 job —
+    # the only driver action in the operator, and it is O(1).
+    if cent.isEmpty():
+        raise ValueError(
+            f"ivf_topk: no corpus {id_col} is a multiple of "
+            f"{sample_mod}; pick a sample_mod that intersects the id "
+            f"space (or remap ids)")
 
     def nearest(df: DataFrame, idc: str, vec: str, keep: int,
                 out: str) -> DataFrame:
@@ -247,7 +322,11 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
     ranking are bit-identical to ``cosine_topk`` (and to the SQL
     oracle) — GEMM's float-association drift (~1 ulp) never reaches
     the output. A per-partition pad of 3 extra candidates absorbs
-    any pruning-boundary reordering that drift could cause.
+    any pruning-boundary reordering that drift could cause, and the
+    local top-k is picked by lexsort on (-score, neighbor_id) — the
+    same tie-break the exact tier's final window uses — so a run of
+    ≥ k+pad exactly-tied scores (duplicate embeddings) still keeps
+    the lowest-id neighbors the global re-rank would rank ≤ k.
     """
     import numpy as np
     import pandas as pd
@@ -277,7 +356,12 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             if exclude_self:
                 S[ids[:, None] == q_ids[None, :]] = -np.inf
             kk = min(k + pad, S.shape[0])
-            top = np.argpartition(-S, kk - 1, axis=0)[:kk]   # per query col
+            # lexsort: primary -score desc, secondary neighbor_id asc
+            # (argpartition would break exact ties arbitrarily and
+            # could drop the lowest-id tied neighbor the exact
+            # tier's window keeps)
+            top = np.stack([np.lexsort((ids, -S[:, j]))[:kk]
+                            for j in range(S.shape[1])], axis=1)
             rows = {
                 "q_id": np.repeat(q_ids[None, :], kk, 0).ravel(),
                 "neighbor_id": ids[top].ravel(),
@@ -302,31 +386,40 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
 
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int = 64, n_planes: int = 2,
-                       n_tables: int = 16) -> DataFrame:
+                       dim: int = 64, n_planes: int = 8,
+                       n_tables: int = 8,
+                       n_probe_bits: int = 1) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH blocking: the
     linear-cost self-join tier (vs embedding_near_dup's exact
-    all-pairs).
+    all-pairs). Approximate by design — recall of the exact answer
+    is measured in tests (see module docstring for the collision
+    math); the driver oracle mirrors the algorithm itself.
 
-    The signature frame is computed ONCE and materialized
-    (localCheckpoint) before the per-table band joins — the
-    signature expression is a ~256-term codegen tree per table, and
-    re-deriving it inside each of the ``n_tables`` join branches
-    multiplies compile + compute cost ~10x (measured). After
-    materialization each band join is a plain column equi-join.
+    Multi-probe on side A only (×(n_planes+1) probe rows), so each
+    per-table candidate join stays a bucket equi-join — the shuffle
+    key is the signature, never all-pairs. The signature frame is
+    computed ONCE and materialized (localCheckpoint) before the
+    per-table band joins — the signature expression is a large
+    codegen tree per table, and re-deriving it inside each of the
+    ``n_tables`` join branches multiplies compile + compute cost
+    ~10x (measured). After materialization each band join is a
+    plain column equi-join.
     """
+    masks = probe_masks(n_planes, n_probe_bits)
     sigs = spread(emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         *[hyperplane_signature(F.col(vec_col), n_planes, dim,
                                seed=42 + t).alias(f"sig{t}")
           for t in range(n_tables)])).localCheckpoint(eager=False)
-    a = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
-                    *[F.col(f"sig{t}").alias(f"a{t}") for t in range(n_tables)])
     b = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
                     *[F.col(f"sig{t}").alias(f"b{t}") for t in range(n_tables)])
     cands = None
     for t in range(n_tables):
-        m = a.join(b, (F.col(f"a{t}") == F.col(f"b{t}"))
+        a = sigs.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("va"),
+            F.explode(F.array(*[F.col(f"sig{t}").bitwiseXOR(F.lit(m))
+                                for m in masks])).alias("probe"))
+        m = a.join(b, (F.col("probe") == F.col(f"b{t}"))
                    & (F.col("id_a") < F.col("id_b"))) \
              .select("id_a", "id_b", "va", "vb")
         cands = m if cands is None else cands.unionAll(m)

@@ -2,19 +2,28 @@
 search over ``documents``/``embeddings`` (driver mandate,
 SURVEY.md §2.2 second table).
 
-EVERY query here carries a full DuckDB value oracle. For the
-hash-based approximate tiers (MinHash-LSH, SimHash, hyperplane-LSH,
-IVF) the SQL cannot reproduce the algorithm's internals (xxhash64
-has no DuckDB twin), so the oracle instead checks the CONTRACTED
-OUTPUT: the approximate stage is tuned/constructed for verified-100%
-candidate recall at oracle scale (pinned by pytest recall
-assertions), the final values are always recomputed exactly inside
-the candidate set, and the oracle is the exact all-pairs / top-k
-SQL. If any hash stage drifts, rows go missing and the driver's
-hash check fails — the approximation is load-bearing, not bypassed.
-``similarity_ivf_topk`` is the exception: its pruning is inherently
-lossy, so its oracle mirrors the IVF *algorithm itself* (the
-centroid pick, assignment and probes are all deterministic SQL).
+EVERY query here carries a full DuckDB value oracle, under one of
+two contracts:
+
+- recall-guaranteed tiers (MinHash-LSH, SimHash): the candidate
+  stage has a PROVABLE recall-1.0 property at check scale (banding
+  pigeonhole; pinned by pytest recall assertions), values are
+  recomputed exactly inside candidates, and the oracle is the exact
+  all-pairs SQL. A broken hash stage drops rows and fails the hash
+  check — the approximation is load-bearing, not bypassed.
+- algorithm-mirroring tiers (hyperplane-LSH top-k / near-dup, IVF):
+  pruning is inherently lossy on this corpus, so the oracle mirrors
+  the ALGORITHM itself — integer-exact hyperplane signatures
+  (similarity.hyperplane_signature_sql) / deterministic centroid
+  picks reproduce the exact candidate set in SQL, and recall vs
+  brute force is measured separately in tests. Honest pruning, no
+  recall-1.0 tuning that would disable the filter.
+
+Whether a given query is inside the driver's per-round check subset
+varies by round; all of them run the identical comparison in
+tests/test_oracle.py, and registry.DRIVER_CHECK_ORDER front-loads
+one representative per capability so the driver certifies the whole
+surface.
 """
 
 from __future__ import annotations
@@ -66,9 +75,74 @@ def _jaccard_pairs_oracle(n: int, threshold: float) -> str:
     """
 
 
+def _lsh_sigs_cte(n_planes: int, n_tables: int) -> str:
+    """Signature CTE mirroring similarity.hyperplane_signature for
+    every table — integer-exact, so SQL and Spark agree on every
+    bucket bit-for-bit."""
+    sig_exprs = ", ".join(
+        similarity.hyperplane_signature_sql(
+            "embedding", n_planes, 64, seed=42 + t) + f" AS sig{t}"
+        for t in range(n_tables))
+    return f"SELECT vec_id, embedding, {sig_exprs} FROM embeddings"
+
+
+def _lsh_collide_sql(a: str, b: str, n_planes: int, n_tables: int) -> str:
+    """Candidate condition twin of the Spark multi-probe bucket
+    joins: collide in table t iff the signatures differ in <= 1 bit
+    (xor lands in the probe-mask set)."""
+    masks = "(" + ",".join(
+        map(str, similarity.probe_masks(n_planes, 1))) + ")"
+    return " OR ".join(
+        f"xor({a}.sig{t}, {b}.sig{t}) IN {masks}" for t in range(n_tables))
+
+
+_LSH_PLANES, _LSH_TABLES = 8, 8
+
+#: algorithm-mirroring oracle for the LSH ANN tier: same signatures,
+#: same multi-probe candidate set, exact re-rank — the SQL runs the
+#: LSH algorithm, not a recall-1.0 assumption
+_LSH_TOPK_ORACLE = f"""
+    WITH sigs AS ({_lsh_sigs_cte(_LSH_PLANES, _LSH_TABLES)}),
+    cand AS (
+        SELECT q.vec_id AS q_id, any_value(q.embedding) AS q_vec,
+               c.vec_id AS neighbor_id, any_value(c.embedding) AS c_vec
+        FROM sigs q JOIN sigs c
+          ON ({_lsh_collide_sql('q', 'c', _LSH_PLANES, _LSH_TABLES)})
+        WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ), scored AS (
+        SELECT q_id, neighbor_id,
+               {_cos_sql('q_vec', 'c_vec')} AS cos_sim
+        FROM cand
+    ), ranked AS (
+        SELECT q_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+#: algorithm-mirroring oracle for the LSH near-dup tier
+_LSH_NEAR_DUP_ORACLE = f"""
+    WITH sigs AS ({_lsh_sigs_cte(_LSH_PLANES, _LSH_TABLES)}),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               any_value(a.embedding) AS va, any_value(b.embedding) AS vb
+        FROM sigs a JOIN sigs b
+          ON a.vec_id < b.vec_id
+         AND ({_lsh_collide_sql('a', 'b', _LSH_PLANES, _LSH_TABLES)})
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, ROUND({_cos_sql('va', 'vb')}, 4) AS cos_sim
+    FROM cand WHERE {_cos_sql('va', 'vb')} >= 0.4
+    """
+
+
 #: brute-force cosine top-5 for query vectors vec_id<10 — the
-#: contracted output of the exact fold tier, the GEMM tier, and the
-#: (recall-1.0-tuned) LSH tier
+#: contracted output of the exact fold tier and the GEMM tier
 _COSINE_TOPK_ORACLE = f"""
     WITH pairs AS (
         SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
@@ -304,20 +378,25 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"))
 
 
-@register("similarity_lsh_topk", oracle=_COSINE_TOPK_ORACLE)
+@register("similarity_lsh_topk", oracle=_LSH_TOPK_ORACLE)
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: random-hyperplane LSH buckets (2 planes x
-    16 tables, signatures materialized once) + exact re-rank.
+    """Approximate ANN: random-hyperplane LSH (8 planes x 8 tables,
+    1-bit multi-probe, signatures materialized once) + exact re-rank
+    inside candidate buckets.
 
-    Oracle contract: at oracle scale this config's candidate set
-    covers the true top-5 for every query (recall 1.0, pinned in
-    tests/test_similarity_recall.py), and the re-rank recomputes
-    cos_sim with the exact fold — so the output equals the
-    brute-force SQL answer while bucket collision stays the
-    load-bearing candidate filter."""
+    Oracle contract: ALGORITHM-mirroring (like similarity_ivf_topk).
+    Signatures are integer-exact, so the oracle SQL reproduces the
+    exact candidate set (hyperplane_signature_sql + xor-mask probe
+    condition) and re-ranks with the same exact fold — the driver
+    verifies the LSH semantics end-to-end. Recall vs brute force is
+    honest and measured (tests/test_similarity_recall.py): ~0.6 on
+    this uniformly-random corpus at a ~0.25 candidate rate; >=0.999
+    at cos>=0.9 by the collision math in operators/similarity.py —
+    the filter genuinely prunes, unlike a recall-1.0-tuned config."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    out = similarity.lsh_topk(q, emb, k=5, dim=64, n_planes=2, n_tables=16)
+    out = similarity.lsh_topk(q, emb, k=5, dim=64,
+                              n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
     return out.select(
         "q_id", "neighbor_id",
         F.round("cos_sim", 4).alias("cos_sim"),
@@ -479,15 +558,19 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: explode tokens -> global top-20 by
     frequency (the vocabulary-building pass of a tokenizer-training
     pipeline). Partial counts combine map-side before the single
-    token shuffle; the final top-k is a driver-size sort."""
+    token shuffle; the LIMIT runs FIRST as TakeOrderedAndProject
+    (per-partition partial top-k, parallel), and only the 20
+    surviving rows pass through the unpartitioned ranking window —
+    ranking before limiting would pull every distinct token
+    (billions at 100 TB) through one reducer."""
     from galaxy_spark.operators.util import spread
 
     docs = spread(load_table(spark, sf_dir, "documents").select("text"))
     counts = (docs.select(F.explode(text.tokens("text")).alias("token"))
               .groupBy("token").agg(F.count("*").alias("n")))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (counts.withColumn("rk", F.row_number().over(w).cast("int"))
-            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 @register(
@@ -612,20 +695,24 @@ def pipeline_llm_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double") / F.count("*"), 4).alias("avg_quality"))
 
 
-@register("dedup_embedding_cosine_lsh", oracle=_EMB_NEAR_DUP_ORACLE)
+@register("dedup_embedding_cosine_lsh", oracle=_LSH_NEAR_DUP_ORACLE)
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, the 100 TB shape: hyperplane-LSH bucket
-    blocking first (2 planes x 16 tables), exact cosine only inside
-    candidate buckets — linear in corpus size vs the all-pairs exact
-    tier (dedup_embedding_cosine).
+    blocking first (8 planes x 8 tables, 1-bit multi-probe), exact
+    cosine only inside candidate buckets — linear in corpus size vs
+    the all-pairs exact tier (dedup_embedding_cosine).
 
-    Oracle contract: at oracle scale this config blocks with recall
-    1.0 (pinned in tests/test_similarity_recall.py), and in-bucket
-    scores are the exact fold — output equals the all-pairs SQL
-    answer with the bucket join load-bearing."""
+    Oracle contract: ALGORITHM-mirroring — the SQL recomputes the
+    integer-exact signatures, applies the same xor-mask probe
+    condition per table, and filters by the same exact cosine, so
+    the driver verifies the blocking itself. Recall vs the exact
+    all-pairs answer is measured in tests (~0.7 on this uniform
+    corpus at cos>=0.4; near 1.0 for real near-dups at cos>=0.8 —
+    collision math in operators/similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_near_dup_pairs(
-        emb, threshold=0.4, dim=64, n_planes=2, n_tables=16)
+        emb, threshold=0.4, dim=64,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
     return pairs.select("id_a", "id_b",
                         F.round("cos_sim", 4).alias("cos_sim"))
 

@@ -41,19 +41,35 @@ def test_simhash_equals_exact_at_driver_scale(spark):
     assert sh == exact, f"missed={exact - sh} extra={sh - exact}"
 
 
-def test_lsh_topk_equals_exact_at_driver_scale(spark):
+def test_lsh_topk_recall_and_purity_at_driver_scale(spark):
+    """The hyperplane-LSH tiers are algorithm-mirrored at the driver
+    (integer-exact signatures reproduce the candidate set in SQL),
+    so recall 1.0 is NOT the contract — honest pruning is. Pin the
+    measured floor on this uniformly-random corpus (0.50 observed;
+    collision math predicts ~0.58 mean) and that every emitted
+    neighbor is a true candidate re-ranked exactly."""
     emb = load_table(spark, SF_DRIVER, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    key = lambda df: {(r.q_id, r.neighbor_id, r.rank) for r in df.collect()}
+    key = lambda df: {(r.q_id, r.neighbor_id) for r in df.collect()}
     exact = key(similarity.cosine_topk(q, emb, k=5))
-    lsh = key(similarity.lsh_topk(q, emb, k=5, dim=64,
-                                  n_planes=2, n_tables=16))
-    assert lsh == exact
+    lsh = key(similarity.lsh_topk(q, emb, k=5, dim=64))
+    assert len(lsh & exact) / len(exact) >= 0.4
 
 
-def test_embedding_lsh_near_dup_equals_exact_at_driver_scale(spark):
+def test_embedding_lsh_near_dup_recall_and_pruning_at_driver_scale(spark):
+    """Near-dup LSH blocking: no false positives ever (exact verify
+    inside buckets), measured recall floor (0.69 observed at
+    cos>=0.4 on uniform data; ~1.0 for real near-dups at cos>=0.8),
+    and the blocking must actually PRUNE — the candidate set stays
+    under half of all pairs, which is what the r2 recall-1.0-tuned
+    config (2 planes = near-pass-through) violated."""
     emb = load_table(spark, SF_DRIVER, "embeddings")
     exact = _pairs(dedup.embedding_near_dup(emb, threshold=0.4))
-    lsh = _pairs(similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=64,
-                                               n_planes=2, n_tables=16))
-    assert lsh == exact
+    lsh = _pairs(similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=64))
+    assert lsh <= exact                      # exact verify: no extras
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.6
+    # threshold=-1 keeps every candidate pair the blocking emits
+    n = emb.count()
+    n_cand = similarity.lsh_near_dup_pairs(emb, threshold=-1.0,
+                                           dim=64).count()
+    assert n_cand < 0.5 * n * (n - 1) / 2, "LSH filter is pass-through"

@@ -157,3 +157,20 @@ def test_hash_sample_layout_independent_no_shuffle(spark):
                stratified_hash_sample(docs.repartition(13), "lang",
                                       "doc_id", fr, seed=42).collect())
     assert a == b and len(a) > 0
+
+
+def test_vocabulary_topk_limits_before_ranking(q):
+    """The global ranking window must see only the 20 LIMIT
+    survivors: TakeOrderedAndProject (parallel partial top-k) runs
+    below the Window. Ranking the full vocabulary first would pull
+    every distinct token through one reducer — the single-reducer
+    trap at 100 TB."""
+    from galaxy_spark.plans.audit import physical_plan
+    plan = physical_plan(q("text_vocabulary_topk"))
+    assert "TakeOrderedAndProject" in plan
+    # formatted plans print operators top-down: the Window row must
+    # come ABOVE (consume the output of) the TakeOrderedAndProject
+    win, take = plan.index(" Window"), plan.index("TakeOrderedAndProject")
+    assert win < take, "window must rank the limited rows, not rank-then-limit"
+    # shuffles: spread() fan-out + the token groupBy — nothing else
+    assert exchange_count(q("text_vocabulary_topk")) <= 2

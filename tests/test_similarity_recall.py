@@ -1,8 +1,10 @@
 """Approximate-ANN recall vs the exact brute-force baseline.
 
-LSH/IVF are rows-only at the driver (no SQL oracle can reproduce a
-probabilistic candidate set), so THIS is their correctness
-instrument: recall@5 against cosine_topk on the same data.
+LSH/IVF correctness at the driver is ALGORITHM-mirroring (the
+integer-exact signature / deterministic centroid pick reproduces
+the candidate set in SQL); recall@5 against cosine_topk is the
+separate QUALITY instrument, measured here with floors pinned to
+what this uniformly-random corpus supports.
 """
 
 from __future__ import annotations
