@@ -20,16 +20,17 @@ explicitly supports). Task metadata persists as JSON next to the
 checkpoints; boot recovery iterates it and restarts non-stopped
 tasks — the analog of ``taskRecovery`` (``scheduler.go:69-116``).
 
-This module is deliberately framework-free (no HTTP); an API layer
-(FastAPI/Flask) would be a thin shim over TaskManager — the engine
+This module is deliberately framework-free; the HTTP layer serving
+the reference's gin routes lives in ``galaxy_spark.control.api``
+(stdlib http.server) as a thin shim over TaskManager — the engine
 itself is the StreamingQuery management.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -183,11 +184,17 @@ class TaskManager:
         if drop_state:
             # Only this task's checkpoint epochs — the checkpoints
             # root is shared by every task, and removing it would
-            # destroy the other tasks' saved offsets.
+            # destroy the other tasks' saved offsets. Epochs match
+            # EXACTLY (task ids are caller-supplied, so a prefix
+            # glob on "foo-e*" would also hit task "foo-extra"'s
+            # "foo-extra-e0" dir).
             ckpt_root = os.path.join(self.state_dir, "checkpoints")
-            for d in glob.glob(os.path.join(
-                    ckpt_root, glob.escape(f"{task_id}-e") + "*")):
-                shutil.rmtree(d, ignore_errors=True)
+            if os.path.isdir(ckpt_root):
+                pat = re.compile(rf"{re.escape(task_id)}-e\d+\Z")
+                for name in os.listdir(ckpt_root):
+                    if pat.fullmatch(name):
+                        shutil.rmtree(os.path.join(ckpt_root, name),
+                                      ignore_errors=True)
         self._persist()
 
     # -- boot recovery (T2) -----------------------------------------

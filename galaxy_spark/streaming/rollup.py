@@ -10,9 +10,9 @@ proportional to the batch, not the history.
 
 Store contract: ``merge(pdf)`` receives one micro-batch's partial
 aggregate as a pandas frame. The in-memory store here is the test/
-driver-side reference implementation; a production deployment backs
-the same merge with an idempotent keyed sink (Delta MERGE, keyed
-upsert), keyed additionally by batch epoch for exactly-once.
+driver-side reference implementation; the durable exactly-once
+variant (epoch-keyed idempotent merge, replay-safe across restarts)
+is ``streaming.exactly_once.EpochKeyedRollupStore``.
 """
 
 from __future__ import annotations

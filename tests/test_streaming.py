@@ -411,3 +411,53 @@ def test_incremental_rollup_matches_batch(spark, events_dir, tmp_path):
                   .agg(F.count("*").alias("n_events"),
                        F.sum("value").alias("total_value"))).collect())
     assert store.snapshot() == exp
+
+
+def test_exactly_once_rollup_survives_epoch_replay(spark, events_dir,
+                                                   tmp_path):
+    """foreachBatch is at-least-once: force Spark to REPLAY the last
+    epoch (drop its commit marker, restart from the same checkpoint)
+    and prove the epoch-keyed store does not double-count — the
+    replay-skip guarantee the reference gets from its saved-position
+    check (concurrently_task_manager.go:97-120)."""
+    import os
+
+    from galaxy_spark.streaming.exactly_once import (
+        EpochKeyedRollupStore,
+        start_exactly_once_rollup,
+    )
+
+    ckpt = str(tmp_path / "eo_ckpt")
+    store = EpochKeyedRollupStore(str(tmp_path / "eo_store"))
+    q = start_exactly_once_rollup(_stream_events(spark, events_dir),
+                                  store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    first = store.snapshot()
+    epochs = store.epochs()
+    assert first and epochs
+
+    # simulate the crash window: sink write landed, checkpoint commit
+    # didn't -> on restart Spark re-runs the batch with the SAME epoch
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+
+    q2 = start_exactly_once_rollup(_stream_events(spark, events_dir),
+                                   store, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert store.epochs() == epochs, "replay must not mint new epochs"
+    assert store.snapshot() == first, "replayed epoch double-counted"
+
+    # direct idempotence: merging the same epoch twice is a no-op
+    import pandas as pd
+    pdf = pd.DataFrame({"grain": ["hour"], "bucket_start": [None],
+                        "event_type": ["x"], "n_events": [1],
+                        "total_value": [1.0]})
+    fresh = EpochKeyedRollupStore(str(tmp_path / "eo_store2"))
+    assert fresh.merge(pdf, 0) is True
+    assert fresh.merge(pdf, 0) is False
+    assert fresh.snapshot()[0][3] == 1
