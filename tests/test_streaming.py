@@ -439,15 +439,24 @@ def test_exactly_once_rollup_survives_epoch_replay(spark, events_dir,
     assert first and epochs
 
     # simulate the crash window: sink write landed, checkpoint commit
-    # didn't -> on restart Spark re-runs the batch with the SAME epoch
-    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
-    last = [c for c in commits if not c.startswith(".")][-1]
-    os.remove(os.path.join(ckpt, "commits", last))
+    # didn't -> on restart Spark re-runs the batch with the SAME epoch.
+    # Hadoop's local FS keeps a .<name>.crc checksum sidecar next to
+    # each commit marker; a real crash loses both, and leaving the
+    # sidecar makes the replayed commit's rename die with
+    # FileAlreadyExistsException — so remove the pair.
+    commits_dir = os.path.join(ckpt, "commits")
+    last = [c for c in sorted(os.listdir(commits_dir))
+            if not c.startswith(".")][-1]
+    os.remove(os.path.join(commits_dir, last))
+    crc = os.path.join(commits_dir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
 
     q2 = start_exactly_once_rollup(_stream_events(spark, events_dir),
                                    store, ckpt)
     q2.processAllAvailable()
     q2.stop()
+    q2.awaitTermination(30)
 
     assert store.epochs() == epochs, "replay must not mint new epochs"
     assert store.snapshot() == first, "replayed epoch double-counted"
@@ -461,3 +470,60 @@ def test_exactly_once_rollup_survives_epoch_replay(spark, events_dir,
     assert fresh.merge(pdf, 0) is True
     assert fresh.merge(pdf, 0) is False
     assert fresh.snapshot()[0][3] == 1
+
+
+def test_exactly_once_store_rejects_foreign_lineage(spark, events_dir,
+                                                    tmp_path):
+    """Spark epoch ids restart at 0 per checkpoint, so pointing a
+    FRESH checkpoint at a used store would silently drop live
+    batches as 'replays'. The sink must fail loudly instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from galaxy_spark.streaming.exactly_once import (
+        EpochKeyedRollupStore,
+        start_exactly_once_rollup,
+    )
+
+    store = EpochKeyedRollupStore(str(tmp_path / "eo_store"))
+    q = start_exactly_once_rollup(_stream_events(spark, events_dir),
+                                  store, str(tmp_path / "ckpt_a"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    assert store.epochs()
+
+    q2 = start_exactly_once_rollup(_stream_events(spark, events_dir),
+                                   store, str(tmp_path / "ckpt_b"))
+    with pytest.raises(StreamingQueryException, match="lineage"):
+        q2.processAllAvailable()
+        q2.awaitTermination(30)
+    q2.stop()
+
+
+def test_exactly_once_store_sweeps_orphan_tmp_dirs(tmp_path):
+    """A crash between the tmp write and the claiming rename leaves
+    an unclaimed *.tmp-* dir; construction (= restart) sweeps it and
+    the epoch stays claimable."""
+    import os
+
+    import pandas as pd
+
+    from galaxy_spark.streaming.exactly_once import EpochKeyedRollupStore
+
+    path = str(tmp_path / "eo_store")
+    orphan = os.path.join(path, "epoch=0.tmp-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+
+    store = EpochKeyedRollupStore(path)
+    assert not os.path.exists(orphan)
+    assert store.epochs() == []
+
+    pdf = pd.DataFrame({"grain": ["hour"], "bucket_start": [None],
+                        "event_type": ["x"], "n_events": [1],
+                        "total_value": [1.0]})
+    assert store.merge(pdf, 0, lineage="aaaa0000") is True
+    assert store.merge(pdf, 0, lineage="aaaa0000") is False
+    assert store.lineages() == {"aaaa0000"}
