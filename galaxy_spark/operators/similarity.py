@@ -356,12 +356,24 @@ def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,
             if exclude_self:
                 S[ids[:, None] == q_ids[None, :]] = -np.inf
             kk = min(k + pad, S.shape[0])
-            # lexsort: primary -score desc, secondary neighbor_id asc
-            # (argpartition would break exact ties arbitrarily and
-            # could drop the lowest-id tied neighbor the exact
-            # tier's window keeps)
-            top = np.stack([np.lexsort((ids, -S[:, j]))[:kk]
-                            for j in range(S.shape[1])], axis=1)
+            # O(C) per query: argpartition picks the kk best by
+            # score, the pool is WIDENED to every row tied with its
+            # worst score (duplicate embeddings score bit-equal, so
+            # >= is an exact tie test), and only the pool is
+            # lexsorted by (-score, neighbor_id) — the same
+            # deterministic tie-break the exact tier's window uses,
+            # at O(C + p log p) instead of a full O(C log C) sort.
+            picks = []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                if kk < col.shape[0]:
+                    pool = np.argpartition(-col, kk - 1)[:kk]
+                    cand = np.nonzero(col >= col[pool].min())[0]
+                else:
+                    cand = np.arange(col.shape[0])
+                picks.append(cand[np.lexsort((ids[cand],
+                                              -col[cand]))][:kk])
+            top = np.stack(picks, axis=1)
             rows = {
                 "q_id": np.repeat(q_ids[None, :], kk, 0).ravel(),
                 "neighbor_id": ids[top].ravel(),

@@ -53,7 +53,10 @@ def test_lsh_topk_recall_and_purity_at_driver_scale(spark):
     key = lambda df: {(r.q_id, r.neighbor_id) for r in df.collect()}
     exact = key(similarity.cosine_topk(q, emb, k=5))
     lsh = key(similarity.lsh_topk(q, emb, k=5, dim=64))
-    assert len(lsh & exact) / len(exact) >= 0.4
+    # floor pinned just under the observed 0.50: the signature is
+    # deterministic, so a drop below 0.45 is a real regression, not
+    # noise (ADVICE r3: 0.4 was loose enough to hide one)
+    assert len(lsh & exact) / len(exact) >= 0.45
 
 
 def test_embedding_lsh_near_dup_recall_and_pruning_at_driver_scale(spark):
@@ -67,7 +70,9 @@ def test_embedding_lsh_near_dup_recall_and_pruning_at_driver_scale(spark):
     exact = _pairs(dedup.embedding_near_dup(emb, threshold=0.4))
     lsh = _pairs(similarity.lsh_near_dup_pairs(emb, threshold=0.4, dim=64))
     assert lsh <= exact                      # exact verify: no extras
-    assert len(lsh & exact) / max(len(exact), 1) >= 0.6
+    # observed 0.695 (deterministic); 0.65 floor trips on any real
+    # regression where the old 0.6 would not (ADVICE r3)
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.65
     # threshold=-1 keeps every candidate pair the blocking emits
     n = emb.count()
     n_cand = similarity.lsh_near_dup_pairs(emb, threshold=-1.0,

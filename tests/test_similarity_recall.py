@@ -63,6 +63,27 @@ def test_gemm_topk_equals_fold_topk(spark):
         assert abs(gcs - cs) < 1e-9
 
 
+def test_gemm_topk_tie_run_exceeding_pool(spark):
+    """>k+pad exactly-tied scores (duplicate embeddings) in ONE
+    batch: the argpartition pool must widen to the whole tie run so
+    the lowest-id tied neighbors — the ones the exact tier's
+    (-score, id) window keeps — are never dropped locally."""
+    from pyspark.sql import Row
+
+    base = [float(i % 7 + 1) for i in range(8)]
+    rows = [Row(vec_id=i, embedding=base) for i in range(20)]       # 20-way tie
+    rows += [Row(vec_id=100 + i, embedding=[float(j + i + 2) for j in range(8)])
+             for i in range(5)]
+    emb = spark.createDataFrame(rows).coalesce(1)                   # one batch
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = [(r.rank, r.neighbor_id, round(r.cos_sim, 9))
+             for r in similarity.cosine_topk(q, emb, k=5).collect()]
+    gemm = [(r.rank, r.neighbor_id, round(r.cos_sim, 9))
+            for r in similarity.cosine_topk_gemm(q, emb, k=5).collect()]
+    assert gemm == exact
+    assert [nid for _, nid, _ in sorted(gemm)] == [1, 2, 3, 4, 5]
+
+
 def test_lsh_near_dup_recall(spark):
     """LSH-blocked near-dup pairs vs the exact all-pairs tier:
     recall floor, zero false positives (exact verify inside
