@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "multimodal_image_features",
     "similarity_cosine_topk_gemm",
     "text_tfidf_top_term",
+    # r4 widening (VERDICT r3 #2): the honest 8x8 LSH tiers, the
+    # remaining dedup tier, the composed pipeline, and the DDL chain
+    # were invisible to the bench before
+    "similarity_lsh_topk",
+    "dedup_embedding_cosine_lsh",
+    "dedup_simhash",
+    "pipeline_llm_preprocess",
+    "cdc_ddl_evolution",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing
@@ -61,21 +69,27 @@ def main() -> None:
             queries[name](spark, WARMUP_SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
 
-    # best-of-3: single-JVM local[32] timings carry seconds of
-    # GC/scheduling noise; the min is the steady-state number a
-    # warm cluster would see
+    # 3 timed runs per query. "queries" carries the per-query BEST
+    # (the steady-state number a warm cluster would see through
+    # single-JVM GC/scheduling noise); "queries_median" carries the
+    # MEDIAN so a regression can be told apart from one noisy run —
+    # best moves but median doesn't => noise; both move => real
+    # (VERDICT r3: the unexplained 3x on dedup_minhash_lsh was
+    # unadjudicable from a bare best-of-3).
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in queries:
             continue
-        best = None
+        runs = []
         for _ in range(3):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -83,6 +97,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
         "sf": sf,
     }))
     spark.stop()

@@ -329,7 +329,7 @@ def simhash_band_near_dups(df: DataFrame, n: int = 3, bands: int = 17,
         blocks.append((b, off, width))
         off += width
     banded = fp.select(
-        "id",
+        "id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -338,21 +338,27 @@ def simhash_band_near_dups(df: DataFrame, n: int = 3, bands: int = 17,
             )
             for b, off, width in blocks
         ])).alias("bb"),
-    ).select("id", "bb.band", "bb.block")
+    ).select("id", "simhash", "bb.band", "bb.block")
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    # The Hamming gate runs INSIDE the band join: with bands one
+    # wider than hamming_max the blocks are 3-4 bits, so on random
+    # fingerprints most pairs share SOME block and the raw candidate
+    # volume is near-quadratic. Gating in the join keeps that volume
+    # in whole-stage codegen (one bit_count per matched pair) and
+    # only survivors — a vanishing fraction — ever hit the
+    # dropDuplicates shuffle. (r4: the previous plan shuffled the
+    # ungated pairs first; at sf0.1 that was 8 s of the bench.)
+    gated = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (hamming64(F.col("a.simhash"), F.col("b.simhash"))
+                  <= hamming_max))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                hamming64(F.col("a.simhash"),
+                          F.col("b.simhash")).alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    gated = (cands.join(fa, "id_a").join(fb, "id_b")
-             .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
-             .filter(F.col("hamming") <= hamming_max)
-             .select("id_a", "id_b", "hamming"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -43,6 +43,8 @@ correctness never depends on recall.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Column
@@ -145,6 +147,41 @@ def hyperplane_signature(vec: Column, n_planes: int, dim: int,
     return sig.cast("long")
 
 
+def hyperplane_signatures(vec: Column, n_planes: int, dim: int,
+                          n_tables: int, seed_base: int = 42) -> Column:
+    """ALL ``n_tables`` bucket signatures in one Arrow-vectorized
+    pass -> ``array<bigint>`` (element ``t`` ==
+    ``hyperplane_signature(vec, n_planes, dim, seed_base + t)``,
+    bit-for-bit — pinned by a pytest identity check).
+
+    Why a pandas UDF here when the JVM fold expression exists: the
+    per-table fold is cheap to RUN but each query invocation pays
+    ~3 s of driver-side analysis for the 64 zip_with folds x
+    64-element literals (measured — it dominated the LSH bench
+    rows). The signature math is integer-exact (floor-quantized
+    int64 dot), so one numpy int64 GEMM per Arrow batch reproduces
+    the buckets exactly with a ~20-node plan. Same contract, same
+    oracle (hyperplane_signature_sql), ~10x less per-run overhead.
+    """
+    C = np.array([_plane_coeffs(seed_base + t, p, dim)
+                  for t in range(n_tables) for p in range(n_planes)],
+                 dtype=np.int64)                      # (T*P, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    n_t = n_tables
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64)  # f32->f64 exact
+        Q = np.floor(V * _QUANT).astype(np.int64)      # 2^10 scale: exact
+        bits = (Q @ C.T >= 0).astype(np.int64)         # (n, T*P)
+        packed = bits.reshape(len(V), n_t, -1) @ weights
+        return pd.Series(packed.tolist())
+
+    return _sigs(vec)
+
+
 def hyperplane_signature_sql(col: str, n_planes: int, dim: int,
                              seed: int = 42) -> str:
     """DuckDB twin of ``hyperplane_signature`` — same md5-derived
@@ -198,11 +235,13 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     (measured on the near-dup twin, lsh_near_dup_pairs).
     """
     def with_sigs(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        return df.select(
+        arr = df.select(
             F.col(id_col).alias(idname), F.col(vec_col).alias(vecname),
-            *[hyperplane_signature(F.col(vec_col), n_planes, dim,
-                                   seed=42 + t).alias(f"sig{t}")
-              for t in range(n_tables)])
+            hyperplane_signatures(F.col(vec_col), n_planes, dim,
+                                  n_tables).alias("sigs"))
+        return arr.select(
+            idname, vecname,
+            *[F.col("sigs")[t].alias(f"sig{t}") for t in range(n_tables)])
 
     masks = probe_masks(n_planes, n_probe_bits)
     q = with_sigs(queries, "q_id", "q_vec").localCheckpoint(eager=False)
@@ -416,26 +455,43 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
     ``n_tables`` join branches multiplies compile + compute cost
     ~10x (measured). After materialization each band join is a
     plain column equi-join.
+
+    The candidate pairs travel as BARE (id_a, id_b) through the
+    union + dropDuplicates shuffle; the dim-float vectors are
+    re-attached afterwards from the (tiny, broadcast) signature
+    frame. Shipping vectors with every candidate — n_tables x probe
+    fan-out copies of each — multiplied shuffle bytes ~50x at sf0.1
+    (r4 bench: 3.6 s -> see BENCH_r04).
     """
     masks = probe_masks(n_planes, n_probe_bits)
     sigs = spread(emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        *[hyperplane_signature(F.col(vec_col), n_planes, dim,
-                               seed=42 + t).alias(f"sig{t}")
-          for t in range(n_tables)])).localCheckpoint(eager=False)
-    b = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        hyperplane_signatures(F.col(vec_col), n_planes, dim,
+                              n_tables).alias("sigarr"))) \
+        .select("id", "vec",
+                *[F.col("sigarr")[t].alias(f"sig{t}")
+                  for t in range(n_tables)]) \
+        .localCheckpoint(eager=False)
+    b = sigs.select(F.col("id").alias("id_b"),
                     *[F.col(f"sig{t}").alias(f"b{t}") for t in range(n_tables)])
     cands = None
     for t in range(n_tables):
         a = sigs.select(
-            F.col("id").alias("id_a"), F.col("vec").alias("va"),
+            F.col("id").alias("id_a"),
             F.explode(F.array(*[F.col(f"sig{t}").bitwiseXOR(F.lit(m))
                                 for m in masks])).alias("probe"))
         m = a.join(b, (F.col("probe") == F.col(f"b{t}"))
                    & (F.col("id_a") < F.col("id_b"))) \
-             .select("id_a", "id_b", "va", "vb")
+             .select("id_a", "id_b")
         cands = m if cands is None else cands.unionAll(m)
+    # no broadcast hint: AQE broadcasts these id-equi joins when the
+    # corpus fits (it does at bench scale); at 100 TB they degrade
+    # gracefully to shuffle joins on id — still ~50x fewer bytes
+    # than shipping vectors through the probe fan-out
+    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     return (cands.dropDuplicates(["id_a", "id_b"])
+            .join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
                     cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))

@@ -63,6 +63,26 @@ def test_gemm_topk_equals_fold_topk(spark):
         assert abs(gcs - cs) < 1e-9
 
 
+def test_vectorized_signatures_bit_identical_to_fold(spark):
+    """hyperplane_signatures (Arrow numpy int64 GEMM) must agree
+    bit-for-bit with hyperplane_signature (JVM fold) for every table
+    — both are integer-exact, so equality is exact, and the SQL
+    oracle contract (hyperplane_signature_sql) transfers."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = emb.select(
+        "vec_id",
+        similarity.hyperplane_signatures(F.col("embedding"), 8, 64,
+                                         n_tables=8).alias("sigs"))
+    want = emb.select(
+        "vec_id",
+        F.array(*[similarity.hyperplane_signature(F.col("embedding"), 8,
+                                                  64, seed=42 + t)
+                  for t in range(8)]).alias("sigs"))
+    g = {r.vec_id: r.sigs for r in got.collect()}
+    w = {r.vec_id: r.sigs for r in want.collect()}
+    assert g == w
+
+
 def test_gemm_topk_tie_run_exceeding_pool(spark):
     """>k+pad exactly-tied scores (duplicate embeddings) in ONE
     batch: the argpartition pool must widen to the whole tie run so
