@@ -92,6 +92,10 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # the first 17 names are the r1-r3 bench set; their subtotal is
+    # the number comparable against BENCH_r02/BENCH_r03 "value"
+    # (the widened set changed the denominator in r4)
+    r3_subset = BENCH_QUERIES[:17]
     print(json.dumps({
         "metric": "galaxy_spark headline query wall time",
         "value": total,
@@ -99,6 +103,8 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "total_median": round(sum(medians.values()), 3),
+        "r3_comparable_total": round(
+            sum(timings[n] for n in r3_subset if n in timings), 3),
         "sf": sf,
     }))
     spark.stop()
