@@ -21,9 +21,9 @@ two contracts:
 
 Whether a given query is inside the driver's per-round check subset
 varies by round; all of them run the identical comparison in
-tests/test_oracle.py, and registry.DRIVER_CHECK_ORDER front-loads
-one representative per capability so the driver certifies the whole
-surface.
+tests/test_oracle.py, and registry.CERTIFICATION_MANIFEST orders
+never-certified names first so external certification converges to
+full union coverage of the surface.
 """
 
 from __future__ import annotations
