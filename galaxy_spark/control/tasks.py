@@ -109,9 +109,20 @@ class TaskManager:
 
     # -- lifecycle (T1) ---------------------------------------------
     def create_task(self, spec: TaskSpec) -> str:
-        """POST /v1/post_task analog."""
-        if spec.task_id in self.queries:
-            raise ValueError(f"task {spec.task_id} already running")
+        """POST /v1/post_task analog.
+
+        A duplicate ``task_id`` is a parameter error even when the
+        existing task is STOPPED — silently replacing a stopped
+        task's spec would reuse its checkpoint epoch numbering, so
+        the "new" task resumes from the old task's saved offsets
+        (mirrors the reference's duplicate-task rejection; delete
+        first to reuse an id)."""
+        if spec.task_id in self.tasks:
+            state = ("running" if spec.task_id in self.queries
+                     else "stopped")
+            raise ValueError(
+                f"task {spec.task_id} already exists ({state}); "
+                "delete it before reusing the id")
         self.tasks[spec.task_id] = spec
         self._start(spec)
         self._persist()

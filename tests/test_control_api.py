@@ -177,6 +177,102 @@ def test_restoration_task_relaunches(plane, tmp_path):
     assert plane.manager.status()["api_fix"]["active"]
 
 
+def test_post_task_rejects_duplicate_id_even_when_stopped(plane):
+    """Reusing a stopped task's id would inherit its checkpoint
+    epoch numbering (and so its saved offsets); the reference
+    rejects duplicate ids outright — so do we. delete_task first."""
+    _call(plane, "POST", "/v1/post_task",
+          {"task_id": "api_dup", "sink_kind": "memory",
+           "columns": list(EVENT_SOURCE_COLUMNS)})
+    _call(plane, "POST", "/v1/stop_task",
+          {"task_id": "api_dup", "stop_type": "stop"})
+    status, out = _call(plane, "POST", "/v1/post_task",
+                        {"task_id": "api_dup", "sink_kind": "memory",
+                         "columns": list(EVENT_SOURCE_COLUMNS)})
+    assert status == 400 and "already exists" in out["message"]
+    status, _ = _call(plane, "POST", "/v1/delete_task/api_dup")
+    assert status == 200
+    status, out = _call(plane, "POST", "/v1/post_task",
+                        {"task_id": "api_dup", "sink_kind": "memory",
+                         "columns": list(EVENT_SOURCE_COLUMNS)})
+    assert status == 200 and out["error_code"] == 0
+
+
+def test_live_task_recovery_and_filter_update_end_to_end(spark, tmp_path):
+    """The reference's full lifecycle (update_task.go:19-197) against
+    a RUNNING file-stream task with data flowing, driven entirely
+    over HTTP: create -> stop -> recovery_v1 resumes WITHOUT
+    re-emitting (checkpoint replay-skip) -> update_task filters are
+    reflected in sink output after the restart -> delete."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "live_src")
+    out = str(tmp_path / "live_out")
+    ev.filter(F.col("event_id") % 3 == 0) \
+        .write.mode("overwrite").parquet(src)                  # slice 1
+
+    mgr = TaskManager(spark, str(tmp_path / "live_state"),
+                      _source_factory(src))
+    cp = ControlPlane(mgr, metrics=MetricsListener()).start()
+    try:
+        status, _ = _call(cp, "POST", "/v1/post_task", {
+            "task_id": "api_e2e", "database": ["db0"],
+            "columns": list(EVENT_SOURCE_COLUMNS),
+            "sink_kind": "parquet", "sink_options": {"path": out},
+        })
+        assert status == 200
+        mgr.await_all()
+        sink = spark.read.parquet(out)
+        n1 = sink.count()
+        assert n1 > 0
+        assert sink.filter(~F.col("key").startswith("db0.")).count() == 0
+
+        # stop over HTTP: no longer active
+        _call(cp, "POST", "/v1/stop_task",
+              {"task_id": "api_e2e", "stop_type": "stop"})
+        assert not mgr.status()["api_e2e"]["active"]
+
+        # new data lands while stopped; recovery_v1 must emit ONLY
+        # the new slice (offsets resume — nothing re-emitted)
+        ev.filter(F.col("event_id") % 3 == 1) \
+            .write.mode("append").parquet(src)                 # slice 2
+        status, _ = _call(cp, "POST", "/v1/stop_task",
+                          {"task_id": "api_e2e", "stop_type": "recovery_v1"})
+        assert status == 200
+        mgr.await_all()
+        sink = spark.read.parquet(out)
+        n2 = sink.count()
+        assert n2 > n1, "recovery_v1 did not resume consumption"
+        log_pos = F.get_json_object("value", "$.event_header.log_pos")
+        assert sink.select(log_pos).distinct().count() == n2, \
+            "recovery_v1 re-emitted already-committed events"
+        assert sink.filter(~F.col("key").startswith("db0.")).count() == 0
+
+        # live filter update over HTTP: db0 -> db1; rows emitted
+        # after the restart must honor the NEW predicate
+        status, _ = _call(cp, "POST", "/v1/update_task",
+                          {"task_id": "api_e2e", "database": ["db1"]})
+        assert status == 200
+        ev.filter(F.col("event_id") % 3 == 2) \
+            .write.mode("append").parquet(src)                 # slice 3
+        mgr.await_all()
+        sink = spark.read.parquet(out)
+        n3 = sink.count()
+        assert n3 > n2, "no rows after filter update"
+        assert sink.filter(F.col("key").startswith("db1.")).count() == n3 - n2
+        assert sink.filter(~F.col("key").startswith("db0.")
+                           & ~F.col("key").startswith("db1.")).count() == 0
+
+        status, _ = _call(cp, "POST", "/v1/delete_task/api_e2e")
+        assert status == 200
+        assert "api_e2e" not in mgr.tasks
+    finally:
+        for tid in list(mgr.queries):
+            mgr.stop_task(tid)
+        cp.stop()
+
+
 def test_metrics_endpoint(plane):
     status, text = _call(plane, "GET", "/metrics")
     assert status == 200
