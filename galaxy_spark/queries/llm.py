@@ -392,7 +392,11 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest and measured (tests/test_similarity_recall.py): ~0.6 on
     this uniformly-random corpus at a ~0.25 candidate rate; >=0.999
     at cos>=0.9 by the collision math in operators/similarity.py —
-    the filter genuinely prunes, unlike a recall-1.0-tuned config."""
+    the filter genuinely prunes, unlike a recall-1.0-tuned config.
+
+    CONTRACT CHANGE (r3): before r3 this tier returned the exact
+    brute-force answer (recall-1.0 tuning). Consumers needing exact
+    top-k must use similarity_cosine_topk / _gemm."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = similarity.lsh_topk(q, emb, k=5, dim=64,
@@ -708,7 +712,11 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver verifies the blocking itself. Recall vs the exact
     all-pairs answer is measured in tests (~0.7 on this uniform
     corpus at cos>=0.4; near 1.0 for real near-dups at cos>=0.8 —
-    collision math in operators/similarity.py)."""
+    collision math in operators/similarity.py).
+
+    CONTRACT CHANGE (r3): before r3 this tier was tuned to recall
+    1.0 (pass-through filter). It now genuinely prunes; consumers
+    needing the exact pair set must use dedup_embedding_cosine."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_near_dup_pairs(
         emb, threshold=0.4, dim=64,
