@@ -223,47 +223,46 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     (see module docstring for the collision math; the driver oracle
     mirrors the algorithm itself via hyperplane_signature_sql).
 
-    Scale shape: the corpus keeps ONE row per (table) bucket probe;
+    Scale shape: the corpus keeps ONE exploded row per table bucket;
     only the (small, by contract) query side fans out ×(n_planes+1)
-    probes. Each per-table join is a plain equi-join on the bucket
-    key — shuffle on signature, never all-pairs.
+    probes. All table buckets join at once on a composite
+    ``bucket = (table << n_planes) | signature`` key — ONE equi-join
+    (one shuffle) with a candidate set identical to ``n_tables``
+    separate band joins; candidates travel as bare (q_id,
+    neighbor_id) and vectors re-attach after dedup.
 
-    Both signature frames are computed ONCE and materialized
-    (localCheckpoint) before the ``n_tables`` per-table joins:
-    re-deriving the ~per-table 6-node-per-plane signature expression
-    inside each join branch multiplies compile + compute cost ~10x
-    (measured on the near-dup twin, lsh_near_dup_pairs).
+    Both signature frames are computed ONCE (one Arrow GEMM pass,
+    ``hyperplane_signatures``) and materialized (localCheckpoint)
+    before the fan-out.
     """
-    def with_sigs(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        arr = df.select(
-            F.col(id_col).alias(idname), F.col(vec_col).alias(vecname),
-            hyperplane_signatures(F.col(vec_col), n_planes, dim,
-                                  n_tables).alias("sigs"))
-        return arr.select(
-            idname, vecname,
-            *[F.col("sigs")[t].alias(f"sig{t}") for t in range(n_tables)])
-
     masks = probe_masks(n_planes, n_probe_bits)
-    q = with_sigs(queries, "q_id", "q_vec").localCheckpoint(eager=False)
-    c = with_sigs(spread(corpus), "neighbor_id", "c_vec") \
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        hyperplane_signatures(F.col(vec_col), n_planes, dim,
+                              n_tables).alias("sigs")) \
         .localCheckpoint(eager=False)
-    cs = c.select("neighbor_id", "c_vec",
-                  *[F.col(f"sig{t}").alias(f"c_sig{t}") for t in range(n_tables)])
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        hyperplane_signatures(F.col(vec_col), n_planes, dim,
+                              n_tables).alias("sigs")) \
+        .localCheckpoint(eager=False)
 
-    cands = None
-    for t in range(n_tables):
-        qp = q.select(
-            "q_id", "q_vec",
-            F.explode(F.array(*[F.col(f"sig{t}").bitwiseXOR(F.lit(m))
-                                for m in masks])).alias("probe"))
-        m = qp.join(cs, F.col("probe") == F.col(f"c_sig{t}")) \
-              .select("q_id", "q_vec", "neighbor_id", "c_vec")
-        cands = m if cands is None else cands.unionAll(m)
-    cands = cands.dropDuplicates(["q_id", "neighbor_id"])
+    qp = q.select("q_id", F.explode(F.array(*[
+        F.col("sigs")[t].bitwiseXOR(F.lit(m)) + F.lit(t << n_planes)
+        for t in range(n_tables) for m in masks])).alias("bucket"))
+    cb = c.select("neighbor_id", F.explode(F.array(*[
+        F.col("sigs")[t] + F.lit(t << n_planes)
+        for t in range(n_tables)])).alias("bucket"))
+    cands = (qp.join(cb, "bucket")
+             .select("q_id", "neighbor_id")
+             .dropDuplicates(["q_id", "neighbor_id"]))
     if exclude_self:
         cands = cands.filter(F.col("q_id") != F.col("neighbor_id"))
-    scored = cands.select(
-        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    scored = cands \
+        .join(q.select("q_id", "q_vec"), "q_id") \
+        .join(c.select("neighbor_id", "c_vec"), "neighbor_id") \
+        .select("q_id", "neighbor_id",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -446,44 +445,40 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
     is measured in tests (see module docstring for the collision
     math); the driver oracle mirrors the algorithm itself.
 
-    Multi-probe on side A only (×(n_planes+1) probe rows), so each
-    per-table candidate join stays a bucket equi-join — the shuffle
-    key is the signature, never all-pairs. The signature frame is
-    computed ONCE and materialized (localCheckpoint) before the
-    per-table band joins — the signature expression is a large
-    codegen tree per table, and re-deriving it inside each of the
-    ``n_tables`` join branches multiplies compile + compute cost
-    ~10x (measured). After materialization each band join is a
-    plain column equi-join.
+    Multi-probe on side A only (×(n_planes+1) probe rows). ALL
+    table buckets join at once: each side explodes to a composite
+    ``bucket = (table << n_planes) | signature`` key, so the whole
+    blocking is ONE equi-join (one shuffle + one join stage) with a
+    candidate set identical to ``n_tables`` separate band joins.
+    The signature frame is computed once (one Arrow GEMM pass,
+    ``hyperplane_signatures``) and materialized (localCheckpoint)
+    before the fan-out.
 
     The candidate pairs travel as BARE (id_a, id_b) through the
-    union + dropDuplicates shuffle; the dim-float vectors are
-    re-attached afterwards from the (tiny, broadcast) signature
-    frame. Shipping vectors with every candidate — n_tables x probe
-    fan-out copies of each — multiplied shuffle bytes ~50x at sf0.1
-    (r4 bench: 3.6 s -> see BENCH_r04).
+    bucket join + dropDuplicates shuffle; the dim-float vectors are
+    re-attached afterwards by id-equi joins. Shipping vectors with
+    every candidate — n_tables x probe fan-out copies of each —
+    multiplied shuffle bytes ~50x at sf0.1 (r4 bench).
     """
     masks = probe_masks(n_planes, n_probe_bits)
     sigs = spread(emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         hyperplane_signatures(F.col(vec_col), n_planes, dim,
                               n_tables).alias("sigarr"))) \
-        .select("id", "vec",
-                *[F.col("sigarr")[t].alias(f"sig{t}")
-                  for t in range(n_tables)]) \
         .localCheckpoint(eager=False)
-    b = sigs.select(F.col("id").alias("id_b"),
-                    *[F.col(f"sig{t}").alias(f"b{t}") for t in range(n_tables)])
-    cands = None
-    for t in range(n_tables):
-        a = sigs.select(
-            F.col("id").alias("id_a"),
-            F.explode(F.array(*[F.col(f"sig{t}").bitwiseXOR(F.lit(m))
-                                for m in masks])).alias("probe"))
-        m = a.join(b, (F.col("probe") == F.col(f"b{t}"))
-                   & (F.col("id_a") < F.col("id_b"))) \
-             .select("id_a", "id_b")
-        cands = m if cands is None else cands.unionAll(m)
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.array(*[
+            F.col("sigarr")[t].bitwiseXOR(F.lit(m)) + F.lit(t << n_planes)
+            for t in range(n_tables) for m in masks])).alias("bucket"))
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        F.explode(F.array(*[
+            F.col("sigarr")[t] + F.lit(t << n_planes)
+            for t in range(n_tables)])).alias("bucket"))
+    cands = (a.join(b, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
     # no broadcast hint: AQE broadcasts these id-equi joins when the
     # corpus fits (it does at bench scale); at 100 TB they degrade
     # gracefully to shuffle joins on id — still ~50x fewer bytes
