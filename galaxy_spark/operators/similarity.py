@@ -233,18 +233,22 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     Both signature frames are computed ONCE (one Arrow GEMM pass,
     ``hyperplane_signatures``) and materialized (localCheckpoint)
-    before the fan-out.
+    before the fan-out. Vector norms are folded once per row here
+    too, so the per-candidate re-rank pays a single dot fold —
+    bit-identical to ``cosine`` (same expression tree).
     """
     masks = probe_masks(n_planes, n_probe_bits)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
         hyperplane_signatures(F.col(vec_col), n_planes, dim,
-                              n_tables).alias("sigs")) \
+                              n_tables).alias("sigs"),
+        _norm(F.col(vec_col)).alias("q_nrm")) \
         .localCheckpoint(eager=False)
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
         hyperplane_signatures(F.col(vec_col), n_planes, dim,
-                              n_tables).alias("sigs")) \
+                              n_tables).alias("sigs"),
+        _norm(F.col(vec_col)).alias("c_nrm")) \
         .localCheckpoint(eager=False)
 
     qp = q.select("q_id", F.explode(F.array(*[
@@ -259,10 +263,11 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     if exclude_self:
         cands = cands.filter(F.col("q_id") != F.col("neighbor_id"))
     scored = cands \
-        .join(q.select("q_id", "q_vec"), "q_id") \
-        .join(c.select("neighbor_id", "c_vec"), "neighbor_id") \
+        .join(q.select("q_id", "q_vec", "q_nrm"), "q_id") \
+        .join(c.select("neighbor_id", "c_vec", "c_nrm"), "neighbor_id") \
         .select("q_id", "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+                (_dot(F.col("q_vec"), F.col("c_vec"))
+                 / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -459,12 +464,21 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
     re-attached afterwards by id-equi joins. Shipping vectors with
     every candidate — n_tables x probe fan-out copies of each —
     multiplied shuffle bytes ~50x at sf0.1 (r4 bench).
+
+    Each vector's norm is folded ONCE in the signature frame and
+    re-attached with the vector, so the per-pair verify pays one
+    64-element fold (the dot) instead of three (dot + both norms) —
+    the higher-order-function folds run interpreted, and at ~0.25
+    candidate rate they dominate the pipeline (r4: verify stage
+    3.5 s -> ~1.2 s at sf0.1). ``dot/(norm_a*norm_b)`` is the same
+    expression tree as ``cosine``, so the value is bit-identical.
     """
     masks = probe_masks(n_planes, n_probe_bits)
     sigs = spread(emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         hyperplane_signatures(F.col(vec_col), n_planes, dim,
                               n_tables).alias("sigarr"))) \
+        .withColumn("nrm", _norm(F.col("vec"))) \
         .localCheckpoint(eager=False)
     a = sigs.select(
         F.col("id").alias("id_a"),
@@ -483,10 +497,13 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
     # corpus fits (it does at bench scale); at 100 TB they degrade
     # gracefully to shuffle joins on id — still ~50x fewer bytes
     # than shipping vectors through the probe fan-out
-    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
     return (cands.dropDuplicates(["id_a", "id_b"])
             .join(va, "id_a").join(vb, "id_b")
             .select("id_a", "id_b",
-                    cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
