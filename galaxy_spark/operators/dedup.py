@@ -328,6 +328,16 @@ def simhash_band_near_dups(df: DataFrame, n: int = 3, bands: int = 17,
         width = base + (1 if b < extra else 0)
         blocks.append((b, off, width))
         off += width
+    # Explicit repartition on the join keys: the banded frame is
+    # tiny in BYTES (17 rows/doc of ints) but the band self-join
+    # below expands to ~quadratic pair COMPARISONS, so AQE's
+    # size-based coalescing would run the whole join in one task
+    # (measured: the 1-task join was ~4s of the sf0.1 bench row —
+    # 60% of the pipeline). A user repartition with an explicit
+    # count is exempt from AQE coalescing, and hash-partitioning on
+    # (band, block) co-locates both join sides, so the join itself
+    # adds no further shuffle.
+    n_part = fp.sparkSession.sparkContext.defaultParallelism
     banded = fp.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -338,7 +348,8 @@ def simhash_band_near_dups(df: DataFrame, n: int = 3, bands: int = 17,
             )
             for b, off, width in blocks
         ])).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.block")
+    ).select("id", "simhash", "bb.band", "bb.block") \
+     .repartition(n_part, "band", "block")
     a, b = banded.alias("a"), banded.alias("b")
     # The Hamming gate runs INSIDE the band join: with bands one
     # wider than hamming_max the blocks are 3-4 bits, so on random
