@@ -25,14 +25,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
-        # natively; read as long and truncate to micros (identical to
-        # DuckDB's ns->us truncation, keeping the oracle in agreement).
+        # events.ts has shipped as TIMESTAMP(NANOS) (which Spark only
+        # reads via nanosAsLong) and as TIMESTAMP(MICROS); support
+        # both so a testdata regeneration can't break every query.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer div — float division loses precision at ns-epoch scale
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # ns epoch as long: integer div — float division loses
+            # precision at ns-epoch scale (DuckDB's ns->us truncation)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # micros parquet arrives as TIMESTAMP_NTZ; session tz is
+            # UTC, so casting to LTZ preserves values and keeps the
+            # schema identical to the ns-era loader.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
