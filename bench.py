@@ -43,6 +43,13 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "pipeline_llm_preprocess",
     "cdc_ddl_evolution",
+    # r4 curation surface: the iterative, corpus-global, and
+    # global-ordering members (the scan-local rest ride the same
+    # plan shapes as text_stats)
+    "dedup_cluster_canonical",
+    "quality_unigram_logprob",
+    "shuffle_global_deterministic",
+    "embeddings_kmeans_clusters",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing
@@ -69,32 +76,45 @@ def main() -> None:
             queries[name](spark, WARMUP_SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
 
-    # 3 timed runs per query. "queries" carries the per-query BEST
-    # (the steady-state number a warm cluster would see through
-    # single-JVM GC/scheduling noise); "queries_median" carries the
-    # MEDIAN so a regression can be told apart from one noisy run —
-    # best moves but median doesn't => noise; both move => real
-    # (VERDICT r3: the unexplained 3x on dedup_minhash_lsh was
-    # unadjudicable from a bare best-of-3).
+    # 3 timed runs per query. Each run times CONSTRUCTION + WRITE:
+    # iterative operators (connected components' per-round
+    # checkpoints; under AQE even lazy checkpoints execute their
+    # shuffle stages while the plan is being built) do real cluster
+    # work before the first action, and a write-only timer hides it
+    # (r4 finding: the CC query "ran" in 0.08s write-only vs ~1s
+    # true cost). "queries" carries the per-query BEST build+exec
+    # (steady-state through single-JVM GC/scheduling noise);
+    # "queries_median" the MEDIAN, so a regression can be told from
+    # one noisy run — best moves but median doesn't => noise; both
+    # move => real (VERDICT r3: the unexplained 3x on
+    # dedup_minhash_lsh was unadjudicable from a bare best-of-3).
+    # "queries_exec" carries the write-only BEST — the number
+    # comparable with BENCH_r01-r03, which timed only the write.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    exec_only: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in queries:
             continue
-        runs = []
+        runs, execs = [], []
         for _ in range(3):
-            df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            t2 = time.perf_counter()
+            runs.append(t2 - t0)
+            execs.append(t2 - t1)
         runs.sort()
+        execs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
+        exec_only[name] = round(execs[0], 3)
 
     total = round(sum(timings.values()), 3)
-    # the first 17 names are the r1-r3 bench set; their subtotal is
-    # the number comparable against BENCH_r02/BENCH_r03 "value"
-    # (the widened set changed the denominator in r4)
+    # the first 17 names are the r1-r3 bench set; their WRITE-ONLY
+    # subtotal is the number comparable against BENCH_r02/BENCH_r03
+    # "value" (same timer, same denominator)
     r3_subset = BENCH_QUERIES[:17]
     print(json.dumps({
         "metric": "galaxy_spark headline query wall time",
@@ -102,9 +122,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        "queries_exec": exec_only,
         "total_median": round(sum(medians.values()), 3),
         "r3_comparable_total": round(
-            sum(timings[n] for n in r3_subset if n in timings), 3),
+            sum(exec_only[n] for n in r3_subset if n in exec_only), 3),
         "sf": sf,
     }))
     spark.stop()

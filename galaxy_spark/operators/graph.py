@@ -1,0 +1,144 @@
+"""Distributed graph primitives for corpus curation.
+
+The one graph problem an LLM-data pipeline cannot avoid: near-dup
+PAIRS (from any dedup tier in ``operators.dedup``) must become
+near-dup CLUSTERS before a canonical document can be chosen —
+pairwise kill-lists over-delete (A~B, B~C kills B twice and may
+kill both A and C) and under-delete (keeps one doc per PAIR, not
+one per cluster).
+
+Algorithm: Pregel-style minimum-label propagation (the GraphX /
+GraphFrames connected-components strategy): every vertex starts
+labeled with its own id and repeatedly takes the min of its
+neighbors' labels until fixpoint. Each round is one shuffle (a
+groupBy on dst) + one join; rounds needed = graph diameter. Dedup
+graphs are unions of quasi-cliques (every member of a duplicate
+cluster collides with most others), so the diameter is tiny (2-3)
+regardless of corpus size — the O(diameter) bound that makes
+min-propagation a poor fit for web-link graphs makes it the RIGHT
+fit here. Lineage is cut with localCheckpoint every round so the
+plan doesn't grow with iterations; the convergence check rides the
+same job that materializes the round (one action per round, O(1)
+driver data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "id",
+                         src_col: str = "src", dst_col: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Label every vertex with the smallest vertex id reachable from
+    it (its component id). Returns ``(id, component)``.
+
+    ``edges`` is an undirected pair list (each pair once, either
+    orientation); isolated vertices keep ``component = id``.
+    Raises if fixpoint isn't reached in ``max_iter`` rounds — for
+    dedup-cluster graphs that means the edge set isn't the
+    quasi-clique shape this operator is documented for.
+    """
+    sym = (edges.select(F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"))
+           .union(edges.select(F.col(dst_col).alias("src"),
+                               F.col(src_col).alias("dst"))))
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("component"))
+    # Materialize the (small relative to corpus) edge list once; it
+    # is re-joined every round.
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels, sym["src"] == labels["id"])
+                   .groupBy("dst")
+                   .agg(F.min("component").alias("nbr_component")))
+        stepped = (labels.join(nbr_min, labels["id"] == nbr_min["dst"],
+                               "left")
+                   .select(labels["id"],
+                           F.col("component"),
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nbr_component"),
+                                              F.col("component")))
+                           .alias("new_component")))
+        # one action: materializes the round AND counts changes
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(
+            F.col("new_component") < F.col("component")).count()
+        labels = stepped.select("id",
+                                F.col("new_component").alias("component"))
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "edge set is not dedup-cluster shaped (use a log-round "
+        "star-contraction algorithm for high-diameter graphs)")
+
+
+def connected_components_fixed(vertices: DataFrame, edges: DataFrame,
+                               id_col: str = "id",
+                               src_col: str = "src", dst_col: str = "dst",
+                               rounds: int = 6) -> DataFrame:
+    """``connected_components`` as ONE lazy plan: a fixed number of
+    min-propagation rounds with no driver actions, no checkpoints.
+
+    Correct iff ``rounds >= graph diameter``. For dedup graphs
+    (quasi-cliques, diameter 2-3) a small fixed budget is safe and
+    removes every driver-side action: nothing blocks on per-round
+    convergence counts, so ALL cluster work happens when the caller
+    finally acts on the result. Use the convergence-checked variant
+    when the diameter is unknown; an insufficient budget here shows
+    up as a wrong component id — which is exactly what the
+    transitive-closure SQL oracle checks at certification scale.
+
+    Each round is cut with a LAZY localCheckpoint (materialized on
+    first use, then reused). Without it the recursion is
+    structurally exponential: labels(k) references labels(k-1)
+    twice (join probe + min source), so a fully-lazy tree evaluates
+    labels(0) 2^rounds times — measured 23 s vs ~1 s at sf0.1 for
+    rounds=6 — and the edge subtree (the expensive pair generation
+    upstream) would re-run every round as the streamed side of a
+    broadcast join, which has no exchange for Spark to reuse.
+    """
+    sym = (edges.select(F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"))
+           .union(edges.select(F.col(dst_col).alias("src"),
+                               F.col(src_col).alias("dst")))
+           .localCheckpoint(eager=False))
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("component"))
+    for _ in range(rounds):
+        nbr_min = (sym.join(labels, sym["src"] == labels["id"])
+                   .groupBy("dst")
+                   .agg(F.min("component").alias("nbr_component")))
+        labels = (labels.join(nbr_min, labels["id"] == nbr_min["dst"],
+                              "left")
+                  .select(labels["id"],
+                          F.least(F.col("component"),
+                                  F.coalesce(F.col("nbr_component"),
+                                             F.col("component")))
+                          .alias("component"))
+                  .localCheckpoint(eager=False))
+    return labels
+
+
+def components_with_size(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "id",
+                         src_col: str = "src",
+                         dst_col: str = "dst",
+                         rounds: int | None = 6) -> DataFrame:
+    """``(id, component, component_size)`` — one shuffle on the
+    component id past the propagation fixpoint. ``rounds=None``
+    selects the convergence-checked iterative variant; an integer
+    selects the lazy fixed-round plan (default: dedup-graph safe)."""
+    if rounds is None:
+        comp = connected_components(vertices, edges, id_col,
+                                    src_col, dst_col)
+    else:
+        comp = connected_components_fixed(vertices, edges, id_col,
+                                          src_col, dst_col, rounds)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("component_size"))
+    return comp.join(sizes, "component").select(
+        "id", "component", "component_size")

@@ -1,0 +1,411 @@
+"""Corpus-curation queries: the operations a training-data pipeline
+runs AFTER per-document analysis — cluster-level dedup, corpus-level
+quality scoring, mixture balancing, deterministic shuffling, and
+sequence packing.
+
+These extend the per-document/per-pair surface in ``queries/llm.py``
+to the corpus level, where every operator needs either global state
+(vocabulary frequencies, per-source counts, cluster membership) or
+a global ordering — the part of curation where naive plans stop
+scaling. Every query carries a full DuckDB value oracle
+(result-contract unless noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
+
+from galaxy_spark.operators import clustering, dedup, graph, text, util
+from galaxy_spark.queries.llm import _jaccard_pairs_oracle, _STOPS, _TOKS
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({_jaccard_pairs_oracle(5, 0.5)})
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    ), comp AS (
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CAST(s.cluster_size AS INTEGER) AS cluster_size,
+           (c.doc_id = c.cluster_id) AS is_canonical
+    FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not pairs): MinHash-LSH pair graph →
+    connected components → per-cluster canonical (min doc_id).
+
+    Pairwise near-dup output over- and under-deletes (A~B, B~C must
+    keep exactly one of {{A,B,C}}, which no pair-local rule can
+    decide); the reference pipeline step everywhere in public dedup
+    recipes is transitive clustering. Components run as Pregel-style
+    min-label propagation (``operators.graph``): one shuffle per
+    round, rounds = cluster diameter (2-3 for quasi-clique dup
+    graphs, independent of corpus size). This query uses the
+    fixed-round LAZY variant (6 rounds, no driver actions) so the
+    whole pipeline stays one declarative plan; a budget below the
+    true diameter would surface as a wrong cluster id against the
+    transitive-closure oracle below.
+
+    Oracle contract: the pair stage is the recall-1.0 MinHash tier
+    (pinned in tests/test_dedup_recall.py), so the SQL's exact
+    all-pairs graph + recursive-CTE transitive closure states the
+    same clusters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(docs, n=5, n_hashes=32, bands=8,
+                                    threshold=0.5)
+    comp = graph.components_with_size(
+        docs, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("component_size").cast("integer").alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"))
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), s AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               ROUND(list_sum(list_transform(tk, x -> len(x))) * 1.0
+                     / len(tk), 4) AS mean_word_len,
+               len(list_filter(tk, x -> x IN {_STOPS})) AS stop_cnt
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, mean_word_len,
+           (n_tokens BETWEEN 50 AND 100000) AS ok_length,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_word_len,
+           (stop_cnt >= 1) AS ok_stopword,
+           ((n_tokens BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND stop_cnt >= 1) AS keep
+    FROM s
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (public recipe: Rae et al. 2021,
+    §A1.1): token-count bounds, mean-word-length bounds, stopword
+    presence; ``keep`` is the conjunction. Pure column algebra —
+    scan-local, zero shuffles, whole-stage codegen'd.
+
+    The boolean flags (not just ``keep``) are part of the contract:
+    a production pipeline audits per-rule rejection rates before
+    committing to a filter config.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0),
+        lambda acc, x: acc + x)
+    mean_wl = F.round(sum_len * F.lit(1.0) / n_tokens, 4)
+    stop_cnt = text.stopword_count(F.col("text"))
+    ok_length = n_tokens.between(50, 100000)
+    out = docs.select(
+        "doc_id",
+        n_tokens.cast("integer").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        ok_length.alias("ok_length"),
+        mean_wl.between(3.0, 10.0).alias("ok_word_len"),
+        (stop_cnt >= 1).alias("ok_stopword"))
+    return out.withColumn(
+        "keep",
+        F.col("ok_length") & F.col("ok_word_len") & F.col("ok_stopword"))
+
+
+@register(
+    "quality_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT SUM(cnt) AS n_total FROM freq
+    ), scored AS (
+        SELECT t.doc_id,
+               ROUND(ln(f.cnt * 1.0 / tot.n_total), 6) AS lp
+        FROM toks t JOIN freq f ON t.tok = f.tok, tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18, 6))) AS DOUBLE)
+                 / COUNT(*), 4) AS nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: mean negative log-probability of a
+    document's tokens under the corpus's own unigram distribution —
+    the cheapest member of the perplexity-filter family (public
+    recipe: CCNet / Wenzek et al. 2019 use a KenLM for the same
+    role). High nll = tokens rare in this corpus = outlier document.
+
+    Shape at scale: one explode + one token-keyed agg builds the LM
+    (vocabulary-sized, ~millions of rows at 100 TB — broadcastable
+    or a shuffle join on the token key, AQE's call); the scalar
+    total rides a 1-row broadcast cross join; scoring is one join +
+    one doc-keyed agg. Float determinism: per-token logprob is
+    rounded at 1e-6 THEN summed as DECIMAL, so partial-agg order
+    can't move the doc score (the pipeline_llm_preprocess fix
+    pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    lp = F.round(
+        F.log(F.col("cnt") * F.lit(1.0) / F.col("n_total")), 6)
+    scored = (toks.join(freq, "tok")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id", lp.alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("integer").alias("n_tokens"),
+                 F.round(
+                     -F.sum(F.col("lp").cast("decimal(18,6)"))
+                     .cast("double") / F.count("*"), 4).alias("nll")))
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+    ), c AS (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    )
+    SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM c GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: per language stream,
+    documents in doc_id order fill 2048-token context windows; a
+    document's bin is its start offset div 2048 (the standard
+    GPT-style pretraining packing, computed as metadata without
+    materializing token streams). Output: per (lang, bin) document
+    and token counts.
+
+    Shape at scale: one running-sum window per stream — packing is
+    inherently sequential per output stream, so parallelism = number
+    of streams; a 100 TB run packs per (lang, shard) with thousands
+    of shards, same plan, wider key. Integer-exact everywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = text.token_count(F.col("text"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")) \
+            .withColumn("cum", F.sum("n_tokens").over(w))
+    return (c.select(
+        "lang",
+        F.expr("(cum - n_tokens) div 2048").alias("bin_id"),
+        "n_tokens")
+        .groupBy("lang", "bin_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens")))
+
+
+@register(
+    "tokens_histogram_pow2",
+    oracle=f"""
+    SELECT source,
+           CAST(length(bin(len({_TOKS}))) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source, bucket
+    """,
+)
+def tokens_histogram_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution per source in power-of-2 buckets
+    (bucket = floor(log2(n_tokens))+1, computed as the bit-length of
+    the count so no float log can sit on a boundary). The standard
+    first look at a new corpus: which sources carry the long/short
+    documents. One scan + one tiny agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(text.token_count(F.col("text"))))
+    return (docs.groupBy("source", bucket.cast("integer").alias("bucket"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+@register(
+    "shuffle_global_deterministic",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5('shuf42:' || doc_id), doc_id)
+               AS shuffle_pos
+    FROM documents
+    """,
+)
+def shuffle_global_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    position in a pseudo-random total order keyed by
+    ``md5(seed:doc_id)`` — reproducible across engines, reruns and
+    repartitioning (an audit can recompute any doc's position from
+    its id alone).
+
+    Shape at scale: the naive ``row_number() OVER (ORDER BY ...)``
+    is the single-reducer trap; this uses
+    ``util.with_global_row_index`` — range-partition by the hash key
+    (parallel sort), count per partition (one long each), broadcast
+    cumulative offsets back. The md5 key is uniform by construction,
+    so the range partitioner can't skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit("shuf42"),
+                          F.col("doc_id").cast("string"))).alias("__k"))
+    indexed = util.with_global_row_index(
+        keyed, ["__k", "doc_id"], index_col="shuffle_pos")
+    return indexed.select("doc_id", "shuffle_pos")
+
+
+@register(
+    "mixture_resample_balanced",
+    oracle="""
+    WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), mm AS (
+        SELECT MIN(cnt) AS m FROM c
+    ), r AS (
+        SELECT source,
+               CASE WHEN cnt = m THEN 'g'
+                    ELSE printf('%08x',
+                         CAST(floor((m * 1.0 / cnt) * 4294967296.0)
+                              AS BIGINT)) END AS thr
+        FROM c, mm
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE substring(md5('mix42:' || d.doc_id), 1, 8) < r.thr
+    """,
+)
+def mixture_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: downsample every source to the size of the
+    smallest one (uniform target mixture), with DATA-DEPENDENT
+    per-source rates — unlike ``sample_stratified_documents`` whose
+    rates are config. Keep iff ``md5(seed:doc_id)[0:8] <
+    hex(floor(rate * 16^8))`` — the layout-independent hash
+    Bernoulli from ``util.stratified_hash_sample``, with the
+    threshold computed in-plan from the per-source counts (tiny:
+    one row per source, broadcast back to the scan).
+
+    Shape at scale: one count agg over the corpus (map-side
+    partial), one broadcast join, one scan-local filter — no
+    shuffle of document data at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    thr = F.when(
+        F.col("cnt") == F.col("m"), F.lit("g")
+    ).otherwise(F.format_string(
+        "%08x",
+        F.floor((F.col("m") * F.lit(1.0) / F.col("cnt"))
+                * F.lit(4294967296.0)).cast("long")))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "source", thr.alias("thr"))
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit("mix42"),
+                          F.col("doc_id").cast("string"))), 1, 8)
+    return (docs.join(F.broadcast(rates), "source")
+            .filter(h < F.col("thr"))
+            .select("doc_id", "source"))
+
+
+@register(
+    "embeddings_kmeans_clusters",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding AS vec FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(range(1, 65), i -> CAST(vec[i] AS DOUBLE))
+                   AS cvec
+        FROM v WHERE vec_id % 32 = 0
+    ), s0 AS (
+        SELECT v.vec_id, c.cluster_id, list_sum(list_transform(range(1, 65), i -> CAST(v.vec[i] AS DOUBLE) * CAST(v.vec[i] AS DOUBLE))) - 2.0 * list_sum(list_transform(range(1, 65), i -> CAST(v.vec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) + list_sum(list_transform(range(1, 65), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) AS d2
+        FROM v CROSS JOIN c0 c
+    ), a0 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT vec_id, cluster_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster_id) AS rn
+            FROM s0) WHERE rn = 1
+    ), pe AS (
+        SELECT a.cluster_id, r.i AS pos, CAST(v.vec[r.i] AS DOUBLE) AS val
+        FROM a0 a JOIN v USING (vec_id) CROSS JOIN range(1, 65) r(i)
+    ), dims AS (
+        SELECT cluster_id, pos,
+               CAST(SUM(CAST(val AS DECIMAL(18, 9))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM pe GROUP BY cluster_id, pos
+    ), c1 AS (
+        SELECT cluster_id, array_agg(m ORDER BY pos) AS cvec
+        FROM dims GROUP BY cluster_id
+    ), s1 AS (
+        SELECT v.vec_id, c.cluster_id, list_sum(list_transform(range(1, 65), i -> CAST(v.vec[i] AS DOUBLE) * CAST(v.vec[i] AS DOUBLE))) - 2.0 * list_sum(list_transform(range(1, 65), i -> CAST(v.vec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) + list_sum(list_transform(range(1, 65), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) AS d2
+        FROM v CROSS JOIN c1 c
+    ), a1 AS (
+        SELECT vec_id, cluster_id, d2 FROM (
+            SELECT vec_id, cluster_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster_id) AS rn
+            FROM s1) WHERE rn = 1
+    )
+    SELECT cluster_id, COUNT(*) AS n_members,
+           ROUND(CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18, 6))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_d2
+    FROM a1 GROUP BY cluster_id
+    """,
+)
+def embeddings_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini k-means over the embedding corpus: deterministic stride
+    init (the IVF pick), 2 Lloyd assignment rounds, reporting
+    per-cluster membership and mean squared distance — the entry
+    point for diversity sampling / semantic-dedup recipes (SemDeDup,
+    cluster-balanced mixtures).
+
+    Oracle contract: algorithm-mirroring. Centroid updates sum
+    per-dimension values as DECIMAL (order-independent exact
+    arithmetic) and divide once as double; distances are the same
+    three sequential dot-folds as the cosine oracles — so the SQL
+    reproduces every assignment bit-for-bit, iterations included.
+
+    Shape at scale: per round one broadcast of k centroids onto the
+    vector scan + an argmin window keyed by vec_id, plus a
+    (cluster x dim)-sized mean agg between rounds. k grows as
+    n/stride; at 100 TB swap the window argmin for the GEMM batch
+    scorer and keep the same update agg.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = clustering.kmeans_assign(emb, stride=32, n_iter=2)
+    return asg.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum(F.round("d2", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*"), 4).alias("mean_d2"))

@@ -47,19 +47,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: forever. Rotated-out names keep their full oracles and run the
 #: identical comparison in tests/test_oracle.py every round; the
 #: union certification ledger lives in COVERAGE.md. r4 rotation:
-#: ``similarity_cosine_topk`` and ``dedup_embedding_cosine`` (never
-#: externally certified; their oracles were exercised only via
-#: sibling tiers) replace ``agg_rollup_region_nation`` and
-#: ``window_running_revenue`` (certified r1+r2+r3, code untouched).
-#: Once every registered query has held a certified row, this
-#: manifest freezes — priority ordering is then dead weight and the
-#: API contract becomes plain registration order.
+#: nine never-certified names enter the prefix —
+#: ``similarity_cosine_topk`` and ``dedup_embedding_cosine`` (exact
+#: tiers whose oracles were exercised only via sibling tiers) plus
+#: the seven new corpus-curation queries — replacing rows certified
+#: in multiple prior rounds with untouched code
+#: (``agg_rollup_region_nation``, ``window_running_revenue``,
+#: ``cdc_projection_insert``/``_delete``, the anti/semi joins,
+#: ``agg_pivot_status_by_priority``, ``text_language_id``,
+#: ``text_fingerprint``, ``setops_part_brands``); every rotated-out capability keeps a
+#: certified sibling in the prefix. Once every registered query has
+#: held a certified row, this manifest freezes — priority ordering
+#: is then dead weight and the API contract becomes plain
+#: registration order.
 CERTIFICATION_MANIFEST: tuple[str, ...] = (
     # -- CDC operator chain (SURVEY §2.1) --
     "cdc_change_summary",
     "cdc_filter_include_exclude",
-    "cdc_projection_insert",
-    "cdc_projection_delete",
     "cdc_projection_update",
     "cdc_sink_routing",
     "cdc_schema_attach",
@@ -68,15 +72,11 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "q1_pricing_summary",              # scan/agg/decimal/pushdown
     "q3_shipping_priority",            # sort / limit / top-k
     "join_revenue_by_nation",          # inner + broadcast dims
-    "join_anti_customers_without_orders",
-    "join_semi_active_suppliers",
     "join_full_outer_nation_balance",
     "join_asof_latest_order",          # as-of join
-    "agg_pivot_status_by_priority",    # pivot
     "agg_decimal_exact_revenue",       # exact decimal agg
     "agg_approx_distinct",             # HLL
     "window_topk_customers_per_nation",
-    "setops_part_brands",
     "scalar_functions_showcase",
     # -- events / streaming-batch twins --
     "events_json_extract",
@@ -93,8 +93,6 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     # -- text analysis --
     "text_stats_documents",
     "text_quality_scores",
-    "text_language_id",
-    "text_fingerprint",
     "text_token_bpe",
     "text_vocabulary_topk",
     "text_tfidf_top_term",
@@ -107,6 +105,15 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "udf_grouped_token_totals",
     "pipeline_llm_preprocess",
     "sample_stratified_documents",
+    # -- corpus curation (NEW r4: never certified) --
+    "dedup_cluster_canonical",
+    "quality_gopher_rules",
+    "quality_unigram_logprob",
+    "pack_sequences_greedy",
+    "tokens_histogram_pow2",
+    "shuffle_global_deterministic",
+    "mixture_resample_balanced",
+    "embeddings_kmeans_clusters",
     # -- multimodal --
     "multimodal_inventory",
     "multimodal_image_features",
@@ -152,4 +159,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.events  # noqa: F401
     import galaxy_spark.queries.llm  # noqa: F401
     import galaxy_spark.queries.multimodal  # noqa: F401
+    import galaxy_spark.queries.curation  # noqa: F401
     _LOADED = True

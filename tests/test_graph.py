@@ -1,0 +1,78 @@
+"""operators.graph: connected components on synthetic graphs —
+shapes the oracle fixture can't isolate (paths, isolated vertices,
+multi-cluster merges, the non-convergence guard)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import graph
+
+
+def _cc(spark, n_vertices, edges, **kw):
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], "id long")
+    e = spark.createDataFrame(edges or [(None, None)], "src long, dst long")
+    if not edges:
+        e = e.filter(F.col("src").isNotNull())
+    out = graph.connected_components(v, e, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_two_cliques_and_isolated(spark):
+    # {0,1,2} clique, {3,4} pair, 5 isolated
+    comp = _cc(spark, 6, [(0, 1), (1, 2), (0, 2), (3, 4)])
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_path_graph_converges_to_min(spark):
+    # a 6-long path needs multiple propagation rounds
+    comp = _cc(spark, 6, [(i, i + 1) for i in range(5)])
+    assert set(comp.values()) == {0}
+
+
+def test_edge_orientation_irrelevant(spark):
+    a = _cc(spark, 4, [(2, 0), (1, 2)])
+    b = _cc(spark, 4, [(0, 2), (2, 1)])
+    assert a == b == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _cc(spark, 4, [])
+    assert comp == {i: i for i in range(4)}
+
+
+def test_max_iter_guard_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, 8, [(i, i + 1) for i in range(7)], max_iter=2)
+
+
+def test_components_with_size(spark):
+    v = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    e = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = graph.components_with_size(
+        v, e, id_col="doc_id", src_col="id_a", dst_col="id_b")
+    rows = {r["id"]: (r["component"], r["component_size"])
+            for r in out.collect()}
+    assert rows == {0: (0, 3), 1: (0, 3), 2: (0, 3), 3: (3, 1), 4: (4, 1)}
+
+
+def test_fixed_rounds_matches_iterative(spark):
+    v = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (6, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    it = {r["id"]: r["component"]
+          for r in graph.connected_components(v, e).collect()}
+    fx = {r["id"]: r["component"]
+          for r in graph.connected_components_fixed(v, e, rounds=6).collect()}
+    assert it == fx
+
+
+def test_fixed_rounds_insufficient_budget_is_wrong(spark):
+    # documents the contract: rounds < diameter -> stale labels
+    v = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    e = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                              "src long, dst long")
+    fx = {r["id"]: r["component"]
+          for r in graph.connected_components_fixed(v, e, rounds=2).collect()}
+    assert fx[6] != 0  # label 0 cannot travel 6 hops in 2 rounds

@@ -174,3 +174,56 @@ def test_vocabulary_topk_limits_before_ranking(q):
     assert win < take, "window must rank the limited rows, not rank-then-limit"
     # shuffles: spread() fan-out + the token groupBy — nothing else
     assert exchange_count(q("text_vocabulary_topk")) <= 2
+
+
+# -- r4 corpus-curation plan shapes --
+
+def test_gopher_rules_scan_only(q):
+    # pure column algebra: zero exchanges
+    assert exchange_count(q("quality_gopher_rules")) == 0
+
+
+def test_histogram_single_shuffle(q):
+    assert exchange_count(q("tokens_histogram_pow2")) == 1
+
+
+def test_packing_reuses_window_shuffle(q):
+    # the (lang) window exchange also satisfies the (lang, bin_id)
+    # groupBy's clustering — Catalyst must NOT add a second shuffle
+    assert exchange_count(q("pack_sequences_greedy")) == 1
+
+
+def test_mixture_resample_no_document_shuffle(q):
+    df = q("mixture_resample_balanced")
+    from galaxy_spark.plans import physical_plan
+    # document data joins the per-source thresholds by broadcast;
+    # the only exchanges belong to the tiny counts/min aggs
+    assert broadcast_join_count(df) >= 2
+    assert "sortmergejoin" not in physical_plan(df).lower()
+    assert exchange_count(df) <= 3
+
+
+def test_unigram_logprob_broadcast_lm(q):
+    df = q("quality_unigram_logprob")
+    from galaxy_spark.plans import physical_plan
+    assert "sortmergejoin" not in physical_plan(df).lower()
+    assert exchange_count(df) <= 4
+
+
+def test_global_shuffle_avoids_single_reducer(q):
+    df = q("shuffle_global_deterministic")
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    assert "rangepartitioning" in p, "must range-partition by the hash key"
+    assert "singlepartition" not in p, \
+        "global row_number single-reducer trap"
+    assert exchange_count(df) <= 2
+
+
+def test_kmeans_broadcasts_centroids(q):
+    df = q("embeddings_kmeans_clusters")
+    from galaxy_spark.plans import physical_plan
+    # each Lloyd round broadcasts the k-row centroid set; vectors
+    # are never shuffled for assignment
+    assert broadcast_join_count(df) >= 2
+    assert "sortmergejoin" not in physical_plan(df).lower()

@@ -59,6 +59,14 @@ CAPABILITY_REPRESENTATIVES = {
     "udf_surface": ["udf_grouped_token_totals"],
     "pipeline": ["pipeline_llm_preprocess"],
     "sampling": ["sample_stratified_documents"],
+    "dedup_clustering": ["dedup_cluster_canonical"],
+    "quality_rules": ["quality_gopher_rules"],
+    "quality_lm": ["quality_unigram_logprob"],
+    "packing": ["pack_sequences_greedy"],
+    "corpus_stats": ["tokens_histogram_pow2"],
+    "global_shuffle": ["shuffle_global_deterministic"],
+    "mixture_balancing": ["mixture_resample_balanced"],
+    "embedding_clustering": ["embeddings_kmeans_clusters"],
     "multimodal": ["multimodal_inventory", "multimodal_image_features",
                    "multimodal_audio_features", "multimodal_frame_sample",
                    "multimodal_resize_pipeline"],
@@ -67,12 +75,22 @@ CAPABILITY_REPRESENTATIVES = {
 MANIFEST_LEN = 50
 
 #: rotated out of the manifest prefix in r4 after holding external
-#: certification rows in r1, r2 AND r3 with their code untouched —
-#: the union ledger (COVERAGE.md) records those rows; their oracles
-#: still run every round via tests/test_oracle.py
+#: certification rows in prior rounds with their code untouched
+#: (all seven additions below were in the r3 manifest, checked
+#: 50/50 green) — the union ledger (COVERAGE.md) records those
+#: rows; their oracles still run every round via
+#: tests/test_oracle.py
 UNION_CERTIFIED_ROTATED_OUT = {
     "agg_rollup_region_nation",
     "window_running_revenue",
+    "cdc_projection_insert",
+    "cdc_projection_delete",
+    "join_anti_customers_without_orders",
+    "join_semi_active_suppliers",
+    "agg_pivot_status_by_priority",
+    "text_language_id",
+    "text_fingerprint",
+    "setops_part_brands",
 }
 
 
