@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "quality_unigram_logprob",
     "shuffle_global_deterministic",
     "embeddings_kmeans_clusters",
+    "dedup_semantic_clusters",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing

@@ -17,8 +17,10 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import DataFrame
 
-from galaxy_spark.operators import clustering, dedup, graph, text, util
-from galaxy_spark.queries.llm import _jaccard_pairs_oracle, _STOPS, _TOKS
+from galaxy_spark.operators import (clustering, dedup, graph, similarity,
+                                    text, util)
+from galaxy_spark.queries.llm import (_cos_sql, _jaccard_pairs_oracle,
+                                      _STOPS, _TOKS)
 from galaxy_spark.registry import register
 from galaxy_spark.tables import load_table
 
@@ -337,9 +339,11 @@ def mixture_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
-@register(
-    "embeddings_kmeans_clusters",
-    oracle="""
+#: shared CTE chain: 2-round Lloyd assignment, engine-exact (see
+#: embeddings_kmeans_clusters docstring). Ends at a1(vec_id,
+#: cluster_id, d2) — both the kmeans rollup and the semantic-dedup
+#: pair join build on it.
+_KMEANS_CTES = """
     WITH v AS (
         SELECT vec_id, embedding AS vec FROM embeddings
     ), c0 AS (
@@ -376,7 +380,12 @@ def mixture_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cluster_id) AS rn
             FROM s1) WHERE rn = 1
-    )
+    )"""
+
+
+@register(
+    "embeddings_kmeans_clusters",
+    oracle=_KMEANS_CTES + """
     SELECT cluster_id, COUNT(*) AS n_members,
            ROUND(CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18, 6))) AS DOUBLE)
                  / COUNT(*), 4) AS mean_d2
@@ -409,3 +418,98 @@ def embeddings_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.round("d2", 6).cast("decimal(18,6)")).cast("double")
             / F.count("*"), 4).alias("mean_d2"))
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_KMEANS_CTES + f"""
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           ROUND({{COS}}, 4) AS cos_sim
+    FROM a1 x
+    JOIN a1 y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    JOIN v vx ON vx.vec_id = x.vec_id
+    JOIN v vy ON vy.vec_id = y.vec_id
+    WHERE {{COS}} >= 0.4
+    """.replace("{COS}", _cos_sql("vx.vec", "vy.vec")),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-recipe shape, Abbas et al. 2023):
+    k-means partitions the embedding space, then near-dup pairs
+    (cos >= 0.4, same threshold as the exact tier) are searched
+    WITHIN clusters only.
+
+    This is the third embedding-dedup tier and the one production
+    recipes actually run: the exact tier is all-pairs quadratic, the
+    LSH tier prunes per-pair, and this tier makes the quadratic
+    LOCAL — pair generation is an equi-join on cluster_id, so at
+    100 TB the cost is sum over clusters of |c|^2 instead of n^2,
+    and each cluster's pair block is an independent partition
+    (bucket the corpus by cluster_id and the join is shuffle-free).
+    Cross-cluster true pairs are the recall price; measured and
+    pinned in tests/test_dedup_recall.py.
+
+    Oracle contract: algorithm-mirroring — the SQL reproduces the
+    engine-exact Lloyd assignment (shared _KMEANS_CTES), then states
+    the same within-cluster pair set with the same cosine fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = (clustering.kmeans_assign(emb, stride=32, n_iter=2)
+           .select("vec_id", "cluster_id"))
+    a = asg.join(emb.select("vec_id", "embedding"), "vec_id")
+    x = a.select(F.col("vec_id").alias("id_a"),
+                 F.col("cluster_id"),
+                 F.col("embedding").alias("vec_a"))
+    y = a.select(F.col("vec_id").alias("id_b"),
+                 F.col("cluster_id"),
+                 F.col("embedding").alias("vec_b"))
+    cos = similarity.cosine(F.col("vec_a"), F.col("vec_b"))
+    return (x.join(y, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim_raw", cos)
+            .filter(F.col("cos_sim_raw") >= 0.4)
+            .select("id_a", "id_b",
+                    F.round("cos_sim_raw", 4).alias("cos_sim")))
+
+
+@register(
+    "quality_repetition_ratio",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), s AS (
+        SELECT doc_id,
+               greatest(len(tk) - 2, 0) AS n_ngrams,
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 2, 0) + 1),
+                   i -> array_to_string(tk[i:i+2], ' ')))) AS n_distinct
+        FROM t
+    )
+    SELECT doc_id, CAST(n_ngrams AS INTEGER) AS n_ngrams,
+           CAST(n_distinct AS INTEGER) AS n_distinct,
+           CASE WHEN n_ngrams = 0 THEN 1.0
+                ELSE ROUND(n_distinct * 1.0 / n_ngrams, 4) END AS rep_ratio,
+           (n_ngrams = 0 OR n_distinct * 1.0 / n_ngrams >= 0.8)
+               AS ok_repetition
+    FROM s
+    """,
+)
+def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality rule (the Gopher/C4 duplicate-n-gram
+    family): fraction of a document's word 3-grams that are
+    distinct; heavily repeated content scores low and fails
+    ``ok_repetition`` (< 0.8 distinct). Scan-local column algebra —
+    the shingle set is built per row and never leaves the task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_ngrams = F.greatest(F.size(toks) - 2, F.lit(0))
+    n_distinct = F.size(text.word_ngrams(F.col("text"), 3))
+    ratio = F.when(n_ngrams == 0, F.lit(1.0)).otherwise(
+        F.round(n_distinct * F.lit(1.0) / n_ngrams, 4))
+    ok = (n_ngrams == 0) | (n_distinct * F.lit(1.0) / n_ngrams >= 0.8)
+    return docs.select(
+        "doc_id",
+        n_ngrams.cast("integer").alias("n_ngrams"),
+        n_distinct.cast("integer").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        ok.alias("ok_repetition"))

@@ -63,7 +63,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 CERTIFICATION_MANIFEST: tuple[str, ...] = (
     # -- CDC operator chain (SURVEY §2.1) --
     "cdc_change_summary",
-    "cdc_filter_include_exclude",
     "cdc_projection_update",
     "cdc_sink_routing",
     "cdc_schema_attach",
@@ -80,7 +79,6 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "scalar_functions_showcase",
     # -- events / streaming-batch twins --
     "events_json_extract",
-    "events_tumbling_window",
     "events_sessionization",
     "join_range_followup_events",      # range join
     # -- batch dedup tiers --
@@ -114,6 +112,8 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "shuffle_global_deterministic",
     "mixture_resample_balanced",
     "embeddings_kmeans_clusters",
+    "dedup_semantic_clusters",
+    "quality_repetition_ratio",
     # -- multimodal --
     "multimodal_inventory",
     "multimodal_image_features",

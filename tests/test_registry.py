@@ -67,6 +67,8 @@ CAPABILITY_REPRESENTATIVES = {
     "global_shuffle": ["shuffle_global_deterministic"],
     "mixture_balancing": ["mixture_resample_balanced"],
     "embedding_clustering": ["embeddings_kmeans_clusters"],
+    "dedup_semantic": ["dedup_semantic_clusters"],
+    "quality_repetition": ["quality_repetition_ratio"],
     "multimodal": ["multimodal_inventory", "multimodal_image_features",
                    "multimodal_audio_features", "multimodal_frame_sample",
                    "multimodal_resize_pipeline"],
@@ -91,6 +93,8 @@ UNION_CERTIFIED_ROTATED_OUT = {
     "text_language_id",
     "text_fingerprint",
     "setops_part_brands",
+    "cdc_filter_include_exclude",
+    "events_tumbling_window",
 }
 
 
