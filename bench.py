@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "shuffle_global_deterministic",
     "embeddings_kmeans_clusters",
     "dedup_semantic_clusters",
+    "pipeline_curation_end2end",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing

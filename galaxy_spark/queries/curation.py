@@ -513,3 +513,110 @@ def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_distinct.cast("integer").alias("n_distinct"),
         ratio.alias("rep_ratio"),
         ok.alias("ok_repetition"))
+
+
+@register(
+    "pipeline_curation_end2end",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, text, {_TOKS} AS tk FROM documents
+    ), gated AS (
+        SELECT doc_id, source, text, len(tk) AS n_tokens
+        FROM t
+        WHERE len(tk) BETWEEN 50 AND 100000
+          AND len(list_filter(tk, x -> x IN {_STOPS})) >= 1
+          AND (greatest(len(tk) - 2, 0) = 0 OR
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 2, 0) + 1),
+                   i -> array_to_string(tk[i:i+2], ' ')))) * 1.0
+               / greatest(len(tk) - 2, 0) >= 0.8)
+    ), kept AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT g.doc_id, g.source, g.n_tokens,
+                   MIN(g.doc_id) OVER (PARTITION BY md5(g.text)) AS mn
+            FROM gated g)
+        WHERE doc_id = mn
+    ), thr AS (
+        SELECT source,
+               CASE WHEN n = MIN(n) OVER () THEN 'g'
+                    ELSE printf('%08x',
+                         CAST(floor((MIN(n) OVER () * 1.0 / n)
+                                    * 4294967296.0) AS BIGINT)) END AS h
+        FROM (SELECT source, COUNT(*) AS n FROM kept GROUP BY source)
+    ), balanced AS (
+        SELECT k.doc_id, k.source, k.n_tokens
+        FROM kept k JOIN thr ON k.source = thr.source
+        WHERE substring(md5('mixp42:' || k.doc_id), 1, 8) < thr.h
+    ), agg AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        FROM balanced GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS share
+    FROM agg
+    """,
+)
+def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages COMPOSED, as one declarative plan:
+    quality gate (Gopher length/stopword rules + repetition ratio)
+    -> exact-dedup canonicalization (min doc_id per content digest)
+    -> mixture balancing (data-dependent per-source hash thresholds)
+    -> per-source corpus summary with mixture shares.
+
+    This is the shape a production corpus refresh actually runs.
+    Plan discipline matters more than anywhere else here, because
+    naive composition REPLICATES shared subtrees: the first draft of
+    this query (dedup via groupBy + join-back, scalar min/total via
+    crossJoin of re-aggregations) expanded to 24 parquet scans of
+    the same table. The committed shape holds the structural
+    minimum - TWO passes over the documents scan (data-dependent
+    thresholds force one counting pass before the filtering pass)
+    - by (a) deduplicating with a min-over-digest WINDOW instead of
+    a join-back, (b) folding the min-count and the share
+    denominator into single-partition windows over already-tiny
+    aggregates (bounded by source cardinality) instead of
+    re-aggregated scalar joins. One corpus-wide shuffle (the digest
+    window); thresholds ride a broadcast.
+
+    Engine-exact by the usual means: integer counts, md5-hex
+    thresholds, int-ratio doubles - every stage decision is
+    bit-reproducible in the SQL mirror.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_ngrams = F.greatest(n_tokens - 2, F.lit(0))
+    n_distinct = F.size(text.word_ngrams(F.col("text"), 3))
+    gate = (n_tokens.between(50, 100000)
+            & (text.stopword_count(F.col("text")) >= 1)
+            & ((n_ngrams == 0)
+               | (n_distinct * F.lit(1.0) / n_ngrams >= 0.8)))
+    gated = docs.filter(gate).select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens"))
+    w_dig = Window.partitionBy(F.md5(F.col("text")))
+    kept = (gated
+            .withColumn("__mn", F.min("doc_id").over(w_dig))
+            .filter(F.col("doc_id") == F.col("__mn"))
+            .select("doc_id", "source", "n_tokens"))
+    cnt = kept.groupBy("source").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy()
+    m = F.min("n").over(w_all)
+    thr = cnt.select(
+        "source",
+        F.when(F.col("n") == m, F.lit("g")).otherwise(
+            F.format_string(
+                "%08x",
+                F.floor((m * F.lit(1.0) / F.col("n"))
+                        * F.lit(4294967296.0)).cast("long"))).alias("h"))
+    hashed = F.substring(
+        F.md5(F.concat_ws(":", F.lit("mixp42"),
+                          F.col("doc_id").cast("string"))), 1, 8)
+    balanced = (kept.join(F.broadcast(thr), "source")
+                .filter(hashed < F.col("h")))
+    agg = balanced.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"))
+    return agg.select(
+        "source", "n_docs", "total_tokens",
+        F.round(F.col("n_docs") * F.lit(1.0)
+                / F.sum("n_docs").over(w_all), 4).alias("share"))

@@ -74,7 +74,6 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "join_full_outer_nation_balance",
     "join_asof_latest_order",          # as-of join
     "agg_decimal_exact_revenue",       # exact decimal agg
-    "agg_approx_distinct",             # HLL
     "window_topk_customers_per_nation",
     "scalar_functions_showcase",
     # -- events / streaming-batch twins --
@@ -114,6 +113,7 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "embeddings_kmeans_clusters",
     "dedup_semantic_clusters",
     "quality_repetition_ratio",
+    "pipeline_curation_end2end",
     # -- multimodal --
     "multimodal_inventory",
     "multimodal_image_features",

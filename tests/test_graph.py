@@ -76,3 +76,41 @@ def test_fixed_rounds_insufficient_budget_is_wrong(spark):
     fx = {r["id"]: r["component"]
           for r in graph.connected_components_fixed(v, e, rounds=2).collect()}
     assert fx[6] != 0  # label 0 cannot travel 6 hops in 2 rounds
+
+
+def _union_find_reference(n, edges):
+    """Driver-side union-find — the independent reference."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: component id = min member id
+    comp = {}
+    for v in range(n):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Deterministic pseudo-random graph battery vs union-find —
+    shapes (cycles, stars, bridges) the fixture corpus can't
+    produce. Uses the convergence-checked variant (unknown
+    diameter)."""
+    import random
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 24)
+        m = rng.randint(0, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = _union_find_reference(n, edges)
+        got = _cc(spark, n, edges or [], max_iter=n + 1)
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"

@@ -227,3 +227,16 @@ def test_kmeans_broadcasts_centroids(q):
     # are never shuffled for assignment
     assert broadcast_join_count(df) >= 2
     assert "sortmergejoin" not in physical_plan(df).lower()
+
+
+def test_curation_pipeline_two_passes(q):
+    """Data-dependent thresholds force one counting pass before the
+    filtering pass — but composition must not replicate subtrees
+    beyond that (the naive groupBy-join-back + scalar-crossJoin
+    draft hit 24 scans of the same parquet)."""
+    from galaxy_spark.plans import physical_plan
+    df = q("pipeline_curation_end2end")
+    p = physical_plan(df).lower()
+    # formatted plans print each scan twice (tree node + details)
+    assert p.count("scan parquet") <= 4, "documents must be scanned <= 2x"
+    assert "sortmergejoin" not in p

@@ -69,6 +69,7 @@ CAPABILITY_REPRESENTATIVES = {
     "embedding_clustering": ["embeddings_kmeans_clusters"],
     "dedup_semantic": ["dedup_semantic_clusters"],
     "quality_repetition": ["quality_repetition_ratio"],
+    "curation_pipeline": ["pipeline_curation_end2end"],
     "multimodal": ["multimodal_inventory", "multimodal_image_features",
                    "multimodal_audio_features", "multimodal_frame_sample",
                    "multimodal_resize_pipeline"],
@@ -95,6 +96,7 @@ UNION_CERTIFIED_ROTATED_OUT = {
     "setops_part_brands",
     "cdc_filter_include_exclude",
     "events_tumbling_window",
+    "agg_approx_distinct",
 }
 
 
