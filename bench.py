@@ -11,6 +11,7 @@ distributed compute without driver-side collect overhead.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -112,6 +113,11 @@ def main() -> None:
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
         exec_only[name] = round(execs[0], 3)
+        # drop DataFrame refs so ContextCleaner can release the
+        # iterative operators' localCheckpoint blocks between
+        # queries instead of mid-measurement
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     # the first 17 names are the r1-r3 bench set; their WRITE-ONLY
