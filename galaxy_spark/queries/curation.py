@@ -455,7 +455,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     asg = (clustering.kmeans_assign(emb, stride=32, n_iter=2)
            .select("vec_id", "cluster_id"))
-    a = asg.join(emb.select("vec_id", "embedding"), "vec_id")
+    # both pair-join sides derive from the assignment — checkpoint
+    # it once or the 2-round Lloyd subtree evaluates twice
+    a = (asg.join(emb.select("vec_id", "embedding"), "vec_id")
+         .localCheckpoint(eager=False))
     x = a.select(F.col("vec_id").alias("id_a"),
                  F.col("cluster_id"),
                  F.col("embedding").alias("vec_a"))
