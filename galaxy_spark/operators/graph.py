@@ -28,6 +28,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Both orientations of each edge in ONE pass: an explode of the
+    two (src, dst) structs. A self-union would evaluate the edge
+    subtree twice — for dedup graphs that subtree is the whole pair
+    generation pipeline, the most expensive part of the job."""
+    return (edges.select(F.explode(F.array(
+        F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+    )).alias("e")).select("e.src", "e.dst"))
+
+
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          id_col: str = "id",
                          src_col: str = "src", dst_col: str = "dst",
@@ -41,10 +52,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     dedup-cluster graphs that means the edge set isn't the
     quasi-clique shape this operator is documented for.
     """
-    sym = (edges.select(F.col(src_col).alias("src"),
-                        F.col(dst_col).alias("dst"))
-           .union(edges.select(F.col(dst_col).alias("src"),
-                               F.col(src_col).alias("dst"))))
+    sym = _symmetrize(edges, src_col, dst_col)
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("component"))
     # Materialize the (small relative to corpus) edge list once; it
@@ -101,11 +109,7 @@ def connected_components_fixed(vertices: DataFrame, edges: DataFrame,
     upstream) would re-run every round as the streamed side of a
     broadcast join, which has no exchange for Spark to reuse.
     """
-    sym = (edges.select(F.col(src_col).alias("src"),
-                        F.col(dst_col).alias("dst"))
-           .union(edges.select(F.col(dst_col).alias("src"),
-                               F.col(src_col).alias("dst")))
-           .localCheckpoint(eager=False))
+    sym = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=False)
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("component"))
     for _ in range(rounds):
