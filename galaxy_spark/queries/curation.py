@@ -199,7 +199,7 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     )
     SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM c GROUP BY lang, bin_id
     """,
 )
@@ -551,7 +551,8 @@ def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kept k JOIN thr ON k.source = thr.source
         WHERE substring(md5('mixp42:' || k.doc_id), 1, 8) < thr.h
     ), agg AS (
-        SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM balanced GROUP BY source
     )
     SELECT source, n_docs, total_tokens,

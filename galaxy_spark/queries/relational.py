@@ -271,7 +271,8 @@ def agg_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_topk_customers_per_nation",
     oracle="""
-    SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rk
+    SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+           CAST(rk AS INTEGER) AS rk
     FROM (
         SELECT n_name, c_custkey, c_acctbal,
                ROW_NUMBER() OVER (PARTITION BY n_name
