@@ -342,7 +342,9 @@ def mixture_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared CTE chain: 2-round Lloyd assignment, engine-exact (see
 #: embeddings_kmeans_clusters docstring). Ends at a1(vec_id,
 #: cluster_id, d2) — both the kmeans rollup and the semantic-dedup
-#: pair join build on it.
+#: pair join build on it. c0 is the hash-pick init (k=8 FIXED,
+#: decoupled from corpus size — mirrors
+#: operators.similarity.hash_pick_centroids with salt 'km').
 _KMEANS_CTES = """
     WITH v AS (
         SELECT vec_id, embedding AS vec FROM embeddings
@@ -350,7 +352,9 @@ _KMEANS_CTES = """
         SELECT vec_id AS cluster_id,
                list_transform(range(1, 65), i -> CAST(vec[i] AS DOUBLE))
                    AS cvec
-        FROM v WHERE vec_id % 32 = 0
+        FROM v
+        ORDER BY md5(concat('km:', CAST(vec_id AS VARCHAR))), vec_id
+        LIMIT 8
     ), s0 AS (
         SELECT v.vec_id, c.cluster_id, list_sum(list_transform(range(1, 65), i -> CAST(v.vec[i] AS DOUBLE) * CAST(v.vec[i] AS DOUBLE))) - 2.0 * list_sum(list_transform(range(1, 65), i -> CAST(v.vec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) + list_sum(list_transform(range(1, 65), i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) AS d2
         FROM v CROSS JOIN c0 c
@@ -393,26 +397,28 @@ _KMEANS_CTES = """
     """,
 )
 def embeddings_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mini k-means over the embedding corpus: deterministic stride
-    init (the IVF pick), 2 Lloyd assignment rounds, reporting
-    per-cluster membership and mean squared distance — the entry
-    point for diversity sampling / semantic-dedup recipes (SemDeDup,
-    cluster-balanced mixtures).
+    """Mini k-means over the embedding corpus: deterministic
+    hash-pick init (k=8 FIXED, the IVF pick), 2 Lloyd assignment
+    rounds, reporting per-cluster membership and mean squared
+    distance — the entry point for diversity sampling /
+    semantic-dedup recipes (SemDeDup, cluster-balanced mixtures).
 
-    Oracle contract: algorithm-mirroring. Centroid updates sum
+    Oracle contract: algorithm-mirroring. The init is a hash order
+    over ids (md5, reproducible in SQL); centroid updates sum
     per-dimension values as DECIMAL (order-independent exact
-    arithmetic) and divide once as double; distances are the same
-    three sequential dot-folds as the cosine oracles — so the SQL
+    arithmetic) and divide once as double; the emitted distance is
+    the same sequential dot-fold as the cosine oracles — so the SQL
     reproduces every assignment bit-for-bit, iterations included.
 
-    Shape at scale: per round one broadcast of k centroids onto the
-    vector scan + an argmin window keyed by vec_id, plus a
-    (cluster x dim)-sized mean agg between rounds. k grows as
-    n/stride; at 100 TB swap the window argmin for the GEMM batch
-    scorer and keep the same update agg.
+    Shape at scale: k is a configured constant (r4's stride init
+    grew k as n/32 — quadratic assignment at 100 TB); per round the
+    GEMM batch scorer prunes n×k to ~n candidate rows, a k-row
+    broadcast attaches exact centroid values, an argmin window keyed
+    by vec_id finishes, plus a (cluster × dim)-sized mean agg
+    between rounds. Assignment work is O(n·k) with k fixed.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = clustering.kmeans_assign(emb, stride=32, n_iter=2)
+    asg = clustering.kmeans_assign(emb, k=8, n_iter=2)
     return asg.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         F.round(
@@ -441,33 +447,39 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the third embedding-dedup tier and the one production
     recipes actually run: the exact tier is all-pairs quadratic, the
     LSH tier prunes per-pair, and this tier makes the quadratic
-    LOCAL — pair generation is an equi-join on cluster_id, so at
-    100 TB the cost is sum over clusters of |c|^2 instead of n^2,
-    and each cluster's pair block is an independent partition
-    (bucket the corpus by cluster_id and the join is shuffle-free).
+    LOCAL — at 100 TB the cost is sum over clusters of |c|^2 instead
+    of n^2, and each cluster is an independent Arrow group.
     Cross-cluster true pairs are the recall price; measured and
     pinned in tests/test_dedup_recall.py.
+
+    Pair scoring (r5): the within-cluster quadratic runs as one
+    numpy GEMM per cluster group (``within_cluster_candidates``)
+    with a margin-pruned candidate emit; only near-threshold
+    survivors pay the exact JVM cosine fold that defines the output
+    value. The r4 equi-join shape folded EVERY within-cluster pair
+    interpreted (~100x the work — 5.3 s vs ~1 s exec at sf0.1 after
+    the k=8 rebalance made clusters bigger). Provably lossless:
+    GEMM drift ~1e-13 vs margin 1e-6.
 
     Oracle contract: algorithm-mirroring — the SQL reproduces the
     engine-exact Lloyd assignment (shared _KMEANS_CTES), then states
     the same within-cluster pair set with the same cosine fold.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = (clustering.kmeans_assign(emb, stride=32, n_iter=2)
+    asg = (clustering.kmeans_assign(emb, k=8, n_iter=2)
            .select("vec_id", "cluster_id"))
-    # both pair-join sides derive from the assignment — checkpoint
-    # it once or the 2-round Lloyd subtree evaluates twice
+    # the assignment feeds the pair generator AND both vector
+    # re-attach joins — checkpoint it once or the 2-round Lloyd
+    # subtree evaluates three times
     a = (asg.join(emb.select("vec_id", "embedding"), "vec_id")
          .localCheckpoint(eager=False))
-    x = a.select(F.col("vec_id").alias("id_a"),
-                 F.col("cluster_id"),
-                 F.col("embedding").alias("vec_a"))
-    y = a.select(F.col("vec_id").alias("id_b"),
-                 F.col("cluster_id"),
-                 F.col("embedding").alias("vec_b"))
+    cand = similarity.within_cluster_candidates(a, threshold=0.4)
+    va = a.select(F.col("vec_id").alias("id_a"),
+                  F.col("embedding").alias("vec_a"))
+    vb = a.select(F.col("vec_id").alias("id_b"),
+                  F.col("embedding").alias("vec_b"))
     cos = similarity.cosine(F.col("vec_a"), F.col("vec_b"))
-    return (x.join(y, "cluster_id")
-            .filter(F.col("id_a") < F.col("id_b"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cos_sim_raw", cos)
             .filter(F.col("cos_sim_raw") >= 0.4)
             .select("id_a", "id_b",

@@ -452,7 +452,9 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS cent_id, embedding AS cent_vec
-        FROM embeddings WHERE vec_id % 32 = 0
+        FROM embeddings
+        ORDER BY md5(concat('ivf:', CAST(vec_id AS VARCHAR))), vec_id
+        LIMIT 16
     ), assign AS (
         SELECT c.vec_id AS neighbor_id, c.embedding AS c_vec,
                ct.cent_id AS cluster_id,
@@ -488,8 +490,11 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: hash-stride centroid pick (vec_id % 32), probe
-    the 4 nearest inverted lists, exact re-rank inside them.
+    """IVF-style ANN: deterministic hash-pick centroids (k=16
+    FIXED — decoupled from corpus size, r5 fix for the quadratic
+    stride pick), probe the 4 nearest inverted lists, exact re-rank
+    inside them. Corpus assignment routes through the GEMM batch
+    scorer (see operators.similarity.gemm_centroid_candidates).
 
     IVF pruning is inherently lossy on uniform embeddings (recall
     floor vs brute force asserted in tests), so unlike the LSH tiers
@@ -499,7 +504,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics end-to-end, not just row counts."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    out = similarity.ivf_topk(q, emb, k=5, sample_mod=32, n_probe=4)
+    out = similarity.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
     return out.select(
         "q_id", "neighbor_id",
         F.round("cos_sim", 4).alias("cos_sim"),

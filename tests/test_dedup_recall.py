@@ -86,8 +86,10 @@ def test_semantic_cluster_dedup_recall_and_purity_at_driver_scale(spark):
     construction), recall is the price of missing cross-cluster
     pairs. On this uniformly-random corpus every cos>=0.4 pair is
     WEAK (none reach 0.6), the hardest case for cluster
-    co-assignment — measured 0.407 at sf0.01 / 0.318 at sf0.001.
-    Real near-dup corpora (cos -> 1) co-assign with probability -> 1;
+    co-assignment. Re-measured for the r5 fixed-k hash-pick init
+    (k=8: 0.458 at sf0.01 — above the r4 stride config's 0.407;
+    k=16 measured 0.288, which is why the query pins k=8). Real
+    near-dup corpora (cos -> 1) co-assign with probability -> 1;
     the floor pinned here trips if the kmeans stage regresses."""
     from galaxy_spark.registry import all_queries
     qs = all_queries()
@@ -97,4 +99,4 @@ def test_semantic_cluster_dedup_recall_and_purity_at_driver_scale(spark):
              for r in qs["dedup_embedding_cosine"](spark, SF_DRIVER).collect()}
     assert sem <= exact, "within-cluster exact cosine must not invent pairs"
     recall = len(sem & exact) / len(exact)
-    assert recall >= 0.38, f"recall regressed: {recall:.3f}"
+    assert recall >= 0.43, f"recall regressed: {recall:.3f}"

@@ -223,10 +223,15 @@ def test_global_shuffle_avoids_single_reducer(q):
 def test_kmeans_broadcasts_centroids(q):
     df = q("embeddings_kmeans_clusters")
     from galaxy_spark.plans import physical_plan
-    # each Lloyd round broadcasts the k-row centroid set; vectors
-    # are never shuffled for assignment
-    assert broadcast_join_count(df) >= 2
-    assert "sortmergejoin" not in physical_plan(df).lower()
+    p = physical_plan(df).lower()
+    # final round: GEMM candidate prune (mapInPandas) + ONE k-row
+    # centroid broadcast join + argmin window — earlier rounds are
+    # collapsed into collected centroid literals, and there is no
+    # n×k crossJoin anywhere (r5 scale fix)
+    assert broadcast_join_count(df) >= 1
+    assert "sortmergejoin" not in p
+    assert "cartesianproduct" not in p
+    assert "broadcastnestedloopjoin" not in p
 
 
 def test_curation_pipeline_two_passes(q):

@@ -30,14 +30,15 @@ def _queries_and_corpus(spark):
 def test_ivf_recall_beats_floor(spark):
     q, emb = _queries_and_corpus(spark)
     exact = similarity.cosine_topk(q, emb, k=5)
-    ivf = similarity.ivf_topk(q, emb, k=5, sample_mod=32, n_probe=4)
+    ivf = similarity.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=4)
     assert _recall(ivf, exact) >= 0.3
 
 def test_ivf_full_probe_equals_exact(spark):
     # probing every list must recover brute force exactly
     q, emb = _queries_and_corpus(spark)
     exact = similarity.cosine_topk(q, emb, k=5)
-    full = similarity.ivf_topk(q, emb, k=5, sample_mod=8, n_probe=10**6)
+    full = similarity.ivf_topk(q, emb, k=5, n_centroids=64,
+                               n_probe=10**6)
     assert _recall(full, exact) == 1.0
 
 
