@@ -17,9 +17,10 @@ cluster collides with most others), so the diameter is tiny (2-3)
 regardless of corpus size — the O(diameter) bound that makes
 min-propagation a poor fit for web-link graphs makes it the RIGHT
 fit here. Lineage is cut with localCheckpoint every round so the
-plan doesn't grow with iterations; the convergence check rides the
-same job that materializes the round (one action per round, O(1)
-driver data).
+plan doesn't grow with iterations; the convergence check costs two
+Spark jobs per round — the eager checkpoint does the cluster work,
+then the changed-count re-reads the checkpointed blocks (cheap,
+O(1) driver data).
 """
 
 from __future__ import annotations
@@ -70,7 +71,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                                    F.coalesce(F.col("nbr_component"),
                                               F.col("component")))
                            .alias("new_component")))
-        # one action: materializes the round AND counts changes
+        # two jobs per round: the eager checkpoint materializes the
+        # round (all the cluster work); the count below re-reads the
+        # checkpointed blocks, so only the first job is expensive
         stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(
             F.col("new_component") < F.col("component")).count()

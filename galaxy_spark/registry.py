@@ -34,32 +34,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-#: CERTIFICATION MANIFEST — the library's explicit statement of
-#: certification priority, and the enumeration order of
+#: CERTIFICATION MANIFEST — the enumeration order of
 #: ``all_queries()``/``all_oracles()`` (a documented part of the
 #: public API; everything not listed follows in registration order).
 #:
-#: Policy: names that have NOT yet held an externally-certified
-#: correctness row sort before names (within the same capability
-#: group) that have held one in multiple prior rounds, so any
-#: harness that certifies a prefix/subset of the surface converges
-#: to full union coverage instead of re-certifying the same rows
-#: forever. Rotated-out names keep their full oracles and run the
-#: identical comparison in tests/test_oracle.py every round; the
-#: union certification ledger lives in COVERAGE.md. r4 rotation:
-#: nine never-certified names enter the prefix —
-#: ``similarity_cosine_topk`` and ``dedup_embedding_cosine`` (exact
-#: tiers whose oracles were exercised only via sibling tiers) plus
-#: the seven new corpus-curation queries — replacing rows certified
-#: in multiple prior rounds with untouched code
-#: (``agg_rollup_region_nation``, ``window_running_revenue``,
-#: ``cdc_projection_insert``/``_delete``, the anti/semi joins,
-#: ``agg_pivot_status_by_priority``, ``text_language_id``,
-#: ``text_fingerprint``, ``setops_part_brands``); every rotated-out capability keeps a
-#: certified sibling in the prefix. Once every registered query has
-#: held a certified row, this manifest freezes — priority ordering
-#: is then dead weight and the API contract becomes plain
-#: registration order.
+#: FROZEN as of r5. Rounds 3-4 used this manifest to rotate
+#: never-externally-certified names into the 50-query prefix an
+#: external harness checks, converging the certification union to
+#: full coverage (ledger: COVERAGE.md). The r5 prefix below is the
+#: r4 prefix unchanged — it still contains the final two names
+#: whose external rows were hash-red in r4 (``pack_sequences_greedy``,
+#: ``pipeline_curation_end2end``; oracle type bug, fixed this round)
+#: — and after their rows land, every registered query has held an
+#: externally-certified row. The ordering is now permanent: no
+#: further rotation, ever — a future round that edits code under a
+#: rotated-out name must rely on tests/test_oracle.py, which runs
+#: the identical value comparison for ALL queries every round.
 CERTIFICATION_MANIFEST: tuple[str, ...] = (
     # -- CDC operator chain (SURVEY §2.1) --
     "cdc_change_summary",
@@ -121,11 +111,6 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_resize_pipeline",
 )
-
-
-#: retired alias kept one round for external readers of r1-r3
-#: artifacts; same object, no separate behavior
-DRIVER_CHECK_ORDER = CERTIFICATION_MANIFEST
 
 
 def _manifest_ordered(d: dict) -> dict:

@@ -114,3 +114,31 @@ def test_random_graphs_match_union_find(spark):
         expect = _union_find_reference(n, edges)
         got = _cc(spark, n, edges or [], max_iter=n + 1)
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_fixed_round_budget_covers_real_dedup_graph_at_driver_scale(spark):
+    """ADVICE r4: dedup_cluster_canonical's fixed rounds=6 budget is
+    only correct while 6 >= the real pair graph's eccentricity, and a
+    testdata regeneration could silently break that. Pin it at the
+    driver's certification scale: the lazy fixed-round labels must
+    equal the convergence-checked fixpoint on the ACTUAL MinHash pair
+    graph (not a synthetic one). A failure here means the budget —
+    not the operator — needs raising."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.operators import dedup
+    from galaxy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = dedup.minhash_near_dups(docs, n=5, n_hashes=32, bands=8,
+                                    threshold=0.5) \
+        .select("id_a", "id_b").localCheckpoint(eager=True)
+    v = docs.select(F.col("doc_id").alias("id"))
+    fixed = {(r.id, r.component) for r in
+             graph.connected_components_fixed(
+                 v, pairs, src_col="id_a", dst_col="id_b",
+                 rounds=6).collect()}
+    converged = {(r.id, r.component) for r in
+                 graph.connected_components(
+                     v, pairs, src_col="id_a", dst_col="id_b").collect()}
+    assert fixed == converged
