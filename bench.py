@@ -71,10 +71,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # SPARK_GRAFT_BENCH_ALL=1: time EVERY registered query (one-off
+    # full-surface artifact, VERDICT r4 #7) instead of the tracked
+    # 28-query headline set. Headline names keep their order so the
+    # comparable subtotals stay comparable; the rest append in
+    # registry order.
+    bench_names = list(BENCH_QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        bench_names += [n for n in queries if n not in BENCH_QUERIES]
+
     # untimed warmup at sf0.001: JIT/codegen/classloading all happen
     # here so the timed loop measures steady-state execution, which
     # is what a long-running cluster actually sees
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         if name in queries and os.path.isdir(WARMUP_SF_DIR):
             queries[name](spark, WARMUP_SF_DIR) \
                 .write.format("noop").mode("overwrite").save()
@@ -96,7 +105,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     exec_only: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_names:
         if name not in queries:
             continue
         runs, execs = [], []

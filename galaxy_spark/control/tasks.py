@@ -13,12 +13,15 @@ Reference surface (``internal/scheduler/api.go:13-27`` +
 Spark mapping: each task is one StreamingQuery. ``stop`` =
 ``query.stop()`` + flag; recovery_v1 = restart with the SAME
 checkpointLocation (offset log resumes); recovery_v2 = restart with
-a FRESH checkpoint + ``startingOffsets=latest``; filter update =
-restart with the new predicate (the predicate is compiled into the
-plan — a restart-with-new-plan, which the streaming checkpoint
-explicitly supports). Task metadata persists as JSON next to the
-checkpoints; boot recovery iterates it and restarts non-stopped
-tasks — the analog of ``taskRecovery`` (``scheduler.go:69-116``).
+a FRESH checkpoint + ``startingOffsets=latest``; filter update: for
+``live=True`` tasks the predicate is swapped into a per-batch
+filter cell — NO restart, same runId (reference parity with the
+RWMutex map swap; see ``streaming.pipeline.LiveFilterRef``) — while
+static tasks restart with the new predicate compiled into the plan
+(the streaming checkpoint explicitly supports a changed plan). Task
+metadata persists as JSON next to the checkpoints; boot recovery
+iterates it and restarts non-stopped tasks — the analog of
+``taskRecovery`` (``scheduler.go:69-116``).
 
 This module is deliberately framework-free; the HTTP layer serving
 the reference's gin routes lives in ``galaxy_spark.control.api``
@@ -40,7 +43,9 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from galaxy_spark.cdc.filters import TaskFilter
-from galaxy_spark.streaming.pipeline import SinkConfig, start_pipeline
+from galaxy_spark.streaming.pipeline import (LiveFilterRef, SinkConfig,
+                                             start_pipeline,
+                                             start_pipeline_live)
 
 
 @dataclass
@@ -58,6 +63,11 @@ class TaskSpec:
     stopped: bool = False
     #: bumped on recovery_v2 to point at a fresh checkpoint dir
     checkpoint_epoch: int = 0
+    #: live=True runs the foreachBatch pipeline whose filter is
+    #: re-read per micro-batch, so update_filters applies WITHOUT a
+    #: query restart (reference parity: update_task.go's RWMutex
+    #: swap; see streaming.pipeline.LiveFilterRef)
+    live: bool = False
 
     def task_filter(self) -> TaskFilter:
         return TaskFilter(self.databases, self.tables, self.exclude_tables)
@@ -79,6 +89,7 @@ class TaskManager:
         self.source_factory = source_factory
         self.tasks: dict[str, TaskSpec] = {}
         self.queries: dict[str, object] = {}
+        self.live_filters: dict[str, LiveFilterRef] = {}
         os.makedirs(state_dir, exist_ok=True)
         self._meta_path = os.path.join(state_dir, "tasks.json")
 
@@ -130,10 +141,18 @@ class TaskManager:
 
     def _start(self, spec: TaskSpec) -> None:
         env = self.source_factory(self.spark, spec)
-        q = start_pipeline(
-            env, spec.task_id, spec.task_filter(), list(spec.columns),
-            spec.sink(), self.checkpoint_dir(spec),
-        )
+        if spec.live:
+            ref = LiveFilterRef(spec.task_filter())
+            self.live_filters[spec.task_id] = ref
+            q = start_pipeline_live(
+                env, spec.task_id, ref, list(spec.columns),
+                spec.sink(), self.checkpoint_dir(spec),
+            )
+        else:
+            q = start_pipeline(
+                env, spec.task_id, spec.task_filter(), list(spec.columns),
+                spec.sink(), self.checkpoint_dir(spec),
+            )
         self.queries[spec.task_id] = q
         spec.stopped = False
 
@@ -143,6 +162,7 @@ class TaskManager:
         q = self.queries.pop(task_id, None)
         if q is not None:
             q.stop()
+        self.live_filters.pop(task_id, None)
         self.tasks[task_id].stopped = True
         self._persist()
 
@@ -168,23 +188,31 @@ class TaskManager:
 
     def update_filters(self, task_id: str, databases=None, tables=None,
                        exclude_tables=None) -> None:
-        """Live filter update = restart with the new predicate
-        (reference mutates shared maps under RWMutex,
-        ``update_task.go:150-197``; Spark compiles predicates into
-        the plan, so the stream restarts from its checkpoint —
-        offsets are preserved, no events lost)."""
+        """Filter update (reference mutates shared maps under an
+        RWMutex, ``update_task.go:150-197``).
+
+        live=True tasks (foreachBatch pipeline): the new predicate
+        is swapped into the task's ``LiveFilterRef`` and takes
+        effect on the NEXT micro-batch — NO query restart, offsets
+        and accumulated state untouched, same runId.
+
+        live=False tasks compile the predicate into the streaming
+        plan, so the update is a restart from the same checkpoint —
+        offsets preserved, no events lost, but in-memory state
+        rebuilds; use live=True when hours of state matter."""
         spec = self.tasks[task_id]
         running = task_id in self.queries
-        if running:
-            q = self.queries.pop(task_id)
-            q.stop()
         if databases is not None:
             spec.databases = tuple(databases)
         if tables is not None:
             spec.tables = tuple(tables)
         if exclude_tables is not None:
             spec.exclude_tables = tuple(exclude_tables)
-        if running:
+        if running and spec.live:
+            self.live_filters[task_id].set(spec.task_filter())
+        elif running:
+            q = self.queries.pop(task_id)
+            q.stop()
             self._start(spec)
         self._persist()
 

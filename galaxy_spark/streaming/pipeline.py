@@ -102,6 +102,89 @@ def start_pipeline(env_stream: DataFrame, task_id: str,
     return writer.start()
 
 
+class LiveFilterRef:
+    """Mutable filter cell read at each micro-batch — the Spark
+    analog of the reference's RWMutex-guarded include/exclude map
+    swap (``update_task.go:150-197``).
+
+    A literal predicate is compiled into a streaming plan at start,
+    so swapping it needs a restart; ``foreachBatch`` instead builds
+    a fresh BATCH plan per micro-batch, and a predicate read from
+    this cell at batch-plan time takes effect on the NEXT
+    micro-batch — no restart, offsets and state untouched, the query
+    object (id/runId) stays the same. Granularity is the micro-batch
+    (the reference's is the event), which is the natural consistency
+    unit in Spark: a batch is never half-filtered.
+
+    Chosen over the stream-static config-join variant (config table
+    re-read per batch): the join needs empty-include = pass-all and
+    exclude-beats-include encoded as outer-join null-handling, while
+    this reuses TaskFilter.predicate() verbatim — same tested
+    semantics on both the static and live paths.
+    """
+
+    def __init__(self, task_filter: TaskFilter) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._tf = task_filter
+
+    def get(self) -> TaskFilter:
+        with self._lock:
+            return self._tf
+
+    def set(self, task_filter: TaskFilter) -> None:
+        with self._lock:
+            self._tf = task_filter
+
+
+#: driver-side buffers for the live pipeline's memory sink
+#: (test/debug surface, like the stock memory sink it replaces)
+_LIVE_MEMORY: dict[str, list] = {}
+
+
+def live_memory_rows(task_id: str) -> list:
+    return list(_LIVE_MEMORY.get(task_id, []))
+
+
+def start_pipeline_live(env_stream: DataFrame, task_id: str,
+                        live_filter: LiveFilterRef,
+                        columns: Sequence[str], sink: SinkConfig,
+                        checkpoint_dir: str,
+                        trigger: dict | None = None) -> StreamingQuery:
+    """``start_pipeline`` with LIVE filter updates: the task filter
+    is re-read from ``live_filter`` at every micro-batch, so
+    ``TaskManager.update_filters`` swaps take effect without a query
+    restart. Filter/projection/routing are the identical column
+    algebra — only the evaluation point moves from stream-plan time
+    to batch-plan time.
+    """
+    _LIVE_MEMORY[task_id] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        good = transform_envelope(batch_df, live_filter.get(),
+                                  columns).filter(~F.col("quarantined"))
+        msgs = routed_messages(good, task_id)
+        if sink.kind == "kafka":
+            msgs.write.format("kafka").options(**sink.options).save()
+        elif sink.kind == "memory":
+            _LIVE_MEMORY[task_id].extend(msgs.collect())
+        elif sink.kind == "parquet":
+            msgs.write.mode("append").options(**sink.options).parquet(
+                sink.options["path"])
+        else:
+            raise NotImplementedError(
+                f"sink {sink.kind!r} not implemented (reference "
+                "parity: nsq/es/mongodb are stubs there too)")
+
+    writer = env_stream.writeStream \
+        .option("checkpointLocation", checkpoint_dir) \
+        .foreachBatch(handle)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def ddl_apply_batch(registry: SchemaRegistry, default_db: str):
     """foreachBatch handler for the QueryEvent/DDL branch (P5).
 
