@@ -15,12 +15,17 @@ written with row-group sizes that keep a batch of payloads within
 executor memory (``spark.sql.files.maxPartitionBytes`` +
 ``maxRecordsPerBatch`` bound Arrow batch memory).
 
-The *real* codec step (PIL/libsndfile/ffmpeg) is STUBBED: those
-libraries are not in this container. ``decode_payload`` dispatches
-to a clearly-marked deterministic fake (bytes -> uint8 tensor) and
-``real_decode`` raises NotImplementedError. The Spark-side plumbing
-— schema, UDF signatures, Arrow batch iteration, output shapes — is
-real and tested; swapping the fake for PIL is a one-function change.
+Codec status (r5): ``real_decode`` REALLY decodes two of the three
+formats with stdlib-only codecs — PCM WAV via the ``wave`` module
+and (non-interlaced, 8-bit gray/RGB/indexed-free) PNG via ``zlib``
+with all five standard scanline filters — verified against genuine
+files in tests. Video (mp4) still raises NotImplementedError: there
+is no stdlib route to an H.264 stream, and shipping a fake there
+would be dishonest. The synthetic-fixture queries keep using the
+deterministic fake (``_fake_decode``) because the driver's parquet
+fixtures carry text-derived payloads, not real media; the plumbing
+(schema, UDF signatures, Arrow batch iteration, output shapes) is
+identical on both paths.
 """
 
 from __future__ import annotations
@@ -91,16 +96,147 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
 
 
 def real_decode(payload: bytes, fmt: str) -> np.ndarray:
-    """Real codec hook — STUB.
+    """Real codec hook.
 
-    In production this calls PIL.Image.open / soundfile.read /
-    pyav frame iteration. Those libraries are not available in this
-    container, so the engine ships the deterministic fake below and
-    this marker raises.
+    ``wav`` -> (n_samples, channels) int array (stdlib ``wave``:
+    8-bit unsigned / 16- / 32-bit signed little-endian PCM).
+    ``png`` -> (H, W) or (H, W, 3|4) uint8 (stdlib ``zlib`` +
+    full filter reconstruction — see ``_decode_png``).
+    ``mp4`` raises: no stdlib H.264 decoder exists; wire pyav here
+    in production (the Spark-side plumbing is format-agnostic).
     """
+    if fmt == "wav":
+        return _decode_wav(payload)
+    if fmt == "png":
+        return _decode_png(payload)
     raise NotImplementedError(
-        f"real {fmt} decoding requires PIL/soundfile/pyav; "
-        "wire them here — all Spark-side plumbing already works")
+        f"real {fmt!r} decoding requires pyav/ffmpeg; wire it here — "
+        "all Spark-side plumbing already works")
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV -> (n_samples, n_channels). Genuine RIFF parsing via
+    the stdlib ``wave`` module; sample widths 1/2/4 bytes map to
+    uint8 / int16-LE / int32-LE per the WAV spec."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(n)
+    try:
+        dtype = {1: np.dtype(np.uint8), 2: np.dtype("<i2"),
+                 4: np.dtype("<i4")}[sw]
+    except KeyError:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return np.frombuffer(raw, dtype=dtype).reshape(-1, ch)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Minimal REAL PNG decoder (stdlib only): signature + chunk
+    walk, IHDR validation, concatenated-IDAT zlib inflate, and
+    per-scanline reconstruction of all five standard filter types
+    (None/Sub/Up/Average/Paeth — PNG spec §9). Supports the
+    non-interlaced 8-bit-depth color types: 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length                     # length + type + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intc)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.intc)
+        if f == 0:                                      # None
+            cur = line
+        elif f == 1:                                    # Sub
+            cur = line.copy()
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif f == 2:                                    # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:                                    # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                                    # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(height, width, nch)
+    return arr[:, :, 0] if nch == 1 else arr
+
+
+REAL_DECODED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("shape", T.ArrayType(T.IntegerType()), False),
+    T.StructField("values", T.ArrayType(T.LongType()), False),
+])
+
+
+def decode_real(media: DataFrame) -> DataFrame:
+    """Decode GENUINE payloads (PCM WAV / PNG) with ``real_decode``
+    inside the standard Arrow-batched ``mapInPandas`` stage — the
+    same plumbing as the fixture-path operators, driven by the real
+    codecs. Emits ``(media_id, shape, values)`` with the flattened
+    sample/pixel tensor; video rows raise (no stdlib H.264), so
+    filter them out upstream exactly like the fixture path does."""
+    sel = media.select("media_id", "payload", F.col("meta.fmt").alias("fmt"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, fmt in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["fmt"]):
+                arr = real_decode(bytes(payload), fmt)
+                rows.append((int(mid), list(arr.shape),
+                             arr.astype(np.int64).ravel().tolist()))
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "shape", "values"])
+
+    return sel.mapInPandas(decode, REAL_DECODED_SCHEMA)
 
 
 def _fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:

@@ -648,8 +648,28 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
                      F.col("nrm").alias("na"))
     vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
                      F.col("nrm").alias("nb"))
-    return (cands.dropDuplicates(["id_a", "id_b"])
-            .join(va, "id_a").join(vb, "id_b")
+    paired = (cands.dropDuplicates(["id_a", "id_b"])
+              .join(va, "id_a").join(vb, "id_b"))
+    # Vectorized margin prune before the exact verify (r5): at the
+    # ~0.25 candidate rate the interpreted per-pair fold dominated
+    # the pipeline even after the r4 norm folding; one numpy
+    # row-wise dot per Arrow batch drops every pair that cannot
+    # reach the threshold (margin 1e-6 >> f64 drift ~1e-13, so no
+    # true pair is lost), and the exact fold — which still defines
+    # every emitted value, bit-identical to the SQL oracle — runs
+    # only on near-threshold survivors (~the output size).
+    def prescore(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", A, B) \
+                / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            yield pdf[cos >= threshold - 1e-6]
+
+    survivors = paired.mapInPandas(prescore, paired.schema)
+    return (survivors
             .select("id_a", "id_b",
                     (_dot(F.col("va"), F.col("vb"))
                      / (F.col("na") * F.col("nb"))).alias("cos_sim"))

@@ -98,9 +98,14 @@ def test_audio_features_reference(media, docs_local):
         assert row.zero_crossings == zc
 
 
-def test_real_decode_is_marked_stub():
+def test_real_decode_contract():
+    """r5: wav/png decode for REAL (stdlib codecs, round-trips
+    pinned in tests/test_real_codecs.py); a truncated PNG is a
+    ValueError, and video stays honestly unimplemented."""
+    with pytest.raises(ValueError):
+        mm.real_decode(b"\x89PNG", "png")     # signature only: corrupt
     with pytest.raises(NotImplementedError):
-        mm.real_decode(b"\x89PNG", "png")
+        mm.real_decode(b"\x00\x00\x00\x18ftypmp42", "mp4")
 
 
 def test_frame_md5_query_consistency(spark, docs_local):
