@@ -465,9 +465,10 @@ def within_cluster_candidates(assigned: DataFrame, threshold: float,
     flops per cluster, one Arrow group per cluster), and the
     interpreted JVM fold — which dominated the all-pairs equi-join
     version ~100:1 — touches only near-threshold survivors. Skew
-    guard at 100 TB: cluster sizes are capped upstream (shard any
-    cluster above the cap before this step); each group must fit an
-    Arrow batch.
+    guard at 100 TB: pass the assignment through
+    ``shard_oversized_clusters`` first and group on its shard key —
+    no single Arrow group then exceeds the configured cap (subset
+    property + balance pinned in tests/test_dedup_recall.py).
     """
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType(), False),
@@ -488,6 +489,42 @@ def within_cluster_candidates(assigned: DataFrame, threshold: float,
                              "id_b": np.maximum(ia, ib)})
 
     return assigned.groupBy(cluster_col).applyInPandas(gen, out_schema)
+
+
+def shard_oversized_clusters(assigned: DataFrame, max_cluster_size: int,
+                             cluster_col: str = "cluster_id",
+                             id_col: str = "vec_id",
+                             out_col: str = "cluster_shard") -> DataFrame:
+    """Skew guard for cluster-blocked pair search: any cluster above
+    ``max_cluster_size`` is split into ``ceil(n/max)`` deterministic
+    hash sub-shards (xxhash64 of the row id, layout-independent);
+    clusters under the cap keep one shard. Returns ``assigned`` plus
+    ``out_col`` — feed THAT to ``within_cluster_candidates`` so no
+    single Arrow group exceeds ~max_cluster_size rows.
+
+    This is what makes Σ|c|² a real bound at 100 TB: one mega
+    cluster (the empty-document cluster, the boilerplate cluster)
+    would otherwise concentrate a quadratic block on one task. The
+    price is recall across sub-shards of the same cluster — pairs
+    split by the hash are not compared — which is the standard
+    SemDeDup trade and is measured, not hidden: the operator only
+    REMOVES comparisons, so purity is unaffected (subset property
+    pinned in tests).
+
+    Cost: one count agg over (cluster) — tiny — broadcast back; the
+    shard key is scan-local arithmetic. No document-data shuffle
+    beyond the group-by the caller already pays.
+    """
+    sizes = assigned.groupBy(cluster_col).agg(F.count("*").alias("__n"))
+    n_shards = F.greatest(
+        F.ceil(F.col("__n") / F.lit(max_cluster_size)).cast("long"),
+        F.lit(1))
+    shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), n_shards)
+    return (assigned.join(F.broadcast(sizes), cluster_col)
+            .withColumn(out_col,
+                        F.concat_ws("#", F.col(cluster_col).cast("string"),
+                                    shard.cast("string")))
+            .drop("__n"))
 
 
 def cosine_topk_gemm(queries: DataFrame, corpus: DataFrame, k: int,

@@ -100,3 +100,38 @@ def test_semantic_cluster_dedup_recall_and_purity_at_driver_scale(spark):
     assert sem <= exact, "within-cluster exact cosine must not invent pairs"
     recall = len(sem & exact) / len(exact)
     assert recall >= 0.43, f"recall regressed: {recall:.3f}"
+
+
+def test_cluster_shard_skew_guard_subset_and_bounded(spark):
+    """shard_oversized_clusters: (a) every sub-shard stays near the
+    cap (hash balance), (b) sharded pair search returns a SUBSET of
+    the unsharded within-cluster pairs (the guard only removes
+    comparisons — purity unaffected), (c) clusters under the cap are
+    untouched (identical pair set when the cap exceeds every
+    cluster)."""
+    from galaxy_spark.operators import clustering
+
+    emb = load_table(spark, SF_DRIVER, "embeddings")
+    a = (clustering.kmeans_assign(emb, k=8, n_iter=2)
+         .select("vec_id", "cluster_id")
+         .join(emb.select("vec_id", "embedding"), "vec_id")
+         .localCheckpoint(eager=True))
+
+    def pairs(df, col):
+        return {(r.id_a, r.id_b) for r in
+                similarity.within_cluster_candidates(
+                    df, threshold=0.4, cluster_col=col).collect()}
+
+    base = pairs(a, "cluster_id")
+    capped = similarity.shard_oversized_clusters(a, max_cluster_size=20)
+    sizes = {r.cluster_shard: r.n for r in
+             capped.groupBy("cluster_shard")
+             .agg(F.count("*").alias("n")).collect()}
+    # hash balance: shards target <=20; allow 2x slack for hash noise
+    assert max(sizes.values()) <= 40, sizes
+    sharded = pairs(capped, "cluster_shard")
+    assert sharded <= base                       # (b) subset only
+    assert len(sharded) < len(base)              # the cap really bites
+    # (c) cap above every cluster -> no-op
+    loose = similarity.shard_oversized_clusters(a, max_cluster_size=10**6)
+    assert pairs(loose, "cluster_shard") == base
