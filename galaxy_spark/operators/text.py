@@ -91,33 +91,53 @@ def rolling_fingerprint(text: Column | str, base: int = 257,
     )
 
 
-def language_id(text: Column | str) -> Column:
-    """Tiny deterministic n-gram language-ID heuristic.
+#: per-language marker bigrams (public n-gram-LID recipe à la
+#: Cavnar-Trenkle, shrunk to a fixed marker table); dict order IS
+#: the tie-break precedence (first language wins)
+LID_MARKERS = {
+    "en": ("th", "he", "in", "er", "an"),
+    "es": ("de", "la", "os", "el", "en"),
+    "de": ("en", "er", "ch", "de", "ei"),
+    "fr": ("le", "de", "es", "en", "on"),
+    "zh": ("zh", "ng", "sh", "ia", "ua"),
+}
 
-    Scores the text's character-bigram profile against per-language
-    marker bigrams (public n-gram-LID recipe à la Cavnar-Trenkle,
-    shrunk to a fixed marker table). Returns the best-scoring
-    language code or 'und'.
+
+def language_id(text: Column | str) -> Column:
+    """Tiny deterministic n-gram language-ID heuristic: the
+    best-scoring language code, or 'und' when no marker matches.
+
+    A language's score — |distinct-bigram-profile ∩ markers| — is
+    identically "how many of its marker bigrams occur ANYWHERE in
+    the lowercased text" (the profile is distinct, the marker set is
+    distinct), so it evaluates as 5 linear ``contains`` probes
+    instead of materializing the bigram profile. The r1-r4 version
+    built ``array_distinct(transform(sequence(...), substring))``
+    and referenced it 5× — higher-order functions run interpreted
+    with NO subexpression elimination, and each element re-evaluated
+    ``lower(text)``, making the plan O(5·len²) per document: 156 s
+    exec at sf0.1 (caught by the r5 full-surface bench), ~0.2 s as
+    contains probes. Tie-break (first language in LID_MARKERS order)
+    and every score are value-identical; the driver oracle — which
+    materializes the profile per row in a CTE, where that IS linear
+    — is unchanged.
     """
-    markers = {
-        "en": ("th", "he", "in", "er", "an"),
-        "es": ("de", "la", "os", "el", "en"),
-        "de": ("en", "er", "ch", "de", "ei"),
-        "fr": ("le", "de", "es", "en", "on"),
-        "zh": ("zh", "ng", "sh", "ia", "ua"),
-    }
-    profile = char_ngram_profile(text, 2)
-    scores = F.map_from_arrays(
-        F.array(*[F.lit(lang) for lang in markers]),
-        F.array(*[
-            F.size(F.array_intersect(profile, F.array(*[F.lit(m) for m in ms])))
-            for lang, ms in markers.items()
-        ]),
-    )
-    entries = F.map_entries(scores)
-    best = F.array_max(F.transform(entries, lambda e: e.getField("value")))
-    top = F.filter(entries, lambda e: e.getField("value") == best)
-    return F.when(best > 0, F.element_at(top, 1).getField("key")).otherwise(F.lit("und"))
+    col = F.col(text) if isinstance(text, str) else text
+    low = F.lower(col)
+
+    def score(ms: tuple) -> Column:
+        s = None
+        for m in ms:
+            hit = F.contains(low, F.lit(m)).cast("int")
+            s = hit if s is None else s + hit
+        return s
+
+    scores = {lang: score(ms) for lang, ms in LID_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.when(best == 0, F.lit("und"))
+    for lang, s in scores.items():
+        out = out.when(s == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
 
 
 #: GPT-2-style pre-tokenizer regex (contractions | words | numbers |

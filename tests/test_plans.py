@@ -245,3 +245,18 @@ def test_curation_pipeline_two_passes(q):
     # formatted plans print each scan twice (tree node + details)
     assert p.count("scan parquet") <= 4, "documents must be scanned <= 2x"
     assert "sortmergejoin" not in p
+
+
+def test_ivf_corpus_assignment_no_crossjoin(q):
+    """r5 scale fix: IVF's CORPUS assignment runs GEMM-prune +
+    broadcast equi-join — the only nested-loop join left in the plan
+    is the query-side probe crossJoin (small by contract: a k-row
+    centroid broadcast against the query batch)."""
+    df = q("similarity_ivf_topk")
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    # formatted plans print each node twice (tree row + details):
+    # exactly ONE nested-loop node = 2 substring hits
+    assert p.count("broadcastnestedloopjoin") <= 2, \
+        "corpus-side assignment must not cross-join"
+    assert "cartesianproduct" not in p
