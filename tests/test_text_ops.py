@@ -1,0 +1,68 @@
+"""Value pins for the r5 linear-time rewrites of the text operators
+(language_id contains-probes, char_ngram_profile zip_with form,
+rolling_fingerprint split-to-chars): each must be value-identical to
+an independent Python reference of the ORIGINAL definition on real
+fixture documents — the rewrites changed complexity, never values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import text
+from galaxy_spark.operators.text import LID_MARKERS
+from galaxy_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, n=150):
+    return load_table(spark, SF_SMOKE, "documents") \
+        .select("doc_id", "text").limit(n)
+
+
+def test_char_ngram_profile_matches_python_reference(spark):
+    rows = _docs(spark).withColumn(
+        "bg", text.char_ngram_profile(F.col("text"), 2)).collect()
+    assert rows
+    for r in rows:
+        low = r.text.lower()
+        want = list(dict.fromkeys(
+            low[i:i + 2] for i in range(len(low) - 1)))
+        assert r.bg == want, r.doc_id
+
+
+def test_char_ngram_trigrams_and_short_strings(spark):
+    df = spark.createDataFrame(
+        [("abcd",), ("ab",), ("a",), ("",)], "text string")
+    got = [r.g for r in df.select(
+        text.char_ngram_profile(F.col("text"), 3).alias("g")).collect()]
+    assert got == [["abc", "bcd"], [], [], []]
+
+
+def test_language_id_matches_python_reference(spark):
+    rows = _docs(spark, 300).withColumn(
+        "pred", text.language_id(F.col("text"))).collect()
+    assert rows
+    for r in rows:
+        low = r.text.lower()
+        scores = {lang: sum(m in low for m in ms)
+                  for lang, ms in LID_MARKERS.items()}
+        best = max(scores.values())
+        want = "und" if best == 0 else \
+            next(lang for lang in LID_MARKERS if scores[lang] == best)
+        assert r.pred == want, (r.doc_id, scores)
+
+
+def test_rolling_fingerprint_matches_python_reference(spark):
+    rows = _docs(spark).withColumn(
+        "fp", text.rolling_fingerprint(F.col("text"))).collect()
+    for r in rows:
+        h = 0
+        for ch in r.text:
+            h = (h * 257 + ord(ch)) % 1_000_000_007
+        assert r.fp == h, r.doc_id
+    # empty text folds to 0 (the value the pre-r5 form and the SQL
+    # oracle both produce)
+    df = spark.createDataFrame([("",)], "text string")
+    assert df.select(text.rolling_fingerprint(
+        F.col("text")).alias("fp")).collect()[0].fp == 0
