@@ -54,12 +54,21 @@ def quality_score(text: Column | str) -> Column:
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:
-    """Distinct word n-grams ('shingles') -> array<string>."""
+    """Distinct word n-grams ('shingles') -> array<string>.
+
+    Zips ``n`` shifted views of the token array (arguments evaluate
+    once per row). The index-transform form captured ``toks`` in its
+    lambda — captured expressions re-evaluate per ELEMENT in
+    interpreted higher-order functions, so every n-gram re-ran the
+    regex tokenizer: O(n_tokens·len) per document (the language_id
+    trap, r5)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, 1 + j, m),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(grams)
 
 
 def char_ngram_profile(text: Column | str, n: int = 2) -> Column:

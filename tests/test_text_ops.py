@@ -66,3 +66,15 @@ def test_rolling_fingerprint_matches_python_reference(spark):
     df = spark.createDataFrame([("",)], "text string")
     assert df.select(text.rolling_fingerprint(
         F.col("text")).alias("fp")).collect()[0].fp == 0
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    import re
+    rows = _docs(spark).withColumn(
+        "g3", text.word_ngrams(F.col("text"), 3)).collect()
+    assert rows
+    for r in rows:
+        toks = [t for t in re.split(r"\s+", r.text.strip()) if t]
+        want = list(dict.fromkeys(
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)))
+        assert r.g3 == want, r.doc_id
