@@ -53,6 +53,42 @@ def jdbc_table_reader(spark: SparkSession, url: str, db: str,
     )
 
 
+def bootstrap_registry_from_rows(registry, rows) -> list[tuple[str, str]]:
+    """Populate a ``SchemaRegistry`` from ``information_schema``
+    rows — the glue between the JDBC bootstrap read and P1 schema
+    lookup (the reference's SHOW FULL COLUMNS cache build,
+    ``internal/sync_server/baseinfo.go:15-36``).
+
+    ``rows``: any iterable of mappings/Rows with ``table_schema``,
+    ``table_name``, ``column_name``, ``ordinal_position``,
+    ``column_type``, ``is_nullable`` (the INFORMATION_SCHEMA_QUERY
+    projection; engines without MySQL's ``column_type`` alias their
+    ``data_type``). Columns register in ordinal order regardless of
+    row arrival order — JDBC partition merges do not guarantee it.
+    Returns the (db, table) keys registered.
+
+    Contract-tested against a LIVE information_schema catalog
+    (DuckDB's) in tests/test_sources.py, so the chain query ->
+    rows -> registry is exercised end-to-end without a MySQL.
+    """
+    from galaxy_spark.cdc.schema_registry import ColumnDef
+
+    grouped: dict[tuple[str, str], list] = {}
+    for r in rows:                   # dicts and pyspark Rows both index by name
+        grouped.setdefault(
+            (r["table_schema"], r["table_name"]), []).append(r)
+    for (db, table), cols in grouped.items():
+        cols.sort(key=lambda r: int(r["ordinal_position"]))
+        registry.put(db, table, [
+            ColumnDef(
+                name=c["column_name"],
+                col_type=str(c["column_type"]).lower(),
+                not_null=str(c["is_nullable"]).upper() == "NO",
+            ) for c in cols
+        ])
+    return sorted(grouped)
+
+
 def read_csv_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """CSV scan with explicit schema (inference is a second full
     pass over the data — never acceptable at 100 TB; callers pass
