@@ -453,11 +453,22 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL estimate landed within 5x the configured rsd of the exact
     count. The oracle expects TRUE on every row — a drifting or
     broken HLL flips the flag and fails the driver hash, so the
-    sketch stays load-bearing while the output is deterministic."""
+    sketch stays load-bearing while the output is deterministic.
+
+    Plan (r5): dedup (flag, partkey) FIRST — map-side partial
+    distinct, one pair-keyed shuffle — then sketch + count the
+    already-distinct pairs. HLL registers are duplicate-insensitive,
+    so the estimate is IDENTICAL to sketching the raw multiset
+    (verified), while the single-agg form planned a row-doubling
+    Expand for the mixed distinct/non-distinct aggregate: measured
+    3.5 s -> 1.0 s at sf0.1. At 100 TB the pair dedup is also the
+    shape that survives skew (partial aggregation absorbs hot flags
+    before the shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    agg = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
-        F.countDistinct("l_partkey").alias("n_parts"))
+        F.count("*").alias("n_parts"))
     return agg.select(
         "l_returnflag", "n_parts",
         (F.abs(F.col("approx") - F.col("n_parts"))

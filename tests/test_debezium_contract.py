@@ -172,3 +172,32 @@ def test_schema_change_events_evolve_registry(spark):
 
 def test_data_events_are_not_schema_changes(spark, raw):
     assert debezium.schema_change_events(raw).count() == 0
+
+
+def test_debezium_parse_on_streaming_frames(spark, tmp_path):
+    """The parse is aggregation-free column algebra, so the same
+    plan must run on a STREAMING frame (file-source micro-batches)
+    — pinning the 'batch AND streaming alike' claim in the module
+    docstring. The memory sink receives the parsed envelopes with
+    filters applied, identical to the batch result."""
+    import shutil
+
+    src = str(tmp_path / "dbz_stream")
+    os.makedirs(src)
+    shutil.copy(EVENTS, os.path.join(src, "events.jsonl"))
+    stream = (spark.readStream.schema("value string")
+              .format("text").load(src)
+              .withColumnRenamed("value", "value"))
+    env = debezium.debezium_to_envelope(stream)
+    flt = TaskFilter(databases=("inventory",))
+    q = (flt.apply(env.filter(F.col("action").isin(
+            "insert", "update", "delete")))
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dbz_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT database, `table`, action FROM dbz_out").collect()
+    assert len(got) == 5                     # 6 data events, 1 filtered out
+    assert {r.database for r in got} == {"inventory"}
+    assert sorted(r.action for r in got) == \
+        ["delete", "insert", "insert", "insert", "update"]
