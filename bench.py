@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "embeddings_kmeans_clusters",
     "dedup_semantic_clusters",
     "pipeline_curation_end2end",
+    # r5 hygiene surface: the two with non-trivial distributed
+    # shapes (broadcast-gram decontamination; gram-keyed span agg).
+    # pii_redact / mixture_temperature are scan-local like
+    # text_stats and ride the full-surface artifact.
+    "decontaminate_ngram_overlap",
+    "dedup_ngram_spans",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing

@@ -1,0 +1,320 @@
+"""Corpus-hygiene queries: eval-set decontamination, PII redaction,
+cross-document duplicated-span detection, and temperature-weighted
+mixture sampling.
+
+These are the remaining first-class steps of a public LLM
+training-data recipe (GPT-3 App. C / Gopher §A / PaLM §6 style)
+not yet covered by ``queries/llm.py`` (per-document analysis) and
+``queries/curation.py`` (corpus-level curation):
+
+- **decontamination** — drop/flag training documents that share a
+  long word n-gram with any document of the held-out eval split;
+- **PII redaction** — scan-local regex scrubbing of emails / IPv4
+  addresses / phone numbers;
+- **duplicated spans** — the cross-document repeated-n-gram report
+  that substring-level dedup (Lee et al., "Deduplicating Training
+  Data Makes Language Models Better") builds its cut list from;
+- **temperature sampling** — the alpha-weighted mixture rebalance
+  (rate_i = (min_count/count_i)^(1-alpha)) interpolating between
+  natural (alpha=1) and uniform (alpha=0) source mixtures.
+
+Every query carries a full DuckDB value oracle (result-contract).
+Tokenization and hash-Bernoulli conventions are shared with
+``queries/llm.py`` / ``queries/curation.py`` so the oracle SQL
+states the same algorithm the Spark plan runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import text
+from galaxy_spark.queries.llm import _TOKS
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+
+def _grams_sql(n: int) -> str:
+    """Distinct word n-grams of ``tk`` — DuckDB twin of
+    ``operators.text.word_ngrams`` (inclusive list slice:
+    ``tk[i:i+n-1]`` is n elements)."""
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len(tk)-{n - 1},0)+1), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')))")
+
+
+# ------------------------------------------------------------------
+# Eval-set n-gram decontamination
+# ------------------------------------------------------------------
+
+_DECON_N = 6          # overlap gram length (13 in GPT-3; 6 here so
+                      # the 10-99-token synthetic docs can collide)
+_EVAL_MOD = 20        # doc_id % 20 == 0 -> held-out eval split
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), g AS (
+        SELECT doc_id, {_grams_sql(_DECON_N)} AS gs FROM t
+    ), ev AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM g
+        WHERE doc_id % {_EVAL_MOD} = 0
+    ), tr AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(gs) = 0 THEN [NULL] ELSE gs END)
+                   AS gram
+        FROM g WHERE doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT tr.doc_id,
+           CAST(COUNT(ev.gram) AS INTEGER) AS n_hit_ngrams,
+           (COUNT(ev.gram) > 0) AS contaminated
+    FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every TRAINING document that
+    shares at least one {n}-word n-gram with the eval split
+    (doc_id % {mod} == 0) — the GPT-3 Appendix-C / PaLM §6 overlap
+    rule, with the gram length shortened to fit the corpus.
+
+    Shape at scale: the eval split is small by definition, so its
+    distinct gram set broadcasts; training grams are a scan-local
+    explode, the broadcast hash join marks hits without shuffling a
+    byte of corpus data, and the per-document hit count folds
+    map-side (explode keeps a document's grams in one partition, so
+    the doc_id-keyed exchange carries ONE row per document, not one
+    per gram). No join-back pass: the count aggregates directly off
+    the marked explode. ``explode_outer`` keeps gram-less (short)
+    documents in the report as uncontaminated rows — the oracle
+    mirrors with a NULL-injecting CASE.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = text.word_ngrams(F.col("text"), _DECON_N)
+    ev = (docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+          .select(F.explode(grams).alias("gram"))
+          .distinct()
+          .withColumn("hit", F.lit(True)))
+    return (docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+            .select("doc_id", F.explode_outer(grams).alias("gram"))
+            .join(F.broadcast(ev), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                 .cast("int").alias("n_hit_ngrams"))
+            .select("doc_id", "n_hit_ngrams",
+                    (F.col("n_hit_ngrams") > 0).alias("contaminated")))
+
+
+decontaminate_ngram_overlap.__doc__ = decontaminate_ngram_overlap.__doc__.format(
+    n=_DECON_N, mod=_EVAL_MOD)
+
+
+# ------------------------------------------------------------------
+# PII redaction
+# ------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repeats, \b.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# The synthetic corpus contains no digits or '@' at all (verified:
+# zero regexp matches for \d across every sf), so the query injects
+# deterministic PII per document — identically in the Spark plan and
+# the oracle SQL — and then redacts it. The injection is the test
+# harness; the OPERATOR is the count+redact column algebra, which
+# tests/test_hygiene.py also pins on handwritten realistic rows.
+_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def pii_counts_and_redact(df: DataFrame, text_col: str = "text"):
+    """(n_emails, n_ips, n_phones, redacted) columns for ``text_col``.
+
+    Pure scan-local column algebra — regexp_count + chained
+    regexp_replace, zero shuffles, whole-stage codegen'd. Email is
+    replaced first so the IP pass can never bite a local-part digit
+    run (and the redaction tokens themselves contain no digits).
+    """
+    c = F.col(text_col)
+    counts = (F.regexp_count(c, F.lit(_EMAIL_RE)).cast("int"),
+              F.regexp_count(c, F.lit(_IPV4_RE)).cast("int"),
+              F.regexp_count(c, F.lit(_PHONE_RE)).cast("int"))
+    red = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, _IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, _PHONE_RE, "<PHONE>")
+    return counts, red
+
+
+@register(
+    "pii_redact_documents",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, {_SYNTH_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS INTEGER)
+               AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM s
+    """,
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / IPv4s / phone numbers.
+
+    See ``pii_counts_and_redact`` for the operator (scan-local,
+    shuffle-free) and ``_SYNTH_SQL`` for why the corpus run injects
+    synthetic PII first. Regex subset chosen for Java-regex / RE2
+    semantic identity; DuckDB needs the explicit 'g' flag Spark
+    implies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    s = docs.select("doc_id", synth.alias("t"))
+    (n_em, n_ip, n_ph), red = pii_counts_and_redact(s, "t")
+    return s.select("doc_id",
+                    n_em.alias("n_emails"), n_ip.alias("n_ips"),
+                    n_ph.alias("n_phones"), red.alias("clean_text"))
+
+
+# ------------------------------------------------------------------
+# Cross-document duplicated n-gram spans
+# ------------------------------------------------------------------
+
+_SPAN_N = 8
+
+
+@register(
+    "dedup_ngram_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), g AS (
+        SELECT doc_id, unnest({_grams_sql(_SPAN_N)}) AS gram FROM t
+    )
+    SELECT gram, CAST(COUNT(*) AS INTEGER) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span report: every {n}-word n-gram occurring in 2+
+    documents, with its document count and lowest containing doc_id
+    — the cut-list input of substring-level dedup (Lee et al. 2021),
+    at n-gram rather than suffix-array granularity.
+
+    Shape at scale: grams are distinct per document (scan-local),
+    so the single gram-keyed aggregation counts documents directly;
+    map-side partial aggregation absorbs heavy-hitter grams (a
+    boilerplate span shared by millions of docs arrives at the
+    reducer as one partial per map task, not one row per doc).
+    HAVING >= 2 prunes the long unique tail before any sort or sink.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(text.word_ngrams(F.col("text"), _SPAN_N)).alias("gram"))
+    return (g.groupBy("gram")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") >= 2))
+
+
+dedup_ngram_spans.__doc__ = dedup_ngram_spans.__doc__.format(n=_SPAN_N)
+
+
+# ------------------------------------------------------------------
+# Temperature-weighted mixture sampling
+# ------------------------------------------------------------------
+
+_ALPHA = 0.3          # mixture temperature (multilingual-sampling
+                      # convention: alpha=1 natural, alpha=0 uniform)
+
+
+@register(
+    "mixture_temperature_sampling",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), mm AS (
+        SELECT MIN(cnt) AS m FROM c
+    ), r AS (
+        SELECT lang,
+               CASE WHEN cnt = m THEN 'g'
+                    ELSE printf('%08x',
+                         CAST(floor(pow(m * 1.0 / cnt, {1 - _ALPHA})
+                                    * 4294967296.0) AS BIGINT)) END
+                   AS thr
+        FROM c, mm
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE substring(md5('temp42:' || d.doc_id), 1, 8) < r.thr
+    """,
+)
+def mixture_temperature_sampling(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture over LANGUAGE strata: keep
+    language i at rate (min_count / count_i)^(1-alpha) — alpha=1
+    keeps the natural mixture, alpha=0 is the uniform rebalance of
+    ``mixture_resample_balanced``, alpha={a} interpolates: the
+    low-resource upweighting rule of the multilingual-training
+    literature (language, not source, is the stratum that rule is
+    defined over — and the corpus's sources are uniform by
+    construction, so a source-keyed rebalance would be a no-op).
+    Same layout-independent md5 Bernoulli and in-plan threshold
+    computation as the balanced variant: one count agg, one
+    broadcast, one scan-local filter — no corpus shuffle.
+
+    Cross-engine determinism: the only float op is one pow per
+    STRATUM (not per row); tests/test_hygiene.py pins that every
+    per-language threshold sits far from an integer boundary of the
+    floor(rate * 2^32) quantization, so a last-ulp pow difference
+    between the JVM and C runtimes cannot flip any threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    thr = F.when(
+        F.col("cnt") == F.col("m"), F.lit("g")
+    ).otherwise(F.format_string(
+        "%08x",
+        F.floor(F.pow(F.col("m") * F.lit(1.0) / F.col("cnt"),
+                      F.lit(1 - _ALPHA))
+                * F.lit(4294967296.0)).cast("long")))
+    rates = counts.crossJoin(F.broadcast(m)).select(
+        "lang", thr.alias("thr"))
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit("temp42"),
+                          F.col("doc_id").cast("string"))), 1, 8)
+    return (docs.join(F.broadcast(rates), "lang")
+            .filter(h < F.col("thr"))
+            .select("doc_id", "lang"))

@@ -145,4 +145,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.llm  # noqa: F401
     import galaxy_spark.queries.multimodal  # noqa: F401
     import galaxy_spark.queries.curation  # noqa: F401
+    import galaxy_spark.queries.hygiene  # noqa: F401
     _LOADED = True
