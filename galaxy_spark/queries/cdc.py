@@ -316,3 +316,59 @@ def cdc_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for c in reg.get("test", tbl).columns)
         rows.append((len(rows) + 1, f"test.{tbl}", cols))
     return spark.createDataFrame(rows, "step int, tbl string, cols string")
+
+
+@register(
+    "cdc_apply_snapshot",
+    oracle=_ENV_CTE + """
+    , latest AS (
+        SELECT db, tbl, user_id AS pk,
+               arg_max(action, event_id) AS last_action,
+               arg_max(CASE WHEN action = 'delete' THEN value - 1.0
+                            ELSE value END, event_id) AS last_value,
+               MAX(event_id) AS last_pos,
+               CAST(COUNT(*) AS INTEGER) AS n_changes
+        FROM env GROUP BY 1, 2, 3
+    )
+    SELECT db AS database, tbl AS "table", pk,
+           last_value, last_pos, n_changes
+    FROM latest WHERE last_action <> 'delete'
+    """,
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> snapshot fold: the materialized table state a
+    consumer of the reference's Kafka topic maintains downstream
+    (the reference stops at the sink, ``internal/mq_manager``; this
+    is the canonical first thing every subscriber does with it).
+
+    Latest-wins per (database, table, primary key) by binlog
+    position, delete tombstones removed. The key and value come out
+    of the PROJECTED envelope (``coalesce(after, before)``), so the
+    whole §2.1 chain — synthesize S1, classify S3, project P2-P4 —
+    runs under the fold.
+
+    Shape at scale: one key-grouped aggregation via ``max_by``
+    (log_pos is totally ordered within a key), partial-aggregated
+    map-side — no window sort, no per-key shuffle of full history,
+    and hot keys collapse to one row per map task before the
+    exchange. The oracle mirrors with DuckDB ``arg_max``; the
+    delete-branch CASE reproduces the projection's before-image
+    (value - 1.0) even though tombstone values never survive the
+    final filter.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    proj = project_changes(env, EVENT_SOURCE_COLUMNS)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    pos = F.col("event_header.log_pos")
+    return (proj.select(
+                "database", "table", "action",
+                F.element_at(img, "user_id").cast("long").alias("pk"),
+                F.element_at(img, "value").cast("double").alias("v"),
+                pos.alias("pos"))
+            .groupBy("database", "table", "pk")
+            .agg(F.max_by("action", "pos").alias("last_action"),
+                 F.max_by("v", "pos").alias("last_value"),
+                 F.max("pos").alias("last_pos"),
+                 F.count("*").cast("int").alias("n_changes"))
+            .filter(F.col("last_action") != "delete")
+            .drop("last_action"))

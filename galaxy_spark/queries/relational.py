@@ -919,3 +919,127 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(cust, orders.o_custkey == cust.c_custkey)
             .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                     "o_totalprice", "total_qty"))
+
+
+# ------------------------------------------------------------------
+# ------------------------------------------------------------------
+# TPC-H breadth pack (r5): the remaining classic plan shapes not yet
+# covered — CASE-bucket join agg (Q12), disjunctive multi-predicate
+# join (Q19), NOT EXISTS + scalar-subquery threshold (Q22).
+# (Q4/Q6/Q14/Q18 shapes already exist above.) Column substitutions
+# where the driver's schema lacks TPC-H columns are noted per query.
+# ------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-bucketed counting (l_returnflag
+    standing in for the absent l_shipmode). COUNT(CASE ...) rather
+    than SUM(CASE ...) keeps both engines in BIGINT — the r4
+    HUGEINT-hash lesson, now a convention."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+            .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.when(high, 1)).alias("high_line_count"),
+                 F.count(F.when(~high, 1)).alias("low_line_count")))
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates
+    over a broadcast part join. Catalyst extracts the common
+    p_partkey = l_partkey conjunct so the OR never degrades the join
+    to a cartesian; the per-side residues (p_brand/p_size vs
+    l_quantity) are pushed below the join where each scan can use
+    them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+            | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+            | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30)))
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(F.round(F.sum(disc).cast("double"), 2).alias("revenue")))
+
+
+@register(
+    "q22_idle_customer_balance",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               / COUNT(*) AS ab
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9)
+    )
+    SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      AND c_acctbal > (SELECT ab FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers (balance above the positive
+    average of their nation group — c_nationkey standing in for the
+    absent phone country code) who have never ordered. NOT EXISTS
+    folds to a LEFT ANTI join on o_custkey; the average threshold is
+    an exact decimal sum divided once as a double, so the scalar
+    subquery broadcast compares identically in both engines."""
+    from galaxy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                   / COUNT(*) AS ab
+            FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9)
+        )
+        SELECT c_nationkey AS nation, COUNT(*) AS numcust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2)
+                   AS totacctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9)
+          AND c_acctbal > (SELECT ab FROM pos)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """)

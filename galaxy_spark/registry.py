@@ -112,6 +112,24 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
     "multimodal_resize_pipeline",
 )
 
+#: Queries registered AFTER the manifest freeze (r5+). They append
+#: behind the manifest in registration order, so they can never
+#: enter the external 50-row prefix; their certification is the
+#: driver-equivalent local comparison at sf0.001
+#: (tests/test_oracle.py) plus an explicit driver-scale (sf0.01)
+#: comparison (tests/test_oracle.py::test_post_freeze_at_driver_scale).
+#: APPEND-ONLY: add every new query name here, in order.
+POST_FREEZE_QUERIES: tuple[str, ...] = (
+    "cdc_apply_snapshot",
+    "q12_priority_by_returnflag",
+    "q19_disjunctive_revenue",
+    "q22_idle_customer_balance",
+    "decontaminate_ngram_overlap",
+    "pii_redact_documents",
+    "dedup_ngram_spans",
+    "mixture_temperature_sampling",
+)
+
 
 def _manifest_ordered(d: dict) -> dict:
     """Manifest names first (in CERTIFICATION_MANIFEST order), then

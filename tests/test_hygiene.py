@@ -21,27 +21,6 @@ SF_DRIVER = "/root/testdata/sf0.01"
 SF_ORACLE = "/root/testdata/sf0.001"
 
 
-def test_hygiene_oracles_at_driver_scale(spark):
-    """The four hygiene queries register AFTER the frozen
-    certification manifest (COVERAGE.md), so they never enter the
-    external 50-row prefix; this test runs the driver's comparison
-    at the driver's OWN scale (sf0.01) instead — on top of the
-    sf0.001 run every query gets in tests/test_oracle.py."""
-    from galaxy_spark.registry import all_oracles
-    from tests.oracle_harness import compare, duckdb_con
-    qs, ors = all_queries(), all_oracles()
-    con = duckdb_con(SF_DRIVER)
-    try:
-        for name in ("decontaminate_ngram_overlap",
-                     "pii_redact_documents",
-                     "dedup_ngram_spans",
-                     "mixture_temperature_sampling"):
-            problems = compare(qs[name](spark, SF_DRIVER), con, ors[name])
-            assert not problems, f"{name}: " + "; ".join(problems)
-    finally:
-        con.close()
-
-
 def test_pii_redaction_on_realistic_rows(spark):
     rows = [
         (1, "reach me at jane.doe+spam@corp.example.org today"),

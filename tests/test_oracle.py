@@ -37,6 +37,42 @@ def test_rows_only_queries_run(spark, name):
     df.limit(5).collect()  # must execute without error
 
 
+@pytest.mark.parametrize(
+    "name", __import__("galaxy_spark.registry",
+                       fromlist=["POST_FREEZE_QUERIES"]).POST_FREEZE_QUERIES)
+def test_post_freeze_at_driver_scale(spark, name):
+    """Queries registered AFTER the certification-manifest freeze
+    never enter the driver's external 50-row prefix (COVERAGE.md),
+    so run the identical comparison at the driver's OWN scale
+    (sf0.01) here — on top of the sf0.001 run above."""
+    from galaxy_spark.registry import POST_FREEZE_QUERIES
+
+    assert set(POST_FREEZE_QUERIES) <= set(QUERIES)
+    con = duckdb_con("/root/testdata/sf0.01")
+    try:
+        df = QUERIES[name](spark, "/root/testdata/sf0.01")
+        problems = compare(df, con, ORACLES[name])
+        assert not problems, f"{name}: " + "; ".join(problems)
+    finally:
+        con.close()
+
+
+def test_post_freeze_registry_complete():
+    """Every query outside the frozen manifest's registered 82-name
+    universe must be listed in POST_FREEZE_QUERIES — a new query
+    that forgets to register there silently skips its driver-scale
+    check."""
+    from galaxy_spark.registry import (CERTIFICATION_MANIFEST,
+                                       POST_FREEZE_QUERIES)
+
+    assert set(POST_FREEZE_QUERIES) <= set(QUERIES)
+    assert not set(POST_FREEZE_QUERIES) & set(CERTIFICATION_MANIFEST)
+    n_pre_freeze = len(QUERIES) - len(POST_FREEZE_QUERIES)
+    assert n_pre_freeze == 82, (
+        f"{len(QUERIES)} registered - {len(POST_FREEZE_QUERIES)} post-freeze "
+        f"!= 82 frozen; append the new query to POST_FREEZE_QUERIES")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     rows = e.entry(spark).collect()
