@@ -318,3 +318,63 @@ def mixture_temperature_sampling(spark: SparkSession,
     return (docs.join(F.broadcast(rates), "lang")
             .filter(h < F.col("thr"))
             .select("doc_id", "lang"))
+
+
+# ------------------------------------------------------------------
+# Column profiling (ANALYZE-style corpus stats)
+# ------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_union_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_columns_documents", oracle=_profile_union_sql())
+def profile_columns_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: per column, row/null/distinct
+    counts and min/max (rendered as strings so one report schema
+    covers every column type) — the stats pass a pipeline runs
+    before choosing dedup keys, partition columns, or mixture
+    strata.
+
+    Spark shape: ONE corpus pass computes every measure (the oracle
+    unions 5 single-column scans instead — DuckDB re-scans, Spark
+    doesn't); the multi-column exact COUNT(DISTINCT) plans as one
+    Expand (xN rows on the agg, still map-side partial), and the
+    final stack() unpivot is driver-trivial on the 1-row aggregate.
+    At 100 TB swap exact distinct for approx_count_distinct — the
+    Expand multiplier is the one piece of this plan that grows with
+    column count; the swap is a one-line change per measure and the
+    report contract (string-rendered values) doesn't move.
+    COUNT(CASE) keeps every count BIGINT in both engines (the r4
+    HUGEINT convention).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_str, max_str)")

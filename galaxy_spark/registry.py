@@ -128,6 +128,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "pii_redact_documents",
     "dedup_ngram_spans",
     "mixture_temperature_sampling",
+    "profile_columns_documents",
 )
 
 

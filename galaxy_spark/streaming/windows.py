@@ -52,3 +52,22 @@ def dedup_within_watermark(df: DataFrame, keys: list[str],
                            delay: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup with bounded state."""
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def incremental_exact_dedup(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """First-seen-wins exact dedup against ALL streamed history —
+    the streaming twin of the batch ``dedup_exact_documents`` tier:
+    a new document is emitted iff its content digest has never
+    appeared in ANY earlier micro-batch.
+
+    State is one 32-byte digest per distinct document, unbounded BY
+    DESIGN (the historical index IS the state); at cluster scale
+    back it with the RocksDB state store so it spills past executor
+    memory, and compact via the digest's natural uniformity — no
+    skew, HashPartitioning on the digest spreads state evenly. For
+    bounded-state dedup within a lateness horizon use
+    ``dedup_within_watermark`` instead.
+    """
+    digest = F.sha2(F.col(text_col).cast("string"), 256).alias("digest")
+    return df.select(F.col(id_col), digest).dropDuplicates(["digest"])

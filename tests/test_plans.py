@@ -260,3 +260,69 @@ def test_ivf_corpus_assignment_no_crossjoin(q):
     assert p.count("broadcastnestedloopjoin") <= 2, \
         "corpus-side assignment must not cross-join"
     assert "cartesianproduct" not in p
+
+
+# --- r5 additions: hygiene surface + CDC fold + TPC-H trio --------
+
+
+def test_pii_redact_is_scan_only(q):
+    # regexp count+replace is pure scan-local column algebra
+    assert exchange_count(q("pii_redact_documents")) == 0
+
+
+def test_decontamination_broadcasts_eval_grams(q):
+    """Eval-gram set broadcasts (never shuffles corpus grams against
+    it); the only exchanges are the eval distinct and the one-row-
+    per-doc hit-count agg."""
+    df = q("decontaminate_ngram_overlap")
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 2
+
+
+def test_ngram_spans_single_shuffle(q):
+    # one gram-keyed agg with map-side partial; nothing else moves
+    assert exchange_count(q("dedup_ngram_spans")) == 1
+
+
+def test_temperature_mixture_no_corpus_shuffle(q):
+    """Documents must reach the output through broadcast joins only
+    — the exchanges in the plan belong to the per-language count agg
+    (tiny), never to document rows."""
+    df = q("mixture_temperature_sampling")
+    assert broadcast_join_count(df) >= 1
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    assert "sortmergejoin" not in p, "doc join must broadcast"
+
+
+def test_cdc_apply_snapshot_single_shuffle_no_sort(q):
+    """Latest-wins fold is ONE key-grouped max_by aggregation: no
+    window sort over per-key history, one exchange total."""
+    df = q("cdc_apply_snapshot")
+    assert exchange_count(df) == 1
+    from galaxy_spark.plans import physical_plan
+    assert "window" not in physical_plan(df).lower()
+
+
+def test_q19_or_predicates_push_to_both_scans(q):
+    """The disjunction must not defeat pushdown: the quantity-range
+    OR reaches the lineitem scan, the equi-join conjunct survives
+    (no nested loop), and part broadcasts."""
+    df = q("q19_disjunctive_revenue")
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    assert broadcast_join_count(df) >= 1
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    assert "cartesianproduct" not in p
+    assert "broadcastnestedloopjoin" not in p
+
+
+def test_q22_anti_join_and_pushdown(q):
+    """NOT EXISTS folds to an anti join; the nation-set IN predicate
+    reaches the customer scan on both the threshold and main
+    branches."""
+    df = q("q22_idle_customer_balance")
+    assert any("c_nationkey" in f for f in pushed_filters(df))
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    assert "anti" in p, "NOT EXISTS must plan as an anti join"

@@ -595,3 +595,38 @@ def test_live_task_survives_filter_identity_update(spark, tmp_path):
     q.processAllAvailable()
     assert q.runId == run_id and q.isActive
     mgr.stop_task("t_live2")
+
+
+def test_incremental_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup must remember history ACROSS
+    micro-batches: batch 2 re-sends half of batch 1's documents plus
+    new ones; only the new ones may come out."""
+    src_dir = tmp_path / "docs_src"
+    src_dir.mkdir()
+    docs = load_table(spark, SF, "documents").limit(60).cache()
+    b1 = docs.filter("doc_id < 40")
+    b1.write.parquet(str(src_dir / "b1"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(
+        str(src_dir) + "/*")
+    out = W.incremental_exact_dedup(stream)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("inc_dedup").start())
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(DISTINCT digest) c FROM inc_dedup") \
+            .collect()[0]["c"]
+        # batch 2: doc_ids 20-59 — 20 repeats of batch 1 + 20 new
+        docs.filter("doc_id >= 20").write.parquet(str(src_dir / "b2"))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT digest, count(*) n FROM inc_dedup "
+                         "GROUP BY digest").collect()
+    finally:
+        q.stop()
+    # every digest exactly once, even though 20 docs were re-sent
+    assert all(r.n == 1 for r in rows)
+    exact = b1.unionAll(docs.filter("doc_id >= 20")) \
+        .selectExpr("sha2(cast(text AS string), 256) d").distinct().count()
+    assert len(rows) == exact
+    assert n1 <= len(rows)
+    docs.unpersist()
