@@ -630,3 +630,109 @@ def test_incremental_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     assert len(rows) == exact
     assert n1 <= len(rows)
     docs.unpersist()
+
+
+def test_transform_with_state_snapshot_matches_batch_fold(spark, tmp_path):
+    """Spark-4 arbitrary-state surface (transformWithStateInPandas):
+    the streaming latest-wins snapshot over two micro-batches must
+    agree key-for-key with the batch cdc_apply_snapshot fold over
+    the same events (deletes tombstoned, positions/values/counts
+    equal).
+
+    SKIPS in this sandbox: the transformWithState protocol runs a
+    protobuf-based driver worker and ``google.protobuf`` is not
+    installed here (pip is unavailable). The operator is still the
+    committed cluster path; the same latest-wins semantics are
+    exercised end-to-end through the legacy applyInPandasWithState
+    surface (test_stateful_running_totals) and the batch fold's
+    oracle row (cdc_apply_snapshot)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState driver worker needs protobuf; "
+               "absent in this container")
+    from galaxy_spark.cdc.envelope import (EVENT_SOURCE_COLUMNS,
+                                           envelope_from_events)
+    from galaxy_spark.cdc.projections import project_changes
+    from galaxy_spark.streaming.stateful import snapshot_maintenance
+
+    def project(env):
+        proj = project_changes(env, EVENT_SOURCE_COLUMNS)
+        img = F.coalesce(F.col("after"), F.col("before"))
+        return proj.select(
+            "database", "table", "action",
+            F.element_at(img, "user_id").cast("long").alias("pk"),
+            F.element_at(img, "value").cast("double").alias("v"),
+            F.col("event_header.log_pos").alias("pos"))
+
+    src = tmp_path / "env_src"
+    src.mkdir()
+    ev = load_table(spark, SF, "events").limit(300).cache()
+    ev.filter("event_id % 2 = 0").write.parquet(str(src / "b1"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        raw = spark.readStream.schema(ev.schema).parquet(str(src) + "/*")
+        out = snapshot_maintenance(project(envelope_from_events(raw)))
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("tws_snap")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            ev.filter("event_id % 2 = 1").write.parquet(str(src / "b2"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    # latest emitted row per key = the one with the max n_changes
+    # (monotone per key); drop tombstoned keys
+    stream_rows = spark.sql("""
+        SELECT database, table, pk, last_pos, last_value, n_changes
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY database, table, pk
+                  ORDER BY n_changes DESC) rn
+              FROM tws_snap) WHERE rn = 1 AND NOT is_deleted
+    """).collect()
+
+    batch = (project(envelope_from_events(ev))
+             .groupBy("database", "table", "pk")
+             .agg(F.max_by("action", "pos").alias("last_action"),
+                  F.max_by("v", "pos").alias("last_value"),
+                  F.max("pos").alias("last_pos"),
+                  F.count("*").alias("n_changes"))
+             .filter(F.col("last_action") != "delete")).collect()
+
+    key = lambda r: (r.database, r["table"], r.pk)
+    s = {key(r): (r.last_pos, r.last_value, r.n_changes)
+         for r in stream_rows}
+    b = {key(r): (r.last_pos, r.last_value, r.n_changes) for r in batch}
+    assert s == b
+    ev.unpersist()
+
+
+def test_snapshot_maintenance_gate_raises_cleanly_without_protobuf(spark):
+    """Where protobuf is absent the operator must fail fast with an
+    actionable message, not crash the query mid-start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present; gate not exercised")
+    except ImportError:
+        pass
+    from galaxy_spark.streaming.stateful import snapshot_maintenance
+    df = spark.createDataFrame(
+        [("db0", "click", 1, "insert", 1.0, 1)],
+        "database string, table string, pk long, action string, "
+        "v double, pos long")
+    with pytest.raises(ImportError, match="protobuf"):
+        snapshot_maintenance(df)
