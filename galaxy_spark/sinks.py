@@ -88,3 +88,42 @@ def compact(spark: SparkSession, path: str,
     os.rename(tmp, path)
     shutil.rmtree(bak)
     return n_files
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          key_col: str = "doc_id",
+                          mode: str = "overwrite") -> None:
+    """Terminal step of the curation pipeline: materialize the
+    curated corpus as ``n_shards`` deterministic, load-balanced
+    shards (``shard=<i>`` hive partitions, one file per shard).
+
+    Shard assignment is ``crc32(md5(key)) % n_shards`` — a pure
+    function of the KEY, never of layout or partition count, so
+    re-running the pipeline on a differently-partitioned input
+    yields byte-identical shard membership (the property trainers
+    rely on for resumable data loading). md5 uniformizes skewed key
+    spaces first, so shards stay balanced even for sequential ids.
+
+    ``repartition(n_shards, shard)`` lines executor tasks up with
+    shards — each task writes exactly its own shard file, no
+    post-hoc compaction pass. At 100 TB pick n_shards so one shard
+    ~= one training-loader chunk (hundreds of MB to a few GB).
+    """
+    from pyspark.sql import functions as F
+
+    shard = (F.crc32(F.md5(F.col(key_col).cast("string")))
+             % n_shards).cast("int").alias("shard")
+    out = df.withColumn("shard", shard)
+    (out.repartition(n_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path))
+
+
+def read_training_shard(spark: SparkSession, path: str,
+                        shard: int) -> DataFrame:
+    """Read ONE shard; the ``shard=<i>`` predicate prunes at
+    partition-discovery time (no other shard's files are listed)."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).filter(F.col("shard") == shard)

@@ -75,3 +75,35 @@ def test_compact_preserves_data(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == n == 1   # tiny data -> one file
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_training_shards_deterministic_balanced_and_pruned(spark, tmp_path):
+    from galaxy_spark.sinks import read_training_shard, write_training_shards
+    from galaxy_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    p1 = str(tmp_path / "shards1")
+    write_training_shards(docs, p1, n_shards=8)
+
+    # layout independence: a differently-partitioned input yields
+    # the identical shard membership
+    p2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(13), p2, n_shards=8)
+    a = {(r.doc_id, r.shard) for r in spark.read.parquet(p1)
+         .select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in spark.read.parquet(p2)
+         .select("doc_id", "shard").collect()}
+    assert a == b and len(a) == docs.count()
+
+    # balance: md5 uniformization keeps the largest shard within
+    # 2x of the mean even for sequential ids
+    sizes = [n for (_, n) in spark.read.parquet(p1)
+             .groupBy("shard").count().collect()]
+    assert len(sizes) == 8 and max(sizes) <= 2 * (sum(sizes) / 8)
+
+    # single-shard read prunes to that partition only
+    one = read_training_shard(spark, p1, 3)
+    from galaxy_spark.plans import partition_filters
+    assert any("shard" in f for f in partition_filters(one))
+    assert one.count() == sum(1 for (_, s) in a if s == 3)
