@@ -212,3 +212,103 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grains.groupBy("grain", "bucket_start", "event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the
+    first view, the first click AFTER that view, the first purchase
+    AFTER that click — the stage-gated sequence semantics a bare
+    per-type MIN gets wrong (a click preceding every view must not
+    count).
+
+    Shape at scale: three user-keyed conditional MIN aggs, each
+    joined to the previous stage's (user, ts) output. Every agg and
+    join hashes on user_id, so the exchange introduced by stage 1 is
+    reused down the chain (co-partitioned joins, no re-shuffle), and
+    stage outputs only shrink — the funnel narrows monotonically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase"))
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        -- CAST: DuckDB's date_trunc('week', TIMESTAMP) yields DATE;
+        -- Spark's yields TIMESTAMP (type-exact harness catches it)
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, a.active_week)
+                      / 7.0) AS INTEGER) AS week_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week,
+    counted in every later week they were active — the (cohort x
+    offset) retention triangle. Both engines truncate weeks to
+    Monday, and the day difference between two week-truncations is
+    an exact multiple of 7, so the floor-div offset is engine-safe.
+
+    Shape at scale: one user-keyed MIN agg (first-seen), one
+    DISTINCT over (user, week) — partial-aggregated, so a user's
+    thousandth event in a week dies map-side — then a user-keyed
+    join and a tiny (cohort, offset) count agg. COUNT(*) over the
+    already-distinct pairs, never COUNT(DISTINCT) over raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = (ev.groupBy("user_id")
+         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    a = (ev.select("user_id",
+                   F.date_trunc("week", "ts").alias("active_week"))
+         .distinct())
+    return (a.join(f, "user_id")
+            .groupBy("cohort_week",
+                     F.floor(F.datediff("active_week", "cohort_week")
+                             / F.lit(7.0)).cast("int").alias("week_offset"))
+            .agg(F.count("*").alias("n_users")))

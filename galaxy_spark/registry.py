@@ -129,6 +129,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "dedup_ngram_spans",
     "mixture_temperature_sampling",
     "profile_columns_documents",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
 )
 
 
