@@ -326,3 +326,36 @@ def test_q22_anti_join_and_pushdown(q):
     from galaxy_spark.plans import physical_plan
     p = physical_plan(df).lower()
     assert "anti" in p, "NOT EXISTS must plan as an anti join"
+
+
+def test_funnel_pushes_stage_predicates_no_cartesian(q):
+    """Each funnel stage's event_type filter reaches its scan; the
+    user-keyed chain never degrades to a nested loop, and the
+    exchange count stays bounded (stage aggs + final assembly)."""
+    df = q("events_funnel_conversion")
+    assert any("view" in f for f in pushed_filters(df))
+    assert any("purchase" in f for f in pushed_filters(df))
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    assert "cartesianproduct" not in p
+    assert "broadcastnestedloopjoin" not in p
+    assert exchange_count(df) <= 6
+
+
+def test_retention_distinct_runs_before_join(q):
+    """(user, week) DISTINCT must partial-aggregate BEFORE the
+    cohort join — three exchanges total (first-seen agg, distinct,
+    final count), never a distinct over post-join rows."""
+    df = q("events_retention_cohorts")
+    assert exchange_count(df) <= 3
+
+
+def test_profile_single_corpus_scan(q):
+    """The profiler computes every per-column measure in ONE pass
+    (the oracle re-scans per column; Spark must not)."""
+    df = q("profile_columns_documents")
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df).lower()
+    # formatted plans print each scan twice (tree node + details)
+    assert p.count("scan parquet") <= 2, "documents must be scanned once"
+    assert exchange_count(df) <= 2
