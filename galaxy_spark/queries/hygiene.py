@@ -378,3 +378,65 @@ def profile_columns_documents(spark: SparkSession,
         "n_rows",
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(col_name, n_nulls, n_distinct, min_str, max_str)")
+
+
+# ------------------------------------------------------------------
+# Embedding storage quantization (int8)
+# ------------------------------------------------------------------
+
+@register(
+    "embeddings_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, vec,
+               greatest(list_max(list_transform(vec, x -> abs(x))),
+                        1e-12) / 127.0 AS scale
+        FROM v
+    )
+    SELECT vec_id, scale,
+           list_transform(vec,
+               x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec,
+           ROUND(list_sum(list_transform(range(1, 65),
+               i -> abs(vec[i] - CAST(floor(vec[i] / scale + 0.5)
+                                      AS INTEGER) * scale))) / 64.0, 6)
+               AS mean_abs_err
+    FROM m
+    """,
+)
+def embeddings_quantize_int8(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth compression step ANN indexes and training
+    loaders apply before shipping vectors. Per vector:
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit
+    floor-based rounding: identical semantics in the JVM and C, no
+    banker's-rounding divergence), plus the mean absolute
+    reconstruction error, bounded by scale/2 per element
+    (pinned in tests/test_hygiene.py).
+
+    Scan-local column algebra, zero shuffles. ``scale`` is
+    materialized as a COLUMN before the per-element lambdas capture
+    it — capturing the max-abs EXPRESSION would re-evaluate it per
+    element in interpreted higher-order functions (the
+    captured-lambda trap, SCALE.md).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    base = (emb.select(
+        "vec_id", v.alias("vec"),
+        (F.greatest(mx, F.lit(1e-12)) / F.lit(127.0)).alias("scale")))
+    s = F.col("scale")
+    q = F.transform("vec", lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))
+    with_q = base.select("vec_id", "vec", "scale", q.alias("qvec"))
+    err_terms = F.zip_with(
+        "vec", "qvec", lambda x, qq: F.abs(x - qq.cast("double") * s))
+    mean_err = (F.aggregate(err_terms, F.lit(0.0), lambda a, x: a + x)
+                / F.lit(64.0))
+    return with_q.select(
+        "vec_id", "scale", "qvec",
+        F.round(mean_err, 6).alias("mean_abs_err"))

@@ -131,6 +131,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "profile_columns_documents",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "embeddings_quantize_int8",
 )
 
 

@@ -147,3 +147,23 @@ def test_ngram_spans_match_duplicate_structure(spark):
             params=[r.gram]).fetchone()[0]
         assert n == r.n_docs, (r.gram, n, r.n_docs)
     con.close()
+
+
+def test_int8_quantization_bounds_and_reconstruction(spark):
+    """Every quantized component is in [-127, 127], reconstruction
+    error per element stays under scale/2, and the reported mean
+    error agrees with a numpy recomputation."""
+    import numpy as np
+
+    rows = all_queries()["embeddings_quantize_int8"](
+        spark, SF_ORACLE).collect()
+    emb = {r.vec_id: r.embedding for r in
+           spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect()}
+    assert rows
+    for r in rows[:50]:
+        q = np.array(r.qvec)
+        assert q.min() >= -127 and q.max() <= 127
+        x = np.array(emb[r.vec_id], dtype=np.float64)
+        recon = q * r.scale
+        assert np.max(np.abs(x - recon)) <= r.scale / 2 + 1e-12
+        assert abs(np.mean(np.abs(x - recon)) - r.mean_abs_err) < 1e-6

@@ -359,3 +359,8 @@ def test_profile_single_corpus_scan(q):
     # formatted plans print each scan twice (tree node + details)
     assert p.count("scan parquet") <= 2, "documents must be scanned once"
     assert exchange_count(df) <= 2
+
+
+def test_quantization_is_scan_only(q):
+    # per-vector scale + rounding is pure scan-local column algebra
+    assert exchange_count(q("embeddings_quantize_int8")) == 0
