@@ -132,6 +132,18 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "events_funnel_conversion",
     "events_retention_cohorts",
     "embeddings_quantize_int8",
+    "q2_min_cost_regional_supplier",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_item_customers",
+    "q11_important_part_value",
+    "q13_customer_order_distribution",
+    "q15_top_revenue_supplier",
+    "q16_supplier_count_by_part",
+    "q20_excess_quantity_suppliers",
+    "q21_latest_shipper_waiting",
 )
 
 
@@ -168,4 +180,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.multimodal  # noqa: F401
     import galaxy_spark.queries.curation  # noqa: F401
     import galaxy_spark.queries.hygiene  # noqa: F401
+    import galaxy_spark.queries.tpch  # noqa: F401
     _LOADED = True
