@@ -1,0 +1,332 @@
+"""Corpus indexing & reference-membership surface (r5).
+
+Three operations a large-scale training-data pipeline runs that the
+earlier curation/hygiene modules don't cover:
+
+- ``dedup_bloom_reference`` — membership of a stream/corpus against
+  a FIXED-SIZE Bloom filter built from a reference corpus: the
+  standard "have we already trained on this?" gate. The filter is
+  O(m) bits regardless of reference size, so at 100 TB it still
+  broadcasts.
+- ``text_inverted_index`` — term -> document-frequency + sorted
+  posting list, the retrieval-side building block (and the exact
+  shape BM25 / sparse retrieval sits on).
+- ``quality_bigram_logprob`` — mean bigram conditional NLL under
+  the corpus's own bigram LM; one step up the perplexity-filter
+  ladder from ``quality_unigram_logprob`` (CCNet uses a full KenLM
+  for the same role).
+
+Float/hash determinism follows the repo conventions: md5 is the
+cross-engine hash (Spark ``F.md5`` == DuckDB ``md5``), per-element
+logs are rounded at 1e-6 and summed as DECIMAL so partial-agg order
+can't move a score, and posting lists are sorted with explicit
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galaxy_spark.operators import pq, similarity, text
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+# Bloom geometry: m = 16^4 = 65536 positions (one 4-hex-char slice
+# of an md5 per hash), k = 7 independent hashes via seed prefixes.
+# At reference size n the false-positive rate is the textbook
+# (1 - e^{-kn/m})^k; the REPORT is algorithm-mirroring, so both
+# engines flag the identical doc set including any false positives.
+_BLOOM_K = 7
+_BLOOM_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _bloom_positions(col, k: int = _BLOOM_K):
+    """k Bloom positions of a text column: 4-hex-char slices of
+    seed-prefixed md5 digests — identical strings in both engines,
+    no hex->int conversion needed (the position universe is the
+    65536 4-char strings)."""
+    return F.array(*[
+        F.substring(F.md5(F.concat_ws(":", F.lit(f"bloom{i}"), col)), 1, 4)
+        for i in range(k)
+    ])
+
+
+def _bloom_positions_sql(col: str, k: int = _BLOOM_K) -> str:
+    return ("[" + ", ".join(
+        f"substring(md5(concat('bloom{i}', ':', {col})), 1, 4)"
+        for i in range(k)) + "]")
+
+
+_REF_PRED = "source IN ('" + "','".join(_BLOOM_REF_SOURCES) + "')"
+
+
+@register(
+    "dedup_bloom_reference",
+    oracle=f"""
+    WITH ref_bits AS (
+        SELECT DISTINCT unnest({_bloom_positions_sql('text')}) AS pos
+        FROM documents WHERE {_REF_PRED}
+    ), probe AS (
+        SELECT doc_id, unnest({_bloom_positions_sql('text')}) AS pos
+        FROM documents
+    )
+    SELECT p.doc_id,
+           (COUNT(r.pos) = {_BLOOM_K}) AS bloom_hit
+    FROM probe p LEFT JOIN ref_bits r ON p.pos = r.pos
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_bloom_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate against a reference corpus:
+    probe documents are flagged when ALL k hash positions of their
+    text are set by some reference document.
+
+    Why this tier exists next to exact/minhash dedup: the filter is
+    a FIXED 65536-position set (8 KiB as a bitmap) no matter how
+    large the reference corpus grows — at 100 TB the exact-dedup
+    digest join shuffles the corpus, while the Bloom gate broadcasts
+    the filter and runs scan-local except for one tiny doc-keyed
+    partial agg. False positives are the documented price (rate
+    (1-e^{{-kn/m}})^k, tunable via m); a hit therefore routes to a
+    verify tier, exactly like the LSH near-dup candidates.
+
+    Plan: reference side aggregates to <= m distinct position
+    strings (broadcast); probe side explodes its k=7 positions,
+    broadcast-left-joins the bit set, and folds hit = (matched
+    count == k) per doc — the partial agg absorbs the 7x explode
+    map-side, so the exchange carries one row per probe doc. The
+    probe runs over ALL documents (reference docs self-hit by
+    construction), so both the hit and miss branches are verified
+    at every scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.col("source").isin(*_BLOOM_REF_SOURCES)
+    ref_bits = (docs.filter(is_ref)
+                .select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+                .distinct())
+    probe = docs.select(
+        "doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+    return (
+        probe.join(F.broadcast(ref_bits.withColumn("hit", F.lit(1))),
+                   "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_hit"))
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), agg AS (
+        SELECT term, COUNT(*) AS df,
+               LIST(doc_id ORDER BY doc_id) AS all_postings
+        FROM pairs GROUP BY term
+    )
+    SELECT term, df, all_postings[1:100] AS postings
+    FROM agg WHERE df >= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: term -> document frequency + sorted posting
+    list (first 100 doc ids), for terms appearing in >= 5 docs.
+
+    Shape at scale: one explode + distinct-pair reduce + one
+    term-keyed agg — the same single-shuffle skeleton as TF-IDF.
+    The 100-id posting cap bounds the row size for stop-word-class
+    terms (at 100 TB "the" would otherwise carry billions of ids);
+    a production index shards hot terms into (term, bucket) rows —
+    same plan, one more key column. The cap is the SORTED PREFIX,
+    so it stays deterministic and mirrors DuckDB's list slice
+    exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (docs.select("doc_id",
+                         F.explode(text.tokens(F.col("text"))).alias("term"))
+             .distinct())
+    return (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"),
+             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 100)
+             .alias("postings"))
+        .filter(F.col("df") >= 5)
+        .select("term", "df", "postings")
+    )
+
+
+@register(
+    "quality_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks
+    ), split AS (
+        SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bigrams
+    ), bg_freq AS (
+        SELECT bg, COUNT(*) AS c12 FROM split GROUP BY bg
+    ), prefix_freq AS (
+        SELECT w1, COUNT(*) AS c1 FROM split GROUP BY w1
+    ), scored AS (
+        SELECT s.doc_id,
+               ROUND(ln(f.c12 * 1.0 / p.c1), 6) AS lp
+        FROM split s
+        JOIN bg_freq f ON s.bg = f.bg
+        JOIN prefix_freq p ON s.w1 = p.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18, 6))) AS DOUBLE)
+                 / COUNT(*), 4) AS bigram_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM corpus quality: mean -ln p(w2|w1) of a document's
+    bigrams under the corpus's own MLE bigram model (p = c(w1 w2) /
+    c(w1-as-prefix)). One rung above ``quality_unigram_logprob`` on
+    the perplexity-filter ladder: it additionally penalizes
+    plausible-words-in-implausible-order (shuffled/templated spam
+    that unigram NLL scores as normal).
+
+    Shape at scale: bigram explode -> one bigram-keyed agg + one
+    prefix-keyed agg (both vocabulary-sized outputs), then scoring
+    re-joins on those keys and folds per-doc. Same determinism
+    pattern as the unigram query: per-bigram log rounded at 1e-6,
+    summed as DECIMAL — partition order can't move the score.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens(F.col("text"))
+    m = F.greatest(F.size(tk) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(tk, 1, m), F.slice(tk, 2, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    split = (docs.select("doc_id", F.explode(bigrams).alias("bg"))
+             .withColumn("w1", F.split(F.col("bg"), " ").getItem(0)))
+    bg_freq = split.groupBy("bg").agg(F.count("*").alias("c12"))
+    prefix_freq = (split.groupBy(F.col("w1").alias("pw1"))
+                   .agg(F.count("*").alias("c1")))
+    lp = F.round(F.log(F.col("c12") * F.lit(1.0) / F.col("c1")), 6)
+    return (
+        split.join(bg_freq, "bg")
+        .join(prefix_freq, split.w1 == F.col("pw1"))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_bigrams"),
+             F.round(-F.sum(F.col("lp").cast("decimal(18,6)")).cast("double")
+                     / F.count("*"), 4).alias("bigram_nll"))
+    )
+
+
+_PQ_SUB, _PQ_DIM, _PQ_K = 16, 4, 64
+_PQ_SUBS_SQL = "[" + ", ".join(str(i) for i in range(_PQ_SUB)) + "]"
+
+_PQ_SQ_L2 = ("(CAST({v}[s.s*4+i] AS DOUBLE) - CAST({c}[s.s*4+i] AS DOUBLE))"
+             " * "
+             "(CAST({v}[s.s*4+i] AS DOUBLE) - CAST({c}[s.s*4+i] AS DOUBLE))")
+
+_PQ_DOT = "CAST({v}[s.s*4+i] AS DOUBLE) * CAST({c}[s.s*4+i] AS DOUBLE)"
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cent_id, embedding AS cent_vec
+        FROM embeddings
+        ORDER BY md5(concat('pq:', CAST(vec_id AS VARCHAR))), vec_id
+        LIMIT {_PQ_K}
+    ), subs AS (
+        SELECT unnest({_PQ_SUBS_SQL}) AS s
+    ), codes AS (
+        SELECT vec_id, s, cent_id AS code FROM (
+            SELECT c.vec_id, s.s, ct.cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id, s.s
+                       ORDER BY list_sum(list_transform(range(1, {_PQ_DIM + 1}), i ->
+                           {_PQ_SQ_L2.format(v='c.embedding',
+                                             c='ct.cent_vec')})),
+                                ct.cent_id) AS r
+            FROM embeddings c CROSS JOIN subs s CROSS JOIN cent ct
+        ) WHERE r = 1
+    ), lut AS (
+        SELECT q.vec_id AS q_id, s.s, ct.cent_id,
+               ROUND(list_sum(list_transform(range(1, {_PQ_DIM + 1}), i ->
+                   {_PQ_DOT.format(v='q.embedding', c='ct.cent_vec')})), 6)
+                   AS d
+        FROM embeddings q CROSS JOIN subs s CROSS JOIN cent ct
+        WHERE q.vec_id < 10
+    ), scored AS (
+        SELECT l.q_id, c.vec_id AS neighbor_id,
+               SUM(CAST(l.d AS DECIMAL(18,6))) AS adc
+        FROM codes c JOIN lut l ON l.s = c.s AND l.cent_id = c.code
+        WHERE c.vec_id != l.q_id
+        GROUP BY l.q_id, c.vec_id
+    ), ranked AS (
+        SELECT q_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY adc DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, ROUND(CAST(adc AS DOUBLE), 4) AS adc_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors
+    compress to M=16 subspace codes (4 dims each) against k=64
+    hash-picked centroids per subspace; queries score the CODES
+    through a broadcast asymmetric-distance lookup table —
+    approximate inner product, ranked with a neighbor-id tie-break.
+
+    Fourth ANN tier beside exact/GEMM (full scan), LSH (bucketed
+    recall), and IVF (partition pruning): PQ's axis is MEMORY — 12
+    bytes a vector (16 x 6-bit codes) vs 256 for float32, ~21x, so
+    a 100 TB corpus's codes fit in ~5 TB and scan from RAM/NVMe.
+    The M/k setting is corpus-tuned: uniformly-random unit vectors
+    (this testdata) are PQ's hardest case — recall@5 = 0.5 here,
+    pinned >= 0.4 in tests/test_similarity_recall.py; clustered
+    real embeddings support far coarser codes. Code assignment is
+    scan-local (literal centroids folded into the plan — no join,
+    no shuffle, O(n·k) flops with k fixed); the ADC table is
+    |Q|·M·k rows, broadcast; the single exchange carries one row
+    per (query, vector) after map-side partial aggregation.
+
+    Algorithm-mirroring oracle: same md5 centroid pick, same
+    left-fold float64 subspace distances, per-entry dots rounded at
+    1e-6 then DECIMAL-summed (partition order can't move a score),
+    identical argmin and ranking tie-breaks — DuckDB runs the PQ
+    algorithm itself, bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(similarity.hash_pick_centroids(emb, _PQ_K, "pq"),
+                   key=lambda t: t[0])
+    codes = pq.pq_codes(emb, cents, _PQ_SUB, _PQ_DIM)
+    qrows = (emb.filter(F.col("vec_id") < 10)
+             .select("vec_id", "embedding").collect())
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    lut = spark.createDataFrame(
+        pq.adc_lut_rows(queries, cents, _PQ_SUB, _PQ_DIM),
+        "q_id long, s int, cent_id long, d double",
+    ).select("q_id", "s", "cent_id",
+             F.round("d", 6).cast("decimal(18,6)").alias("d6"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc"), "neighbor_id")
+    return (
+        codes.join(F.broadcast(lut),
+                   (codes.s == lut.s) & (codes.code == lut.cent_id))
+        .filter(F.col("id") != F.col("q_id"))
+        .groupBy("q_id", F.col("id").alias("neighbor_id"))
+        .agg(F.sum("d6").alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id",
+                F.round(F.col("adc").cast("double"), 4).alias("adc_score"),
+                "rank")
+    )

@@ -144,6 +144,10 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "q16_supplier_count_by_part",
     "q20_excess_quantity_suppliers",
     "q21_latest_shipper_waiting",
+    "dedup_bloom_reference",
+    "text_inverted_index",
+    "quality_bigram_logprob",
+    "similarity_pq_topk",
 )
 
 
@@ -181,4 +185,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.curation  # noqa: F401
     import galaxy_spark.queries.hygiene  # noqa: F401
     import galaxy_spark.queries.tpch  # noqa: F401
+    import galaxy_spark.queries.indexing  # noqa: F401
     _LOADED = True

@@ -143,3 +143,17 @@ def test_jaccard_df_cutoff_exact_on_survivors(spark):
     assert set(tight) <= set(exact)            # (a) no invented pairs
     assert all(tight[k] == exact[k] for k in tight)   # (b) exact values
     assert len(tight) > 0
+
+
+def test_pq_recall_beats_floor(spark):
+    """PQ ADC recall@5 vs exact cosine — uniformly-random unit
+    vectors are PQ's worst case (no cluster structure for the
+    subspace codebooks to exploit); M=16 x k=64 measures 0.5 here,
+    pinned with margin. Vectors are unit-norm so the inner-product
+    ADC ranks the same metric as the cosine baseline."""
+    from galaxy_spark.registry import all_queries
+
+    q = all_queries()
+    exact = q["similarity_cosine_topk"](spark, SF_SMOKE)
+    pq_df = q["similarity_pq_topk"](spark, SF_SMOKE)
+    assert _recall(pq_df, exact) >= 0.4
