@@ -364,3 +364,59 @@ def test_profile_single_corpus_scan(q):
 def test_quantization_is_scan_only(q):
     # per-vector scale + rounding is pure scan-local column algebra
     assert exchange_count(q("embeddings_quantize_int8")) == 0
+
+
+def test_q5_broadcasts_dims_two_fact_shuffles(q):
+    df = q("q5_local_supplier_volume")
+    # supplier/nation/region broadcast; shuffles: lineitem⋈orders,
+    # ⋈customer, final groupBy (+AQE reads) — no extra exchanges
+    assert broadcast_join_count(df) >= 3
+    assert any("o_orderdate" in f for f in pushed_filters(df)), \
+        "order-date window must reach the orders scan"
+
+
+def test_q2_argmin_single_shuffle_no_sort(q):
+    from galaxy_spark.plans import physical_plan
+    df = q("q2_min_cost_regional_supplier")
+    # min(struct) partial-aggregates map-side: one exchange on
+    # p_partkey, and NO sort anywhere (the window variant sorted
+    # every group)
+    assert exchange_count(df) <= 1
+    assert "Window" not in physical_plan(df), \
+        "argmin must aggregate, not run a window over every row"
+
+
+def test_q13_left_join_keeps_zero_order_customers(q):
+    # the o_orderpriority predicate must push to the ORDERS scan
+    # (join-side), never become a post-join filter that would drop
+    # customers with no orders
+    df = q("q13_customer_order_distribution")
+    assert any("o_orderpriority" in f for f in pushed_filters(df))
+
+
+def test_bloom_filter_side_broadcasts(q):
+    df = q("dedup_bloom_reference")
+    # the position set is bounded by m=65536 — must broadcast;
+    # the only exchange is the final doc-keyed fold (+ the
+    # ref-side distinct)
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 2
+
+
+def test_pq_codes_single_arrow_pass_no_join(q):
+    from galaxy_spark.plans import physical_plan
+    df = q("similarity_pq_topk")
+    import re
+    plan = physical_plan(df)
+    # ONE mapInPandas for code assignment; the ADC table joins as a
+    # broadcast; no shuffle before the (q_id, neighbor_id) fold
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, \
+        "code assignment must be one Arrow pass"
+    assert broadcast_join_count(df) >= 1, "ADC lookup table must broadcast"
+
+
+def test_inverted_index_two_shuffles(q):
+    # distinct pair reduce + term agg; both shuffle on bounded-width
+    # keys, postings capped at the sorted prefix
+    df = q("text_inverted_index")
+    assert exchange_count(df) <= 2
