@@ -9,7 +9,7 @@ rows without needing map types.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from galaxy_spark.cdc.envelope import EVENT_SOURCE_COLUMNS, envelope_from_events
@@ -372,3 +372,58 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").cast("int").alias("n_changes"))
             .filter(F.col("last_action") != "delete")
             .drop("last_action"))
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=_ENV_CTE + """
+    , ch AS (
+        SELECT db, tbl, user_id AS pk, event_id AS pos, action, value,
+               LEAD(event_id) OVER (PARTITION BY db, tbl, user_id
+                                    ORDER BY event_id) AS valid_to
+        FROM env
+    )
+    SELECT db AS database, tbl AS "table", pk, value,
+           pos AS valid_from, valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY db, tbl, pk
+                                   ORDER BY pos) AS INTEGER) AS version,
+           (valid_to IS NULL) AS is_current
+    FROM ch WHERE action <> 'delete'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the changelog:
+    every non-delete change opens a version row with
+    ``[valid_from, valid_to)`` binlog-position validity; the next
+    change on the key (INCLUDING a delete tombstone) closes it;
+    the last un-superseded version is ``is_current``. The standard
+    warehouse materialization one step past ``cdc_apply_snapshot``
+    (which keeps only the latest image; this keeps point-in-time
+    history an AS-OF join can hit).
+
+    Shape at scale: one window over (db, table, pk) ordered by the
+    totally-ordered binlog position — partitioned by the key, so
+    parallelism is the key cardinality and no reducer sees more
+    than one key's history; versions come from the same sort, so
+    both window functions share a single exchange+sort. The delete
+    rows participate in LEAD (they close intervals) and are then
+    dropped — exactly the tombstone semantics of the reference's
+    downstream consumers.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    proj = project_changes(env, EVENT_SOURCE_COLUMNS)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    ch = proj.select(
+        "database", "table", "action",
+        F.element_at(img, "user_id").cast("long").alias("pk"),
+        F.element_at(F.col("after"), "value").cast("double").alias("value"),
+        F.col("event_header.log_pos").alias("pos"))
+    w = Window.partitionBy("database", "table", "pk").orderBy("pos")
+    return (
+        ch.withColumn("valid_to", F.lead("pos").over(w))
+        .filter(F.col("action") != "delete")
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .select("database", "table", "pk", "value",
+                F.col("pos").alias("valid_from"), "valid_to", "version",
+                F.col("valid_to").isNull().alias("is_current"))
+    )

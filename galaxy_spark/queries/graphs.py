@@ -1,0 +1,133 @@
+"""Weighted iterative graph analytics (r5).
+
+``operators/graph.py`` gives the engine its connected-components
+primitive (min-label propagation for dedup clustering); this module
+adds the other canonical iterative-graph shape: fixed-round
+PageRank over a co-occurrence graph — per-round float discipline
+(round contributions at 1e-9, DECIMAL-sum incoming mass) makes the
+iteration bit-reproducible across engines, so the DuckDB oracle
+runs the SAME five rounds as unrolled CTEs and must land on the
+identical ranks.
+
+Scale notes (100 TB): the graph materializes once per round as an
+edges ⋈ ranks equi-join + a dst-keyed agg — one shuffle per round,
+rounds fixed (5). Rank state is |V| rows. On a real cluster edges
+would be persisted across rounds (here the scan re-reads; the
+testdata fact table is small, and bench isolates steady-state);
+the per-round plan is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+_PR_ROUNDS = 5
+_PR_DAMP = 0.85
+
+
+def _pr_oracle() -> str:
+    head = """
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), half AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nv AS (
+        SELECT COUNT(*) * 1.0 AS n FROM deg
+    ), tele AS (
+        SELECT CAST(ROUND(0.15 / nv.n, 9) AS DECIMAL(28,9)) AS t FROM nv
+    ), r0 AS (
+        SELECT node, deg, ROUND(1.0 / nv.n, 9) AS rank FROM deg, nv
+    )"""
+    rounds = []
+    for k in range(1, _PR_ROUNDS + 1):
+        rounds.append(f"""
+    , c{k} AS (
+        SELECT e.dst AS node,
+               CAST(ROUND(r.rank / r.deg, 9) AS DECIMAL(28,9)) AS c
+        FROM edges e JOIN r{k - 1} r ON e.src = r.node
+    ), r{k} AS (
+        SELECT d.node, d.deg,
+               CAST(tele.t + CAST({_PR_DAMP} AS DECIMAL(3,2))
+                    * CAST(SUM(s.c) AS DECIMAL(20,9)) AS DOUBLE) AS rank
+        FROM c{k} s JOIN deg d ON s.node = d.node, tele
+        GROUP BY d.node, d.deg, tele.t
+    )""")
+    tail = f"""
+    SELECT node AS part, deg, rank FROM r{_PR_ROUNDS}
+    """
+    return head + "".join(rounds) + tail
+
+
+@register("graph_pagerank_parts", oracle=_pr_oracle())
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 rounds, d=0.85) over the part co-purchase graph
+    (parts sharing an order are linked; the graph is symmetrized,
+    so every node has in- and out-edges and there are no dangling
+    sinks). The analytics shape a recommender runs on a
+    billion-node catalog.
+
+    Per-round determinism (the oracle runs the identical rounds):
+    each node's outgoing contribution rank/deg is a single float64
+    division rounded at 1e-9; incoming mass is summed as
+    DECIMAL(28,9) so partition/order can't move it; the damped
+    update ``tele + 0.85 * mass`` runs ENTIRELY in decimal — mass
+    is an exact multiple of 1e-9, so ``0.85 * mass`` lands exactly
+    on decimal half-boundaries at digit 9, where the engines'
+    double ROUNDs disagree (this shipped as a 153-row 1-ulp
+    mismatch before the decimal form; see git history) — and only
+    the final cast back to double (correctly-rounded, identical
+    both engines) leaves decimal. Every round is one edges ⋈ ranks
+    join + one dst-keyed agg — shuffle count = rounds, state = |V|
+    rows, the same budget as the CC operator's label rounds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(F.col("l_orderkey").alias("o"),
+                      F.col("l_partkey").alias("p")).distinct()
+    half = (pairs.alias("a")
+            .join(pairs.alias("b"),
+                  (F.col("a.o") == F.col("b.o"))
+                  & (F.col("a.p") < F.col("b.p")))
+            .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+            .distinct())
+    # the edge list feeds every round — cut lineage once (lazy
+    # localCheckpoint, materialized by the first action) so the
+    # scan + self-join + distincts run ONCE, not rounds× (13 s ->
+    # 4 s at sf0.1); bench.py releases the blocks between queries
+    edges = (half.union(half.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .localCheckpoint(eager=False))
+    deg = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.count("*").alias("deg"))
+           .localCheckpoint(eager=False))
+    nv = deg.agg((F.count("*") * F.lit(1.0)).alias("n"))
+    tele = nv.select(F.round(F.lit(0.15) / F.col("n"), 9)
+                     .cast("decimal(28,9)").alias("t"))
+    ranks = (deg.crossJoin(F.broadcast(nv))
+             .select("node", "deg", F.round(F.lit(1.0) / F.col("n"), 9)
+                     .alias("rank")))
+    for _ in range(_PR_ROUNDS):
+        contrib = (edges.join(ranks, edges.src == ranks.node)
+                   .select(F.col("dst").alias("cnode"),
+                           F.round(F.col("rank") / F.col("deg"), 9)
+                           .cast("decimal(28,9)").alias("c")))
+        ranks = (contrib.groupBy("cnode")
+                 .agg(F.sum("c").alias("mass"))
+                 .join(deg, F.col("cnode") == F.col("node"))
+                 .crossJoin(F.broadcast(tele))
+                 .select("node", "deg",
+                         (F.col("t")
+                          + F.lit(_PR_DAMP).cast("decimal(3,2)")
+                          * F.col("mass").cast("decimal(20,9)"))
+                         .cast("double").alias("rank")))
+    return ranks.select(F.col("node").alias("part"), "deg", "rank")

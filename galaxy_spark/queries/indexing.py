@@ -330,3 +330,96 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("adc").cast("double"), 4).alias("adc_score"),
                 "rank")
     )
+
+
+_BM25_TERMS = ("vector", "hash", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS_SQL = "('" + "','".join(_BM25_TERMS) + "')"
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN {_BM25_TERMS_SQL} GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               ROUND(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * (tf.tf * ({_BM25_K1} + 1))
+                     / (tf.tf + {_BM25_K1}
+                        * (1 - {_BM25_B}
+                           + {_BM25_B} * dl.dl / s.avgdl)), 6) AS s6
+        FROM tf JOIN df ON tf.term = df.term
+                JOIN dl ON tf.doc_id = dl.doc_id, stats s
+    ), folded AS (
+        SELECT doc_id, SUM(CAST(s6 AS DECIMAL(18,6))) AS score_dec,
+               CAST(COUNT(*) AS INTEGER) AS n_terms
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(CAST(score_dec AS DOUBLE), 4) AS bm25,
+           n_terms
+    FROM folded
+    ORDER BY score_dec DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck Jones, the Okapi weighting):
+    top-20 documents for a fixed conjunctive term set, k1=1.2
+    b=0.75, with the always-positive idf variant
+    ``ln((N - df + .5)/(df + .5) + 1)``. The query-time half of the
+    inverted-index pair: ``text_inverted_index`` builds the
+    postings, this ranks against the same statistics.
+
+    Shape at scale: the token explode feeds BOTH the per-doc length
+    agg and the term-filtered tf agg; df aggregates from tf's
+    (already tiny) output; N/avgdl ride a 1-row broadcast cross
+    join and df a |terms|-row broadcast — the only corpus-scale
+    exchanges are the two doc-keyed aggs. Per-(doc, term) scores
+    round at 1e-6 then DECIMAL-sum (partition order can't move a
+    score), and the top-20 orders by the exact decimal with a
+    doc_id tie-break.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(text.tokens(F.col("text"))).alias("term"))
+    # doc length is scan-local array size — no explode, no shuffle
+    dl = docs.select("doc_id",
+                     F.size(text.tokens(F.col("text"))).cast("long")
+                     .alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"))
+    tf = (toks.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy(F.col("term").alias("dterm")).agg(
+        F.count("*").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    s6 = F.round(idf * (F.col("tf") * (k1 + 1))
+                 / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                        / F.col("avgdl"))), 6)
+    return (
+        tf.join(F.broadcast(df), tf.term == F.col("dterm"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s6.cast("decimal(18,6)").alias("s6"))
+        .groupBy("doc_id")
+        .agg(F.sum("s6").alias("score_dec"),
+             F.count("*").cast("int").alias("n_terms"))
+        .orderBy(F.desc("score_dec"), "doc_id")
+        .limit(20)
+        .select("doc_id",
+                F.round(F.col("score_dec").cast("double"), 4).alias("bm25"),
+                "n_terms")
+    )

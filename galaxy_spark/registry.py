@@ -148,6 +148,9 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "text_inverted_index",
     "quality_bigram_logprob",
     "similarity_pq_topk",
+    "cdc_scd2_history",
+    "text_bm25_search",
+    "graph_pagerank_parts",
 )
 
 
@@ -186,4 +189,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.hygiene  # noqa: F401
     import galaxy_spark.queries.tpch  # noqa: F401
     import galaxy_spark.queries.indexing  # noqa: F401
+    import galaxy_spark.queries.graphs  # noqa: F401
     _LOADED = True
