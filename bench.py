@@ -59,6 +59,19 @@ BENCH_QUERIES = [
     # text_stats and ride the full-surface artifact.
     "decontaminate_ngram_overlap",
     "dedup_ngram_spans",
+    # r5 breadth: the new distributed shapes (TPC-H 6-table join +
+    # window-folded correlation; PQ ANN; Bloom gate; iterative
+    # PageRank; SCD2 window; BM25; bigram LM). The remaining r5
+    # additions are scan-local or ride identical plan shapes and
+    # stay on the full-surface artifact.
+    "q5_local_supplier_volume",
+    "q21_latest_shipper_waiting",
+    "similarity_pq_topk",
+    "dedup_bloom_reference",
+    "graph_pagerank_parts",
+    "cdc_scd2_history",
+    "text_bm25_search",
+    "quality_bigram_logprob",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing

