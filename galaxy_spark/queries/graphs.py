@@ -137,3 +137,58 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * F.col("mass").cast("decimal(20,9)"))
                          .cast("double").alias("rank")))
     return ranks.select(F.col("node").alias("part"), "deg", "rank")
+
+
+@register(
+    "mining_frequent_pairs",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), item_count AS (
+        SELECT p, COUNT(*) AS n_baskets FROM baskets GROUP BY p
+    ), pair_support AS (
+        SELECT a.p AS src, b.p AS dst, COUNT(*) AS support
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT ps.src, ps.dst, ps.support,
+           ROUND(ps.support * 1.0 / ic.n_baskets, 4) AS confidence
+    FROM pair_support ps JOIN item_count ic ON ps.src = ic.p
+    WHERE ps.support >= 2
+    """,
+)
+def mining_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining, A-priori level 2: part pairs
+    co-occurring in >= 2 orders, with confidence(src -> dst) =
+    support / baskets(src). The shape every co-occurrence
+    recommender ("customers also bought") starts from — and the
+    same edge generator PageRank consumes, here kept with its
+    support weights instead of collapsed to 0/1.
+
+    Shape at scale: baskets dedup is one shuffle on (order, part);
+    the pair join shuffles on the order key and its output
+    partial-aggregates on (src, dst) before the support exchange —
+    the classic hot-basket hazard (one order with 10k items ->
+    50M pairs) is the max_df-style guard documented in
+    operators/dedup.py, not needed at TPC-H basket widths (<10).
+    Item counts broadcast into the confidence join. Integer
+    support and a single rounded double division keep both engines
+    hash-identical with no decimal machinery.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("o"),
+                        F.col("l_partkey").alias("p")).distinct()
+    item_count = baskets.groupBy("p").agg(F.count("*").alias("n_baskets"))
+    pair_support = (baskets.alias("a")
+                    .join(baskets.alias("b"),
+                          (F.col("a.o") == F.col("b.o"))
+                          & (F.col("a.p") < F.col("b.p")))
+                    .groupBy(F.col("a.p").alias("src"),
+                             F.col("b.p").alias("dst"))
+                    .agg(F.count("*").alias("support"))
+                    .filter(F.col("support") >= 2))
+    return (pair_support
+            .join(F.broadcast(item_count), F.col("src") == F.col("p"))
+            .select("src", "dst", "support",
+                    F.round(F.col("support") * F.lit(1.0)
+                            / F.col("n_baskets"), 4).alias("confidence")))

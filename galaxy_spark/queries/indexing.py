@@ -423,3 +423,62 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("score_dec").cast("double"), 4).alias("bm25"),
                 "n_terms")
     )
+
+
+def _rp_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(j,i) from the first
+    hex nibble of md5('rp:j:i'). Computed once at import (hashlib
+    md5 == Spark md5 == DuckDB md5) and embedded as LITERALS in
+    both engines' expressions — the matrix is configuration, like
+    the hyperplane seeds, not data."""
+    import hashlib
+
+    return [[1 if hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0] < "8"
+             else -1 for i in range(in_dim)]
+            for j in range(out_dim)]
+
+
+_RP_OUT, _RP_IN = 16, 64
+_RP_SIGNS = _rp_signs(_RP_OUT, _RP_IN)
+_RP_SCALE = 0.25  # 1/sqrt(out_dim) = 1/4, exact in binary
+
+
+def _rp_dim_sql(signs: list[int]) -> str:
+    lst = "[" + ", ".join(str(s) for s in signs) + "]"
+    return (f"ROUND(list_sum(list_transform(range(1, {_RP_IN + 1}), i -> "
+            f"CAST(embedding[i] AS DOUBLE) * {lst}[i])) * {_RP_SCALE}, 6)")
+
+
+@register(
+    "embeddings_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           [{", ".join(_rp_dim_sql(s) for s in _RP_SIGNS)}] AS proj
+    FROM embeddings
+    """,
+)
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64-d embeddings ->
+    16-d via a deterministic ±1 sign matrix scaled by 1/sqrt(16)
+    (Achlioptas 2001 — database-friendly random projections). The
+    cheap, data-independent counterpart to PCA for shrinking
+    vectors before clustering/ANN; pairwise-distance preservation
+    is pinned in tests/test_similarity_recall.py.
+
+    Shape at scale: 16 scan-local fold expressions per row — no
+    shuffle, no join, no Python; the sign matrix folds into the
+    plan as literals (1 KiB of configuration). Each output
+    coordinate is a sequential left-fold float64 sum (Spark
+    F.aggregate == DuckDB list_sum, term order identical), scaled
+    by the exactly-representable 0.25 and rounded at 1e-6.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = []
+    for signs in _RP_SIGNS:
+        lits = F.array(*[F.lit(float(s)) for s in signs])
+        prod = F.zip_with(F.col("embedding"), lits,
+                          lambda x, y: x.cast("double") * y)
+        dims.append(F.round(
+            F.aggregate(prod, F.lit(0.0), lambda a, b: a + b)
+            * F.lit(_RP_SCALE), 6))
+    return emb.select("vec_id", F.array(*dims).alias("proj"))

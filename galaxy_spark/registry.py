@@ -151,6 +151,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "cdc_scd2_history",
     "text_bm25_search",
     "graph_pagerank_parts",
+    "mining_frequent_pairs",
+    "embeddings_random_projection",
 )
 
 

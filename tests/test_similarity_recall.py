@@ -157,3 +157,34 @@ def test_pq_recall_beats_floor(spark):
     exact = q["similarity_cosine_topk"](spark, SF_SMOKE)
     pq_df = q["similarity_pq_topk"](spark, SF_SMOKE)
     assert _recall(pq_df, exact) >= 0.4
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL guarantee, empirically: the 16-d projection preserves
+    pairwise squared distances as a RATIO around 1 (mean ~0.98,
+    p5~0.5 / p95~1.6 measured for k=16 on this corpus — the
+    sqrt(2/k) concentration JL predicts). Correlation is the wrong
+    instrument here: uniform unit vectors make every 64-d distance
+    nearly equal, so there is no cross-pair signal to correlate."""
+    import numpy as np
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    V = np.array([list(map(float, r.embedding))
+                  for r in emb.orderBy("vec_id").limit(60).collect()])
+    proj_df = all_queries()["embeddings_random_projection"](spark, SF_SMOKE)
+    P = np.array([list(map(float, r.proj))
+                  for r in proj_df.orderBy("vec_id").limit(60).collect()])
+    ratios = []
+    for i in range(len(V)):
+        for j in range(i + 1, len(V)):
+            dv = ((V[i] - V[j]) ** 2).sum()
+            dp = ((P[i] - P[j]) ** 2).sum()
+            ratios.append(dp / dv)
+    r = np.array(ratios)
+    assert 0.85 <= r.mean() <= 1.15, f"ratio mean off: {r.mean():.3f}"
+    assert np.percentile(r, 5) >= 0.3 and np.percentile(r, 95) <= 2.0, \
+        f"ratio tails too wide: p5={np.percentile(r, 5):.3f} " \
+        f"p95={np.percentile(r, 95):.3f}"
