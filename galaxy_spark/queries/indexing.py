@@ -482,3 +482,64 @@ def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(prod, F.lit(0.0), lambda a, b: a + b)
             * F.lit(_RP_SCALE), 6))
     return emb.select("vec_id", F.array(*dims).alias("proj"))
+
+
+_CHUNK_W, _CHUNK_S = 32, 24  # window, stride (8-token overlap)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), spans AS (
+        SELECT doc_id, tk, len(tk) AS t,
+               1 + CAST(floor(greatest(len(tk) - {_CHUNK_W}, 0)
+                              / {_CHUNK_S}) AS INTEGER)
+               + CASE WHEN greatest(len(tk) - {_CHUNK_W}, 0)
+                           % {_CHUNK_S} > 0 THEN 1 ELSE 0 END AS n_chunks
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(tk[(1 + i * {_CHUNK_S}):
+                              least(i * {_CHUNK_S} + {_CHUNK_W}, t)],
+                           ' ') AS chunk_text,
+           CAST(least(i * {_CHUNK_S} + {_CHUNK_W}, t)
+                - i * {_CHUNK_S} AS INTEGER) AS n_tokens
+    FROM spans, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window=32 tokens,
+    stride=24 -> 8-token overlap): the step every RAG / embedding
+    pipeline runs between cleaning and encoding. Emits (doc_id,
+    chunk_idx, chunk_text, n_tokens); the final chunk may be short,
+    and documents shorter than one window yield exactly one chunk.
+
+    Shape at scale: scan-local — tokenization, the chunk-count
+    arithmetic, and the per-chunk slices are all built-in
+    expressions over the token array (one explode of n_chunks ~
+    T/stride rows per doc, no shuffle, no Python). A row-based
+    Python UDTF computing the same chunks is pinned equal in
+    tests/test_text_ops.py as the API-surface twin; this built-in
+    form is the 100 TB path (the UDTF pays per-ROW Python+pickle,
+    ~10-100x the Arrow batch paths, which is why it stays out of
+    the registered query).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens(F.col("text"))
+    t = F.size(tk)
+    overflow = F.greatest(t - _CHUNK_W, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor(overflow / _CHUNK_S).cast("int")
+                + F.when(overflow % _CHUNK_S > 0, 1).otherwise(0))
+    base = docs.select("doc_id", tk.alias("tk"), t.alias("t"),
+                       F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                       .alias("chunk_idx"))
+    start = 1 + F.col("chunk_idx") * _CHUNK_S
+    end = F.least(F.col("chunk_idx") * _CHUNK_S + _CHUNK_W, F.col("t"))
+    return base.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("tk"), start, end - start + 1), " ")
+        .alias("chunk_text"),
+        (end - start + 1).cast("int").alias("n_tokens"))

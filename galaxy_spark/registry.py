@@ -153,6 +153,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "graph_pagerank_parts",
     "mining_frequent_pairs",
     "embeddings_random_projection",
+    "text_chunk_windows",
 )
 
 

@@ -736,3 +736,43 @@ def test_snapshot_maintenance_gate_raises_cleanly_without_protobuf(spark):
         "v double, pos long")
     with pytest.raises(ImportError, match="protobuf"):
         snapshot_maintenance(df)
+
+
+def test_stream_static_bloom_gate_matches_batch(spark, tmp_path):
+    """Stream-static join: a document stream probes the STATIC
+    Bloom position set built from the reference sources — the
+    streaming twin of dedup_bloom_reference (same positions, same
+    all-k fold), and the missing stream⋈static member next to the
+    stream-stream join test. The static side re-resolves per
+    micro-batch, so on a cluster a refreshed filter table is picked
+    up without restarting the query."""
+    from galaxy_spark.queries.indexing import (_BLOOM_K, _bloom_positions,
+                                               dedup_bloom_reference)
+
+    src_dir = str(tmp_path / "docs_src")
+    docs = load_table(spark, SF, "documents")
+    docs.write.mode("overwrite").parquet(src_dir)
+
+    is_ref = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ref_bits = (docs.filter(is_ref)
+                .select(F.explode(_bloom_positions(F.col("text")))
+                        .alias("pos"))
+                .distinct().withColumn("hit", F.lit(1)))
+
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    flags = (stream
+             .select("doc_id",
+                     F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+             .join(F.broadcast(ref_bits), "pos", "left")
+             .groupBy("doc_id")
+             .agg((F.count("hit") == _BLOOM_K).alias("bloom_hit")))
+    q = (flags.writeStream.outputMode("complete").format("memory")
+         .queryName("bloom_stream").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.doc_id, r.bloom_hit)
+           for r in spark.sql("SELECT * FROM bloom_stream").collect()}
+    want = {(r.doc_id, r.bloom_hit)
+            for r in dedup_bloom_reference(spark, SF).collect()}
+    assert got == want and any(h for _, h in want)

@@ -78,3 +78,39 @@ def test_word_ngrams_matches_python_reference(spark):
         want = list(dict.fromkeys(
             " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)))
         assert r.g3 == want, r.doc_id
+
+
+def test_chunk_windows_udtf_parity(spark):
+    """Python UDTF (Spark 4 table-function surface) computing the
+    sliding-window chunker row-by-row must emit exactly the rows of
+    the built-in-expression query. The UDTF is the API-surface
+    twin; the registered query stays on built-ins because per-row
+    Python is the documented slow path."""
+    from pyspark.sql.functions import udtf
+
+    from galaxy_spark.queries.indexing import (_CHUNK_S, _CHUNK_W,
+                                               text_chunk_windows)
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            t = len(toks)
+            overflow = max(t - _CHUNK_W, 0)
+            n = 1 + overflow // _CHUNK_S + (1 if overflow % _CHUNK_S else 0)
+            for i in range(n):
+                lo = i * _CHUNK_S
+                hi = min(lo + _CHUNK_W, t)
+                yield i, " ".join(toks[lo:hi]), hi - lo
+
+    spark.udtf.register("chunker", Chunker)
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet") \
+        .createOrReplaceTempView("docs_udtf_src")
+    got = {(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+           for r in spark.sql(
+               "SELECT d.doc_id, c.* FROM docs_udtf_src d, "
+               "LATERAL chunker(d.text) c").collect()}
+    want = {(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+            for r in text_chunk_windows(spark, sf).collect()}
+    assert got == want and len(want) > 500
