@@ -1043,3 +1043,55 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey
     """)
+
+
+@register(
+    "agg_equidepth_bins",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS INTEGER) AS bin,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM ranked GROUP BY 1
+    """,
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram of order totals (each bin holds
+    ~n/10 rows; `agg_histogram_prices` is the equi-WIDTH
+    counterpart). bin = floor((rank-1)*10/n) + 1 over the total
+    order (price, orderkey) — an explicit formula rather than
+    NTILE, whose ceil/floor group-size split differs between
+    engines' documentation corners; the explicit arithmetic is
+    integer-exact everywhere (both factors < 2^53, and an integer
+    quotient k is hit only when n | (rank-1)*10, where the double
+    division is exact).
+
+    Shape at scale: the global rank uses
+    ``util.with_global_row_index`` — range-partition + per-partition
+    counts + broadcast offsets — NOT the single-reducer
+    ``row_number() OVER (ORDER BY ...)``; the scalar n rides a
+    1-row broadcast; the final 10-group agg partial-aggregates
+    map-side.
+    """
+    from galaxy_spark.operators import util
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_totalprice", "o_orderkey")
+    ranked = util.with_global_row_index(
+        orders, ["o_totalprice", "o_orderkey"], index_col="rn")
+    n = orders.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("bin", (F.floor((F.col("rn") - 1) * 10 / F.col("n")) + 1)
+                    .cast("int"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.min("o_totalprice"), 2).alias("min_price"),
+             F.round(F.max("o_totalprice"), 2).alias("max_price"))
+    )

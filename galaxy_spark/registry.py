@@ -154,6 +154,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "mining_frequent_pairs",
     "embeddings_random_projection",
     "text_chunk_windows",
+    "agg_equidepth_bins",
 )
 
 

@@ -127,3 +127,26 @@ def read_training_shard(spark: SparkSession, path: str,
     from pyspark.sql import functions as F
 
     return spark.read.parquet(path).filter(F.col("shard") == shard)
+
+
+def write_sorted(df: DataFrame, path: str, sort_cols: Sequence[str],
+                 mode: str = "overwrite",
+                 target_partitions: int | None = None) -> None:
+    """Range-partition + sort-within-partitions before writing, so
+    each parquet row group covers a NARROW, non-overlapping range
+    of ``sort_cols`` — the poor man's zone map. Parquet stores
+    per-row-group min/max statistics; a reader's pushed predicate
+    then skips whole row groups (and with one file per range,
+    whole files) instead of scanning everything. This is the
+    single-column analog of Z-ordering and the difference between
+    "read 100 TB to find one key range" and "read the 3 row groups
+    that can contain it".
+
+    ``repartitionByRange`` samples the sort key, so partition
+    bounds adapt to skew; the per-partition sort is the map-side
+    spillable sort, no global single-reducer sort anywhere.
+    """
+    ranged = (df.repartitionByRange(target_partitions, *sort_cols)
+              if target_partitions else df.repartitionByRange(*sort_cols))
+    (ranged.sortWithinPartitions(*sort_cols)
+     .write.mode(mode).parquet(path))

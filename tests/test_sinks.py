@@ -107,3 +107,45 @@ def test_training_shards_deterministic_balanced_and_pruned(spark, tmp_path):
     from galaxy_spark.plans import partition_filters
     assert any("shard" in f for f in partition_filters(one))
     assert one.count() == sum(1 for (_, s) in a if s == 3)
+
+
+def test_sorted_write_produces_disjoint_row_group_ranges(spark, tmp_path):
+    """write_sorted's contract is the LAYOUT: parquet row-group
+    min/max stats on the sort column must be (near-)disjoint so a
+    point/range predicate can skip row groups. Pinned directly on
+    the footers via pyarrow: sorted layout -> non-overlapping
+    [min, max] ranges across row groups; the unsorted control
+    overlaps almost everywhere."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from galaxy_spark import sinks
+    from galaxy_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = next(meta.row_group(rg).column(i)
+                           for i in range(meta.num_columns)
+                           if meta.row_group(rg).column(i).path_in_schema
+                           == "doc_id")
+                out.append((col.statistics.min, col.statistics.max))
+        return sorted(out)
+
+    sorted_path = str(tmp_path / "sorted")
+    sinks.write_sorted(docs, sorted_path, ["doc_id"], target_partitions=4)
+    rs = ranges(sorted_path)
+    assert len(rs) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(rs, rs[1:]):
+        assert hi1 < lo2, f"overlapping sorted row groups: {rs}"
+
+    unsorted_path = str(tmp_path / "unsorted")
+    docs.repartition(4).write.mode("overwrite").parquet(unsorted_path)
+    ru = ranges(unsorted_path)
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(ru, ru[1:]) if h1 >= l2)
+    assert overlaps >= len(ru) - 2, "control layout unexpectedly sorted"
