@@ -543,3 +543,53 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.col("tk"), start, end - start + 1), " ")
         .alias("chunk_text"),
         (end - start + 1).cast("int").alias("n_tokens"))
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest({_TOKS}) AS word FROM documents
+    ), wf AS (
+        SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+    ), wp AS (
+        SELECT freq,
+               unnest(list_transform(range(1, length(word)),
+                      i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+        FROM wf WHERE length(word) >= 2
+    ), pc AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM wp GROUP BY pair
+    )
+    SELECT pair, pair_count FROM pc
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1: corpus-weighted adjacent
+    symbol-pair counts — the argmax of this table IS the first BPE
+    merge (Sennrich et al. 2016), and the loop re-runs this count
+    after each merge. Top-50 pairs with a lexicographic tie-break.
+
+    The load-bearing distributed trick: counts run over the WORD
+    VOCABULARY weighted by word frequency, not over the raw corpus
+    — the explode+agg to vocab (one shuffle) shrinks the pair
+    generation input from corpus-scale to vocab-scale (~10^5-10^6
+    rows at ANY corpus size), which is why real BPE trainers are
+    feasible at 100 TB at all. Pair counts then partial-aggregate
+    on the (tiny) pair key; the SUM casts back to BIGINT on both
+    engines (the r4 HUGEINT lesson).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    chars = F.split(F.col("word"), "")
+    m = F.size(chars) - 1
+    pairs = F.zip_with(F.slice(chars, 1, m), F.slice(chars, 2, m),
+                       lambda a, b: F.concat(a, b))
+    wp = (wf.filter(F.length("word") >= 2)
+          .select("freq", F.explode(pairs).alias("pair")))
+    return (wp.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair")
+            .limit(50))

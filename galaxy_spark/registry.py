@@ -155,6 +155,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "embeddings_random_projection",
     "text_chunk_windows",
     "agg_equidepth_bins",
+    "text_bpe_pair_counts",
 )
 
 
