@@ -486,3 +486,67 @@ def minhash_near_dups(df: DataFrame, n: int = 5, n_hashes: int = 32,
         .filter(F.col("jaccard") >= threshold)
         .drop("sh_a", "sh_b")
     )
+
+
+def prefix_filter_jaccard(df: DataFrame, n: int = 5, threshold: float = 0.5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard >= threshold pairs via PREFIX FILTERING
+    (Chaudhuri et al. 2006 / Bayardo et al. 2007, the PPJoin
+    family): order every document's shingles by a GLOBAL rarity
+    order (df asc, shingle asc) and index only the first
+    ``|d| - ceil(t*|d|) + 1`` of them. Two documents with
+    J >= t MUST share a token inside these prefixes (if none of
+    a's prefix appears in b, the overlap is confined to the
+    |d|-prefix suffixes, which is provably < the t-required
+    overlap), so candidate generation from the prefix index alone
+    is LOSSLESS — and far smaller than the share-any-shingle index
+    (rare-first ordering puts the most selective tokens in the
+    prefix). Surviving pairs re-verify with the exact
+    array_intersect Jaccard, same contract as
+    ``shingle_pairs_jaccard``.
+
+    Shape at scale: one shingle-keyed agg for global df (vocab
+    output), one join to attach ranks, a per-doc window (keyed by
+    id — high cardinality) to take the prefix, then the prefix
+    self-join + exact verify. vs the full index, the self-join
+    input drops from sum(|d|) to sum(|d|·(1-t))+docs rows AND hot
+    shingles (high df) land outside prefixes, which is the same
+    hazard max_df guards — but derived from t, not tuned.
+    """
+    from pyspark.sql import Window
+
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    sh = src.select("id", word_ngrams(text_col, n).alias("shingles")) \
+        .withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh",
+                         F.explode("shingles").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("int")
+                  + F.lit(1))
+    prefix = (exploded.join(dfreq, "shingle")
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= prefix_len)
+              .select("id", "shingle"))
+    cands = (prefix.alias("a")
+             .join(prefix.alias("b"),
+                   (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sa = sh.select(F.col("id").alias("id_a"),
+                   F.col("shingles").alias("sh_a"),
+                   F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col("id").alias("id_b"),
+                   F.col("shingles").alias("sh_b"),
+                   F.col("n_sh").alias("n_b"))
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("sh_a", "sh_b")))
+            .select("id_a", "id_b", "n_a", "n_b", "n_shared")
+            .withColumn("jaccard", F.col("n_shared")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+            .filter(F.col("jaccard") >= threshold))

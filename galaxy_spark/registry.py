@@ -156,6 +156,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "text_chunk_windows",
     "agg_equidepth_bins",
     "text_bpe_pair_counts",
+    "dedup_prefix_filter_jaccard",
 )
 
 

@@ -135,3 +135,48 @@ def test_cluster_shard_skew_guard_subset_and_bounded(spark):
     # (c) cap above every cluster -> no-op
     loose = similarity.shard_oversized_clusters(a, max_cluster_size=10**6)
     assert pairs(loose, "cluster_shard") == base
+
+
+def test_prefix_filter_lossless_and_smaller_index(spark):
+    """Prefix filtering must (a) return EXACTLY the full-index
+    exact-Jaccard pairs (losslessness is the PPJoin theorem, here
+    pinned empirically) and (b) generate strictly fewer candidate
+    pairs than the share-any-shingle index — the point of the
+    technique."""
+    from pyspark.sql import Window
+
+    from galaxy_spark.operators.text import word_ngrams
+    from galaxy_spark.tables import load_table
+
+    docs = load_table(spark, SF_DRIVER, "documents")
+    full = dedup.shingle_pairs_jaccard(docs, n=5) \
+        .filter(F.col("jaccard") >= 0.5)
+    pref = dedup.prefix_filter_jaccard(docs, n=5, threshold=0.5)
+    full_pairs = {(r.id_a, r.id_b, round(r.jaccard, 6))
+                  for r in full.collect()}
+    pref_pairs = {(r.id_a, r.id_b, round(r.jaccard, 6))
+                  for r in pref.collect()}
+    assert pref_pairs == full_pairs and full_pairs
+
+    # candidate volume: prefix index self-join pairs vs full index
+    sh = docs.select(F.col("doc_id").alias("id"),
+                     word_ngrams(F.col("text"), 5).alias("shingles")) \
+        .withColumn("n_sh", F.size("shingles"))
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "shingle")
+    plen = (F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(0.5)).cast("int")
+            + F.lit(1))
+    prefix = (ex.join(dfreq, "shingle")
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= plen).select("id", "shingle"))
+
+    def n_cands(index):
+        return (index.alias("a")
+                .join(index.alias("b"),
+                      (F.col("a.shingle") == F.col("b.shingle"))
+                      & (F.col("a.id") < F.col("b.id")))
+                .select("a.id", "b.id").distinct().count())
+
+    full_c, pref_c = n_cands(ex.select("id", "shingle")), n_cands(prefix)
+    assert pref_c < full_c * 0.7, (pref_c, full_c)
