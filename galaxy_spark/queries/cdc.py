@@ -318,6 +318,21 @@ def cdc_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, tbl string, cols string")
 
 
+def snapshot_change_frame(env: DataFrame) -> DataFrame:
+    """Projected change frame for snapshot folds: (database, table,
+    action, pk, v, pos) out of the FULL §2.1 chain (classify S3,
+    project P2-P4). Shared by the batch cdc_apply_snapshot query
+    and the incremental streaming fold (streaming/snapshot.py), so
+    their semantics can't drift apart."""
+    proj = project_changes(env, EVENT_SOURCE_COLUMNS)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return proj.select(
+        "database", "table", "action",
+        F.element_at(img, "user_id").cast("long").alias("pk"),
+        F.element_at(img, "value").cast("double").alias("v"),
+        F.col("event_header.log_pos").alias("pos"))
+
+
 @register(
     "cdc_apply_snapshot",
     oracle=_ENV_CTE + """
@@ -357,14 +372,7 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     final filter.
     """
     env = envelope_from_events(load_table(spark, sf_dir, "events"))
-    proj = project_changes(env, EVENT_SOURCE_COLUMNS)
-    img = F.coalesce(F.col("after"), F.col("before"))
-    pos = F.col("event_header.log_pos")
-    return (proj.select(
-                "database", "table", "action",
-                F.element_at(img, "user_id").cast("long").alias("pk"),
-                F.element_at(img, "value").cast("double").alias("v"),
-                pos.alias("pos"))
+    return (snapshot_change_frame(env)
             .groupBy("database", "table", "pk")
             .agg(F.max_by("action", "pos").alias("last_action"),
                  F.max_by("v", "pos").alias("last_value"),

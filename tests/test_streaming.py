@@ -776,3 +776,31 @@ def test_stream_static_bloom_gate_matches_batch(spark, tmp_path):
     want = {(r.doc_id, r.bloom_hit)
             for r in dedup_bloom_reference(spark, SF).collect()}
     assert got == want and any(h for _, h in want)
+
+
+def test_incremental_snapshot_matches_batch(spark, events_dir, tmp_path):
+    """Streaming latest-wins snapshot fold (foreachBatch, per-batch
+    partials merged into a keyed store) must end at EXACTLY the
+    rows the batch cdc_apply_snapshot query computes over the same
+    changelog — the continuous-aggregate guarantee, applied to the
+    reference's canonical downstream consumer."""
+    from galaxy_spark.queries.cdc import (cdc_apply_snapshot,
+                                          snapshot_change_frame)
+    from galaxy_spark.streaming.snapshot import (SnapshotStore,
+                                                 start_incremental_snapshot)
+
+    changes = snapshot_change_frame(
+        envelope_from_events(_stream_events(spark, events_dir)))
+    store = SnapshotStore()
+    q = start_incremental_snapshot(
+        changes, store, str(tmp_path / "snap_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = store.snapshot()
+    want = sorted(
+        (r.database, r["table"], r.pk, r.last_value, r.last_pos,
+         r.n_changes)
+        for r in cdc_apply_snapshot(spark, SF).collect())
+    assert got == want
+    assert len(want) > 50
