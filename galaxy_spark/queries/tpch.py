@@ -476,8 +476,14 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01")))
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_disc_price()).alias("total_rev"))
+    # the revenue view feeds BOTH the max scalar and the equality
+    # filter; without cutting lineage Spark plans two full lineitem
+    # scans (no ReusedExchange fires across the AQE boundary) — the
+    # checkpoint holds one row per supplier, so materializing it is
+    # free relative to the scan it saves
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(_disc_price()).alias("total_rev"))
+               .localCheckpoint(eager=False))
     top = revenue.agg(F.max("total_rev").alias("max_rev"))
     return (
         revenue.crossJoin(F.broadcast(top))
@@ -577,10 +583,17 @@ def q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     supp = load_table(spark, sf_dir, "supplier")
     red = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")) \
         .select("l_suppkey", "l_partkey", "l_quantity")
-    sp = red.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("l_quantity").alias("supp_qty"))
-    pt = red.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("l_quantity").alias("part_qty"))
+    # sp feeds both join sides below — checkpoint the (supplier,
+    # part)-cardinality aggregate so the fact scan runs once
+    sp = (red.groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum("l_quantity").alias("supp_qty"))
+          .localCheckpoint(eager=False))
+    # per-part totals are the SUM over suppliers of the per-pair
+    # sums — derive them from sp instead of re-scanning lineitem
+    # (the naive twin plan scanned the fact table twice; exact
+    # because quantities are integer-valued doubles < 2^53)
+    pt = sp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("part_qty"))
     excess = (sp.join(pt, F.col("l_partkey") == F.col("pk"))
               .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
               .select("l_suppkey"))

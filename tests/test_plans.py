@@ -420,3 +420,16 @@ def test_inverted_index_two_shuffles(q):
     # keys, postings capped at the sorted prefix
     df = q("text_inverted_index")
     assert exchange_count(df) <= 2
+
+
+def test_q15_q20_single_fact_scan(q):
+    # both queries consume an aggregate TWICE (max-on-view / the
+    # per-part rollup); without the lineage cut Spark planned a
+    # second full lineitem scan (no ReusedExchange across the AQE
+    # boundary). The checkpoint holds bounded-cardinality
+    # aggregates, so the fact table must appear in the plan once.
+    from galaxy_spark.plans import physical_plan
+    for name in ("q15_top_revenue_supplier", "q20_excess_quantity_suppliers"):
+        tree = physical_plan(q(name)).split("\n\n")[0]
+        assert tree.count("Scan parquet") <= 2, \
+            f"{name} re-scans the fact table"
