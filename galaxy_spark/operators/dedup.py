@@ -70,9 +70,12 @@ def shingle_pairs_jaccard(df: DataFrame, n: int = 5, text_col: str = "text",
     hot-shingles-only.
     """
     src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    # the shingle frame feeds the index AND both verify join-backs;
+    # the checkpoint cuts tokenization from 3 passes to 1 (shingle
+    # materialization is what a production pipeline persists anyway)
     sh = src.select(
         "id", word_ngrams(text_col, n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    ).withColumn("n_sh", F.size("shingles")).localCheckpoint(eager=False)
     exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         hot = (exploded.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -517,8 +520,10 @@ def prefix_filter_jaccard(df: DataFrame, n: int = 5, threshold: float = 0.5,
     from pyspark.sql import Window
 
     src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    # same single-materialization trick as shingle_pairs_jaccard:
+    # sh feeds the df agg, the rank window, and both verify sides
     sh = src.select("id", word_ngrams(text_col, n).alias("shingles")) \
-        .withColumn("n_sh", F.size("shingles"))
+        .withColumn("n_sh", F.size("shingles")).localCheckpoint(eager=False)
     exploded = sh.select("id", "n_sh",
                          F.explode("shingles").alias("shingle"))
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))

@@ -176,8 +176,12 @@ def mining_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical with no decimal machinery.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(F.col("l_orderkey").alias("o"),
-                        F.col("l_partkey").alias("p")).distinct()
+    # baskets feed three subtrees (item counts + both join sides) —
+    # checkpoint the distinct (order, part) frame so the fact scan
+    # and dedup shuffle run once
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct()
+               .localCheckpoint(eager=False))
     item_count = baskets.groupBy("p").agg(F.count("*").alias("n_baskets"))
     pair_support = (baskets.alias("a")
                     .join(baskets.alias("b"),

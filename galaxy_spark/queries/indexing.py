@@ -206,8 +206,12 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.greatest(F.size(tk) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(tk, 1, m), F.slice(tk, 2, m),
                          lambda a, b: F.concat_ws(" ", a, b))
+    # the bigram frame feeds three subtrees (both LM aggs + the
+    # scoring join) — checkpoint it so the corpus scan + bigram
+    # explode run once instead of three times
     split = (docs.select("doc_id", F.explode(bigrams).alias("bg"))
-             .withColumn("w1", F.split(F.col("bg"), " ").getItem(0)))
+             .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+             .localCheckpoint(eager=False))
     bg_freq = split.groupBy("bg").agg(F.count("*").alias("c12"))
     prefix_freq = (split.groupBy(F.col("w1").alias("pw1"))
                    .agg(F.count("*").alias("c1")))
@@ -393,10 +397,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id",
                        F.explode(text.tokens(F.col("text"))).alias("term"))
-    # doc length is scan-local array size — no explode, no shuffle
+    # doc length is scan-local array size — no explode, no shuffle;
+    # checkpointed because it feeds both the corpus stats and the
+    # scoring join (2-column doc-cardinality frame)
     dl = docs.select("doc_id",
                      F.size(text.tokens(F.col("text"))).cast("long")
-                     .alias("dl"))
+                     .alias("dl")).localCheckpoint(eager=False)
     stats = dl.agg(F.count("*").alias("n_docs"),
                    (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"))
     tf = (toks.filter(F.col("term").isin(*_BM25_TERMS))

@@ -403,9 +403,14 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(F.col("l_partkey").alias("partkey"), value.alias("val"))
     )
-    per_part = base.groupBy("partkey").agg(F.sum("val").alias("val_dec"))
-    total = base.agg((F.sum("val") * F.lit(0.001).cast("decimal(4,3)"))
-                     .alias("threshold"))
+    # per_part feeds both the threshold total and the filter side —
+    # checkpoint the part-cardinality aggregate (one fact scan) and
+    # derive the global total from the per-part sums (decimal sums
+    # are associative, so this is exact)
+    per_part = (base.groupBy("partkey").agg(F.sum("val").alias("val_dec"))
+                .localCheckpoint(eager=False))
+    total = per_part.agg((F.sum("val_dec") * F.lit(0.001)
+                          .cast("decimal(4,3)")).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("val_dec") > F.col("threshold"))
