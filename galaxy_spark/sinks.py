@@ -150,3 +150,44 @@ def write_sorted(df: DataFrame, path: str, sort_cols: Sequence[str],
               if target_partitions else df.repartitionByRange(*sort_cols))
     (ranged.sortWithinPartitions(*sort_cols)
      .write.mode(mode).parquet(path))
+
+
+def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
+                 mode: str = "overwrite", bits: int = 12,
+                 target_partitions: int = 8) -> None:
+    """Two-column Z-ORDER layout: sort by the bit-interleaving of
+    the columns' rank-space positions, so every parquet row group
+    covers a small RECTANGLE in (a, b) space — predicates on
+    EITHER column (or both) skip row groups, where a plain sort
+    serves only its leading column (the multi-column generalization
+    of ``write_sorted``; same idea as Delta/Iceberg Z-ordering).
+
+    Rank-space first: each column maps to its ``bits``-bit quantile
+    position via ``percent_rank`` (value-distribution-free, so
+    skewed columns still spread across the curve), then the two
+    positions interleave bit-by-bit into the z-value — a plain
+    integer column Spark range-partitions and sorts like any other.
+    The two rank windows are a prep pass over the sort columns
+    only; at 100 TB you'd swap them for approxQuantile bucket
+    edges (same curve, no global windows) — the layout contract
+    (bounded rectangles per row group, pinned in
+    tests/test_sinks.py) is identical.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def rank_pos(c: str) -> "F.Column":
+        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
+        return F.least(F.floor(pr * (1 << bits)),
+                       F.lit((1 << bits) - 1)).cast("long")
+
+    z = F.lit(0).cast("long")
+    a_pos, b_pos = rank_pos(col_a), rank_pos(col_b)
+    for i in range(bits - 1, -1, -1):
+        z = z * 4 + F.shiftright(a_pos, i).bitwiseAND(1) * 2 \
+            + F.shiftright(b_pos, i).bitwiseAND(1)
+    (df.withColumn("__z", z)
+       .repartitionByRange(target_partitions, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode(mode).parquet(path))

@@ -149,3 +149,57 @@ def test_sorted_write_produces_disjoint_row_group_ranges(spark, tmp_path):
     ru = ranges(unsorted_path)
     overlaps = sum(1 for (l1, h1), (l2, h2) in zip(ru, ru[1:]) if h1 >= l2)
     assert overlaps >= len(ru) - 2, "control layout unexpectedly sorted"
+
+
+def test_zorder_layout_bounds_rectangles_on_both_columns(spark, tmp_path):
+    """Z-order contract: each row group covers a bounded span of
+    BOTH columns, so a predicate on EITHER column alone skips row
+    groups. (Mean rectangle AREA is the wrong instrument — a plain
+    sort matches it by making one side infinitesimal and the other
+    full-range.) Pinned on the parquet footers: under z-order the
+    mean normalized per-column spans are both well below 1; under
+    the single-column control the trailing column spans ~the full
+    range in every row group."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from galaxy_spark import sinks
+    from galaxy_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("event_id", "user_id", "value")
+
+    def mean_spans(path):
+        rows, mins, maxs = [], {"event_id": [], "user_id": []}, \
+            {"event_id": [], "user_id": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                row = {}
+                for i in range(meta.num_columns):
+                    c = meta.row_group(rg).column(i)
+                    if c.path_in_schema in mins:
+                        row[c.path_in_schema] = (c.statistics.min,
+                                                 c.statistics.max)
+                rows.append(row)
+                for k, (lo, hi) in row.items():
+                    mins[k].append(lo)
+                    maxs[k].append(hi)
+        full = {k: max(max(maxs[k]) - min(mins[k]), 1) for k in mins}
+        return {k: sum((r[k][1] - r[k][0]) / full[k] for r in rows)
+                / len(rows) for k in mins}
+
+    zpath = str(tmp_path / "zorder")
+    sinks.write_zorder(ev, zpath, "event_id", "user_id",
+                       target_partitions=16)
+    zs = mean_spans(zpath)
+
+    spath = str(tmp_path / "single")
+    sinks.write_sorted(ev, spath, ["event_id"], target_partitions=16)
+    ss = mean_spans(spath)
+
+    # single-col sort: leading column tight, trailing ~full range
+    assert ss["event_id"] < 0.2 and ss["user_id"] > 0.8, ss
+    # z-order: BOTH columns bounded well below full range
+    assert zs["event_id"] < 0.6 and zs["user_id"] < 0.6, zs
