@@ -190,3 +190,31 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         punct_count(text_col).alias("n_punct"),
         quality_score(text_col).alias("quality"),
     )
+
+
+def chunk_windows(df, window: int, stride: int,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding token-window chunks: (id, chunk_idx, chunk_text,
+    n_tokens) with a short final chunk and min one chunk per doc.
+    Entirely scan-local built-ins (tokenize, chunk-count
+    arithmetic, per-chunk slices) — shared by the registered
+    query, its DuckDB oracle's formula, the UDTF parity twin, and
+    the boundary-length tests, so the semantics live in ONE place.
+    """
+    from pyspark.sql import functions as F
+
+    tk = tokens(F.col(text_col))
+    t = F.size(tk)
+    overflow = F.greatest(t - window, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor(overflow / stride).cast("int")
+                + F.when(overflow % stride > 0, 1).otherwise(0))
+    base = df.select(F.col(id_col), tk.alias("__tk"), t.alias("__t"),
+                     F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                     .alias("chunk_idx"))
+    start = 1 + F.col("chunk_idx") * stride
+    end = F.least(F.col("chunk_idx") * stride + window, F.col("__t"))
+    return base.select(
+        id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("__tk"), start, end - start + 1), " ")
+        .alias("chunk_text"),
+        (end - start + 1).cast("int").alias("n_tokens"))

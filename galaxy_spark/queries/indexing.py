@@ -534,21 +534,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered query).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tk = text.tokens(F.col("text"))
-    t = F.size(tk)
-    overflow = F.greatest(t - _CHUNK_W, F.lit(0))
-    n_chunks = (F.lit(1) + F.floor(overflow / _CHUNK_S).cast("int")
-                + F.when(overflow % _CHUNK_S > 0, 1).otherwise(0))
-    base = docs.select("doc_id", tk.alias("tk"), t.alias("t"),
-                       F.explode(F.sequence(F.lit(0), n_chunks - 1))
-                       .alias("chunk_idx"))
-    start = 1 + F.col("chunk_idx") * _CHUNK_S
-    end = F.least(F.col("chunk_idx") * _CHUNK_S + _CHUNK_W, F.col("t"))
-    return base.select(
-        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.array_join(F.slice(F.col("tk"), start, end - start + 1), " ")
-        .alias("chunk_text"),
-        (end - start + 1).cast("int").alias("n_tokens"))
+    return text.chunk_windows(docs, _CHUNK_W, _CHUNK_S)
 
 
 @register(

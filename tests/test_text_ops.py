@@ -114,3 +114,34 @@ def test_chunk_windows_udtf_parity(spark):
     want = {(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
             for r in text_chunk_windows(spark, sf).collect()}
     assert got == want and len(want) > 500
+
+
+def test_chunk_windows_boundary_lengths(spark):
+    """Chunk-count and slice arithmetic at the exact boundaries the
+    corpus never hits: empty-ish, single-token, exactly one window
+    (32), one over (33), exactly window+stride (56), and one over
+    (57). Compared against a plain-Python reference of the
+    documented semantics (short final chunk, min one chunk)."""
+    from galaxy_spark.queries.indexing import _CHUNK_S, _CHUNK_W
+
+    def expected(n_tokens):
+        toks = [f"t{i}" for i in range(n_tokens)]
+        overflow = max(n_tokens - _CHUNK_W, 0)
+        n = 1 + overflow // _CHUNK_S + (1 if overflow % _CHUNK_S else 0)
+        out = []
+        for i in range(n):
+            lo, hi = i * _CHUNK_S, min(i * _CHUNK_S + _CHUNK_W, n_tokens)
+            out.append((i, " ".join(toks[lo:hi]), hi - lo))
+        return out
+
+    lengths = [1, 2, 31, 32, 33, 55, 56, 57, 80, 81]
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in lengths]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from galaxy_spark.operators import text as text_ops
+    got = {}
+    for r in text_ops.chunk_windows(df, _CHUNK_W, _CHUNK_S).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_text, r.n_tokens))
+    for n in lengths:
+        assert sorted(got[n]) == expected(n), f"length {n}"
