@@ -318,6 +318,25 @@ def cdc_ddl_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, tbl string, cols string")
 
 
+def scd2_history_frame(env: DataFrame) -> DataFrame:
+    """Open/closed validity intervals per key: the SCD2 core shared
+    by cdc_scd2_history (adds versions) and cdc_asof_state (interval
+    lookup) — one key-window over binlog position, LEAD closes
+    intervals (including via delete tombstones), tombstones then
+    drop. Columns: database, table, pk, value, pos, valid_to."""
+    proj = project_changes(env, EVENT_SOURCE_COLUMNS)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    ch = proj.select(
+        "database", "table", "action",
+        F.element_at(img, "user_id").cast("long").alias("pk"),
+        F.element_at(F.col("after"), "value").cast("double").alias("value"),
+        F.col("event_header.log_pos").alias("pos"))
+    w = Window.partitionBy("database", "table", "pk").orderBy("pos")
+    return (ch.withColumn("valid_to", F.lead("pos").over(w))
+            .filter(F.col("action") != "delete")
+            .drop("action"))
+
+
 def snapshot_change_frame(env: DataFrame) -> DataFrame:
     """Projected change frame for snapshot folds: (database, table,
     action, pk, v, pos) out of the FULL §2.1 chain (classify S3,
@@ -419,19 +438,59 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream consumers.
     """
     env = envelope_from_events(load_table(spark, sf_dir, "events"))
-    proj = project_changes(env, EVENT_SOURCE_COLUMNS)
-    img = F.coalesce(F.col("after"), F.col("before"))
-    ch = proj.select(
-        "database", "table", "action",
-        F.element_at(img, "user_id").cast("long").alias("pk"),
-        F.element_at(F.col("after"), "value").cast("double").alias("value"),
-        F.col("event_header.log_pos").alias("pos"))
+    hist = scd2_history_frame(env)
     w = Window.partitionBy("database", "table", "pk").orderBy("pos")
     return (
-        ch.withColumn("valid_to", F.lead("pos").over(w))
-        .filter(F.col("action") != "delete")
-        .withColumn("version", F.row_number().over(w).cast("int"))
+        hist.withColumn("version", F.row_number().over(w).cast("int"))
         .select("database", "table", "pk", "value",
                 F.col("pos").alias("valid_from"), "valid_to", "version",
                 F.col("valid_to").isNull().alias("is_current"))
+    )
+
+
+@register(
+    "cdc_asof_state",
+    oracle=_ENV_CTE + """
+    , ch AS (
+        SELECT db, tbl, user_id AS pk, event_id AS pos, action, value,
+               LEAD(event_id) OVER (PARTITION BY db, tbl, user_id
+                                    ORDER BY event_id) AS valid_to
+        FROM env
+    ), p AS (
+        SELECT MAX(event_id) // 2 AS asof FROM env
+    )
+    SELECT db AS database, tbl AS "table", pk, value,
+           pos AS valid_from
+    FROM ch, p
+    WHERE action <> 'delete'
+      AND pos <= p.asof
+      AND (valid_to IS NULL OR valid_to > p.asof)
+    """,
+)
+def cdc_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time table state AS OF the changelog's midpoint
+    position (max_pos >> 1 — data-dependent so the lookup is
+    mid-history at every scale): the query SCD2 histories exist to
+    answer. A key's live version at P is the interval containing P
+    (``valid_from <= P < valid_to``, open tail for the current
+    version); keys deleted before P or born after P are absent.
+
+    Composes the SCD2 build (same single key-window) with a scalar
+    broadcast position and a scan-local interval predicate — the
+    same plan an as-of feature-store lookup runs, with the interval
+    table read in place of recomputed. The midpoint halves use
+    ``shiftright(_, 1)`` / ``// 2`` so both engines floor
+    identically (a double cast would round-half differently).
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    hist = scd2_history_frame(env)
+    p = env.agg(
+        F.shiftright(F.max("event_header.log_pos"), 1).alias("asof"))
+    return (
+        hist.crossJoin(F.broadcast(p))
+        .filter((F.col("pos") <= F.col("asof"))
+                & (F.col("valid_to").isNull()
+                   | (F.col("valid_to") > F.col("asof"))))
+        .select("database", "table", "pk", "value",
+                F.col("pos").alias("valid_from"))
     )

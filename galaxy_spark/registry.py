@@ -157,6 +157,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "agg_equidepth_bins",
     "text_bpe_pair_counts",
     "dedup_prefix_filter_jaccard",
+    "cdc_asof_state",
 )
 
 
