@@ -494,3 +494,44 @@ def cdc_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("database", "table", "pk", "value",
                 F.col("pos").alias("valid_from"))
     )
+
+
+@register(
+    "cdc_reconcile_checksum",
+    oracle=_ENV_CTE + """
+    SELECT db AS database, tbl AS "table",
+           CAST(SUM(((user_id * 1000003 + event_id) * 1000033
+                     + CAST(ROUND((CASE WHEN action = 'delete'
+                                        THEN value - 1.0 ELSE value END)
+                                  * 100, 0) AS BIGINT))
+                    % 1000000007) AS BIGINT) AS checksum,
+           COUNT(*) AS n_rows
+    FROM env
+    GROUP BY db, tbl
+    """,
+)
+def cdc_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-(database, table) changelog checksum —
+    the reconciliation primitive a CDC operator runs on both sides
+    of the pipe (source binlog vs sink topic/table) to prove no
+    event was lost or mutated, without moving either dataset.
+
+    The row hash is pure integer polynomial arithmetic over the
+    PROJECTED key, position, and cent-quantized image value (via
+    snapshot_change_frame, so the full S3/P2-P4 chain is under the
+    checksum; doubles never render to strings — engine float
+    formatting differs; ROUND(x*100) of a MEASURED double is safe —
+    its expansion never terminates exactly at the half boundary,
+    the SCALE.md rule), reduced mod 1e9+7
+    per row so the SUM fits BIGINT at any cardinality. Addition
+    commutes, so the checksum is partition- and order-independent:
+    one partial-aggregated exchange per side, constant output.
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    ch = snapshot_change_frame(env)  # database, table, action, pk, v, pos
+    cents = F.round(F.col("v") * 100, 0).cast("long")
+    rh = ((F.col("pk") * 1000003 + F.col("pos")) * 1000033
+          + cents) % 1000000007
+    return (ch.groupBy("database", "table")
+            .agg(F.sum(rh).alias("checksum"),
+                 F.count("*").alias("n_rows")))

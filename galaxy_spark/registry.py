@@ -158,6 +158,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "text_bpe_pair_counts",
     "dedup_prefix_filter_jaccard",
     "cdc_asof_state",
+    "cdc_reconcile_checksum",
 )
 
 
