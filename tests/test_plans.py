@@ -433,3 +433,19 @@ def test_q15_q20_single_fact_scan(q):
         tree = physical_plan(q(name)).split("\n\n")[0]
         assert tree.count("Scan parquet") <= 2, \
             f"{name} re-scans the fact table"
+
+
+def test_tpch_star_joins_single_fact_exchange(q):
+    # q7-q10: all dims broadcast at test scale, so the only
+    # exchanges are the fact-side shuffles + the final groupBy;
+    # a regression that de-broadcasts a dim or duplicates the fact
+    # scan shows up as extra exchanges
+    for name in ("q7_volume_shipping_pairs", "q8_market_share",
+                 "q9_profit_by_nation_year", "q10_returned_item_customers"):
+        assert exchange_count(q(name)) <= 2, name
+
+
+def test_reconcile_checksum_single_exchange(q):
+    # order-insensitive sum: partial-aggregated map-side, one
+    # exchange on (database, table), constant-size output
+    assert exchange_count(q("cdc_reconcile_checksum")) <= 1
