@@ -780,3 +780,41 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.prefix_filter_jaccard(docs, n=5, threshold=0.5)
     return pairs.select("id_a", "id_b",
                         F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "dedup_threshold_histogram",
+    oracle=f"""
+    WITH pairs AS ({_jaccard_pairs_oracle(5, 0.2)})
+    SELECT CAST(floor(jaccard / 0.05) AS INTEGER) AS sim_bin,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY sim_bin
+    """,
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity distribution of candidate pairs in 0.05-wide bins
+    (Jaccard >= 0.2): the tuning chart behind every near-dup
+    threshold choice — a bimodal histogram (noise floor vs
+    true-dup mass) tells you where to cut BEFORE running the full
+    dedup at 100 TB, from the same one-pass index the dedup itself
+    uses. Bin ids are integer floor(round(j, 4) / 0.05), mirroring
+    the oracle's ROUND(j, 4) pair output exactly; both engines then
+    divide the identical double by the identical 0.05 and floor the
+    identical quotient — even a ratio sitting ON a bin edge (1/4)
+    lands in the same bin on both sides because every intermediate
+    is the same IEEE value.
+
+    Shape: shingle_pairs_jaccard's single-materialized index + one
+    tiny (<= 16 bins) aggregation; nothing new shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_pairs_jaccard(docs, n=5)
+    # filter on the raw ratio, bin on the 1e-4-rounded value — the
+    # oracle's pair CTE emits ROUND(j, 4), so binning the unrounded
+    # ratio would drift at bin edges
+    return (pairs.filter(F.col("jaccard") >= 0.2)
+            .select(F.floor(F.round(F.col("jaccard"), 4) / 0.05)
+                    .cast("int").alias("sim_bin"))
+            .groupBy("sim_bin")
+            .agg(F.count("*").alias("n_pairs")))

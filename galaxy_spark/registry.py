@@ -159,6 +159,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "dedup_prefix_filter_jaccard",
     "cdc_asof_state",
     "cdc_reconcile_checksum",
+    "dedup_threshold_histogram",
 )
 
 
