@@ -20,7 +20,7 @@ Tiers (all batch; streaming dedup lives in galaxy_spark.streaming):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from galaxy_spark.operators.text import word_ngrams
@@ -491,6 +491,20 @@ def minhash_near_dups(df: DataFrame, n: int = 5, n_hashes: int = 32,
     )
 
 
+def ppjoin_prefix_len(n_sh: Column, threshold: float) -> Column:
+    """PPJoin prefix bound ``|d| - ceil(t*|d|) + 1``, with the ceil
+    taken over the ROUNDED product: ``t*n`` in binary floats can
+    land an ulp above the exact rational (t=0.1, n=80 ->
+    8.000000000000002, ceil 9), which would shorten the prefix by
+    one token and silently void the losslessness proof. ROUND(_, 6)
+    restores the exact value for any threshold with <= 6 decimal
+    digits before the ceil (the supported contract; pinned against
+    exact Decimal arithmetic in tests/test_dedup_recall.py)."""
+    return (n_sh
+            - F.ceil(F.round(n_sh * F.lit(threshold), 6)).cast("int")
+            + F.lit(1))
+
+
 def prefix_filter_jaccard(df: DataFrame, n: int = 5, threshold: float = 0.5,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
@@ -528,9 +542,7 @@ def prefix_filter_jaccard(df: DataFrame, n: int = 5, threshold: float = 0.5,
                          F.explode("shingles").alias("shingle"))
     dfreq = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "shingle")
-    prefix_len = (F.col("n_sh")
-                  - F.ceil(F.col("n_sh") * F.lit(threshold)).cast("int")
-                  + F.lit(1))
+    prefix_len = ppjoin_prefix_len(F.col("n_sh"), threshold)
     prefix = (exploded.join(dfreq, "shingle")
               .withColumn("r", F.row_number().over(w))
               .filter(F.col("r") <= prefix_len)

@@ -200,10 +200,18 @@ def chunk_windows(df, window: int, stride: int,
     arithmetic, per-chunk slices) — shared by the registered
     query, its DuckDB oracle's formula, the UDTF parity twin, and
     the boundary-length tests, so the semantics live in ONE place.
+
+    Empty/whitespace-only documents are DEFINED to yield exactly
+    one chunk ``(chunk_idx=0, chunk_text='', n_tokens=0)`` — the
+    same rows a Python ``text.split()`` twin emits under the
+    min-one-chunk rule. ``F.split('')`` yields ``['']`` (one empty
+    token), so the empty string is removed from the token array
+    first; non-empty trimmed text never produces empty tokens, so
+    this only changes the degenerate case.
     """
     from pyspark.sql import functions as F
 
-    tk = tokens(F.col(text_col))
+    tk = F.array_remove(tokens(F.col(text_col)), "")
     t = F.size(tk)
     overflow = F.greatest(t - window, F.lit(0))
     n_chunks = (F.lit(1) + F.floor(overflow / stride).cast("int")

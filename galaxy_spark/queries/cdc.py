@@ -500,10 +500,12 @@ def cdc_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_reconcile_checksum",
     oracle=_ENV_CTE + """
     SELECT db AS database, tbl AS "table",
-           CAST(SUM(((user_id * 1000003 + event_id) * 1000033
+           CAST(SUM((((user_id % 1000000007) * 1000003
+                      + event_id % 1000000007) % 1000000007
+                     * 1000033
                      + CAST(ROUND((CASE WHEN action = 'delete'
                                         THEN value - 1.0 ELSE value END)
-                                  * 100, 0) AS BIGINT))
+                                  * 100, 0) AS BIGINT) % 1000000007)
                     % 1000000007) AS BIGINT) AS checksum,
            COUNT(*) AS n_rows
     FROM env
@@ -522,16 +524,24 @@ def cdc_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum; doubles never render to strings — engine float
     formatting differs; ROUND(x*100) of a MEASURED double is safe —
     its expansion never terminates exactly at the half boundary,
-    the SCALE.md rule), reduced mod 1e9+7
-    per row so the SUM fits BIGINT at any cardinality. Addition
-    commutes, so the checksum is partition- and order-independent:
-    one partial-aggregated exchange per side, constant output.
+    the SCALE.md rule), reduced mod 1e9+7 BETWEEN polynomial steps
+    (not only at the end): each operand is cut below 1e9 before a
+    multiply, so every intermediate stays under ~1.1e15 << int64
+    max for ANY pk/pos/value cardinality — the naive
+    ``(pk*1000003+pos)*1000033`` form overflows int64 (Spark wraps
+    silently, DuckDB raises) once pk exceeds ~9.2e6, i.e. well
+    below warehouse scale. The per-row hash stays < 1e9, so the
+    SUM fits BIGINT at any row count. Addition commutes, so the
+    checksum is partition- and order-independent: one
+    partial-aggregated exchange per side, constant output.
     """
     env = envelope_from_events(load_table(spark, sf_dir, "events"))
     ch = snapshot_change_frame(env)  # database, table, action, pk, v, pos
+    P = F.lit(1000000007)
     cents = F.round(F.col("v") * 100, 0).cast("long")
-    rh = ((F.col("pk") * 1000003 + F.col("pos")) * 1000033
-          + cents) % 1000000007
+    rh = ((F.col("pk") % P) * 1000003 + F.col("pos") % P) % P \
+        * 1000033 + cents % P
+    rh = rh % P
     return (ch.groupBy("database", "table")
             .agg(F.sum(rh).alias("checksum"),
                  F.count("*").alias("n_rows")))

@@ -163,31 +163,59 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
     of ``write_sorted``; same idea as Delta/Iceberg Z-ordering).
 
     Rank-space first: each column maps to its ``bits``-bit quantile
-    position via ``percent_rank`` (value-distribution-free, so
-    skewed columns still spread across the curve), then the two
-    positions interleave bit-by-bit into the z-value — a plain
-    integer column Spark range-partitions and sorts like any other.
-    The two rank windows are a prep pass over the sort columns
-    only; at 100 TB you'd swap them for approxQuantile bucket
-    edges (same curve, no global windows) — the layout contract
-    (bounded rectangles per row group, pinned in
-    tests/test_sinks.py) is identical.
+    position (value-distribution-free, so skewed columns still
+    spread across the curve), then the two positions interleave
+    bit-by-bit into the z-value — a plain integer column Spark
+    range-partitions and sorts like any other. The quantile map is
+    ONE distributed ``approxQuantile`` sketch pass over both
+    columns (Greenwald-Khanna: partial sketches merge on the
+    driver — no global window, no single-reducer sort anywhere),
+    and the 2^bits bucket edges come back as a driver-side list
+    that ``Bucketizer`` broadcasts and binary-searches scan-local.
+    Same curve and the same layout contract (bounded rectangles
+    per row group, pinned in tests/test_sinks.py) as an exact
+    percent_rank, at any scale.
     """
-    from pyspark.sql import Window
+    from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
-    def rank_pos(c: str) -> "F.Column":
-        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
-        return F.least(F.floor(pr * (1 << bits)),
-                       F.lit((1 << bits) - 1)).cast("long")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qa, qb = df.stat.approxQuantile(
+        [col_a, col_b], probs, 1.0 / (2 * n_buckets))
+
+    def splits(edges: list) -> list:
+        # approxQuantile repeats edges on skewed/low-cardinality
+        # columns; Bucketizer needs strictly increasing splits.
+        # Fewer distinct edges just means fewer occupied positions.
+        return [float("-inf")] + sorted(set(edges)) + [float("inf")]
+
+    sp_a, sp_b = splits(qa), splits(qb)
+    src = df.withColumn("__qa", F.col(col_a).cast("double")) \
+            .withColumn("__qb", F.col(col_b).cast("double"))
+    src = Bucketizer(splits=sp_a, inputCol="__qa", outputCol="__pa",
+                     handleInvalid="keep").transform(src)
+    src = Bucketizer(splits=sp_b, inputCol="__qb", outputCol="__pb",
+                     handleInvalid="keep").transform(src)
+
+    def pos(c: str, n_splits: int) -> "F.Column":
+        # A low-cardinality column occupies only the first
+        # (n_splits - 1) bucket indices; rescale to the full
+        # 2^bits range so its HIGH interleave bits still vary
+        # (otherwise the curve degenerates into a plain sort on
+        # the other column). "keep" routes nulls one past the end;
+        # the clamp keeps every position inside `bits` bits.
+        scaled = F.floor(F.col(c).cast("long")
+                         * F.lit(n_buckets) / F.lit(n_splits - 1))
+        return F.least(scaled, F.lit(n_buckets - 1)).cast("long")
 
     z = F.lit(0).cast("long")
-    a_pos, b_pos = rank_pos(col_a), rank_pos(col_b)
+    a_pos, b_pos = pos("__pa", len(sp_a)), pos("__pb", len(sp_b))
     for i in range(bits - 1, -1, -1):
         z = z * 4 + F.shiftright(a_pos, i).bitwiseAND(1) * 2 \
             + F.shiftright(b_pos, i).bitwiseAND(1)
-    (df.withColumn("__z", z)
-       .repartitionByRange(target_partitions, "__z")
-       .sortWithinPartitions("__z")
-       .drop("__z")
-       .write.mode(mode).parquet(path))
+    (src.withColumn("__z", z)
+        .repartitionByRange(target_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__qa", "__qb", "__pa", "__pb")
+        .write.mode(mode).parquet(path))

@@ -180,3 +180,29 @@ def test_prefix_filter_lossless_and_smaller_index(spark):
 
     full_c, pref_c = n_cands(ex.select("id", "shingle")), n_cands(prefix)
     assert pref_c < full_c * 0.7, (pref_c, full_c)
+
+
+def test_ppjoin_prefix_len_exact_at_float_boundaries(spark):
+    """The prefix bound |d| - ceil(t*|d|) + 1 must use the EXACT
+    rational value of t*n, not the float product: t=0.1, n=80 gives
+    8.000000000000002 in binary, whose naive ceil (9) shortens the
+    prefix by one token and silently breaks losslessness. Pin the
+    Spark expression against exact Decimal arithmetic over a grid
+    that includes every (t, n) pair where the float product sits a
+    few ulps off an integer."""
+    import math
+    from decimal import Decimal
+
+    from galaxy_spark.operators.dedup import ppjoin_prefix_len
+
+    thresholds = [0.1, 0.2, 0.25, 0.3, 0.4, 0.5, 0.6, 0.7, 0.75,
+                  0.8, 0.9, 0.333333, 0.123456]
+    ns = list(range(1, 201))
+    df = spark.createDataFrame([(n,) for n in ns], "n_sh int")
+    for t in thresholds:
+        got = {r.n_sh: r.p for r in df.select(
+            "n_sh", ppjoin_prefix_len(F.col("n_sh"), t).alias("p"))
+            .collect()}
+        for n in ns:
+            exact = n - math.ceil(Decimal(str(t)) * n) + 1
+            assert got[n] == exact, (t, n, got[n], exact)

@@ -134,8 +134,11 @@ def test_chunk_windows_boundary_lengths(spark):
             out.append((i, " ".join(toks[lo:hi]), hi - lo))
         return out
 
-    lengths = [1, 2, 31, 32, 33, 55, 56, 57, 80, 81]
+    lengths = [0, 1, 2, 31, 32, 33, 55, 56, 57, 80, 81]
     rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in lengths]
+    # whitespace-only text must behave exactly like the empty doc:
+    # one chunk, empty text, n_tokens=0 (doc_id -1 shares expected(0))
+    rows.append((-1, "   \t  "))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     from galaxy_spark.operators import text as text_ops
@@ -145,3 +148,4 @@ def test_chunk_windows_boundary_lengths(spark):
             (r.chunk_idx, r.chunk_text, r.n_tokens))
     for n in lengths:
         assert sorted(got[n]) == expected(n), f"length {n}"
+    assert sorted(got[-1]) == expected(0), "whitespace-only doc"
