@@ -9,10 +9,13 @@ full batch re-aggregation would produce, at per-batch cost
 proportional to the batch, not the history.
 
 Store contract: ``merge(pdf)`` receives one micro-batch's partial
-aggregate as a pandas frame. The in-memory store here is the test/
-driver-side reference implementation; the durable exactly-once
-variant (epoch-keyed idempotent merge, replay-safe across restarts)
-is ``streaming.exactly_once.EpochKeyedRollupStore``.
+aggregate as a pandas frame. The in-memory store here is the TEST
+TWIN (driver-resident dict — fine for bounded bucket counts, not
+for unbounded key spaces); the DEFAULT durable backend is
+``state_store.ParquetRollupStore`` (bucketed executor-side parquet
+MERGE, replay-idempotent), and the epoch-keyed append-only variant
+(replay-safe partials, no refold) is
+``streaming.exactly_once.EpochKeyedRollupStore``.
 """
 
 from __future__ import annotations

@@ -13,9 +13,16 @@ tests/test_streaming.py::test_incremental_snapshot_matches_batch).
 Store contract mirrors rollup.RollupStore: ``merge(pdf)`` receives
 one micro-batch's pre-folded partial (one row per touched key —
 the distributed agg runs in Spark; only O(#touched keys) rows reach
-the store). The in-memory store is the test/driver-side reference;
-n_changes makes the merge non-idempotent under epoch REPLAY, which
-is exactly the job of the epoch-keyed exactly-once wrapper
+the store). The in-memory ``SnapshotStore`` here is the TEST TWIN
+only — its accumulated dict is driver-resident, i.e. the table's
+full key cardinality in one Python process, which does not survive
+100 TB. The DEFAULT durable backend is
+``state_store.ParquetSnapshotStore`` (bucketed executor-side
+parquet MERGE, replay-idempotent, state never materialized on the
+driver); the Spark-4 tier is ``stateful.snapshot_maintenance``
+(transformWithStateInPandas, RocksDB state). n_changes makes the
+dict merge non-idempotent under epoch REPLAY, which is exactly the
+job of the epoch-keyed exactly-once wrapper
 (streaming/exactly_once.py) — same division of labor as the rollup.
 """
 

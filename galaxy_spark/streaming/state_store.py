@@ -1,0 +1,287 @@
+"""Executor-side keyed state for foreachBatch pipelines: a
+bucketed, epoch-versioned parquet MERGE store.
+
+This is the DEFAULT durable backend for the incremental CDC
+snapshot (streaming/snapshot.py) and the continuous rollup
+(streaming/rollup.py): the driver-resident dict stores in those
+modules remain as the in-memory TEST TWINS, and
+``streaming/stateful.py`` stays as the Spark-4
+``transformWithStateInPandas`` tier (RocksDB state store; needs
+protobuf, absent in this sandbox). Here, the ACCUMULATED state
+never exists as Python objects: each micro-batch's pre-folded
+partial (a DataFrame, one row per touched key) is merged into a
+keyed parquet dataset by a distributed Spark job, and the only
+things the driver ever holds are bucket ids and version names —
+O(n_buckets) metadata, independent of key cardinality. At 100 TB
+the table's full key set lives in parquet on the executors' shared
+store, exactly where a Delta/Iceberg MERGE would put it; this
+module is that MERGE re-expressed dependency-free
+(copy-on-write per bucket, atomic-rename commits), mirroring the
+reference's durable consumer state (BadgerDB at
+``internal/storage/storage.go:21``) at warehouse scale.
+
+Layout and protocol::
+
+    <path>/bucket-<b>/v-<lineage>.<epoch>/part-*.parquet
+                                         /_COMMITTED
+
+- ``bucket = pmod(xxhash64(*key_cols), n_buckets)`` — stored as a
+  data column AND a directory, so a merge reads ONLY the touched
+  buckets' current version (manual partition pruning) and rewrites
+  only those buckets (copy-on-write MERGE; per-batch cost ∝
+  touched-bucket bytes, never full-state bytes).
+- A bucket's CURRENT state is its lexicographically-greatest
+  committed version (epoch ids zero-padded; one checkpoint lineage
+  per store, enforced like exactly_once.py, since Spark restarts
+  epoch numbering per checkpoint).
+- Commit per (bucket, epoch) is: write to a staging dir -> fsync ->
+  ``os.rename`` into place -> touch ``_COMMITTED``. foreachBatch is
+  at-least-once; a REPLAYED epoch finds ``_COMMITTED`` present for
+  already-applied buckets and skips them, while buckets the crash
+  left unfinished recompute from their pre-epoch version — the
+  non-idempotent parts of the fold (n_changes, sums) never
+  double-count. Same claim discipline as
+  ``exactly_once.EpochKeyedRollupStore``, applied to folded state
+  instead of per-epoch partials (reference replay-skip:
+  ``concurrently_task_manager.go:97-120``).
+- Older versions of a bucket are vacuumed after its new commit; a
+  crash mid-vacuum leaves extra old dirs that the max-version rule
+  ignores and the next merge sweeps.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from galaxy_spark.streaming.exactly_once import (_checkpoint_lineage,
+                                                 _fsync_path)
+from galaxy_spark.streaming.rollup import _partial_rollup
+from galaxy_spark.streaming.snapshot import partial_snapshot
+
+_BUCKET = "__bucket"
+
+
+class KeyedParquetStore:
+    """Generic keyed MERGE store: ``merge`` folds one partial
+    DataFrame into the persisted state with ``aggs`` (which must be
+    an associative/commutative fold over the union of old state
+    rows and partial rows — latest-wins max_by, sums, counts)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key_cols: list[str], aggs: list[Column],
+                 n_buckets: int = 8) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.aggs = list(aggs)
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+        for d in os.listdir(path):  # crash-orphaned staging dirs
+            if d.startswith(".stage-"):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    # -- version bookkeeping (names only — never row data) --------
+    def _bucket_dir(self, b: int) -> str:
+        return os.path.join(self.path, f"bucket-{b}")
+
+    def _versions(self, b: int) -> list[str]:
+        bd = self._bucket_dir(b)
+        if not os.path.isdir(bd):
+            return []
+        return sorted(v for v in os.listdir(bd) if v.startswith("v-"))
+
+    def _committed(self, b: int, version: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._bucket_dir(b), version, "_COMMITTED"))
+
+    def _current(self, b: int, below: str | None = None) -> str | None:
+        """Greatest committed version of bucket ``b`` (optionally
+        strictly below ``below`` — the replay-recompute base)."""
+        best = None
+        for v in self._versions(b):
+            if below is not None and v >= below:
+                continue
+            if self._committed(b, v):
+                best = v
+        return best
+
+    def lineages(self) -> set[str]:
+        out = set()
+        for d in os.listdir(self.path):
+            if d.startswith("bucket-"):
+                for v in self._versions(int(d.split("-", 1)[1])):
+                    out.add(v[2:].rsplit(".", 1)[0])
+        return out
+
+    # -- the MERGE -------------------------------------------------
+    def merge(self, partial: DataFrame, epoch_key: str) -> None:
+        """Fold one micro-batch's partial into the store. The fold
+        and both I/O sides run as Spark jobs; the driver sees only
+        the touched bucket ids (<= n_buckets ints)."""
+        version = f"v-{epoch_key}"
+        part = partial.withColumn(
+            _BUCKET, F.pmod(F.xxhash64(*self.key_cols),
+                            F.lit(self.n_buckets)).cast("int"))
+        touched = sorted(r[_BUCKET] for r in
+                         part.select(_BUCKET).distinct().collect())
+        todo = [b for b in touched if not self._committed(b, version)]
+        if not todo:
+            return
+        part = part.filter(F.col(_BUCKET).isin([int(b) for b in todo]))
+        cur_paths = []
+        for b in todo:
+            cur = self._current(b, below=version)
+            if cur is not None:
+                cur_paths.append(os.path.join(self._bucket_dir(b), cur))
+        merged = part
+        if cur_paths:
+            cur_df = self.spark.read.parquet(*cur_paths) \
+                .select(*part.columns)
+            merged = part.unionByName(cur_df)
+        merged = merged.groupBy(_BUCKET, *self.key_cols).agg(*self.aggs)
+
+        # partitionBy strips its column from the data files, and the
+        # per-bucket leaf dirs are renamed out of the partition
+        # layout; duplicate the bucket so it survives as a DATA
+        # column for the next merge's read side.
+        stage = os.path.join(self.path,
+                             f".stage-{uuid.uuid4().hex[:8]}")
+        merged.withColumn("__pb", F.col(_BUCKET)) \
+            .write.mode("overwrite").partitionBy("__pb").parquet(stage)
+        for b in todo:
+            src = os.path.join(stage, f"__pb={b}")
+            if not os.path.isdir(src):
+                continue  # unreachable: every todo bucket has rows
+            bd = self._bucket_dir(b)
+            os.makedirs(bd, exist_ok=True)
+            for f in os.listdir(src):
+                _fsync_path(os.path.join(src, f))
+            _fsync_path(src)
+            dest = os.path.join(bd, version)
+            try:
+                os.rename(src, dest)
+            except OSError:  # replay lost the commit race
+                continue
+            with open(os.path.join(dest, "_COMMITTED"), "w"):
+                pass
+            _fsync_path(dest)
+            _fsync_path(bd)
+            for old in self._versions(b):  # vacuum superseded versions
+                if old != version:
+                    shutil.rmtree(os.path.join(bd, old),
+                                  ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def state(self) -> DataFrame:
+        """Current accumulated state as a DataFrame (distributed
+        read of each bucket's current version; no driver rows).
+        Note: dir-partitioned reads drop the ``__bucket`` column —
+        it is also stored as a data column, so it survives."""
+        paths = []
+        for d in sorted(os.listdir(self.path)):
+            if d.startswith("bucket-"):
+                cur = self._current(int(d.split("-", 1)[1]))
+                if cur is not None:
+                    paths.append(os.path.join(self.path, d, cur))
+        if not paths:
+            return self.spark.createDataFrame([], "x int").limit(0)
+        return self.spark.read.parquet(*paths).drop(_BUCKET)
+
+
+class ParquetSnapshotStore(KeyedParquetStore):
+    """Executor-side twin of ``snapshot.SnapshotStore``: CDC
+    latest-wins state keyed by (database, table, pk)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 8) -> None:
+        super().__init__(
+            spark, path, ["database", "table", "pk"],
+            [F.max_by("last_action", "last_pos").alias("last_action"),
+             F.max_by("last_value", "last_pos").alias("last_value"),
+             F.max("last_pos").alias("last_pos"),
+             F.sum("n_changes").cast("long").alias("n_changes")],
+            n_buckets)
+
+    def snapshot(self) -> list[tuple]:
+        """Same contract as SnapshotStore.snapshot (live rows only,
+        sorted). Collect happens HERE, in the test/read path — the
+        streaming merge path never materializes state rows."""
+        st = self.state().filter(F.col("last_action") != "delete")
+        return sorted(
+            (r.database, r["table"], r.pk, r.last_value, r.last_pos,
+             r.n_changes) for r in st.collect())
+
+
+class ParquetRollupStore(KeyedParquetStore):
+    """Executor-side twin of ``rollup.RollupStore``: continuous
+    multi-grain aggregate keyed by (grain, bucket_start,
+    event_type)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 8) -> None:
+        super().__init__(
+            spark, path, ["grain", "bucket_start", "event_type"],
+            [F.sum("n_events").cast("long").alias("n_events"),
+             F.sum("total_value").alias("total_value")],
+            n_buckets)
+
+    def snapshot(self) -> list[tuple]:
+        return sorted(
+            (r.grain, r.bucket_start, r.event_type, r.n_events,
+             round(r.total_value, 2)) for r in self.state().collect())
+
+
+def _lineage_scoped_handler(store: KeyedParquetStore,
+                            checkpoint_dir: str, partial_fn):
+    """foreachBatch handler: distributed partial fold -> store
+    MERGE, with the epoch key scoped to the checkpoint lineage and
+    the same foreign-lineage refusal as start_exactly_once_rollup
+    (epoch ids restart at 0 per checkpoint; continuing into a
+    foreign-lineage store would drop live batches as replays)."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not lineage:
+            lin = _checkpoint_lineage(checkpoint_dir)
+            foreign = store.lineages() - {lin}
+            if foreign:
+                raise ValueError(
+                    f"store {store.path!r} holds state from other "
+                    f"checkpoint lineage(s) {sorted(foreign)}; use a "
+                    "fresh store (or checkpoint) per lineage.")
+            lineage.append(lin)
+        store.merge(partial_fn(batch_df),
+                    f"{lineage[0]}.{epoch_id:012d}")
+
+    return handle
+
+
+def start_incremental_snapshot_parquet(
+        changes_stream: DataFrame, store: ParquetSnapshotStore,
+        checkpoint_dir: str) -> StreamingQuery:
+    """Default durable backend for the incremental CDC snapshot:
+    per-batch distributed latest-wins partial -> bucketed parquet
+    MERGE. Result always equals the batch cdc_apply_snapshot fold
+    (pinned in tests/test_streaming.py)."""
+    return (changes_stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_snapshot))
+            .start())
+
+
+def start_incremental_rollup_parquet(
+        stream: DataFrame, store: ParquetRollupStore,
+        checkpoint_dir: str) -> StreamingQuery:
+    """Default durable backend for the continuous rollup."""
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, _partial_rollup))
+            .start())

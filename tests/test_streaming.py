@@ -804,3 +804,144 @@ def test_incremental_snapshot_matches_batch(spark, events_dir, tmp_path):
         for r in cdc_apply_snapshot(spark, SF).collect())
     assert got == want
     assert len(want) > 50
+
+
+def test_parquet_snapshot_store_matches_batch_and_stays_off_driver(
+        spark, events_dir, tmp_path):
+    """The DEFAULT durable snapshot backend (bucketed parquet MERGE,
+    state_store.ParquetSnapshotStore) must end at exactly the batch
+    cdc_apply_snapshot rows — and the accumulated state must live in
+    FILES, not in any driver-side Python container: the store object
+    holds only session/path/config metadata, while every state row
+    is readable from the bucket dirs with plain pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from galaxy_spark.queries.cdc import (cdc_apply_snapshot,
+                                          snapshot_change_frame)
+    from galaxy_spark.streaming.state_store import (
+        ParquetSnapshotStore, start_incremental_snapshot_parquet)
+
+    changes = snapshot_change_frame(
+        envelope_from_events(_stream_events(spark, events_dir)))
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap_store"))
+    q = start_incremental_snapshot_parquet(
+        changes, store, str(tmp_path / "snap_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    want = sorted(
+        (r.database, r["table"], r.pk, r.last_value, r.last_pos,
+         r.n_changes)
+        for r in cdc_apply_snapshot(spark, SF).collect())
+    assert store.snapshot() == want
+    assert len(want) > 50
+
+    # off-driver: no attribute of the store scales with key count
+    for name, val in vars(store).items():
+        assert not isinstance(val, dict), name
+        if isinstance(val, (list, set, tuple)):
+            assert len(val) <= 8, (name, len(val))  # key_cols/aggs
+    # ...and the full state is in parquet files (incl. tombstones)
+    files = glob.glob(f"{store.path}/bucket-*/v-*/part-*.parquet")
+    n_file_rows = sum(pq.read_table(f).num_rows for f in files)
+    n_all_keys = (cdc_apply_snapshot.__globals__["snapshot_change_frame"](
+        envelope_from_events(load_table(spark, SF, "events")))
+        .select("database", "table", "pk").distinct().count())
+    assert n_file_rows == n_all_keys > len(want)
+
+
+def test_parquet_store_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying the SAME epoch key
+    must be a no-op (the per-bucket _COMMITTED claim), while a new
+    epoch key folds in — so the non-idempotent n_changes counter
+    never double-counts on replay."""
+    from galaxy_spark.streaming.state_store import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "st"),
+                                 n_buckets=4)
+
+    def partial(rows):
+        return spark.createDataFrame(
+            rows, "database string, `table` string, pk long, "
+                  "last_action string, last_value double, "
+                  "last_pos long, n_changes long")
+
+    p0 = partial([("d", "t", 1, "insert", 1.0, 10, 1),
+                  ("d", "t", 2, "insert", 2.0, 11, 1)])
+    store.merge(p0, "lin.000000000000")
+    store.merge(p0, "lin.000000000000")  # replayed epoch: dropped
+    assert store.snapshot() == [("d", "t", 1, 1.0, 10, 1),
+                                ("d", "t", 2, 2.0, 11, 1)]
+
+    p1 = partial([("d", "t", 1, "update", 5.0, 20, 2)])
+    store.merge(p1, "lin.000000000001")
+    assert store.snapshot() == [("d", "t", 1, 5.0, 20, 3),
+                                ("d", "t", 2, 2.0, 11, 1)]
+    # stale-position partial arriving later: count folds, value wins
+    # by position, not arrival order (latest-wins monoid)
+    p2 = partial([("d", "t", 1, "update", 9.0, 15, 1)])
+    store.merge(p2, "lin.000000000002")
+    assert store.snapshot() == [("d", "t", 1, 5.0, 20, 4),
+                                ("d", "t", 2, 2.0, 11, 1)]
+
+
+def test_parquet_store_merge_rewrites_only_touched_buckets(
+        spark, tmp_path):
+    """Copy-on-write MERGE shape: an epoch touching one key rewrites
+    ONLY that key's bucket; every other bucket keeps its prior
+    version dir untouched — the property that keeps per-batch cost
+    proportional to the batch at 100 TB state."""
+    from galaxy_spark.streaming.state_store import ParquetSnapshotStore
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "st"),
+                                 n_buckets=4)
+    wide = spark.createDataFrame(
+        [("d", "t", pk, "insert", float(pk), pk, 1)
+         for pk in range(40)],
+        "database string, `table` string, pk long, last_action string,"
+        " last_value double, last_pos long, n_changes long")
+    store.merge(wide, "lin.000000000000")
+    before = {b: store._versions(int(b.split("-")[1]))
+              for b in os.listdir(store.path) if b.startswith("bucket-")}
+    assert len(before) == 4  # 40 keys cover all 4 buckets
+
+    one = wide.filter(F.col("pk") == 7) \
+        .withColumn("last_pos", F.lit(100).cast("long"))
+    store.merge(one, "lin.000000000001")
+    after = {b: store._versions(int(b.split("-")[1]))
+             for b in os.listdir(store.path) if b.startswith("bucket-")}
+    changed = [b for b in before if after[b] != before[b]]
+    assert len(changed) == 1  # pk=7's bucket, vacuumed + new version
+    assert after[changed[0]] == ["v-lin.000000000001"]
+    for b in before:
+        if b != changed[0]:
+            assert after[b] == before[b] == ["v-lin.000000000000"]
+
+
+def test_parquet_rollup_store_matches_batch(spark, events_dir, tmp_path):
+    """Durable continuous-aggregate backend == one-shot batch
+    aggregation (the same pin as the dict-store twin, now with the
+    accumulated buckets in executor-written parquet)."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetRollupStore, start_incremental_rollup_parquet)
+
+    stream = _stream_events(spark, events_dir)
+    store = ParquetRollupStore(spark, str(tmp_path / "roll_store"))
+    q = start_incremental_rollup_parquet(
+        stream, store, str(tmp_path / "roll_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    ev = load_table(spark, SF, "events")
+    exp = sorted(
+        (r.grain, r.bucket_start, r.event_type, r.n_events,
+         round(r.total_value, 2))
+        for g in ("hour", "day")
+        for r in (ev.groupBy(F.lit(g).alias("grain"),
+                             F.date_trunc(g, "ts").alias("bucket_start"),
+                             "event_type")
+                  .agg(F.count("*").alias("n_events"),
+                       F.sum("value").alias("total_value"))).collect())
+    assert store.snapshot() == exp
