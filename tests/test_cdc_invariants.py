@@ -48,3 +48,63 @@ def test_scd2_intervals_chain_without_gaps(spark):
         assert len(opens) <= 1
         if opens:
             assert opens[0] is versions[-1]
+
+
+def test_snapshot_fold_correct_under_100x_hot_key(spark, tmp_path):
+    """The realistic CDC skew: one primary key updated 100x more
+    than every other. The fold must stay correct (latest-wins by
+    position regardless of arrival order) through BOTH the batch
+    aggregation and the streaming partial -> durable parquet MERGE
+    path; the structural defense (partial aggregation before the
+    exchange) is pinned in test_plans, and the join-shaped paths
+    keep AQE skew-join on via the session defaults asserted here."""
+    import random
+
+    from galaxy_spark.streaming.snapshot import partial_snapshot
+    from galaxy_spark.streaming.state_store import ParquetSnapshotStore
+
+    rng = random.Random(42)
+    rows = []
+    # 50 cold keys x 4 changes, 1 hot key x 20_000 changes (100x)
+    pos = 0
+    for pk in range(1, 51):
+        for _ in range(4):
+            pos += 1
+            rows.append(("d", "t", "update", pk, float(pos), pos))
+    hot_positions = []
+    for _ in range(20_000):
+        pos += 1
+        hot_positions.append(pos)
+        rows.append(("d", "t", "update", 999, float(pos), pos))
+    rng.shuffle(rows)  # arrival order != position order
+    changes = spark.createDataFrame(
+        rows, "database string, `table` string, action string, "
+              "pk long, v double, pos long").repartition(16)
+
+    folded = (changes.groupBy("database", "table", "pk")
+              .agg(F.max_by("action", "pos").alias("last_action"),
+                   F.max_by("v", "pos").alias("last_value"),
+                   F.max("pos").alias("last_pos"),
+                   F.count("*").alias("n_changes")))
+    got = {r.pk: (r.last_value, r.last_pos, r.n_changes)
+           for r in folded.collect()}
+    assert got[999] == (float(max(hot_positions)),
+                        max(hot_positions), 20_000)
+    assert got[1] == (4.0, 4, 4) and len(got) == 51
+
+    # streaming twin: two skewed "micro-batches" merged into the
+    # durable store end at the identical state
+    store = ParquetSnapshotStore(spark, str(tmp_path / "hot_store"),
+                                 n_buckets=4)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        b = spark.createDataFrame(
+            chunk, "database string, `table` string, action string, "
+                   "pk long, v double, pos long")
+        store.merge(partial_snapshot(b), f"lin.{i:012d}")
+    want = sorted(("d", "t", pk, v, p, n)
+                  for pk, (v, p, n) in got.items())
+    assert store.snapshot() == want
+
+    assert spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled") == "true"

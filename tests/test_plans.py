@@ -449,3 +449,30 @@ def test_reconcile_checksum_single_exchange(q):
     # order-insensitive sum: partial-aggregated map-side, one
     # exchange on (database, table), constant-size output
     assert exchange_count(q("cdc_reconcile_checksum")) <= 1
+
+
+def test_cdc_snapshot_fold_partial_aggs_absorb_hot_keys(q):
+    """Skew hardening for the changelog->snapshot fold: the
+    realistic CDC skew is ONE row updated millions of times, and
+    the defense is the two-stage algebraic fold — partial max_by/
+    max/count BEFORE the exchange, so a hot pk reaches the reducer
+    as one row per map task, never as its full history. Pin that
+    the partial-mode functions sit below the (single) exchange,
+    which hash-partitions on the full fold key."""
+    from galaxy_spark.plans import physical_plan
+
+    p = physical_plan(q("cdc_apply_snapshot"))
+    for fn in ("partial_max_by", "partial_max", "partial_count"):
+        assert fn in p, fn
+    # the partial agg node's id is strictly below the Exchange's in
+    # the formatted tree (children print before parents' detail ids)
+    import re
+
+    agg_ids = [int(m.group(1)) for m in
+               re.finditer(r"\((\d+)\) \w*Aggregate", p)]
+    (ex_id,) = [int(m.group(1)) for m in
+                re.finditer(r"\((\d+)\) Exchange", p)]
+    assert min(agg_ids) < ex_id < max(agg_ids)
+    assert re.search(r"\(%d\) Exchange\s*\nInput.*\n.*hashpartitioning"
+                     r"\(database[^)]*table[^)]*pk" % ex_id, p), \
+        "exchange must hash-partition on the full fold key"

@@ -945,3 +945,71 @@ def test_parquet_rollup_store_matches_batch(spark, events_dir, tmp_path):
                   .agg(F.count("*").alias("n_events"),
                        F.sum("value").alias("total_value"))).collect())
     assert store.snapshot() == exp
+
+
+def test_watermarked_dedup_state_bounded_vs_unbounded(spark, tmp_path):
+    """Certify the state-eviction behavior the two streaming dedup
+    tiers advertise: under an advancing watermark,
+    dropDuplicatesWithinWatermark EVICTS expired keys (state stays
+    bounded at ~the lateness horizon; a duplicate arriving after
+    eviction re-emits — the documented at-least-once-outside-horizon
+    contract, the reference's own guarantee level), while the
+    unbounded incremental_exact_dedup twin retains EVERY key ever
+    seen. Pinned on the state-operator metrics Spark reports per
+    batch (numRowsTotal) plus the semantic re-emission."""
+    import datetime as dt
+
+    src_dir = str(tmp_path / "dd_src")
+    os.makedirs(src_dir)
+    schema = "event_id long, ts timestamp, text string"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{src_dir}/{name}")
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src_dir}/*"))
+
+    def rows_at(hours, lo, hi):
+        t = t0 + dt.timedelta(hours=hours)
+        return [(k, t, f"doc-{k}") for k in range(lo, hi)]
+
+    # four time-ordered files; maxFilesPerTrigger=1 => one batch each
+    write_batch("b0", rows_at(0, 0, 100))
+    write_batch("b1", rows_at(2, 100, 200) + [(0, t0, "doc-0")])
+    write_batch("b2", rows_at(4, 200, 300))
+    write_batch("b3", [(0, t0 + dt.timedelta(hours=4, minutes=30),
+                        "doc-0")])
+
+    bounded = W.dedup_within_watermark(stream(), ["event_id"], "ts",
+                                       "1 hour")
+    qb = (bounded.writeStream.outputMode("append").format("memory")
+          .queryName("dd_bounded")
+          .option("checkpointLocation", str(tmp_path / "ck_b")).start())
+    qb.processAllAvailable()
+    bounded_state = qb.lastProgress["stateOperators"][0]["numRowsTotal"]
+    qb.stop()
+
+    unbounded = W.incremental_exact_dedup(stream(), "text", "event_id")
+    qu = (unbounded.writeStream.outputMode("append").format("memory")
+          .queryName("dd_unbounded")
+          .option("checkpointLocation", str(tmp_path / "ck_u")).start())
+    qu.processAllAvailable()
+    unbounded_state = qu.lastProgress["stateOperators"][0]["numRowsTotal"]
+    qu.stop()
+
+    # unbounded: every distinct key ever seen is live state forever
+    assert unbounded_state == 300
+    # bounded: batches 0-1 (keys 0..199) expired once the watermark
+    # passed their ts+delay; only the recent horizon remains
+    assert bounded_state <= 101, bounded_state
+    # semantics: within-horizon duplicate suppressed (b1's key 0),
+    # post-eviction duplicate re-emitted (b3's key 0)
+    n_b = spark.sql("SELECT count(*) c FROM dd_bounded").collect()[0]["c"]
+    n_u = spark.sql("SELECT count(*) c FROM dd_unbounded") \
+        .collect()[0]["c"]
+    assert n_u == 300   # history never forgotten, b3 dup suppressed
+    assert n_b == 301   # 300 firsts + the re-emitted evicted key
