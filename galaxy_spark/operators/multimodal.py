@@ -15,13 +15,16 @@ written with row-group sizes that keep a batch of payloads within
 executor memory (``spark.sql.files.maxPartitionBytes`` +
 ``maxRecordsPerBatch`` bound Arrow batch memory).
 
-Codec status (r5): ``real_decode`` REALLY decodes two of the three
-formats with stdlib-only codecs — PCM WAV via the ``wave`` module
-and (non-interlaced, 8-bit gray/RGB/indexed-free) PNG via ``zlib``
-with all five standard scanline filters — verified against genuine
-files in tests. Video (mp4) still raises NotImplementedError: there
-is no stdlib route to an H.264 stream, and shipping a fake there
-would be dishonest. The synthetic-fixture queries keep using the
+Codec status (r6): ``real_decode`` REALLY decodes three formats
+with stdlib-only codecs — PCM WAV via the ``wave`` module,
+(non-interlaced, 8-bit gray/RGB/indexed-free) PNG via ``zlib`` with
+all five standard scanline filters, and multi-frame animated GIF
+(full LZW decompression, transparency, sub-rectangle frame
+compositing — the video-adjacent tier, so ``sample_frames_real``
+samples genuinely decoded frames) — verified against golden bytes
+in tests. Video (mp4) still raises NotImplementedError: there is no
+stdlib route to an H.264 stream, and shipping a fake there would be
+dishonest. The synthetic-fixture queries keep using the
 deterministic fake (``_fake_decode``) because the driver's parquet
 fixtures carry text-derived payloads, not real media; the plumbing
 (schema, UDF signatures, Arrow batch iteration, output shapes) is
@@ -102,6 +105,9 @@ def real_decode(payload: bytes, fmt: str) -> np.ndarray:
     8-bit unsigned / 16- / 32-bit signed little-endian PCM).
     ``png`` -> (H, W) or (H, W, 3|4) uint8 (stdlib ``zlib`` +
     full filter reconstruction — see ``_decode_png``).
+    ``gif`` -> (n_frames, H, W, 3) uint8: REAL multi-frame decode
+    (LZW + compositing, ``_decode_gif``) — the video-adjacent tier
+    frame sampling runs on genuinely.
     ``mp4`` raises: no stdlib H.264 decoder exists; wire pyav here
     in production (the Spark-side plumbing is format-agnostic).
     """
@@ -109,6 +115,8 @@ def real_decode(payload: bytes, fmt: str) -> np.ndarray:
         return _decode_wav(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt == "gif":
+        return _decode_gif(payload)
     raise NotImplementedError(
         f"real {fmt!r} decoding requires pyav/ffmpeg; wire it here — "
         "all Spark-side plumbing already works")
@@ -207,6 +215,134 @@ def _decode_png(payload: bytes) -> np.ndarray:
         prev = cur
     arr = out.reshape(height, width, nch)
     return arr[:, :, 0] if nch == 1 else arr
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code
+    width starting at min+1 bits, codes packed LSB-first, CLEAR
+    resets the dictionary, EOI ends the stream, width grows when
+    the dictionary fills a power of two, capped at 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        i = bitpos // 8
+        window = int.from_bytes(data[i:i + 3], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code} "
+                             f"with table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """REAL multi-frame GIF decoder (stdlib-only, GIF89a spec):
+    header + logical screen descriptor, global/local color tables,
+    graphic-control extensions (transparency honored; disposal
+    "none"/"keep" supported), per-frame image descriptors with
+    sub-rectangle placement, and full LZW decompression of the
+    pixel-index stream. Returns (n_frames, H, W, 3) uint8 — each
+    frame the fully composited canvas, which is what a
+    frame-sampling training pipeline wants. Interlaced images and
+    restore-disposal variants raise rather than guess."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    W, H, packed, _bg, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n,
+                            pos).reshape(n, 3)
+        pos += 3 * n
+
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    transparent: int | None = None
+    while pos < len(payload):
+        block = payload[pos]; pos += 1
+        if block == 0x3B:                                 # trailer
+            break
+        if block == 0x21:                                 # extension
+            label = payload[pos]; pos += 1
+            if label == 0xF9:                             # GCE
+                size = payload[pos]; pos += 1
+                flags, _delay, tindex = struct.unpack(
+                    "<BHB", payload[pos:pos + size]); pos += size
+                disposal = (flags >> 2) & 0x07
+                if disposal > 1:
+                    raise ValueError(
+                        f"unsupported GIF disposal method {disposal}")
+                transparent = tindex if flags & 0x01 else None
+                pos += 1                                  # terminator
+            else:                                         # skip subblocks
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+        elif block == 0x2C:                               # image
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos:pos + 9]); pos += 9
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(payload, np.uint8, 3 * n,
+                                        pos).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]; pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(_gif_lzw_decode(min_code, bytes(data)),
+                                np.uint8)
+            if idx.size != w * h:
+                raise ValueError(
+                    f"GIF frame pixel count {idx.size} != {w}x{h}")
+            idx = idx.reshape(h, w)
+            region = canvas[top:top + h, left:left + w]
+            rgb = palette[idx]
+            if transparent is not None:
+                keep = (idx == transparent)[..., None]
+                rgb = np.where(keep, region, rgb)
+            canvas[top:top + h, left:left + w] = rgb
+            frames.append(canvas.copy())
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames)
 
 
 REAL_DECODED_SCHEMA = T.StructType([
@@ -394,6 +530,37 @@ def sample_frames(media: DataFrame, every_k: int = 4,
             })
 
     return vids.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def sample_frames_real(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over GENUINELY DECODED frames: payloads with
+    ``meta.fmt == 'gif'`` run through the real multi-frame decoder
+    and every k-th composited frame is emitted as raw RGB bytes
+    (H*W*3, row-major) — the same plumbing shape as the synthetic
+    ``sample_frames`` tier (Arrow ``mapInPandas``, fan-out without
+    an explode shuffle, payloads never on the driver), with the
+    decode step real instead of byte-slicing."""
+    gifs = media.filter(F.col("meta.fmt") == "gif") \
+                .select("media_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = _decode_gif(bytes(payload))
+                for i in range(0, arr.shape[0], every_k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(arr[i].tobytes())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            })
+
+    return gifs.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType([
