@@ -139,8 +139,14 @@ def _values_close(a: Any, b: Any, approx: bool) -> bool:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
-            approx: bool = False) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+            approx: bool = False, record: dict | None = None) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass).
+
+    When ``record`` is passed, it is filled with the Spark side's
+    row count, canonical schema, and order-insensitive value hash —
+    the same three facts the driver's CORRECTNESS artifact records,
+    so local certification runs can emit a diffable trail
+    (CERTIFY_LOCAL_r*.json) without re-collecting the result."""
     problems: list[str] = []
     spark_cols = sorted(spark_df.columns)
     spark_types = {f.name: canon_spark_type(f.dataType.simpleString())
@@ -148,6 +154,14 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
     spark_rows = [
         tuple(_norm(r[c]) for c in spark_cols) for r in spark_df.collect()
     ]
+    if record is not None:
+        import hashlib
+        record.update(
+            rows=len(spark_rows),
+            schema={c: spark_types[c] for c in spark_cols},
+            value_hash=hashlib.md5(
+                repr(sorted(spark_rows, key=_sort_key)).encode()
+            ).hexdigest())
     rel = con.sql(sql)
     duck_cols = sorted(rel.columns)
     idx = [rel.columns.index(c) for c in duck_cols]

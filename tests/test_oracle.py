@@ -6,6 +6,9 @@ DataFrame.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pytest
 
 from galaxy_spark.registry import all_oracles, all_queries
@@ -44,17 +47,43 @@ def test_post_freeze_at_driver_scale(spark, name):
     """Queries registered AFTER the certification-manifest freeze
     never enter the driver's external 50-row prefix (COVERAGE.md),
     so run the identical comparison at the driver's OWN scale
-    (sf0.01) here — on top of the sf0.001 run above."""
+    (sf0.01) here — on top of the sf0.001 run above — and publish
+    each query's row-count/schema/value-hash into the committed
+    CERTIFY_LOCAL artifact so the externally-invisible queries have
+    a diffable certification trail (VERDICT r5 #8)."""
     from galaxy_spark.registry import POST_FREEZE_QUERIES
 
     assert set(POST_FREEZE_QUERIES) <= set(QUERIES)
     con = duckdb_con("/root/testdata/sf0.01")
     try:
         df = QUERIES[name](spark, "/root/testdata/sf0.01")
-        problems = compare(df, con, ORACLES[name])
+        rec: dict = {}
+        problems = compare(df, con, ORACLES[name], record=rec)
         assert not problems, f"{name}: " + "; ".join(problems)
+        _record_certification(name, rec)
     finally:
         con.close()
+
+
+CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r06.json")
+
+
+def _record_certification(name: str, rec: dict) -> None:
+    """Upsert one query's certification facts (sf0.01 row count,
+    canonical schema, order-insensitive value hash) into the
+    round's committed artifact. Sequential pytest: plain
+    read-modify-write, sorted keys for stable diffs."""
+    data = {"sf": 0.01, "source": "test_post_freeze_at_driver_scale",
+            "queries": {}}
+    if os.path.exists(CERTIFY_PATH):
+        with open(CERTIFY_PATH) as f:
+            data = json.load(f)
+    data["queries"][name] = rec
+    data["queries"] = dict(sorted(data["queries"].items()))
+    with open(CERTIFY_PATH, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def test_post_freeze_registry_complete():
