@@ -1,0 +1,137 @@
+"""S1 as a genuine Spark source: a Python streaming DataSource
+(Spark 4 API) tailing MySQL binlog files.
+
+SURVEY §2.1 maps the reference's binlog source
+(``internal/sync_server/sync.go:44-118,120-188``) to either a
+Kafka/Debezium feed (cdc/streams.py, cdc/debezium.py) or "a custom
+Python streaming DataSource (Spark 4 API) doing binlog tailing" —
+this is that second tier, built on the byte-level decoder
+(cdc/binlog.py). ``spark.readStream.format("galaxy_binlog")``
+yields one row per row-change with positional ``org_row`` images;
+schema attach (P1) and projections (P2-P4) then run as the same
+column algebra as every other source tier.
+
+Offset model (mirrors the reference's ``(file, pos)`` position,
+``pkg/shared.go:13-14``): ``{"file": <name>, "pos": <byte>}``
+where ``pos`` is the END log_pos of the last consumed event —
+binlog events chain end-positions in their headers, so every
+offset is event-aligned by construction. Files must sort in
+rotation order (``binlog.000001`` style); only the LAST file may
+grow (earlier segments are immutable once rotated — MySQL's own
+contract), so an offset pair spans: tail of start.file, any whole
+files between, head of end.file.
+
+Replay-skip, not mid-file seek: decoding needs the TABLE_MAP state
+accumulated earlier in the segment (the wire sends column types
+per table_id, names never), so ``read`` decodes the segment from
+its start and FILTERS events at ``log_pos <= start.pos`` — exactly
+the reference's recovery semantics (``Continue()`` drops
+already-applied positions, ``concurrently_task_manager.go:97-120``).
+Cost: each micro-batch re-scans its segment's prefix; segments are
+bounded (max_binlog_size), so this is O(segment), not O(history).
+
+Parallelism: one InputPartition per segment — decode is inherently
+sequential WITHIN a segment (TABLE_MAP state), but segments decode
+in parallel across executors, which is the unit Kafka gives you
+too (partition-ordered, not globally ordered).
+
+``startingOffsets=latest`` (S2 parity, ``baseinfo.go:254-262``):
+the initial offset probes the directory's current end instead of
+the first file's magic.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+from pyspark.sql.types import StructType
+
+SCHEMA = ("database string, `table` string, action string, "
+          "org_row array<array<string>>, ts_sec bigint, "
+          "log_pos bigint, binlog_file string")
+
+
+def _segments(path: str) -> list[str]:
+    return sorted(f for f in os.listdir(path) if f.endswith(".bin"))
+
+
+class _SegmentSlice(InputPartition):
+    def __init__(self, path: str, fname: str, start_pos: int,
+                 end_pos: int) -> None:
+        self.path, self.fname = path, fname
+        self.start_pos, self.end_pos = start_pos, end_pos
+
+
+class BinlogStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("galaxy_binlog requires option 'path'")
+        self.starting = options.get("startingOffsets", "earliest")
+
+    def _end_of_dir(self) -> dict:
+        segs = _segments(self.path)
+        if not segs:
+            return {"file": "", "pos": 0}
+        last = segs[-1]
+        return {"file": last,
+                "pos": os.path.getsize(os.path.join(self.path, last))}
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return self._end_of_dir()   # SHOW MASTER STATUS analog
+        segs = _segments(self.path)
+        return {"file": segs[0] if segs else "", "pos": 0}
+
+    def latestOffset(self) -> dict:
+        return self._end_of_dir()
+
+    def partitions(self, start: dict, end: dict) \
+            -> Sequence[InputPartition]:
+        segs = [s for s in _segments(self.path)
+                if (not start["file"] or s >= start["file"])
+                and s <= end["file"]]
+        out = []
+        for s in segs:
+            start_pos = start["pos"] if s == start["file"] else 0
+            end_pos = (end["pos"] if s == end["file"] else
+                       os.path.getsize(os.path.join(self.path, s)))
+            if end_pos > start_pos:
+                out.append(_SegmentSlice(self.path, s, start_pos,
+                                         end_pos))
+        return out
+
+    def read(self, partition: _SegmentSlice) -> Iterator[tuple]:
+        from galaxy_spark.cdc.binlog import decode_binlog
+
+        with open(os.path.join(partition.path, partition.fname),
+                  "rb") as f:
+            blob = f.read(partition.end_pos)
+        for ev in decode_binlog(blob):
+            if ev.log_pos <= partition.start_pos:
+                continue            # replay-skip (C1 Continue())
+            if ev.kind in ("insert", "update", "delete"):
+                for row in ev.rows:
+                    yield (ev.database, ev.table, ev.kind, row,
+                           ev.timestamp, ev.log_pos, partition.fname)
+
+    def commit(self, end: dict) -> None:
+        pass                        # checkpoint log owns durability
+
+
+class BinlogDataSource(DataSource):
+    """``spark.dataSource.register(BinlogDataSource)`` then
+    ``spark.readStream.format("galaxy_binlog").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "galaxy_binlog"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def streamReader(self, schema: StructType) -> BinlogStreamReader:
+        return BinlogStreamReader(self.options)

@@ -158,6 +158,15 @@ def start_pipeline_live(env_stream: DataFrame, task_id: str,
     restart. Filter/projection/routing are the identical column
     algebra — only the evaluation point moves from stream-plan time
     to batch-plan time.
+
+    Sink semantics: ``kafka``/``parquet`` write DISTRIBUTED per
+    batch (the production paths — no rows ever reach the driver);
+    ``memory`` is the TEST/DEBUG surface only, like the stock
+    memory sink it replaces: it collects each batch to a driver
+    buffer and therefore HARD-CAPS total buffered rows
+    (``sink.options["maxRows"]``, default 10_000) — exceeding the
+    cap kills the query with a clear error instead of silently
+    eating driver memory at real volume.
     """
     _LIVE_MEMORY[task_id] = []
 
@@ -168,7 +177,15 @@ def start_pipeline_live(env_stream: DataFrame, task_id: str,
         if sink.kind == "kafka":
             msgs.write.format("kafka").options(**sink.options).save()
         elif sink.kind == "memory":
-            _LIVE_MEMORY[task_id].extend(msgs.collect())
+            cap = int(sink.options.get("maxRows", 10_000))
+            buf = _LIVE_MEMORY[task_id]
+            batch = msgs.limit(cap + 1 - len(buf)).collect()
+            if len(buf) + len(batch) > cap:
+                raise RuntimeError(
+                    f"live memory sink exceeded maxRows={cap}; this "
+                    "sink is a test/debug surface — use the kafka or "
+                    "parquet sink for real volume")
+            buf.extend(batch)
         elif sink.kind == "parquet":
             msgs.write.mode("append").options(**sink.options).parquet(
                 sink.options["path"])

@@ -1013,3 +1013,25 @@ def test_watermarked_dedup_state_bounded_vs_unbounded(spark, tmp_path):
         .collect()[0]["c"]
     assert n_u == 300   # history never forgotten, b3 dup suppressed
     assert n_b == 301   # 300 firsts + the re-emitted evicted key
+
+
+def test_live_memory_sink_hard_caps_driver_buffer(spark, events_dir,
+                                                  tmp_path):
+    """The live pipeline's memory sink is a test surface: it must
+    REFUSE to buffer past maxRows (killing the query with a clear
+    error) rather than silently accumulate a 100 TB stream on the
+    driver. The kafka/parquet paths write distributed and have no
+    cap."""
+    from galaxy_spark.cdc.filters import TaskFilter
+    from galaxy_spark.streaming.pipeline import (LiveFilterRef,
+                                                 start_pipeline_live)
+
+    env = envelope_from_events(_stream_events(spark, events_dir))
+    q = start_pipeline_live(
+        env, "t_cap", LiveFilterRef(TaskFilter()),
+        EVENT_SOURCE_COLUMNS,
+        SinkConfig(kind="memory", options={"maxRows": "50"}),
+        str(tmp_path / "cap_ckpt"))
+    with pytest.raises(Exception, match="maxRows=50"):
+        q.processAllAvailable()
+    q.stop()
