@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     "cdc_scd2_history",
     "text_bm25_search",
     "quality_bigram_logprob",
+    # r6 breadth: the two new heavy distributed shapes (two-join
+    # triangle closure on the 1.2M-edge co-purchase graph; the
+    # 3-round iterative BPE merge loop). The CMS sketch and the
+    # quantile-bound rows are single-agg shapes that ride the
+    # full-surface artifact.
+    "graph_triangle_count",
+    "text_bpe_merge_steps",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing

@@ -196,3 +196,58 @@ def mining_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", "support",
                     F.round(F.col("support") * F.lit(1.0)
                             / F.col("n_baskets"), 4).alias("confidence")))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(COUNT(DISTINCT e1.src) AS BIGINT) AS n_apex_nodes
+    FROM edges e1
+    JOIN edges e2 ON e1.dst = e2.src
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts joined by
+    shared orders — same edge set as mining_frequent_pairs): count
+    closed triples a<b<c where all three edges exist, plus the
+    distinct apex (smallest-id) nodes. The standard two-join plan
+    over id-oriented edges (a<b) — each triangle counted exactly
+    once because orientation fixes the traversal a->b->c.
+
+    Shape at scale: edges materialize once (DISTINCT pair agg from
+    bounded baskets); then one shuffle joining e1.dst=e2.src (wedge
+    generation) and one closing equi-join back to edges. Id
+    orientation caps wedge fan-out by each node's OUT-degree; the
+    production refinement at 100 TB is degree orientation (edges
+    point low-degree -> high-degree, making the wedge count
+    sum-of-squares of the SMALLER side, the classic skew fix) —
+    same plan, different orientation predicate; id order keeps the
+    oracle exact here where TPC-H basket sizes are bounded (<=7).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p"))
+               .distinct())
+    edges = (baskets.alias("a")
+             .join(baskets.alias("b"),
+                   (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("src"),
+                     F.col("b.p").alias("dst"))
+             .distinct()
+             .localCheckpoint(eager=False))   # edges build once, join 3x
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+           .join(e3, (F.col("e3.src") == F.col("e1.src"))
+                 & (F.col("e3.dst") == F.col("e2.dst"))))
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.countDistinct(F.col("e1.src")).alias("n_apex_nodes"))

@@ -585,3 +585,196 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "pair")
             .limit(50))
+
+
+# -- count-min sketch ------------------------------------------------
+
+_CMS_D = 4          # hash rows
+_CMS_HEX = 3        # 3 hex chars -> 4096 buckets per row
+
+
+def _cms_positions(col):
+    """d bucket positions of a key: seed-prefixed md5 slices, the
+    same engine-portable trick as the Bloom tier (positions are the
+    4096 3-hex-char strings; no hex->int conversion to disagree
+    on)."""
+    return [F.substring(F.md5(F.concat_ws(
+        ":", F.lit(f"cms{i}"), col.cast("string"))), 1, _CMS_HEX)
+        for i in range(_CMS_D)]
+
+
+def _cms_positions_sql(col: str) -> str:
+    return ", ".join(
+        f"substring(md5(concat('cms{i}', ':', CAST({col} AS VARCHAR)"
+        f")), 1, {_CMS_HEX}) AS pos{i}"
+        for i in range(_CMS_D))
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT user_id, {_cms_positions_sql('user_id')} FROM events
+    ), cells AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_i, pos{i} AS pos, COUNT(*) AS cnt "
+            f"FROM keyed GROUP BY pos{i}" for i in range(_CMS_D))}
+    ), exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count,
+               {_cms_positions_sql('user_id')}
+        FROM events GROUP BY user_id
+    ), probes AS (
+        {" UNION ALL ".join(
+            f"SELECT user_id, exact_count, {i} AS row_i, pos{i} AS pos "
+            f"FROM exact" for i in range(_CMS_D))}
+    )
+    SELECT p.user_id, p.exact_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.cnt) - p.exact_count AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON p.row_i = c.row_i AND p.pos = c.pos
+    GROUP BY p.user_id, p.exact_count
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode &
+    Muthukrishnan 2005): d=4 hash rows x 4096 buckets; a
+    key's estimate is the MIN of its d bucket counters, which is
+    deterministically >= the exact count (collisions only ever add)
+    — both engines compute the identical sketch, so the estimate
+    itself is oracle-checkable, not just a bound flag.
+
+    Why this is THE 100 TB frequency primitive: the sketch is a
+    fixed d x w grid of counters regardless of key cardinality, and
+    it is a MERGEABLE monoid (cell-wise sum), so it
+    partial-aggregates map-side like any count — one bounded-output
+    exchange over (row, bucket) where exact per-key counting of a
+    trillion-key stream would shuffle the key universe. The exact
+    counts computed alongside here are the TEST instrument (events'
+    key space is small); at scale only the sketch runs, and heavy
+    hitters fall out of probing candidate keys against it.
+
+    Cites reference scope: galaxy has no aggregation surface at
+    all (SURVEY §2 "no relational operators"); this extends the
+    driver-mandated sketch axis (HLL, Bloom, PQ) with the
+    frequency sketch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # ONE scan each side: posexplode the d-position array instead of
+    # d unioned branches (which would rescan the source d times)
+    cells = (ev.select(F.posexplode(F.array(
+                 *_cms_positions(F.col("user_id"))))
+                 .alias("row_i", "pos"))
+             .groupBy("row_i", "pos").agg(F.count("*").alias("cnt")))
+
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").alias("exact_count"))
+    probes = exact.select(
+        "user_id", "exact_count",
+        F.posexplode(F.array(*_cms_positions(F.col("user_id"))))
+        .alias("row_i", "pos"))
+
+    return (probes.join(cells, ["row_i", "pos"])
+            .groupBy("user_id", "exact_count")
+            .agg(F.min("cnt").alias("cms_estimate"))
+            .select("user_id", "exact_count", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("exact_count"))
+                    .alias("overcount")))
+
+
+# -- BPE training: actual merge iterations ---------------------------
+
+_BPE_SEP = "\x1f"   # unit separator: cannot appear in ws-split tokens
+_BPE_STEPS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-iteration DuckDB oracle (the PageRank pattern):
+    each step recounts pairs over the CURRENT symbolization, picks
+    argmax (count desc, pair asc), and applies the merge with a
+    literal left-to-right string replace — identical semantics to
+    the Spark side's F.replace."""
+    sep = "chr(31)"
+    parts = [f"""
+    WITH wf AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word
+    ), s0 AS (
+        SELECT freq, array_to_string(list_transform(
+            range(1, length(word) + 1),
+            i -> substr(word, CAST(i AS INTEGER), 1)), {sep}) AS sym
+        FROM wf
+    )"""]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(f""", p{k} AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+            SELECT freq, unnest(list_transform(
+                range(1, len(L)),
+                i -> list_extract(L, i) || {sep} ||
+                     list_extract(L, i + 1))) AS pair
+            FROM (SELECT freq, string_split(sym, {sep}) AS L
+                  FROM s{k - 1})
+        ) GROUP BY pair
+    ), b{k} AS (
+        SELECT pair, pair_count FROM p{k}
+        ORDER BY pair_count DESC, pair LIMIT 1
+    ), s{k} AS (
+        SELECT freq, replace(sym, (SELECT pair FROM b{k}),
+                             replace((SELECT pair FROM b{k}),
+                                     {sep}, '')) AS sym
+        FROM s{k - 1}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, replace(pair, {sep}, ' ') AS merged_pair,"
+        f" pair_count FROM b{k}" for k in range(1, _BPE_STEPS + 1))
+    return "".join(parts) + "\n    " + selects
+
+
+@register("text_bpe_merge_steps", oracle=_bpe_oracle())
+def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, steps 1..3 ACTUALLY ITERATED
+    (Sennrich et al. 2016): each round counts adjacent symbol pairs
+    over the current symbolization (corpus-weighted, vocab-scale),
+    merges the most frequent pair everywhere (left-to-right
+    non-overlapping — both engines' literal ``replace``), and
+    recounts. Output: one row per round with the merged pair and
+    its count — the head of the real merge table, extending
+    ``text_bpe_pair_counts`` (which is round 1's count only).
+
+    Scale shape: the corpus collapses to the frequency-weighted
+    word VOCABULARY once (one shuffle, localCheckpointed so the 3
+    rounds never rescan the corpus); each round is then a
+    vocab-scale pair agg + a 1-row argmax collect (bounded driver
+    state, the k-means centroid-pick pattern) + a scan-local string
+    replace. Symbols join on the unit separator so multi-char
+    symbol pairs can never collide with char boundaries.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (docs.select(F.explode(text.tokens(F.col("text")))
+                      .alias("word"))
+          .groupBy("word").agg(F.count("*").alias("freq")))
+    s = wf.select(
+        "freq",
+        F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("sym")
+    ).localCheckpoint(eager=False)
+
+    rows = []
+    for step in range(1, _BPE_STEPS + 1):
+        L = F.split(F.col("sym"), _BPE_SEP)
+        m = F.size(L) - 1
+        pairs = F.zip_with(F.slice(L, 1, m), F.slice(L, 2, m),
+                           lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))
+        pc = (s.select("freq", F.explode(pairs).alias("pair"))
+              .groupBy("pair").agg(F.sum("freq").alias("pair_count")))
+        best = pc.orderBy(F.desc("pair_count"), "pair").limit(1) \
+            .collect()[0]                       # 1 row: the argmax
+        rows.append((step, best["pair"].replace(_BPE_SEP, " "),
+                     best["pair_count"]))
+        s = s.withColumn(
+            "sym", F.replace(F.col("sym"), F.lit(best["pair"]),
+                             F.lit(best["pair"].replace(_BPE_SEP, "")))
+        ).localCheckpoint(eager=False)          # round boundary
+
+    return spark.createDataFrame(
+        rows, "step int, merged_pair string, pair_count bigint")

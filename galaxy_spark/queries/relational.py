@@ -1095,3 +1095,42 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.min("o_totalprice"), 2).alias("min_price"),
              F.round(F.max("o_totalprice"), 2).alias("max_price"))
     )
+
+
+@register(
+    "agg_quantile_sketch_bound",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS median_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_quantile_sketch_bound(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """approx_percentile (the KLL/GK-family quantile sketch behind
+    Spark's approximate percentiles) certified by RANK error, the
+    bound the sketch actually guarantees: the returned median
+    candidate's true rank fraction must sit within eps of 0.5.
+    Engine sketches differ (DuckDB's approx_quantile is t-digest),
+    so like the HLL row the emitted value is the deterministic
+    verdict — TRUE on every group — and a drifting sketch flips the
+    hash.
+
+    Shape at scale: one partial-aggregated sketch pass per group
+    (the sketch is a mergeable bounded summary — the same reason
+    CMS/HLL scale), then one broadcast join of the 5 candidate
+    medians back onto the scan for the exact rank count. The exact
+    count is the certification instrument, not the production path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("ap"))
+    ranked = (ev.join(F.broadcast(ap), "event_type")
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.when(F.col("value") <= F.col("ap"), 1)
+                         .otherwise(0)).alias("n_le")))
+    return ranked.select(
+        "event_type", "n_events",
+        (F.abs(F.col("n_le") / F.col("n_events") - 0.5) <= 0.01)
+        .alias("median_within_bound"))

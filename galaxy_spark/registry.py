@@ -160,6 +160,11 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "cdc_asof_state",
     "cdc_reconcile_checksum",
     "dedup_threshold_histogram",
+    # r6 additions
+    "agg_countmin_heavy_hitters",
+    "agg_quantile_sketch_bound",
+    "graph_triangle_count",
+    "text_bpe_merge_steps",
 )
 
 

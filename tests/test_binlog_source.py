@@ -141,3 +141,51 @@ def test_replay_skip_on_mid_segment_resume(spark, binlog_dir, tmp_path):
     assert sorted(r.action for r in rows) == ["delete", "insert",
                                               "insert", "update"]
     q.stop()
+
+
+def test_bytes_to_snapshot_store_full_chain(spark, binlog_dir, tmp_path):
+    """The round-6 capstone: wire-format bytes -> galaxy_binlog
+    streaming source (S1) -> projection chain (P1-P4) -> latest-wins
+    fold -> executor-side parquet MERGE store (C1's consumer) —
+    every stage the reference pipeline has, end to end, including a
+    segment rotation mid-stream. Final table state is asserted
+    against the hand-derived truth of the recorded events."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.cdc.projections import project_changes
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+    from galaxy_spark.streaming.state_store import (
+        ParquetSnapshotStore, start_incremental_snapshot_parquet)
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+    raw = (spark.readStream.format("galaxy_binlog")
+           .option("path", binlog_dir).load())
+    proj = project_changes(raw, ["id", "qty", "amount", "note"])
+    changes = (proj.filter(~F.col("quarantined"))
+               .select("database", "table", "action",
+                       F.coalesce(F.col("after.id"), F.col("before.id"))
+                       .cast("long").alias("pk"),
+                       F.coalesce(F.col("after.amount"),
+                                  F.col("before.amount"))
+                       .cast("double").alias("v"),
+                       F.col("log_pos").alias("pos")))
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"))
+    q = start_incremental_snapshot_parquet(
+        changes, store, str(tmp_path / "ck"))
+    q.processAllAvailable()
+
+    # segment 1 folds: id 1 inserted@299 then deleted@442 (tombstone
+    # drops, 2 changes); id 2 inserted@299 then updated@390 -> 21.0
+    assert store.snapshot() == [("shop", "orders", 2, 21.0, 390, 2)]
+
+    with open(os.path.join(binlog_dir, "binlog.000002.bin"), "wb") as f:
+        f.write(_second_segment())
+    q.processAllAvailable()
+    q.stop()
+    snap = store.snapshot()
+    assert ("shop", "orders", 2, 21.0, 390, 2) in snap
+    (_, _, pk9, v9, _, n9) = [r for r in snap if r[2] == 9][0]
+    assert (pk9, v9, n9) == (9, 7.5, 1) and len(snap) == 2

@@ -142,3 +142,79 @@ def test_fixed_round_budget_covers_real_dedup_graph_at_driver_scale(spark):
                  graph.connected_components(
                      v, pairs, src_col="id_a", dst_col="id_b").collect()}
     assert fixed == converged
+
+
+def test_bpe_merge_steps_match_python_reference(spark):
+    """The 3 iterated BPE merges must equal a plain-Python
+    implementation of Sennrich-style training (pair count over the
+    freq-weighted vocab, argmax with (count desc, pair asc)
+    tie-break, greedy left-to-right merge) run on the same corpus."""
+    from collections import Counter
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    texts = [r.text for r in
+             load_table(spark, sf, "documents").select("text").collect()]
+    wf = Counter(w for t in texts for w in t.strip().split())
+    syms = {w: tuple(w) for w in wf}
+
+    expected = []
+    for step in range(1, 4):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, f"{a} {b}", cnt))
+        merged = a + b
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+
+    got = [(r.step, r.merged_pair, r.pair_count) for r in
+           all_queries()["text_bpe_merge_steps"](spark, sf)
+           .orderBy("step").collect()]
+    assert got == expected
+
+
+def test_triangle_count_matches_python_reference(spark):
+    """Triangle closure vs a brute-force set-intersection count on
+    the same co-purchase edges."""
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem") \
+        .select("l_orderkey", "l_partkey").distinct().collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    n_tri, apexes = 0, set()
+    for a, succ in nbrs.items():
+        for b in succ:
+            common = succ & nbrs.get(b, set())
+            if common:
+                n_tri += len(common)
+                apexes.add(a)
+    (row,) = all_queries()["graph_triangle_count"](spark, sf).collect()
+    assert (row.n_triangles, row.n_apex_nodes) == (n_tri, len(apexes))
+    assert n_tri > 0

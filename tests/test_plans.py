@@ -476,3 +476,30 @@ def test_cdc_snapshot_fold_partial_aggs_absorb_hot_keys(q):
     assert re.search(r"\(%d\) Exchange\s*\nInput.*\n.*hashpartitioning"
                      r"\(database[^)]*table[^)]*pk" % ex_id, p), \
         "exchange must hash-partition on the full fold key"
+
+
+def test_countmin_single_scan_per_side(q):
+    """The CMS build must be ONE posexplode scan + one bounded
+    (row, bucket) agg — not d unioned rescans of the source. Two
+    aggregation exchanges total (cells, exact) + the probe join's;
+    no scan multiplication."""
+    df = q("agg_countmin_heavy_hitters")
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df)
+    # one scan per side (cells, exact); each scan prints one
+    # Location detail line in the formatted plan
+    assert p.count("Location: InMemoryFileIndex") <= 2, \
+        "union-rescan regression (d scans instead of one posexplode)"
+
+
+def test_triangle_edges_materialize_once(q):
+    """Triangle closure joins the edge set three times; the edge
+    build (basket self-join + distinct) must materialize once via
+    localCheckpoint, not re-derive per join arm."""
+    df = q("graph_triangle_count")
+    from galaxy_spark.plans import physical_plan
+    p = physical_plan(df)
+    # the lineitem scan happens inside the checkpointed edge build;
+    # the closure plan reuses the checkpointed RDD on all three arms
+    assert p.count("Scan parquet") == 0
+    assert p.count("Scan ExistingRDD") >= 3
