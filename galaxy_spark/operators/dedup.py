@@ -158,6 +158,33 @@ def minhash_signatures_agg(df: DataFrame, n: int = 5, n_hashes: int = 32,
     ])
 
 
+def minhash_band_buckets(df: DataFrame, n: int = 5, n_hashes: int = 32,
+                         bands: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) LSH index rows for a corpus — the shared
+    candidate-generation substrate: self-joined for batch near-dup
+    pairs (``minhash_lsh_candidates``) or equi-joined per
+    micro-batch against a PRECOMPUTED static reference index for
+    the streaming gate ("is this incoming doc a near-dup of the
+    reference corpus?" — the incremental crawl-dedup shape;
+    tests/test_streaming.py::test_stream_static_minhash_gate_matches_batch).
+    Deterministic signatures (seed 42) make index and probe
+    comparable across sessions and engines."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_agg(df, n, n_hashes, 42, text_col, id_col)
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"h{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(df: DataFrame, n: int = 5, n_hashes: int = 32,
                            bands: int = 8, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
@@ -169,19 +196,8 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 5, n_hashes: int = 32,
     operation is the equi-join on (band, bucket) — no quadratic
     pair enumeration outside colliding buckets.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures_agg(df, n, n_hashes, 42, text_col, id_col)
-    banded = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"h{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = minhash_band_buckets(df, n, n_hashes, bands, text_col,
+                                  id_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

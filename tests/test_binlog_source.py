@@ -189,3 +189,43 @@ def test_bytes_to_snapshot_store_full_chain(spark, binlog_dir, tmp_path):
     assert ("shop", "orders", 2, 21.0, 390, 2) in snap
     (_, _, pk9, v9, _, n9) = [r for r in snap if r[2] == 9][0]
     assert (pk9, v9, n9) == (9, 7.5, 1) and len(snap) == 2
+
+
+def test_checkpoint_restart_resumes_from_saved_offset(spark, binlog_dir,
+                                                      tmp_path):
+    """Kill the query, append a segment, restart from the SAME
+    checkpoint: Spark must hand the source its committed (file,pos)
+    offset and the restarted stream must deliver only the new
+    events — the reference's recovery_v1 (resume saved position)
+    against real wire bytes."""
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def start():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        return (spark.readStream.format("galaxy_binlog")
+                .option("path", binlog_dir).load()
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", ckpt).start())
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 4
+
+    with open(os.path.join(binlog_dir, "binlog.000002.bin"), "wb") as f:
+        f.write(_second_segment())
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.read.parquet(out).collect()
+    # exactly one new row appended — segment 1 was not replayed
+    assert len(rows) == 5
+    assert sorted(r.binlog_file for r in rows)[-1] == "binlog.000002.bin"
+    assert sum(r.binlog_file == "binlog.000002.bin" for r in rows) == 1

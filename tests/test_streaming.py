@@ -1035,3 +1035,102 @@ def test_live_memory_sink_hard_caps_driver_buffer(spark, events_dir,
     with pytest.raises(Exception, match="maxRows=50"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_parquet_rollup_store_survives_spark_epoch_replay(
+        spark, events_dir, tmp_path):
+    """Spark-driven epoch replay against the DURABLE parquet store:
+    drop the last checkpoint commit marker, restart, and the
+    bucketed MERGE must recognize its committed (bucket, epoch)
+    versions and skip the replayed batch — totals unchanged, no new
+    version dirs minted (the state_store twin of the
+    EpochKeyedRollupStore replay test)."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetRollupStore, start_incremental_rollup_parquet)
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    store = ParquetRollupStore(spark, str(tmp_path / "pr_store"))
+    q = start_incremental_rollup_parquet(
+        _stream_events(spark, events_dir), store, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    first = store.snapshot()
+    versions = {d: sorted(os.listdir(os.path.join(store.path, d)))
+                for d in os.listdir(store.path)
+                if d.startswith("bucket-")}
+    assert first and versions
+
+    commits_dir = os.path.join(ckpt, "commits")
+    last = [c for c in sorted(os.listdir(commits_dir))
+            if not c.startswith(".")][-1]
+    os.remove(os.path.join(commits_dir, last))
+    crc = os.path.join(commits_dir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = start_incremental_rollup_parquet(
+        _stream_events(spark, events_dir), store, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+
+    assert store.snapshot() == first, "replayed epoch double-counted"
+    after = {d: sorted(os.listdir(os.path.join(store.path, d)))
+             for d in os.listdir(store.path)
+             if d.startswith("bucket-")}
+    assert after == versions, "replay minted new version dirs"
+
+
+def test_stream_static_minhash_gate_matches_batch(spark, tmp_path):
+    """Stream-static NEAR-DUP gate: incoming documents probe a
+    precomputed static MinHash band index of the reference corpus —
+    the incremental crawl-dedup shape ("is this document a near-dup
+    of anything we already hold?"), completing the stream-static
+    family next to the Bloom (exact-membership) gate. Candidates
+    per micro-batch must equal the batch equi-join over the same
+    data."""
+    from galaxy_spark.operators.dedup import minhash_band_buckets
+
+    docs = load_table(spark, SF, "documents")
+    ref = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    probe = docs.filter(~F.col("source").isin("src0", "src1", "src2"))
+
+    idx_path = str(tmp_path / "ref_idx")
+    minhash_band_buckets(ref).write.parquet(idx_path)  # static index
+
+    probe_path = str(tmp_path / "probe_src")
+    probe.write.parquet(probe_path)
+    stream = _stream_events(spark, probe_path)
+
+    got: set = set()
+
+    def handle(batch_df, epoch_id):
+        bb = minhash_band_buckets(batch_df)
+        static = spark.read.parquet(idx_path)  # re-resolved per batch
+        cands = (bb.alias("p")
+                 .join(static.alias("r"),
+                       (F.col("p.band") == F.col("r.band"))
+                       & (F.col("p.bucket") == F.col("r.bucket")))
+                 .select(F.col("p.id").alias("probe_id"),
+                         F.col("r.id").alias("ref_id"))
+                 .distinct())
+        got.update((r.probe_id, r.ref_id) for r in cands.collect())
+
+    q = (stream.writeStream
+         .option("checkpointLocation", str(tmp_path / "mh_ckpt"))
+         .foreachBatch(handle).start())
+    q.processAllAvailable()
+    q.stop()
+
+    bb_p = minhash_band_buckets(probe)
+    static = spark.read.parquet(idx_path)
+    want = {(r.probe_id, r.ref_id) for r in
+            (bb_p.alias("p")
+             .join(static.alias("r"),
+                   (F.col("p.band") == F.col("r.band"))
+                   & (F.col("p.bucket") == F.col("r.bucket")))
+             .select(F.col("p.id").alias("probe_id"),
+                     F.col("r.id").alias("ref_id"))
+             .distinct()).collect()}
+    assert got == want and want
