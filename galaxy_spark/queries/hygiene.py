@@ -440,3 +440,56 @@ def embeddings_quantize_int8(spark: SparkSession,
     return with_q.select(
         "vec_id", "scale", "qvec",
         F.round(mean_err, 6).alias("mean_abs_err"))
+
+
+_WSAMPLE_K = 100
+
+
+@register(
+    "sample_weighted_no_replacement",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(ln((CAST('0x' || substring(md5('wsamp42:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                         + 0.5) / 281474976710656.0)
+                     / n_chars, 12) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def sample_weighted_no_replacement(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    2006): each row gets key ln(u)/w (the log form of u^(1/w)) for
+    a deterministic hash-uniform u and weight w = n_chars; the k
+    largest keys ARE a weighted sample without replacement — the
+    one-pass, merge-friendly formulation (per-partition top-k, no
+    per-draw sequential state), which is why it is THE distributed
+    weighted sampler. Here it draws a length-biased corpus sample,
+    the "prefer longer documents" mixture knob.
+
+    Cross-engine float determinism, per the SCALE.md rules: u =
+    (hash48 + 0.5) / 2^48 is EXACTLY the same double in both
+    engines (49-bit integer + power-of-two scale, both within the
+    53-bit mantissa); ln is the only libm call (<= 1 ulp spread)
+    and the key is ROUND(_, 12)-quantized — a measured double's
+    expansion never terminates at a rounding boundary, so a last-
+    ulp ln difference cannot flip the quantized key; rounded-key
+    ties break on doc_id. Spark's global ORDER BY+LIMIT plans as
+    TakeOrderedAndProject — parallel partial top-k, no single
+    reducer.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0)
+    h48 = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit("wsamp42"),
+                          F.col("doc_id").cast("string"))), 1, 12),
+        16, 10).cast("long")
+    u = (h48 + F.lit(0.5)) / F.lit(281474976710656.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (docs.select("doc_id", "n_chars", key.alias("es_key"))
+            .orderBy(F.desc("es_key"), "doc_id")
+            .limit(_WSAMPLE_K))

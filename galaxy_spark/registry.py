@@ -165,6 +165,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "agg_quantile_sketch_bound",
     "graph_triangle_count",
     "text_bpe_merge_steps",
+    "sample_weighted_no_replacement",
 )
 
 

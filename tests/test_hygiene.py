@@ -167,3 +167,26 @@ def test_int8_quantization_bounds_and_reconstruction(spark):
         recon = q * r.scale
         assert np.max(np.abs(x - recon)) <= r.scale / 2 + 1e-12
         assert abs(np.mean(np.abs(x - recon)) - r.mean_abs_err) < 1e-6
+
+
+def test_weighted_sample_is_length_biased_and_plans_topk(spark):
+    """Efraimidis-Spirakis with w = n_chars must (a) bias toward
+    longer documents — sample mean length clearly above the corpus
+    mean — while (b) still giving short docs nonzero probability,
+    and (c) plan the global top-k as TakeOrderedAndProject (parallel
+    partial top-k), not a single-reducer global sort."""
+    from galaxy_spark.queries.hygiene import sample_weighted_no_replacement
+    from galaxy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    df = sample_weighted_no_replacement(spark, sf)
+    sample = df.collect()
+    corpus_mean = load_table(spark, sf, "documents") \
+        .agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_mean > corpus_mean * 1.15, (sample_mean, corpus_mean)
+    assert len(sample) == 100
+    assert len({r.doc_id for r in sample}) == 100  # without replacement
+
+    from galaxy_spark.plans import physical_plan
+    assert "TakeOrderedAndProject" in physical_plan(df)
