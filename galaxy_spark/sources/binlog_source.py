@@ -53,6 +53,11 @@ SCHEMA = ("database string, `table` string, action string, "
           "org_row array<array<string>>, ts_sec bigint, "
           "log_pos bigint, binlog_file string")
 
+#: option("include", "ddl") stream: QUERY events for the schema-
+#: evolution path (S3 routes QueryEvent -> P5, sync.go:168-174)
+DDL_SCHEMA = ("database string, query string, ts_sec bigint, "
+              "log_pos bigint, binlog_file string")
+
 
 def _segments(path: str) -> list[str]:
     return sorted(f for f in os.listdir(path) if f.endswith(".bin"))
@@ -71,6 +76,12 @@ class BinlogStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("galaxy_binlog requires option 'path'")
         self.starting = options.get("startingOffsets", "earliest")
+        self.include = options.get("include", "rows")
+        if self.include not in ("rows", "ddl"):
+            raise ValueError(
+                f"include={self.include!r}: expected 'rows' (row "
+                "changes) or 'ddl' (QUERY events for the schema-"
+                "evolution path)")
 
     def _end_of_dir(self) -> dict:
         segs = _segments(self.path)
@@ -113,7 +124,11 @@ class BinlogStreamReader(DataSourceStreamReader):
         for ev in decode_binlog(blob):
             if ev.log_pos <= partition.start_pos:
                 continue            # replay-skip (C1 Continue())
-            if ev.kind in ("insert", "update", "delete"):
+            if self.include == "ddl":
+                if ev.kind == "query" and ev.query != "BEGIN":
+                    yield (ev.database, ev.query, ev.timestamp,
+                           ev.log_pos, partition.fname)
+            elif ev.kind in ("insert", "update", "delete"):
                 for row in ev.rows:
                     yield (ev.database, ev.table, ev.kind, row,
                            ev.timestamp, ev.log_pos, partition.fname)
@@ -131,6 +146,8 @@ class BinlogDataSource(DataSource):
         return "galaxy_binlog"
 
     def schema(self) -> str:
+        if self.options.get("include", "rows") == "ddl":
+            return DDL_SCHEMA
         return SCHEMA
 
     def streamReader(self, schema: StructType) -> BinlogStreamReader:

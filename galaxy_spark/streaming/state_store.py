@@ -285,3 +285,68 @@ def start_incremental_rollup_parquet(
             .foreachBatch(_lineage_scoped_handler(
                 store, checkpoint_dir, _partial_rollup))
             .start())
+
+
+def partial_scd2(changes: DataFrame) -> DataFrame:
+    """One micro-batch's SCD2 partial: per-key SORTED version array
+    (pos, value, action). Version arrays are an associative monoid
+    under merge-and-resort (positions are unique per key), so
+    per-batch partials fold into the store exactly like the
+    latest-wins snapshot — but keeping FULL history per key, which
+    is what SCD2 is. Expects scd2_change_frame columns (value =
+    after image only; tombstones close intervals downstream)."""
+    return (changes.groupBy("database", "table", "pk")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("pos", "value", "action"))).alias("versions")))
+
+
+class ParquetScd2Store(KeyedParquetStore):
+    """Incrementally-maintained SCD2 dimension history: the
+    streaming twin of queries.cdc.scd2_history_frame, with version
+    arrays accumulated in the bucketed parquet store. Array-concat
+    is NOT idempotent — a replayed epoch would duplicate versions —
+    which is precisely what the per-(bucket, epoch) commit claims
+    prevent; the snapshot store's counters have the same property.
+    Per-key state grows with that key's version count: inherent to
+    SCD2 (the history IS the state), bounded per key by change
+    rate, spread across buckets by key hash."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 8) -> None:
+        super().__init__(
+            spark, path, ["database", "table", "pk"],
+            [F.sort_array(F.flatten(F.collect_list("versions")))
+             .alias("versions")],
+            n_buckets)
+
+    def history(self) -> DataFrame:
+        """Validity intervals — same columns and semantics as the
+        batch scd2_history_frame: LEAD over position closes
+        intervals (deletes close, then drop)."""
+        from pyspark.sql import Window
+
+        ex = (self.state()
+              .select("database", "table", "pk",
+                      F.explode("versions").alias("ver"))
+              .select("database", "table", "pk",
+                      F.col("ver.value").alias("value"),
+                      F.col("ver.pos").alias("pos"),
+                      F.col("ver.action").alias("action")))
+        w = Window.partitionBy("database", "table", "pk").orderBy("pos")
+        return (ex.withColumn("valid_to", F.lead("pos").over(w))
+                .filter(F.col("action") != "delete")
+                .drop("action")
+                .select("database", "table", "pk", "value", "pos",
+                        "valid_to"))
+
+
+def start_incremental_scd2_parquet(
+        changes_stream: DataFrame, store: ParquetScd2Store,
+        checkpoint_dir: str) -> StreamingQuery:
+    """Maintain SCD2 history incrementally: per-batch distributed
+    version-array partials -> bucketed parquet MERGE."""
+    return (changes_stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_scd2))
+            .start())

@@ -229,3 +229,43 @@ def test_checkpoint_restart_resumes_from_saved_offset(spark, binlog_dir,
     assert len(rows) == 5
     assert sorted(r.binlog_file for r in rows)[-1] == "binlog.000002.bin"
     assert sum(r.binlog_file == "binlog.000002.bin" for r in rows) == 1
+
+
+def test_ddl_stream_maintains_schema_registry(spark, binlog_dir,
+                                              tmp_path):
+    """include='ddl': QUERY events stream on their own branch (S3's
+    dispatch) and drive the P5 evolution path per micro-batch — the
+    cached column list for shop.orders gains the ALTER's column,
+    exactly what the reference's updateSchema does from the same
+    wire bytes (sync.go:168-174, baseinfo.go:100-251)."""
+    from galaxy_spark.cdc.ddl import parse_alter
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+    columns = {"shop.orders": ["id", "qty", "amount", "note"]}
+
+    def handle(batch_df, epoch_id):
+        for r in batch_df.collect():        # DDL is rare + tiny
+            stmt = parse_alter(r.query)
+            if stmt is None:
+                continue
+            key = f"{stmt.database or r.database}.{stmt.table}"
+            cols = columns.setdefault(key, [])
+            for op in stmt.ops:
+                if type(op).__name__ == "AddColumn":
+                    cols.append(op.name)
+                elif type(op).__name__ == "DropColumn":
+                    cols.remove(op.name)
+
+    q = (spark.readStream.format("galaxy_binlog")
+         .option("path", binlog_dir).option("include", "ddl").load()
+         .writeStream
+         .option("checkpointLocation", str(tmp_path / "ddl_ck"))
+         .foreachBatch(handle).start())
+    q.processAllAvailable()
+    q.stop()
+    assert columns["shop.orders"] == ["id", "qty", "amount", "note",
+                                      "coupon"]
