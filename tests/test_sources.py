@@ -160,3 +160,53 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert any("n_chars" in f for f in pushed_filters(q))
     exp = docs.filter("n_chars > 300").count()
     assert q.count() == exp
+
+
+def test_jdbc_roundtrip_and_live_catalog_bootstrap(spark, tmp_path):
+    """A GENUINE JDBC round-trip (embedded Derby, the RDBMS shipped
+    in Spark's own jars): Spark writes a table over JDBC, reads it
+    back, then bootstraps the schema registry from the LIVE system
+    catalog over the same connection — the reference's SHOW FULL
+    COLUMNS scrape (baseinfo.go:15-36) exercised against a real
+    database engine rather than recorded rows. (MySQL itself isn't
+    in the sandbox; the JDBC seam is identical, only the catalog
+    query dialect differs — documented in sources/readers.py.)"""
+    from galaxy_spark.cdc.schema_registry import SchemaRegistry
+    from galaxy_spark.sources.readers import bootstrap_registry_from_rows
+
+    url = f"jdbc:derby:{tmp_path}/cdcdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    src = spark.createDataFrame(
+        [(1, "a", 19.5), (2, "b", 5.25)],
+        "id int, note string, amount double")
+    (src.write.format("jdbc").option("url", url).option("driver", drv)
+        .option("dbtable", "APP.ORDERS_SRC").mode("overwrite").save())
+
+    back = (spark.read.format("jdbc").option("url", url)
+            .option("driver", drv)
+            .option("dbtable", "APP.ORDERS_SRC").load())
+    assert sorted(tuple(r) for r in back.collect()) == \
+        [(1, "a", 19.5), (2, "b", 5.25)]
+
+    catalog_q = """
+    SELECT s.SCHEMANAME AS "table_schema", t.TABLENAME AS "table_name",
+           c.COLUMNNAME AS "column_name",
+           c.COLUMNNUMBER AS "ordinal_position",
+           CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS "column_type",
+           CASE WHEN CAST(c.COLUMNDATATYPE AS VARCHAR(128))
+                     LIKE '%NOT NULL%' THEN 'NO' ELSE 'YES'
+           END AS "is_nullable"
+    FROM SYS.SYSCOLUMNS c
+    JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+    JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+    WHERE t.TABLETYPE = 'T' AND s.SCHEMANAME = 'APP'
+    """
+    cat = (spark.read.format("jdbc").option("url", url)
+           .option("driver", drv).option("query", catalog_q).load())
+    reg = SchemaRegistry()
+    keys = bootstrap_registry_from_rows(reg, cat.collect())
+    assert ("APP", "ORDERS_SRC") in keys
+    cols = reg.get("APP", "ORDERS_SRC").columns
+    assert [c.name for c in cols] == ["id", "note", "amount"]
+    assert "INTEGER" in cols[0].col_type.upper()
