@@ -50,7 +50,7 @@ class SinkConfig:
     reference's stubs, but without killing the process.
     """
 
-    kind: str = "memory"                      # kafka | memory | parquet
+    kind: str = "memory"          # kafka | memory | parquet | topic_files
     options: dict[str, str] = field(default_factory=dict)
 
     def apply(self, writer, query_name: str):
@@ -61,6 +61,11 @@ class SinkConfig:
             return writer.format("memory").queryName(query_name)
         if self.kind == "parquet":
             return writer.format("parquet").options(**self.options)
+        if self.kind == "topic_files":
+            # broker-less Kafka twin (Python DataSource writer,
+            # sinks_topic.py); caller registers TopicFilesDataSource
+            return (writer.format("galaxy_topic_files")
+                    .options(**self.options))
         raise NotImplementedError(
             f"sink {self.kind!r} not implemented (reference parity: "
             "nsq/es/mongodb are stubs there too)")

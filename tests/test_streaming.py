@@ -1165,3 +1165,49 @@ def test_parquet_scd2_store_matches_batch_window(spark, events_dir,
     assert got == want and len(want) > 100
     # multi-version keys exist, so the array merge is exercised
     assert len(want) > len({(d, t, p) for d, t, p, *_ in want})
+
+
+def test_topic_files_sink_routes_like_kafka(spark, events_dir, tmp_path):
+    """K1 through the Spark 4 Python DataSource WRITER API: routed
+    messages stream into per-topic directories (the broker-less
+    Kafka-sink twin, completing the custom reader+writer surface).
+    Every message lands exactly once under its <task>.<db>.<table>
+    topic with key <db>.<table>, no torn .tmp files survive the
+    commit, and content equals the batch routing."""
+    import glob
+    import json as _json
+
+    from galaxy_spark.sinks_topic import TopicFilesDataSource
+    from galaxy_spark.streaming.pipeline import routed_messages
+
+    try:
+        spark.dataSource.register(TopicFilesDataSource)
+    except Exception:
+        pass
+
+    env = envelope_from_events(_stream_events(spark, events_dir))
+    msgs = routed_messages(env, "t_files")
+    out = str(tmp_path / "topics")
+    q = (msgs.writeStream.format("galaxy_topic_files")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "tf_ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = []
+    for f in glob.glob(f"{out}/*/batch-*.jsonl"):
+        topic = os.path.basename(os.path.dirname(f))
+        with open(f) as fh:
+            for line in fh:
+                m = _json.loads(line)
+                got.append((topic, m["key"], m["value"]))
+    assert not glob.glob(f"{out}/*/*.tmp-*"), "torn batch visible"
+
+    batch = routed_messages(
+        envelope_from_events(load_table(spark, SF, "events")), "t_files")
+    want = [(r.topic, r.key, r.value) for r in batch.collect()]
+    assert sorted(got) == sorted(want) and len(want) > 500
+    # routing invariants: topic = <task>.<key>; one dir per topic
+    for topic, key, _ in got:
+        assert topic == f"t_files.{key}"
