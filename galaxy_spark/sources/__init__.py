@@ -3,8 +3,11 @@
 The reference's only source is the MySQL binlog tail
 (``internal/sync_server/sync.go:44-118``); here the same role is
 played by standard Spark sources plus envelope mapping — see
-``galaxy_spark.sources.streams`` (streaming) and
-``galaxy_spark.sources.readers`` (batch/bootstrap).
+``galaxy_spark.sources.streams`` (streaming),
+``galaxy_spark.sources.readers`` (batch/bootstrap), and — the
+direct, connector-less tier — ``galaxy_spark.sources.binlog_source``
+(the ``galaxy_binlog`` Spark 4 Python streaming DataSource tailing
+binlog segment files through the cdc.binlog wire decoder).
 """
 
 from galaxy_spark.sources.readers import (
@@ -13,6 +16,7 @@ from galaxy_spark.sources.readers import (
     read_json_table,
     read_parquet_table,
 )
+from galaxy_spark.sources.binlog_source import BinlogDataSource
 from galaxy_spark.sources.streams import (
     file_envelope_stream,
     kafka_cdc_stream,
@@ -20,6 +24,7 @@ from galaxy_spark.sources.streams import (
 )
 
 __all__ = [
+    "BinlogDataSource",
     "file_envelope_stream",
     "jdbc_table_reader",
     "kafka_cdc_stream",

@@ -4,3 +4,23 @@ dedup. The batch twins of these transforms are oracle-checked in
 galaxy_spark.queries; here the same column expressions run against
 ``readStream`` sources.
 """
+
+from galaxy_spark.streaming.state_store import (  # noqa: E402
+    KeyedParquetStore,
+    ParquetRollupStore,
+    ParquetScd2Store,
+    ParquetSnapshotStore,
+    start_incremental_rollup_parquet,
+    start_incremental_scd2_parquet,
+    start_incremental_snapshot_parquet,
+)
+
+__all__ = [
+    "KeyedParquetStore",
+    "ParquetRollupStore",
+    "ParquetScd2Store",
+    "ParquetSnapshotStore",
+    "start_incremental_rollup_parquet",
+    "start_incremental_scd2_parquet",
+    "start_incremental_snapshot_parquet",
+]
