@@ -778,3 +778,84 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return spark.createDataFrame(
         rows, "step int, merged_pair string, pair_count bigint")
+
+
+# -- one-pass second moments (PCA / whitening / OPQ prep) ------------
+
+@register(
+    "embeddings_second_moments",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[j] AS DOUBLE)
+                               * 1000000, 0)
+                         AS BIGINT)) AS BIGINT) AS sum_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings, range(1, 65) AS t1(i), range(1, 65) AS t2(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+)
+def embeddings_second_moments(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """One-pass d x d second-moment accumulation over the embedding
+    corpus — the substrate of PCA / ZCA whitening / OPQ rotation
+    training: covariance falls out downstream as S/n - mean_i
+    mean_j, and a 100 TB corpus needs exactly ONE scan with a
+    d(d+1)/2-cell accumulator per task (the accumulator is
+    corpus-size-INDEPENDENT — this is why one-pass moment folding,
+    not materialized centering, is the distributed formulation).
+
+    Engine-exact integer arithmetic: each product quantizes to
+    int64 MICRO-units (rint(x_i * x_j * 1e6)) before summation, so
+    partial-agg order cannot move a single unit — numpy's
+    half-even rint and SQL's half-away round only differ exactly AT
+    .5, which a measured double product never hits (the SCALE.md
+    rule); float32 inputs are widened to float64 BEFORE the multiply
+    on both engines. The Python stage is one Arrow mapInPandas pass
+    emitting 2080 partial rows per batch-chunk (numpy outer products
+    in bounded 512-row slabs, int64 accumulator), followed by one
+    tiny (i, j)-keyed exchange — per the repo rule that a 2080-wide
+    expression family belongs in numpy, not in codegen'd columns.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    d = 64
+    iu = np.triu_indices(d)
+    out_schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("sum_micro", T.LongType()),
+        T.StructField("n_vecs", T.LongType()),
+    ])
+
+    def fold(batches):
+        S = np.zeros((d, d), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(e, dtype=np.float32)
+                          for e in pdf["embedding"]]).astype(np.float64)
+            for lo in range(0, X.shape[0], 512):  # bound slab memory
+                C = X[lo:lo + 512]
+                prod = C[:, :, None] * C[:, None, :]
+                S += np.rint(prod * 1e6).astype(np.int64).sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        yield pd.DataFrame({
+            "i": (iu[0] + 1).astype("int32"),
+            "j": (iu[1] + 1).astype("int32"),
+            "sum_micro": S[iu],
+            "n_vecs": np.full(len(iu[0]), n, dtype="int64"),
+        })
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(fold, schema=out_schema)
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("sum_micro").alias("sum_micro"),
+                 F.sum("n_vecs").alias("n_vecs")))

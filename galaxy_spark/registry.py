@@ -166,6 +166,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "graph_triangle_count",
     "text_bpe_merge_steps",
     "sample_weighted_no_replacement",
+    "embeddings_second_moments",
 )
 
 
