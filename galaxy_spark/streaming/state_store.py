@@ -164,6 +164,13 @@ class KeyedParquetStore:
                 _fsync_path(os.path.join(src, f))
             _fsync_path(src)
             dest = os.path.join(bd, version)
+            if os.path.isdir(dest) and not os.path.exists(
+                    os.path.join(dest, "_COMMITTED")):
+                # TORN version from a crash between rename and
+                # marker: never readable (max-committed rule skips
+                # it), but it would block this replay's rename —
+                # clear it; the recompute below it is this merge.
+                shutil.rmtree(dest, ignore_errors=True)
             try:
                 os.rename(src, dest)
             except OSError:  # replay lost the commit race

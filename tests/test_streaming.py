@@ -1211,3 +1211,52 @@ def test_topic_files_sink_routes_like_kafka(spark, events_dir, tmp_path):
     # routing invariants: topic = <task>.<key>; one dir per topic
     for topic, key, _ in got:
         assert topic == f"t_files.{key}"
+
+
+def test_parquet_store_recovers_from_crash_debris(spark, tmp_path):
+    """Pin the documented crash windows of the keyed parquet store:
+    (a) an orphaned .stage- dir (crash before any rename) is swept
+    on construction; (b) a TORN version dir (renamed but no
+    _COMMITTED marker — crash between rename and marker) is never
+    read as current and is replaced when its epoch replays; (c) a
+    crash mid-vacuum (stale older version left behind) is ignored
+    by the max-committed-version rule and swept by the next merge."""
+    from galaxy_spark.streaming.state_store import ParquetSnapshotStore
+
+    path = str(tmp_path / "st")
+    store = ParquetSnapshotStore(spark, path, n_buckets=1)
+
+    def partial(pk, pos, v):
+        return spark.createDataFrame(
+            [("d", "t", pk, "insert", v, pos, 1)],
+            "database string, `table` string, pk long, "
+            "last_action string, last_value double, last_pos long, "
+            "n_changes long")
+
+    store.merge(partial(1, 10, 1.0), "lin.000000000000")
+    base = store.snapshot()
+
+    # (a) orphaned staging dir
+    os.makedirs(os.path.join(path, ".stage-deadbeef/x"))
+    # (b) torn next-epoch version: dir present, no _COMMITTED
+    torn = os.path.join(path, "bucket-0", "v-lin.000000000001")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "garbage"), "w") as f:
+        f.write("not parquet")
+
+    store2 = ParquetSnapshotStore(spark, path, n_buckets=1)
+    assert not os.path.exists(os.path.join(path, ".stage-deadbeef"))
+    assert store2.snapshot() == base          # torn version invisible
+
+    # replaying the torn epoch recomputes it from the committed base
+    store2.merge(partial(2, 20, 2.0), "lin.000000000001")
+    assert store2.snapshot() == [("d", "t", 1, 1.0, 10, 1),
+                                 ("d", "t", 2, 2.0, 20, 1)]
+    # (c) mid-vacuum debris: fake an old version surviving next to
+    # the current one; the next merge of the bucket sweeps it
+    stale = os.path.join(path, "bucket-0", "v-lin.000000000000x")
+    os.makedirs(stale)
+    store2.merge(partial(3, 30, 3.0), "lin.000000000002")
+    versions = sorted(os.listdir(os.path.join(path, "bucket-0")))
+    assert versions == ["v-lin.000000000002"], versions
+    assert len(store2.snapshot()) == 3
