@@ -269,3 +269,20 @@ def test_ddl_stream_maintains_schema_registry(spark, binlog_dir,
     q.stop()
     assert columns["shop.orders"] == ["id", "qty", "amount", "note",
                                       "coupon"]
+
+
+def test_corrupt_segment_fails_query_loudly(spark, binlog_dir, tmp_path):
+    """Garbage appended to a segment must surface as a streaming
+    query error (the decoder's refuse-don't-guess contract carried
+    through the source), never as silently dropped events."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    q = _start(spark, binlog_dir, "bl_corrupt", str(tmp_path / "ck"))
+    q.processAllAvailable()
+
+    with open(os.path.join(binlog_dir, "binlog.000001.bin"), "ab") as f:
+        f.write(b"\xde\xad\xbe\xef" * 7)  # 28 bytes of garbage
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()

@@ -1260,3 +1260,27 @@ def test_parquet_store_recovers_from_crash_debris(spark, tmp_path):
     versions = sorted(os.listdir(os.path.join(path, "bucket-0")))
     assert versions == ["v-lin.000000000002"], versions
     assert len(store2.snapshot()) == 3
+
+
+def test_topic_files_abort_sweeps_staged_files(spark, tmp_path):
+    """The sink's abort path (Spark calls it when any partition of
+    a batch fails) must remove every staged .tmp file so a failed
+    epoch leaves no debris for readers to trip on — unit-driven
+    against the writer directly, since partition failure isn't
+    deterministically injectable through a query."""
+    from pyspark.sql import Row
+
+    from galaxy_spark.sinks_topic import TopicFilesStreamWriter
+
+    out = str(tmp_path / "topics")
+    w = TopicFilesStreamWriter({"path": out})
+    msg = w.write(iter([
+        Row(topic="t.a.b", key="a.b", value="{}"),
+        Row(topic="t.c.d", key="c.d", value="{}"),
+    ]))
+    staged = [tmp for tmp, _ in msg.renames]
+    assert len(staged) == 2 and all(os.path.exists(p) for p in staged)
+    w.abort([msg, None], batchId=5)
+    assert not any(os.path.exists(p) for p in staged)
+    import glob
+    assert not glob.glob(f"{out}/*/batch-*"), "no published files"
