@@ -152,3 +152,29 @@ class BinlogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> BinlogStreamReader:
         return BinlogStreamReader(self.options)
+
+
+def binlog_envelope_factory(path: str):
+    """TaskManager source factory over binlog segment files: plugs
+    the wire-byte tier into the control plane (T1/T2) so a task's
+    full lifecycle — create / stop / recovery_v1 / recovery_v2 /
+    update-filters — runs against real binlog bytes. Maps the
+    source's flat schema into the MQEvent envelope the pipeline's
+    filters/projections/routing consume (before/after are P2-P4's
+    job downstream)."""
+    from pyspark.sql import functions as F
+
+    def factory(spark, spec):
+        try:
+            spark.dataSource.register(BinlogDataSource)
+        except Exception:
+            pass  # this session already registered the format
+        raw = (spark.readStream.format("galaxy_binlog")
+               .option("path", path).load())
+        return raw.select(
+            "database", "table", "action", "org_row",
+            F.struct(F.col("ts_sec").alias("timestamp"),
+                     F.col("log_pos").alias("log_pos"))
+            .alias("event_header"))
+
+    return factory
