@@ -169,8 +169,16 @@ def binlog_envelope_factory(path: str):
             spark.dataSource.register(BinlogDataSource)
         except Exception:
             pass  # this session already registered the format
+        # recovery_v2 = TRUE jump-to-latest here (the reference's
+        # PositionPos=0 -> SHOW MASTER STATUS, update_task.go:63-68):
+        # a bumped checkpoint epoch starts the fresh offset log at
+        # the directory's current end instead of re-reading history
+        # (file-source factories can only approximate this).
+        starting = ("latest" if getattr(spec, "checkpoint_epoch", 0)
+                    else "earliest")
         raw = (spark.readStream.format("galaxy_binlog")
-               .option("path", path).load())
+               .option("path", path)
+               .option("startingOffsets", starting).load())
         return raw.select(
             "database", "table", "action", "org_row",
             F.struct(F.col("ts_sec").alias("timestamp"),

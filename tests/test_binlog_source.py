@@ -327,3 +327,35 @@ def test_control_plane_lifecycle_over_binlog_bytes(spark, binlog_dir,
             for x in first}]
     assert len(new) == 1
     assert _json.loads(new[0].value)["after"]["note"] == "rotated"
+
+
+def test_recovery_v2_jumps_to_latest_position(spark, binlog_dir,
+                                              tmp_path):
+    """recovery_v2 at the byte tier is the reference's EXACT
+    semantics (PositionPos=0 -> SHOW MASTER STATUS): after the jump,
+    already-written history is NOT re-emitted — only bytes that land
+    after the recovery appear at the sink."""
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.sources.binlog_source import binlog_envelope_factory
+
+    out = str(tmp_path / "v2_out")
+    mgr = TaskManager(spark, str(tmp_path / "v2_state"),
+                      binlog_envelope_factory(binlog_dir))
+    mgr.create_task(TaskSpec(
+        task_id="t_v2", columns=("id", "qty", "amount", "note"),
+        sink_kind="parquet", sink_options={"path": out}))
+    mgr.await_all()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 4
+
+    mgr.stop_task("t_v2")
+    mgr.recover_v2("t_v2")           # fresh checkpoint + LATEST
+    mgr.await_all()
+    assert spark.read.parquet(out).count() == n1, \
+        "v2 re-emitted history instead of jumping to latest"
+
+    with open(os.path.join(binlog_dir, "binlog.000002.bin"), "wb") as f:
+        f.write(_second_segment())
+    mgr.await_all()
+    mgr.stop_task("t_v2")
+    assert spark.read.parquet(out).count() == n1 + 1
