@@ -91,14 +91,44 @@ def routed_messages(events: DataFrame, task_id: str) -> DataFrame:
     )
 
 
+def dead_letter_messages(projected: DataFrame, task_id: str) -> DataFrame:
+    """Quarantined rows as DLQ-topic messages:
+    ``<task>.deadletter.<db>.<table>`` carrying the FULL raw event
+    (org_row, header, action) so nothing is lost and the malformed
+    payload is replayable after a fix — the standard Kafka
+    dead-letter-queue pattern, one stream and one sink (the DLQ is
+    just more topic routing, not a second query)."""
+    bad = projected.filter(F.col("quarantined"))
+    body = [c for c in ("database", "table", "action", "org_row",
+                        "event_header") if c in bad.columns]
+    return bad.select(
+        F.concat_ws(".", F.lit(task_id), F.lit("deadletter"),
+                    "database", "table").alias("topic"),
+        F.concat_ws(".", "database", "table").alias("key"),
+        F.to_json(F.struct(*body)).alias("value"),
+    )
+
+
 def start_pipeline(env_stream: DataFrame, task_id: str,
                    task_filter: TaskFilter, columns: Sequence[str],
                    sink: SinkConfig, checkpoint_dir: str,
-                   trigger: dict | None = None) -> StreamingQuery:
-    """Assemble + start one CDC task as a streaming query."""
+                   trigger: dict | None = None,
+                   dead_letter: bool = True) -> StreamingQuery:
+    """Assemble + start one CDC task as a streaming query.
+
+    ``dead_letter=True`` (default): rows the projection quarantines
+    (arity mismatch, malformed image — projections.py) are NOT
+    silently dropped; they route to the task's
+    ``<task>.deadletter.<db>.<table>`` topic through the SAME sink.
+    At 100 TB a poison row must neither abort hours of progress
+    (the quarantine flag's job) nor vanish without trace (this
+    routing's job — the reference errors the whole event instead,
+    process.go:120-122; divergence documented in README)."""
     projected = transform_envelope(env_stream, task_filter, columns)
     good = projected.filter(~F.col("quarantined"))
     msgs = routed_messages(good, task_id)
+    if dead_letter:
+        msgs = msgs.unionByName(dead_letter_messages(projected, task_id))
     writer = msgs.writeStream.outputMode("append") \
         .option("checkpointLocation", checkpoint_dir)
     writer = sink.apply(writer, query_name=task_id)

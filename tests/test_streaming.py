@@ -1284,3 +1284,47 @@ def test_topic_files_abort_sweeps_staged_files(spark, tmp_path):
     assert not any(os.path.exists(p) for p in staged)
     import glob
     assert not glob.glob(f"{out}/*/batch-*"), "no published files"
+
+
+def test_quarantined_rows_route_to_dead_letter_topic(spark, tmp_path):
+    """A malformed event (wrong org_row arity) must neither kill the
+    stream (reference behavior: error out, process.go:120-122) nor
+    vanish: it lands on <task>.deadletter.<db>.<table> with its full
+    raw payload, while well-formed events flow to their normal
+    topics — one stream, one sink, conservation of events."""
+    from galaxy_spark.cdc.filters import TaskFilter
+    from galaxy_spark.streaming.pipeline import SinkConfig, start_pipeline
+
+    src = str(tmp_path / "dlq_src")
+    rows = [
+        ("db0", "t", "insert", [["1", "2", "3.5"]], (1, 10)),   # good
+        ("db0", "t", "insert", [["1", "2"]], (2, 20)),          # arity!
+        ("db0", "t", "update",
+         [["1", "2", "3.5"], ["1", "2", "4.5"]], (3, 30)),      # good
+    ]
+    spark.createDataFrame(
+        rows, "database string, `table` string, action string, "
+              "org_row array<array<string>>, "
+              "event_header struct<timestamp:long, log_pos:long>"
+    ).write.mode("overwrite").parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+
+    q = start_pipeline(stream, "t_dlq", TaskFilter(),
+                       EVENT_SOURCE_COLUMNS,
+                       SinkConfig(kind="memory"),
+                       str(tmp_path / "dlq_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM t_dlq").collect()
+    assert len(out) == 3, "events must be conserved"
+    by_topic = {}
+    for r in out:
+        by_topic.setdefault(r.topic, []).append(r)
+    assert len(by_topic["t_dlq.db0.t"]) == 2
+    (dl,) = by_topic["t_dlq.deadletter.db0.t"]
+    assert dl.key == "db0.t"
+    payload = json.loads(dl.value)
+    assert payload["org_row"] == [["1", "2"]]      # replayable raw row
+    assert payload["event_header"]["log_pos"] == 20
