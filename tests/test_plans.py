@@ -503,3 +503,19 @@ def test_triangle_edges_materialize_once(q):
     # the closure plan reuses the checkpointed RDD on all three arms
     assert p.count("Scan parquet") == 0
     assert p.count("Scan ExistingRDD") >= 3
+
+
+def test_second_moments_single_exchange(q):
+    """The one-pass moment fold: Arrow mapInPandas emits 2080
+    partial rows per task; exactly ONE exchange (the tiny (i, j)
+    key) finishes — embeddings are never shuffled."""
+    df = q("embeddings_second_moments")
+    assert exchange_count(df) == 1
+
+
+def test_quantile_bound_broadcasts_candidates(q):
+    """The 5 median candidates broadcast back onto the scan for the
+    exact rank count; the scan side never shuffles for the join."""
+    df = q("agg_quantile_sketch_bound")
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 2  # sketch agg + verdict agg
