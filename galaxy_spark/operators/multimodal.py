@@ -338,6 +338,11 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 rgb = np.where(keep, region, rgb)
             canvas[top:top + h, left:left + w] = rgb
             frames.append(canvas.copy())
+            # GIF89a: a Graphic Control Extension governs only the
+            # single rendering block that follows it — a later frame
+            # with no GCE of its own must not inherit this one's
+            # transparent index.
+            transparent = None
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     if not frames:

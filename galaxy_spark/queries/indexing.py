@@ -691,9 +691,15 @@ _BPE_STEPS = 3
 def _bpe_oracle() -> str:
     """Unrolled-iteration DuckDB oracle (the PageRank pattern):
     each step recounts pairs over the CURRENT symbolization, picks
-    argmax (count desc, pair asc), and applies the merge with a
-    literal left-to-right string replace — identical semantics to
-    the Spark side's F.replace."""
+    argmax (count desc, pair asc), and applies the merge as a
+    left-to-right greedy FOLD over the symbol list (list_reduce:
+    merge when the accumulated string's LAST symbol equals A and
+    the next symbol equals B) — Sennrich merge semantics, matching
+    the Spark side's F.aggregate fold symbol-for-symbol. A plain
+    substring replace would be wrong twice over: unanchored, 'a␟b'
+    also matches inside '…ca␟b…' (symbol 'ca' followed by 'b'),
+    and the consumed separator makes runs like 'a a a a' merge to
+    'aa a a' instead of the greedy 'aa aa'."""
     sep = "chr(31)"
     parts = [f"""
     WITH wf AS (
@@ -717,13 +723,20 @@ def _bpe_oracle() -> str:
                   FROM s{k - 1})
         ) GROUP BY pair
     ), b{k} AS (
-        SELECT pair, pair_count FROM p{k}
+        SELECT pair, pair_count,
+               split_part(pair, {sep}, 1) AS a_sym,
+               split_part(pair, {sep}, 2) AS b_sym,
+               replace(pair, {sep}, '') AS merged
+        FROM p{k}
         ORDER BY pair_count DESC, pair LIMIT 1
     ), s{k} AS (
-        SELECT freq, replace(sym, (SELECT pair FROM b{k}),
-                             replace((SELECT pair FROM b{k}),
-                                     {sep}, '')) AS sym
-        FROM s{k - 1}
+        SELECT freq, list_reduce(string_split(sym, {sep}),
+            (acc, x) -> CASE
+              WHEN (acc = a_sym OR ends_with(acc, {sep} || a_sym))
+                   AND x = b_sym
+              THEN left(acc, length(acc) - length(a_sym)) || merged
+              ELSE acc || {sep} || x END) AS sym
+        FROM s{k - 1}, b{k}
     )""")
     selects = " UNION ALL ".join(
         f"SELECT {k} AS step, replace(pair, {sep}, ' ') AS merged_pair,"
@@ -731,16 +744,46 @@ def _bpe_oracle() -> str:
     return "".join(parts) + "\n    " + selects
 
 
+def _bpe_merge_fold(a: str, b: str):
+    """F.aggregate lambda applying one BPE merge (a, b) as a greedy
+    left-to-right fold over a separator-joined symbol string,
+    anchored at symbol boundaries: merge iff the accumulated
+    string's LAST symbol equals ``a`` exactly (acc IS ``a``, or acc
+    ends with sep + ``a``) and the incoming symbol equals ``b``.
+    Exactly Sennrich's reference-regex semantics — a run 'a a a a'
+    under (a, a) becomes 'aa aa', and 'ca b' under (a, b) is left
+    alone (the unanchored-substring failure modes)."""
+    ab = a + b
+
+    def fold(acc, x):
+        return (F.when(acc == F.lit(""), x)
+                .when(((acc == F.lit(a))
+                       | acc.endswith(F.lit(_BPE_SEP + a)))
+                      & (x == F.lit(b)),
+                      F.concat(
+                          F.substr(acc, F.lit(1),
+                                   F.length(acc) - F.lit(len(a))),
+                          F.lit(ab)))
+                .otherwise(F.concat(acc, F.lit(_BPE_SEP), x)))
+
+    return fold
+
+
 @register("text_bpe_merge_steps", oracle=_bpe_oracle())
 def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, steps 1..3 ACTUALLY ITERATED
     (Sennrich et al. 2016): each round counts adjacent symbol pairs
     over the current symbolization (corpus-weighted, vocab-scale),
-    merges the most frequent pair everywhere (left-to-right
-    non-overlapping — both engines' literal ``replace``), and
-    recounts. Output: one row per round with the merged pair and
-    its count — the head of the real merge table, extending
-    ``text_bpe_pair_counts`` (which is round 1's count only).
+    merges the most frequent pair everywhere with a left-to-right
+    GREEDY FOLD over the symbol list (``F.aggregate``: merge when
+    the accumulated string's last symbol equals A and the incoming
+    symbol equals B — anchored at symbol boundaries, so a symbol
+    'ca' followed by 'b' can never be eaten by the pair (a, b), and
+    a run 'a a a a' merges to 'aa aa' exactly as Sennrich's
+    reference regex does), and recounts. Output: one row per round
+    with the merged pair and its count — the head of the real merge
+    table, extending ``text_bpe_pair_counts`` (which is round 1's
+    count only).
 
     Scale shape: the corpus collapses to the frequency-weighted
     word VOCABULARY once (one shuffle, localCheckpointed so the 3
@@ -771,9 +814,11 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]                       # 1 row: the argmax
         rows.append((step, best["pair"].replace(_BPE_SEP, " "),
                      best["pair_count"]))
+        a_sym, b_sym = best["pair"].split(_BPE_SEP)
         s = s.withColumn(
-            "sym", F.replace(F.col("sym"), F.lit(best["pair"]),
-                             F.lit(best["pair"].replace(_BPE_SEP, "")))
+            "sym", F.aggregate(F.split(F.col("sym"), _BPE_SEP),
+                               F.lit(""),
+                               _bpe_merge_fold(a_sym, b_sym))
         ).localCheckpoint(eager=False)          # round boundary
 
     return spark.createDataFrame(

@@ -166,56 +166,92 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
     position (value-distribution-free, so skewed columns still
     spread across the curve), then the two positions interleave
     bit-by-bit into the z-value — a plain integer column Spark
-    range-partitions and sorts like any other. The quantile map is
-    ONE distributed ``approxQuantile`` sketch pass over both
-    columns (Greenwald-Khanna: partial sketches merge on the
-    driver — no global window, no single-reducer sort anywhere),
-    and the 2^bits bucket edges come back as a driver-side list
-    that ``Bucketizer`` broadcasts and binary-searches scan-local.
-    Same curve and the same layout contract (bounded rectangles
-    per row group, pinned in tests/test_sinks.py) as an exact
-    percent_rank, at any scale.
+    range-partitions and sorts like any other.
+
+    The rank-space map is typed (any orderable column works):
+
+    - **numeric** (and **date/timestamp**, via an epoch cast): ONE
+      distributed ``approxQuantile`` sketch pass (Greenwald-Khanna:
+      partial sketches merge on the driver — no global window, no
+      single-reducer sort anywhere); the 2^bits bucket edges come
+      back as a driver-side list that ``Bucketizer`` broadcasts and
+      binary-searches scan-local. Same curve and layout contract
+      (bounded rectangles per row group, pinned in
+      tests/test_sinks.py) as an exact percent_rank, at any scale.
+    - **string** (no numeric sketch exists): exact rank positions
+      via ``with_global_row_index`` — range-partition by the
+      column, count per partition (one long per partition to the
+      driver), broadcast cumulative offsets back. Two extra
+      passes over the data and ties fall where the range
+      partitioner splits them, but still no single reducer.
     """
     from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
     n_buckets = 1 << bits
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    qa, qb = df.stat.approxQuantile(
-        [col_a, col_b], probs, 1.0 / (2 * n_buckets))
+    src, pos_cols = df, []
+    numeric = {"tinyint", "smallint", "int", "bigint", "float",
+               "double"}
 
-    def splits(edges: list) -> list:
+    for k, c in enumerate((col_a, col_b)):
+        dt = dict(src.dtypes)[c]
+        pcol = f"__pos{k}"
+        if dt in numeric or dt.startswith("decimal"):
+            num = F.col(c).cast("double")
+        elif dt in ("date", "timestamp", "timestamp_ntz"):
+            num = F.col(c).cast("timestamp").cast("double")
+        elif dt == "string":
+            num = None
+        else:
+            raise TypeError(
+                f"write_zorder: column {c!r} has unorderable-for-"
+                f"layout type {dt}; use a numeric, date/timestamp, "
+                "or string column")
+        if num is None:
+            # exact rank path for strings: global index without a
+            # single-reducer window (operators/util.py)
+            from galaxy_spark.operators.util import with_global_row_index
+
+            total = max(src.count(), 1)
+            src = with_global_row_index(src, [c], index_col=pcol)
+            src = src.withColumn(
+                pcol, F.least(F.floor((F.col(pcol) - 1)
+                                      * F.lit(n_buckets)
+                                      / F.lit(total)),
+                              F.lit(n_buckets - 1)).cast("long"))
+            pos_cols.append(pcol)
+            continue
+        qcol = f"__q{k}"
+        src = src.withColumn(qcol, num)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        edges = src.stat.approxQuantile(qcol, probs,
+                                        1.0 / (2 * n_buckets))
         # approxQuantile repeats edges on skewed/low-cardinality
         # columns; Bucketizer needs strictly increasing splits.
         # Fewer distinct edges just means fewer occupied positions.
-        return [float("-inf")] + sorted(set(edges)) + [float("inf")]
-
-    sp_a, sp_b = splits(qa), splits(qb)
-    src = df.withColumn("__qa", F.col(col_a).cast("double")) \
-            .withColumn("__qb", F.col(col_b).cast("double"))
-    src = Bucketizer(splits=sp_a, inputCol="__qa", outputCol="__pa",
-                     handleInvalid="keep").transform(src)
-    src = Bucketizer(splits=sp_b, inputCol="__qb", outputCol="__pb",
-                     handleInvalid="keep").transform(src)
-
-    def pos(c: str, n_splits: int) -> "F.Column":
+        sp = [float("-inf")] + sorted(set(edges)) + [float("inf")]
+        src = Bucketizer(splits=sp, inputCol=qcol, outputCol=pcol,
+                         handleInvalid="keep").transform(src)
         # A low-cardinality column occupies only the first
-        # (n_splits - 1) bucket indices; rescale to the full
-        # 2^bits range so its HIGH interleave bits still vary
-        # (otherwise the curve degenerates into a plain sort on
-        # the other column). "keep" routes nulls one past the end;
-        # the clamp keeps every position inside `bits` bits.
-        scaled = F.floor(F.col(c).cast("long")
-                         * F.lit(n_buckets) / F.lit(n_splits - 1))
-        return F.least(scaled, F.lit(n_buckets - 1)).cast("long")
+        # (len(sp) - 1) bucket indices; rescale to the full 2^bits
+        # range so its HIGH interleave bits still vary (otherwise
+        # the curve degenerates into a plain sort on the other
+        # column). "keep" routes nulls one past the end; the clamp
+        # keeps every position inside `bits` bits.
+        scaled = F.floor(F.col(pcol).cast("long")
+                         * F.lit(n_buckets) / F.lit(len(sp) - 1))
+        src = src.withColumn(
+            pcol, F.least(scaled, F.lit(n_buckets - 1)).cast("long"))
+        src = src.drop(qcol)
+        pos_cols.append(pcol)
 
     z = F.lit(0).cast("long")
-    a_pos, b_pos = pos("__pa", len(sp_a)), pos("__pb", len(sp_b))
+    a_pos, b_pos = F.col(pos_cols[0]), F.col(pos_cols[1])
     for i in range(bits - 1, -1, -1):
         z = z * 4 + F.shiftright(a_pos, i).bitwiseAND(1) * 2 \
             + F.shiftright(b_pos, i).bitwiseAND(1)
     (src.withColumn("__z", z)
         .repartitionByRange(target_partitions, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z", "__qa", "__qb", "__pa", "__pb")
+        .drop("__z", *pos_cols)
         .write.mode(mode).parquet(path))

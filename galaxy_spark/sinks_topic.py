@@ -13,18 +13,32 @@ surface (reader + writer) is exercised end to end in-sandbox:
     df.writeStream.format("galaxy_topic_files")
       .option("path", out_dir) ...
 
-Layout: ``<path>/<topic>/batch-<id>-part-<uuid>.jsonl`` — one JSON
+Layout: ``<path>/<topic>/batch-<id>-part-<pid>.jsonl`` — one JSON
 line per message ({key, value}), grouped by the row's ``topic``
-column exactly like Kafka routing. Files land under ``.tmp-`` names
-during ``write`` and are PUBLISHED by rename in ``commit`` (which
-Spark calls only when every partition succeeded), so readers never
-observe a torn batch and an aborted epoch leaves only ``.tmp-``
-litter that the next commit sweeps — the same claim discipline as
-streaming/state_store.py. Spark's checkpoint gives at-least-once
-sink delivery; a replayed batch re-publishes under its batchId, and
-because file names carry the batchId a downstream consumer can
-dedup on it (the reference's guarantee level: at-least-once +
-replay dedup, ``pkg/shared.go:21``).
+column exactly like Kafka routing.
+
+Delivery contract (one streaming query per output path — the same
+ownership rule as a Kafka topic set):
+
+- ``write`` stages each partition's files under unique ``.tmp-``
+  names (unique so a speculative duplicate attempt can never
+  interleave with the winner's bytes); ``commit`` — which Spark
+  calls only when every partition succeeded — PUBLISHES them by
+  ``os.replace`` to the DETERMINISTIC name
+  ``batch-<batchId>-part-<partitionId>.jsonl``, so a replayed batch
+  overwrites its own prior files instead of publishing a second
+  copy under the same batchId.
+- After publishing, ``commit`` sweeps the path: stale ``.tmp-``
+  litter from crashed/aborted earlier attempts, and any
+  ``batch-<batchId>-*`` files NOT republished by this attempt
+  (a replay that repartitioned differently supersedes the previous
+  attempt's file set wholesale). ``abort`` removes its own staged
+  files and sweeps ``.tmp-`` litter too.
+- Net guarantee: at-least-once across DIFFERENT batchIds (Spark's
+  checkpoint replays an uncommitted batch), exactly-once WITHIN a
+  batchId — a downstream consumer dedups on the batchId in the file
+  name, the reference's guarantee level (at-least-once + replay
+  dedup, ``pkg/shared.go:21``).
 """
 
 from __future__ import annotations
@@ -43,7 +57,9 @@ from pyspark.sql.types import StructType
 
 @dataclass
 class _Staged(WriterCommitMessage):
-    """One partition's staged files: [(tmp_path, final_path)]."""
+    """One partition's staged files: [(tmp_path, final_base_name)]
+    where final_base_name is ``part-<pid>.jsonl`` — the batchId
+    prefix is known only at commit time."""
 
     renames: list
 
@@ -57,16 +73,25 @@ class TopicFilesStreamWriter(DataSourceStreamWriter):
     def write(self, iterator: Iterator[Row]) -> _Staged:
         """Executor-side: group this partition's rows by topic and
         stage one jsonl file per topic. Rows must carry ``topic``,
-        ``key``, ``value`` (the routed_messages contract)."""
+        ``key``, ``value`` (the routed_messages contract). The
+        FINAL name is deterministic per partitionId; the staged
+        name keeps a unique suffix so concurrent speculative
+        attempts never write the same file."""
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = (f"{ctx.partitionId():05d}" if ctx is not None
+               else f"u{uuid.uuid4().hex[:8]}")  # direct (non-Spark) call
+        attempt = uuid.uuid4().hex[:8]
         handles: dict[str, tuple] = {}
-        part = uuid.uuid4().hex[:8]
         for row in iterator:
             topic = row["topic"]
             if topic not in handles:
                 d = os.path.join(self.path, topic)
                 os.makedirs(d, exist_ok=True)
-                base = os.path.join(d, f"part-{part}.jsonl")
-                handles[topic] = (open(f"{base}.tmp-{part}", "w"), base)
+                base = f"part-{pid}.jsonl"
+                tmp = os.path.join(d, f"{base}.tmp-{attempt}")
+                handles[topic] = (open(tmp, "w"), base)
             handles[topic][0].write(json.dumps(
                 {"key": row["key"], "value": row["value"]},
                 sort_keys=True) + "\n")
@@ -78,18 +103,46 @@ class TopicFilesStreamWriter(DataSourceStreamWriter):
             renames.append((fh.name, base))
         return _Staged(renames=renames)
 
+    def _sweep(self, batch_prefix: str | None = None,
+               keep: set | None = None) -> None:
+        """Remove ``.tmp-`` litter (crashed/aborted attempts) and,
+        when publishing, any ``<batch_prefix>*`` files this attempt
+        did not republish (a replay supersedes the prior attempt's
+        file set). Driver-side, bounded by topic count."""
+        if not os.path.isdir(self.path):
+            return
+        for topic in os.listdir(self.path):
+            d = os.path.join(self.path, topic)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                full = os.path.join(d, name)
+                stale_tmp = ".tmp-" in name and full not in (keep or ())
+                superseded = (batch_prefix is not None
+                              and name.startswith(batch_prefix)
+                              and full not in (keep or ()))
+                if stale_tmp or superseded:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+
     def commit(self, messages, batchId: int) -> None:
         """Driver-side, called once ALL partitions succeeded:
-        publish every staged file with its batch id (rename is the
-        atomic claim; a replayed batch overwrites its own files,
-        never a different batch's)."""
+        publish every staged file under its deterministic
+        ``batch-<batchId>-part-<pid>.jsonl`` name (``os.replace``
+        overwrites a crashed prior attempt's file of the same
+        batch), then sweep litter and superseded same-batch files."""
+        published = set()
         for m in messages:
             if m is None:
                 continue
             for tmp, base in m.renames:
-                d, name = os.path.split(base)
-                final = os.path.join(d, f"batch-{batchId}-{name}")
+                d = os.path.dirname(tmp)
+                final = os.path.join(d, f"batch-{batchId}-{base}")
                 os.replace(tmp, final)
+                published.add(final)
+        self._sweep(batch_prefix=f"batch-{batchId}-", keep=published)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
@@ -100,6 +153,7 @@ class TopicFilesStreamWriter(DataSourceStreamWriter):
                     os.remove(tmp)
                 except OSError:
                     pass
+        self._sweep()
 
 
 class TopicFilesDataSource(DataSource):

@@ -13,9 +13,12 @@ column algebra as every other source tier.
 
 Offset model (mirrors the reference's ``(file, pos)`` position,
 ``pkg/shared.go:13-14``): ``{"file": <name>, "pos": <byte>}``
-where ``pos`` is the END log_pos of the last consumed event —
-binlog events chain end-positions in their headers, so every
-offset is event-aligned by construction. Files must sort in
+where ``pos`` is the END log_pos of the last consumed event.
+Binlog events chain end-positions in their headers, and
+``latestOffset`` walks those headers to the last COMPLETE event in
+the growing tail segment (``_aligned_end``), so every offset is
+event-aligned even when the writer is mid-append — a torn trailing
+event stays beyond the offset until complete. Files must sort in
 rotation order (``binlog.000001`` style); only the LAST file may
 grow (earlier segments are immutable once rotated — MySQL's own
 contract), so an offset pair spans: tail of start.file, any whole
@@ -63,6 +66,29 @@ def _segments(path: str) -> list[str]:
     return sorted(f for f in os.listdir(path) if f.endswith(".bin"))
 
 
+def _aligned_end(fpath: str) -> int:
+    """End byte-offset of the last COMPLETE event in a (possibly
+    growing) segment. The writer may be mid-append when
+    ``latestOffset`` samples the file, and an offset landing inside
+    a half-written event would make every retry of that micro-batch
+    re-slice the same torn bytes and fail permanently. Events chain
+    19-byte headers carrying their own size, so walking headers —
+    seeks only, no payload reads — finds the last event boundary at
+    or below the current file size. A trailing partial event simply
+    stays beyond the offset until a later ``latestOffset`` sees it
+    complete."""
+    size = os.path.getsize(fpath)
+    with open(fpath, "rb") as f:
+        pos = 4 if f.read(4) == b"\xfebin" else 0
+        while pos + 19 <= size:
+            f.seek(pos + 9)          # event_size u32 at header+9
+            esize = int.from_bytes(f.read(4), "little")
+            if esize < 19 or pos + esize > size:
+                break                # torn/garbage tail: stop here
+            pos += esize
+    return pos
+
+
 class _SegmentSlice(InputPartition):
     def __init__(self, path: str, fname: str, start_pos: int,
                  end_pos: int) -> None:
@@ -89,7 +115,7 @@ class BinlogStreamReader(DataSourceStreamReader):
             return {"file": "", "pos": 0}
         last = segs[-1]
         return {"file": last,
-                "pos": os.path.getsize(os.path.join(self.path, last))}
+                "pos": _aligned_end(os.path.join(self.path, last))}
 
     def initialOffset(self) -> dict:
         if self.starting == "latest":

@@ -143,6 +143,45 @@ def test_replay_skip_on_mid_segment_resume(spark, binlog_dir, tmp_path):
     q.stop()
 
 
+def test_live_tail_mid_append_offset_is_event_aligned(spark, binlog_dir,
+                                                      tmp_path):
+    """A writer caught MID-APPEND must not poison the stream: the
+    sampled end offset stops at the last complete event, the torn
+    tail is never sliced into a micro-batch (which would fail the
+    same (start, end) range on every retry), and once the event's
+    remaining bytes land it is delivered exactly once."""
+    seg1 = os.path.join(binlog_dir, "binlog.000001.bin")
+    with open(seg1, "rb") as f:
+        full = f.read()
+    # cut INSIDE the DELETE_ROWS event (stream event #5): FDE,
+    # BEGIN, TABLE_MAP, WRITE, UPDATE complete; DELETE half-written
+    off, sizes = 4, []
+    while off < len(full):
+        size = struct.unpack("<I", full[off + 9:off + 13])[0]
+        sizes.append(size)
+        off += size
+    torn_cut = 4 + sum(sizes[:5]) + sizes[5] // 2
+    with open(seg1, "wb") as f:
+        f.write(full[:torn_cut])
+
+    from galaxy_spark.sources.binlog_source import _aligned_end
+    assert _aligned_end(seg1) == 4 + sum(sizes[:5])
+
+    q = _start(spark, binlog_dir, "bl_tail", str(tmp_path / "ck"))
+    q.processAllAvailable()           # would raise pre-fix
+    rows = spark.sql("SELECT * FROM bl_tail").collect()
+    assert sorted(r.action for r in rows) == ["insert", "insert",
+                                              "update"]
+
+    with open(seg1, "wb") as f:       # the append completes
+        f.write(full)
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM bl_tail").collect()
+    assert sorted(r.action for r in rows) == ["delete", "insert",
+                                              "insert", "update"]
+    q.stop()
+
+
 def test_bytes_to_snapshot_store_full_chain(spark, binlog_dir, tmp_path):
     """The round-6 capstone: wire-format bytes -> galaxy_binlog
     streaming source (S1) -> projection chain (P1-P4) -> latest-wins
@@ -272,16 +311,38 @@ def test_ddl_stream_maintains_schema_registry(spark, binlog_dir,
 
 
 def test_corrupt_segment_fails_query_loudly(spark, binlog_dir, tmp_path):
-    """Garbage appended to a segment must surface as a streaming
-    query error (the decoder's refuse-don't-guess contract carried
-    through the source), never as silently dropped events."""
+    """A COMPLETE but invalid event appended to a segment must
+    surface as a streaming query error (the decoder's
+    refuse-don't-guess contract carried through the source), never
+    as silently dropped events. Bytes that never parse as a
+    complete event header, by contrast, are indistinguishable from
+    a writer mid-append — they are held back by the event-aligned
+    offset, not crashed on (a real replica tailing the wire waits
+    the same way)."""
     from pyspark.sql.streaming import StreamingQueryException
 
     q = _start(spark, binlog_dir, "bl_corrupt", str(tmp_path / "ck"))
     q.processAllAvailable()
+    n1 = spark.sql("SELECT count(*) c FROM bl_corrupt") \
+        .collect()[0]["c"]
 
-    with open(os.path.join(binlog_dir, "binlog.000001.bin"), "ab") as f:
-        f.write(b"\xde\xad\xbe\xef" * 7)  # 28 bytes of garbage
+    seg = os.path.join(binlog_dir, "binlog.000001.bin")
+    # (a) unparseable tail: header never completes -> held back
+    with open(seg, "ab") as f:
+        f.write(b"\xde\xad")
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) c FROM bl_corrupt") \
+        .collect()[0]["c"] == n1
+    with open(seg, "rb+") as f:      # writer "un-writes" the stub
+        f.seek(-2, os.SEEK_END)
+        f.truncate()
+
+    # (b) structured corruption: a complete 28-byte event with an
+    # unsupported type code -> included by the aligned offset,
+    # decode raises, the query dies loudly
+    bad = struct.pack("<IBIIIH", 0, 0xEE, 1, 28, 0, 0) + b"\xbe" * 9
+    with open(seg, "ab") as f:
+        f.write(bad)
     with pytest.raises(StreamingQueryException):
         q.processAllAvailable()
         q.awaitTermination(30)

@@ -187,6 +187,36 @@ def test_bpe_merge_steps_match_python_reference(spark):
     assert got == expected
 
 
+def test_bpe_merge_fold_is_boundary_anchored_greedy(spark):
+    """The merge fold's two failure modes under a plain substring
+    replace, pinned: (a) a run of identical symbols merges greedily
+    left-to-right ('a a a a' -> 'aa aa', not 'aa a a'); (b) a
+    multi-char symbol ENDING in `a` is never eaten by the pair
+    (a, b) ('ca b' stays 'ca b')."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.queries.indexing import _BPE_SEP, _bpe_merge_fold
+
+    cases = [
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["ca", "b"], ("a", "b"), ["ca", "b"]),
+        (["c", "a", "b", "a", "b"], ("a", "b"), ["c", "ab", "ab"]),
+        (["ab", "b"], ("a", "b"), ["ab", "b"]),
+        (["a"], ("a", "a"), ["a"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, _BPE_SEP.join(toks)) for i, (toks, _, _) in
+         enumerate(cases)], "i int, sym string")
+    for i, (_, (a, b), want) in enumerate(cases):
+        got = (df.filter(F.col("i") == i)
+               .select(F.aggregate(F.split("sym", _BPE_SEP),
+                                   F.lit(""), _bpe_merge_fold(a, b))
+                       .alias("out"))
+               .collect()[0]["out"])
+        assert got == _BPE_SEP.join(want), (i, got, want)
+
+
 def test_triangle_count_matches_python_reference(spark):
     """Triangle closure vs a brute-force set-intersection count on
     the same co-purchase edges."""

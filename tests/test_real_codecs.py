@@ -246,6 +246,34 @@ def test_gif_transparency_preserves_canvas():
     # index never drawn there? no — f0 has no transparent pixels
 
 
+def test_gif_transparency_does_not_leak_into_gce_less_frame():
+    """GIF89a scopes a Graphic Control Extension to the SINGLE
+    rendering block that follows it: a second frame with NO GCE of
+    its own must paint its index-0 pixels normally instead of
+    inheriting frame 1's transparent index and punching holes."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)  # 4-color GCT
+    out += bytes(np.asarray(_PALETTE, np.uint8).ravel())
+    # frame 1: GCE declaring index 0 transparent; image paints
+    # index 1 (red) everywhere, so the canvas is red afterwards
+    out += bytes([0x21, 0xF9, 0x04, 0x05])
+    out += struct.pack("<HB", 0, 0) + b"\x00"
+    f1 = np.full((2, 2), 1, np.uint8)
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out += bytes([2]) + _gif_lzw_chunks(f1.ravel(), 2)
+    # frame 2: NO GCE; paints index 0 (black) over the full canvas.
+    # A leaked transparent=0 would wrongly keep the red canvas.
+    f2 = np.zeros((2, 2), np.uint8)
+    out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out += bytes([2]) + _gif_lzw_chunks(f2.ravel(), 2)
+    out += bytes([0x3B])
+    arr = M.real_decode(bytes(out), "gif")
+    pal = np.array(_PALETTE, np.uint8)
+    assert arr.shape == (2, 2, 2, 3)
+    assert (arr[0] == pal[1]).all()  # red
+    assert (arr[1] == 0).all()       # painted black — NOT holes
+
+
 def test_gif_golden_public_sample():
     """The canonical 1x1 transparent GIF (the web's most-published
     43 bytes) decodes: one frame, 1x1, and the transparent pixel

@@ -203,3 +203,54 @@ def test_zorder_layout_bounds_rectangles_on_both_columns(spark, tmp_path):
     assert ss["event_id"] < 0.2 and ss["user_id"] > 0.8, ss
     # z-order: BOTH columns bounded well below full range
     assert zs["event_id"] < 0.6 and zs["user_id"] < 0.6, zs
+
+
+def test_zorder_handles_string_and_timestamp_columns(spark, tmp_path):
+    """The non-numeric rank paths: a STRING column rides the exact
+    global-row-index ranks (no single reducer), a TIMESTAMP column
+    the epoch cast + quantile sketch — both interleave into a
+    layout where row groups stay bounded on each column. An
+    unorderable (array) column raises a clear TypeError instead of
+    failing inside approxQuantile."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark import sinks
+    from galaxy_spark.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events") \
+        .select("event_type", "ts", "value")
+    zpath = str(tmp_path / "z_str_ts")
+    sinks.write_zorder(ev, zpath, "event_type", "ts",
+                       target_partitions=16)
+
+    types = sorted(r[0] for r in
+                   ev.select("event_type").distinct().collect())
+    rank = {t: i for i, t in enumerate(types)}
+    n_rows, spans = 0, []
+    for f in glob.glob(f"{zpath}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        n_rows += meta.num_rows
+        for rg in range(meta.num_row_groups):
+            for i in range(meta.num_columns):
+                c = meta.row_group(rg).column(i)
+                if c.path_in_schema == "event_type":
+                    spans.append(rank[c.statistics.max]
+                                 - rank[c.statistics.min])
+    assert n_rows == ev.count()
+    # 5 distinct types: a z-rectangle covers a BOUNDED slice of the
+    # type axis (adjacent types), never the full range a plain
+    # ts-sort would give each row group
+    assert len(spans) >= 8
+    assert sum(spans) / len(spans) <= 2.0, spans
+    assert max(spans) < len(types) - 1 or spans.count(
+        len(types) - 1) / len(spans) < 0.25, spans
+
+    with pytest.raises(TypeError, match="write_zorder"):
+        sinks.write_zorder(
+            ev.withColumn("arr", F.array(F.lit(1))),
+            str(tmp_path / "z_bad"), "arr", "value")

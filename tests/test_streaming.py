@@ -1286,6 +1286,60 @@ def test_topic_files_abort_sweeps_staged_files(spark, tmp_path):
     assert not glob.glob(f"{out}/*/batch-*"), "no published files"
 
 
+def test_topic_files_replay_overwrites_same_batch(tmp_path, monkeypatch):
+    """Replaying a batchId must never duplicate rows within that
+    batchId: final names are deterministic per (batchId,
+    partitionId) so a replay's commit overwrites the crashed
+    attempt's files, and files a repartitioned replay did NOT
+    republish are swept along with stale .tmp litter."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from galaxy_spark.sinks_topic import TopicFilesStreamWriter
+
+    class _Ctx:
+        def __init__(self, pid):
+            self._pid = pid
+
+        def partitionId(self):
+            return self._pid
+
+    def with_pid(pid):
+        import pyspark
+
+        monkeypatch.setattr(pyspark.TaskContext, "get",
+                            staticmethod(lambda: _Ctx(pid)))
+
+    out = str(tmp_path / "topics")
+    w = TopicFilesStreamWriter({"path": out})
+    row = Row(topic="t.a.b", key="a.b", value='{"v":1}')
+
+    # attempt 1: two partitions publish under batch 7
+    with_pid(0)
+    m0 = w.write(iter([row]))
+    with_pid(1)
+    m1 = w.write(iter([row, row]))
+    w.commit([m0, m1], batchId=7)
+    assert sorted(os.path.basename(f) for f in
+                  glob.glob(f"{out}/t.a.b/batch-7-*")) == [
+        "batch-7-part-00000.jsonl", "batch-7-part-00001.jsonl"]
+
+    # crash-post-commit replay: ONE partition this time, plus stale
+    # .tmp litter from the crashed attempt
+    litter = os.path.join(out, "t.a.b", "part-00009.jsonl.tmp-dead")
+    with open(litter, "w") as f:
+        f.write("torn\n")
+    with_pid(0)
+    m0b = w.write(iter([row, row, row]))
+    w.commit([m0b], batchId=7)
+    files = glob.glob(f"{out}/t.a.b/*")
+    assert [os.path.basename(f) for f in files] == [
+        "batch-7-part-00000.jsonl"]      # part-1 superseded, tmp swept
+    with open(files[0]) as f:
+        assert len(f.readlines()) == 3   # last attempt's content wins
+
+
 def test_quarantined_rows_route_to_dead_letter_topic(spark, tmp_path):
     """A malformed event (wrong org_row arity) must neither kill the
     stream (reference behavior: error out, process.go:120-122) nor
