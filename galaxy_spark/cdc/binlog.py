@@ -28,16 +28,42 @@ Two design points, both mirroring the reference:
 
 Column-type coverage (public type codes + their TABLE_MAP metadata
 widths): TINY(1), SHORT(2), LONG(3), FLOAT(4, meta 1), DOUBLE(5,
-meta 1), LONGLONG(8), VARCHAR(15, meta 2). Unknown types raise —
-a CDC relay that guesses at bytes corrupts silently.
+meta 1), LONGLONG(8), INT24(9), DATE(10), YEAR(13), VARCHAR(15,
+meta 2), TIMESTAMP2(17, meta 1), DATETIME2(18, meta 1), TIME2(19,
+meta 1), NEWDECIMAL(246, meta 2), BLOB/TEXT(252, meta 1). Unknown
+types raise — a CDC relay that guesses at bytes corrupts silently.
 
-Fixtures: tests/fixtures/binlog_v4_sample.bin holds a spec-conformant
-event stream (construction documented in
-tests/fixtures/make_binlog_fixture.py — this sandbox has no MySQL
-server to capture from, so the bytes are authored to the public
-layout, checksums off, and decoded here without shared code);
-tests/test_binlog_bytes.py replays it through this decoder and the
-projection chain.
+Exactness notes (the reference's ``UseDecimal: true`` guarantee,
+``internal/sync_server/sync.go:52``): NEWDECIMAL decodes the
+public sign/9-digits-per-4-bytes packed layout digit-exactly into
+a string — the value NEVER transits a float, and trailing zeros
+are kept to the declared scale. Temporal types render canonical
+MySQL text (``YYYY-MM-DD HH:MM:SS[.ffff]`` with exactly ``fsp``
+fractional digits; TIMESTAMP2 renders in UTC — the wire carries an
+epoch, server-timezone-free). BLOB vs TEXT is not distinguishable
+on the wire (the charset lives in the table def, not TABLE_MAP):
+payloads that decode as UTF-8 render as text, anything else as
+``0x``-prefixed hex.
+
+Checksums: the FORMAT_DESCRIPTION event's trailing
+checksum-algorithm byte is honored — CRC32 streams (the MySQL
+5.6+ default ``binlog_checksum=CRC32``) verify every event's
+trailing CRC and trim it before parsing; a corrupt event raises.
+Legacy / checksum-NONE streams (no trailer) decode as before.
+
+Fixtures: tests/fixtures/binlog_v4_sample.bin (checksum NONE, core
+types; construction documented in
+tests/fixtures/make_binlog_fixture.py) and
+tests/fixtures/binlog_v4_rich.bin (CRC32 + decimal/temporal/blob
+coverage; authored by the INDEPENDENT encoder in
+tests/fixtures/binlog_wire_encoder.py — written against the public
+layout separately from both this decoder and the first fixture
+builder, so the two implementations validate each other, and
+property tests round-trip random values through encoder→decoder).
+This sandbox has no MySQL server to capture from; the bytes are
+authored to the published spec. tests/test_binlog_bytes.py and
+tests/test_binlog_rich_types.py replay both through this decoder
+and the projection chain.
 """
 
 from __future__ import annotations
@@ -63,9 +89,19 @@ _ACTIONS = {WRITE_ROWS_EVENT_V2: "insert",
 # public column-type codes -> TABLE_MAP metadata byte width
 TYPE_TINY, TYPE_SHORT, TYPE_LONG = 1, 2, 3
 TYPE_FLOAT, TYPE_DOUBLE, TYPE_LONGLONG, TYPE_VARCHAR = 4, 5, 8, 15
+TYPE_INT24, TYPE_DATE, TYPE_YEAR = 9, 10, 13
+TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2 = 17, 18, 19
+TYPE_NEWDECIMAL, TYPE_BLOB = 246, 252
 _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
              TYPE_FLOAT: 1, TYPE_DOUBLE: 1, TYPE_LONGLONG: 0,
-             TYPE_VARCHAR: 2}
+             TYPE_VARCHAR: 2, TYPE_INT24: 0, TYPE_DATE: 0,
+             TYPE_YEAR: 0, TYPE_TIMESTAMP2: 1, TYPE_DATETIME2: 1,
+             TYPE_TIME2: 1, TYPE_NEWDECIMAL: 2, TYPE_BLOB: 1}
+
+#: packed-decimal leftover-digit storage widths (public layout:
+#: full groups of 9 decimal digits take 4 bytes; a leftover group
+#: of k digits takes _DIG2BYTES[k])
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 
 
 @dataclass
@@ -147,8 +183,63 @@ def _bitmap_bit(bitmap: bytes, i: int) -> bool:
     return bool(bitmap[i // 8] & (1 << (i % 8)))
 
 
+def _decode_newdecimal(r: _Reader, precision: int, scale: int) -> str:
+    """Packed NEWDECIMAL -> digit-exact string. Public layout:
+    integer and fraction digits in big-endian base-10^9 groups of 4
+    bytes, leftover digits in _DIG2BYTES-compressed prefix/suffix
+    groups; the first byte's MSB is the sign (stored XOR 0x80),
+    negative values stored as the bitwise complement. The value
+    never transits a float — the reference's ``UseDecimal: true``
+    exactness (``sync.go:52``)."""
+    intg = precision - scale
+    intg0, intg_rem = divmod(intg, 9)
+    frac0, frac_rem = divmod(scale, 9)
+    total = (intg0 * 4 + _DIG2BYTES[intg_rem]
+             + frac0 * 4 + _DIG2BYTES[frac_rem])
+    raw = bytearray(r.take(total))
+    negative = not (raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if negative:
+        raw = bytearray((~b) & 0xFF for b in raw)
+    pos = 0
+
+    def group(n_bytes: int) -> int:
+        nonlocal pos
+        v = int.from_bytes(raw[pos:pos + n_bytes], "big")
+        pos += n_bytes
+        return v
+
+    int_digits = ""
+    if intg_rem:
+        int_digits += str(group(_DIG2BYTES[intg_rem])).zfill(intg_rem)
+    for _ in range(intg0):
+        int_digits += str(group(4)).zfill(9)
+    frac_digits = ""
+    for _ in range(frac0):
+        frac_digits += str(group(4)).zfill(9)
+    if frac_rem:
+        frac_digits += str(group(_DIG2BYTES[frac_rem])).zfill(frac_rem)
+    out = ("-" if negative else "") + (int_digits.lstrip("0") or "0")
+    if scale:
+        out += "." + frac_digits       # trailing zeros kept to scale
+    return out
+
+
+def _read_frac(r: _Reader, fsp: int) -> str:
+    """Fractional-second suffix for the *2 temporal types: fsp
+    digits stored in ceil(fsp/2) big-endian bytes as the fraction
+    scaled to fsp digits. Empty string when fsp == 0."""
+    n = (fsp + 1) // 2
+    if n == 0:
+        return ""
+    v = int.from_bytes(r.take(n), "big")
+    return f".{v:0{fsp}d}"
+
+
 def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
-    """One column value -> transport string (the JSON degrade)."""
+    """One column value -> transport string (the JSON degrade;
+    NEWDECIMAL/temporals render canonical MySQL text, see module
+    docstring)."""
     if col_type == TYPE_TINY:
         return str(struct.unpack("<b", r.take(1))[0])
     if col_type == TYPE_SHORT:
@@ -157,6 +248,9 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
         return str(struct.unpack("<i", r.take(4))[0])
     if col_type == TYPE_LONGLONG:
         return str(struct.unpack("<q", r.take(8))[0])
+    if col_type == TYPE_INT24:
+        v = int.from_bytes(r.take(3), "little")
+        return str(v - 0x1000000 if v & 0x800000 else v)
     if col_type == TYPE_FLOAT:
         return str(struct.unpack("<f", r.take(4))[0])
     if col_type == TYPE_DOUBLE:
@@ -164,6 +258,61 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
     if col_type == TYPE_VARCHAR:
         n = r.u16() if meta > 255 else r.u8()
         return r.take(n).decode("utf-8")
+    if col_type == TYPE_DATE:
+        v = int.from_bytes(r.take(3), "little")
+        return f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}"
+    if col_type == TYPE_YEAR:
+        v = r.u8()
+        return "0000" if v == 0 else str(1900 + v)
+    if col_type == TYPE_DATETIME2:
+        # 5 bytes big-endian: 1 sign bit, 17 bits year*13+month,
+        # 5 day, 5 hour, 6 minute, 6 second; then fsp fraction
+        v = int.from_bytes(r.take(5), "big")
+        ym = (v >> 22) & 0x1FFFF
+        return (f"{ym // 13:04d}-{ym % 13:02d}-{(v >> 17) & 0x1F:02d}"
+                f" {(v >> 12) & 0x1F:02d}:{(v >> 6) & 0x3F:02d}"
+                f":{v & 0x3F:02d}" + _read_frac(r, meta))
+    if col_type == TYPE_TIMESTAMP2:
+        # 4 bytes big-endian epoch seconds; rendered in UTC — the
+        # wire value is timezone-free
+        from datetime import datetime, timezone
+
+        secs = int.from_bytes(r.take(4), "big")
+        txt = datetime.fromtimestamp(secs, timezone.utc) \
+            .strftime("%Y-%m-%d %H:%M:%S")
+        return txt + _read_frac(r, meta)
+    if col_type == TYPE_TIME2:
+        # (3 + ceil(fsp/2)) bytes big-endian as ONE biased quantity
+        # (bias = top bit): time packed as 10-bit hour, 6-bit
+        # minute, 6-bit second in the high 3 bytes, fsp-digit
+        # fraction in the low bytes. Negative times are the
+        # arithmetic below-bias values, so a fraction "borrow"
+        # across the packed boundary falls out of plain integer
+        # subtraction.
+        n = (meta + 1) // 2
+        raw = int.from_bytes(r.take(3 + n), "big")
+        v = raw - (1 << (8 * (3 + n) - 1))
+        sign = ""
+        if v < 0:
+            sign, v = "-", -v
+        frac = v & ((1 << (8 * n)) - 1) if n else 0
+        packed = v >> (8 * n)
+        txt = (f"{sign}{(packed >> 12) & 0x3FF:02d}"
+               f":{(packed >> 6) & 0x3F:02d}:{packed & 0x3F:02d}")
+        if meta:
+            txt += f".{frac:0{meta}d}"
+        return txt
+    if col_type == TYPE_NEWDECIMAL:
+        # TABLE_MAP meta read as LE u16: low byte precision, high
+        # byte scale (the wire order is [precision, scale])
+        return _decode_newdecimal(r, meta & 0xFF, meta >> 8)
+    if col_type == TYPE_BLOB:
+        n = int.from_bytes(r.take(meta), "little")
+        payload = r.take(n)
+        try:
+            return payload.decode("utf-8")        # TEXT-ish
+        except UnicodeDecodeError:
+            return "0x" + payload.hex()           # true binary
     raise ValueError(f"unsupported binlog column type {col_type}")
 
 
@@ -185,16 +334,45 @@ def _decode_row_image(r: _Reader, tmap: TableMap,
     return out
 
 
+def _detect_checksum(raw_event: bytes) -> bool:
+    """FORMAT_DESCRIPTION checksum probe: a 5.6+ server appends a
+    checksum-algorithm byte (0 = NONE, 1 = CRC32) plus the FDE's
+    own 4-byte CRC to the FDE body. Returns True iff the alg byte
+    reads CRC32 AND the FDE's own CRC verifies (self-consistent, so
+    a legacy trailer-less FDE whose last bytes happen to be
+    ambiguous can never false-positive); raises if the alg byte
+    claims CRC32 but the FDE's checksum is wrong."""
+    import zlib
+
+    body = raw_event[19:]
+    # 57 fixed FDE bytes (version u16 + server_version 50 +
+    # create_ts u32 + header_len u8) + >=1 post-header length +
+    # alg byte + CRC32
+    if len(body) < 57 + 1 + 5 or body[-5] != 1:
+        return False
+    stored = int.from_bytes(raw_event[-4:], "little")
+    if zlib.crc32(raw_event[:-4]) != stored:
+        raise ValueError(
+            "FORMAT_DESCRIPTION declares binlog_checksum=CRC32 but "
+            "its own checksum does not verify")
+    return True
+
+
 def decode_binlog(blob: bytes) -> list[DecodedEvent]:
     """Decode a binlog byte stream (leading magic optional) into
     DecodedEvents. Sequential: TABLE_MAP state keyed by table_id,
-    exactly the dependency the wire imposes. Assumes checksums are
-    off (binlog_checksum=NONE) — the fixture's configuration; a
-    CRC32-suffixed stream would need 4 bytes trimmed per event."""
+    exactly the dependency the wire imposes. Handles both
+    ``binlog_checksum=NONE`` and ``=CRC32`` streams — the algorithm
+    is read from the FORMAT_DESCRIPTION event, every CRC32 event's
+    trailer is verified then trimmed, and a corrupt event raises
+    (refuse-don't-guess, same contract as unknown types)."""
+    import zlib
+
     if blob[:4] == MAGIC:
         blob = blob[4:]
     events: list[DecodedEvent] = []
     table_maps: dict[int, TableMap] = {}
+    crc32_mode = False
     off = 0
     while off < len(blob):
         if len(blob) - off < 19:
@@ -205,7 +383,19 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             raise ValueError(
                 f"event at offset {off} claims size {esize} past "
                 f"stream end {len(blob)}")
-        r = _Reader(blob[off + 19:off + esize])
+        raw = blob[off:off + esize]
+        body_end = esize
+        if etype == FORMAT_DESCRIPTION_EVENT:
+            crc32_mode = _detect_checksum(raw)
+        if crc32_mode:
+            stored = int.from_bytes(raw[-4:], "little")
+            if zlib.crc32(raw[:-4]) != stored:
+                raise ValueError(
+                    f"binlog checksum mismatch on event type {etype} "
+                    f"at offset {off}: stored 0x{stored:08x}, "
+                    f"computed 0x{zlib.crc32(raw[:-4]):08x}")
+            body_end = esize - 4
+        r = _Reader(blob[off + 19:off + body_end])
         off += esize
 
         if etype == FORMAT_DESCRIPTION_EVENT:

@@ -1,0 +1,302 @@
+"""An INDEPENDENT MySQL binlog v4 wire ENCODER, written against the
+public format documentation (MySQL Internals: binary log event
+layouts; the packed NEWDECIMAL layout of strings/decimal.c; the
+*2 temporal encodings of my_time.cc) — deliberately sharing no code
+with either galaxy_spark/cdc/binlog.py (the decoder under test) or
+tests/fixtures/make_binlog_fixture.py (the first, checksum-NONE
+fixture author). Its purpose is validation-by-independence: this
+sandbox has no MySQL server to capture real bytes from, so the next
+best evidence that the decoder reads the PUBLIC layout (rather than
+its own author's private convention) is bytes produced by a second
+implementation, written separately, including property tests that
+round-trip randomized values encoder→decoder.
+
+Differences from the first fixture builder, on purpose:
+- typed value encoders for the full supported column set
+  (NEWDECIMAL, DATE, YEAR, INT24, DATETIME2, TIMESTAMP2, TIME2,
+  BLOB/TEXT, VARCHAR, and the numeric core),
+- binlog_checksum=CRC32: every event carries its 4-byte trailing
+  CRC and the FORMAT_DESCRIPTION advertises algorithm byte 1,
+- big-endian packing built on int.to_bytes (not struct format
+  strings), with the bit layouts transcribed afresh from the spec.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+# type codes (public)
+TINY, SHORT, LONG, FLOAT, DOUBLE, LONGLONG = 1, 2, 3, 4, 5, 8
+INT24, DATE, YEAR, VARCHAR = 9, 10, 13, 15
+TIMESTAMP2, DATETIME2, TIME2 = 17, 18, 19
+NEWDECIMAL, BLOB = 246, 252
+
+
+def le(v: int, n: int) -> bytes:
+    return int(v).to_bytes(n, "little", signed=False)
+
+
+def le_signed(v: int, n: int) -> bytes:
+    return int(v).to_bytes(n, "little", signed=True)
+
+
+def be(v: int, n: int) -> bytes:
+    return int(v).to_bytes(n, "big", signed=False)
+
+
+# ---- typed column-value encoders -----------------------------------
+
+def enc_newdecimal(text: str, precision: int, scale: int) -> bytes:
+    """Digit string (e.g. '-1234.5600') -> packed decimal bytes."""
+    neg = text.startswith("-")
+    if neg:
+        text = text[1:]
+    ip, _, fp = text.partition(".")
+    fp = (fp + "0" * scale)[:scale]
+    intg = precision - scale
+    assert len(ip.lstrip("0")) <= intg <= 9 * 4  # DECIMAL(s,s): 0 ok
+    ip = ip.zfill(intg) if intg else ""
+    intg0, intg_rem = divmod(intg, 9)
+    frac0, frac_rem = divmod(scale, 9)
+    out = bytearray()
+    i = 0
+    if intg_rem:
+        out += be(int(ip[:intg_rem] or "0"), DIG2BYTES[intg_rem])
+        i = intg_rem
+    for _ in range(intg0):
+        out += be(int(ip[i:i + 9]), 4)
+        i += 9
+    i = 0
+    for _ in range(frac0):
+        out += be(int(fp[i:i + 9]), 4)
+        i += 9
+    if frac_rem:
+        out += be(int(fp[i:i + frac_rem]), DIG2BYTES[frac_rem])
+    if neg:
+        out = bytearray((~b) & 0xFF for b in out)
+    out[0] ^= 0x80                      # sign bit lives in the MSB
+    return bytes(out)
+
+
+def enc_date(iso: str) -> bytes:
+    y, m, d = (int(x) for x in iso.split("-"))
+    return le((y << 9) | (m << 5) | d, 3)
+
+
+def enc_year(v: int) -> bytes:
+    return bytes([0 if v == 0 else v - 1900])
+
+
+def _enc_frac(micro_text: str, fsp: int) -> bytes:
+    """fsp-digit fraction text -> ceil(fsp/2) big-endian bytes."""
+    n = (fsp + 1) // 2
+    if n == 0:
+        return b""
+    return be(int((micro_text + "0" * fsp)[:fsp] or "0"), n)
+
+
+def enc_datetime2(iso: str, fsp: int) -> bytes:
+    """'YYYY-MM-DD HH:MM:SS[.ffff]' -> 5-byte packed + fraction."""
+    main, _, frac = iso.partition(".")
+    dt, tm = main.split(" ")
+    y, mo, d = (int(x) for x in dt.split("-"))
+    h, mi, s = (int(x) for x in tm.split(":"))
+    v = ((1 << 39) | ((y * 13 + mo) << 22) | (d << 17) | (h << 12)
+         | (mi << 6) | s)
+    return be(v, 5) + _enc_frac(frac, fsp)
+
+
+def enc_timestamp2(iso_utc: str, fsp: int) -> bytes:
+    main, _, frac = iso_utc.partition(".")
+    secs = int(datetime.strptime(main, "%Y-%m-%d %H:%M:%S")
+               .replace(tzinfo=timezone.utc).timestamp())
+    return be(secs, 4) + _enc_frac(frac, fsp)
+
+
+def enc_time2(text: str, fsp: int) -> bytes:
+    """'[-]HH:MM:SS[.ff]' -> (3 + ceil(fsp/2))-byte biased packed
+    quantity (one integer: packed time in the high 3 bytes, the
+    fsp-digit fraction in the low bytes, bias at the top bit —
+    negative values sit arithmetically below the bias)."""
+    neg = text.startswith("-")
+    if neg:
+        text = text[1:]
+    main, _, frac = text.partition(".")
+    h, m, s = (int(x) for x in main.split(":"))
+    n = (fsp + 1) // 2
+    fr = int((frac + "0" * fsp)[:fsp] or "0") if fsp else 0
+    value = (((h << 12) | (m << 6) | s) << (8 * n)) + fr
+    if neg:
+        value = -value
+    return be((1 << (8 * (3 + n) - 1)) + value, 3 + n)
+
+
+def enc_blob(payload: bytes, len_bytes: int) -> bytes:
+    return le(len(payload), len_bytes) + payload
+
+
+def enc_varchar(text: str, max_len: int) -> bytes:
+    b = text.encode("utf-8")
+    return (le(len(b), 2) if max_len > 255 else bytes([len(b)])) + b
+
+
+def encode_value(value, col_type: int, meta: int) -> bytes:
+    import struct as _s
+
+    if value is None:
+        raise ValueError("NULLs ride the null bitmap, not bytes")
+    if col_type == TINY:
+        return le_signed(value, 1)
+    if col_type == SHORT:
+        return le_signed(value, 2)
+    if col_type == LONG:
+        return le_signed(value, 4)
+    if col_type == LONGLONG:
+        return le_signed(value, 8)
+    if col_type == INT24:
+        return le(value & 0xFFFFFF, 3)
+    if col_type == FLOAT:
+        return _s.pack("<f", value)
+    if col_type == DOUBLE:
+        return _s.pack("<d", value)
+    if col_type == VARCHAR:
+        return enc_varchar(value, meta)
+    if col_type == DATE:
+        return enc_date(value)
+    if col_type == YEAR:
+        return enc_year(value)
+    if col_type == DATETIME2:
+        return enc_datetime2(value, meta)
+    if col_type == TIMESTAMP2:
+        return enc_timestamp2(value, meta)
+    if col_type == TIME2:
+        return enc_time2(value, meta)
+    if col_type == NEWDECIMAL:
+        return enc_newdecimal(value, meta & 0xFF, meta >> 8)
+    if col_type == BLOB:
+        return enc_blob(value, meta)
+    raise ValueError(f"no encoder for column type {col_type}")
+
+
+def meta_bytes(col_type: int, meta: int) -> bytes:
+    """The TABLE_MAP per-column metadata encoding for a type."""
+    if col_type in (TINY, SHORT, LONG, LONGLONG, INT24, DATE, YEAR):
+        return b""
+    if col_type in (FLOAT, DOUBLE):
+        return bytes([8 if col_type == DOUBLE else 4])
+    if col_type == VARCHAR:
+        return le(meta, 2)
+    if col_type in (TIMESTAMP2, DATETIME2, TIME2):
+        return bytes([meta])                       # fsp
+    if col_type == NEWDECIMAL:
+        return bytes([meta & 0xFF, meta >> 8])     # precision, scale
+    if col_type == BLOB:
+        return bytes([meta])                       # length-byte count
+    raise ValueError(f"no metadata rule for column type {col_type}")
+
+
+# ---- event assembly -------------------------------------------------
+
+class BinlogWriter:
+    """Assembles a CRC32-checksummed binlog v4 stream."""
+
+    MAGIC = bytes.fromhex("fe62696e")
+
+    def __init__(self, server_id: int = 7007,
+                 base_ts: int = 1_710_000_000) -> None:
+        self.server_id = server_id
+        self.ts = base_ts
+        self.out = bytearray(self.MAGIC)
+        self.pos = len(self.MAGIC)
+
+    def _emit(self, etype: int, body: bytes) -> None:
+        size = 19 + len(body) + 4                  # + CRC trailer
+        self.pos += size
+        header = (le(self.ts, 4) + bytes([etype]) + le(self.server_id, 4)
+                  + le(size, 4) + le(self.pos, 4) + le(0, 2))
+        ev = header + body
+        self.out += ev + le(zlib.crc32(ev), 4)
+
+    def format_description(self) -> None:
+        body = (le(4, 2) + b"8.4.0-indep-fixture".ljust(50, b"\x00")
+                + le(self.ts, 4) + bytes([19])
+                + bytes(39)                        # post-header lengths
+                + bytes([1]))                      # alg: CRC32
+        self._emit(15, body)
+
+    def query(self, db: str, sql: str) -> None:
+        d = db.encode()
+        body = (le(11, 4) + le(0, 4) + bytes([len(d)]) + le(0, 2)
+                + le(0, 2) + d + b"\x00" + sql.encode())
+        self._emit(2, body)
+
+    def table_map(self, table_id: int, db: str, table: str,
+                  columns: list) -> None:
+        d, t = db.encode(), table.encode()
+        metas = b"".join(meta_bytes(ct, m) for ct, m in columns)
+        body = (le(table_id, 6) + le(0, 2)
+                + bytes([len(d)]) + d + b"\x00"
+                + bytes([len(t)]) + t + b"\x00"
+                + bytes([len(columns)])
+                + bytes(ct for ct, _ in columns)
+                + bytes([len(metas)]) + metas
+                + self._bitmap(list(range(len(columns))),
+                               len(columns)))      # all nullable
+        self._emit(19, body)
+
+    @staticmethod
+    def _bitmap(set_bits: list, n: int) -> bytes:
+        bm = bytearray((n + 7) // 8)
+        for i in set_bits:
+            bm[i // 8] |= 1 << (i % 8)
+        return bytes(bm)
+
+    def _row_image(self, columns: list, row: list) -> bytes:
+        nulls = [i for i, v in enumerate(row) if v is None]
+        out = bytearray(self._bitmap(nulls, len(columns)))
+        for (ct, meta), v in zip(columns, row):
+            if v is not None:
+                out += encode_value(v, ct, meta)
+        return bytes(out)
+
+    def _rows(self, etype: int, table_id: int, columns: list,
+              images: list) -> None:
+        n = len(columns)
+        body = bytearray(le(table_id, 6) + le(0, 2) + le(2, 2)
+                         + bytes([n]))
+        body += self._bitmap(list(range(n)), n)    # present bitmap 1
+        if etype == 31:                            # UPDATE: bitmap 2
+            body += self._bitmap(list(range(n)), n)
+        for img in images:
+            body += img
+        self._emit(etype, bytes(body))
+
+    def write_rows(self, table_id: int, columns: list,
+                   rows: list) -> None:
+        self._rows(30, table_id, columns,
+                   [self._row_image(columns, r) for r in rows])
+
+    def update_rows(self, table_id: int, columns: list,
+                    pairs: list) -> None:
+        imgs = []
+        for before, after in pairs:
+            imgs.append(self._row_image(columns, before)
+                        + self._row_image(columns, after))
+        self._rows(31, table_id, columns, imgs)
+
+    def delete_rows(self, table_id: int, columns: list,
+                    rows: list) -> None:
+        self._rows(32, table_id, columns,
+                   [self._row_image(columns, r) for r in rows])
+
+    def xid(self, txid: int) -> None:
+        self._emit(16, le(txid, 8))
+
+    def rotate(self, next_file: str) -> None:
+        self._emit(4, le(4, 8) + next_file.encode())
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)

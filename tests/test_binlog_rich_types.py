@@ -1,0 +1,232 @@
+"""The byte tier's full type system + CRC32 checksums: the
+independently-encoded CRC32 fixture (binlog_v4_rich.bin, authored
+by tests/fixtures/binlog_wire_encoder.py — no shared code with the
+decoder) decodes digit-exactly, checksummed corruption is refused,
+randomized values round-trip encoder→decoder (hypothesis), and the
+decimal exactness guarantee (reference ``UseDecimal: true``,
+``internal/sync_server/sync.go:52``) survives the full
+galaxy_binlog source → projection chain with NO float transit."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from galaxy_spark.cdc.binlog import decode_binlog, mq_rows_from_binlog
+
+RICH = os.path.join(os.path.dirname(__file__), "fixtures",
+                    "binlog_v4_rich.bin")
+
+ROW1 = ["101", "12345678.9999", "99999999999999999999", "2024-02-29",
+        "2024-02-29 23:59:59.1234", "2024-03-01 00:00:05",
+        "838:59:58.99", "utf8 text payload ✓", "2024", "8388607",
+        "label-one", "-7", "2.5"]
+ROW2 = ["102", "-0.0100", "0", "1970-01-01",
+        "1999-12-31 00:00:00.0000", "2038-01-19 03:14:07",
+        "-00:00:01.00", "0x00ff807f", "0000", "-8388608",
+        "x" * 260, None, None]
+ROW2_V2 = ["102", "-987654.3210", "0", "1970-01-01",
+           "1999-12-31 00:00:00.0000", "2038-01-19 03:14:07",
+           "-00:00:01.00", "rewritten", "0000", "-8388608",
+           "x" * 260, "42", "0.125"]
+
+
+def _blob() -> bytes:
+    with open(RICH, "rb") as f:
+        return f.read()
+
+
+def test_rich_fixture_golden_decode():
+    """Every supported column type decodes to its canonical MySQL
+    text: digit-exact decimals (trailing zeros kept to scale,
+    20-digit integer DECIMAL exact), leap-day DATE, DATETIME2(4)
+    and TIMESTAMP2(0) at the 2038 boundary, TIME2 extremes
+    (838:59:58.99 and a NEGATIVE fractional time), BLOB as UTF-8
+    text vs hex for true binary, YEAR 0000, INT24 both extremes,
+    2-byte-length VARCHAR, and NULLs under the bitmap."""
+    events = decode_binlog(_blob())
+    assert [e.kind for e in events] == [
+        "format_description", "query", "insert", "update", "delete",
+        "xid", "query", "rotate"]
+    ins, upd, dele = events[2], events[3], events[4]
+    assert ins.rows == [[ROW1], [ROW2]]
+    assert upd.rows == [[ROW2, ROW2_V2]]
+    assert dele.rows == [[ROW1]]
+    assert events[-1].next_file == "binlog.000002"
+    assert events[-1].log_pos == os.path.getsize(RICH)
+
+
+def test_crc32_corruption_raises():
+    """Flipping one payload byte in a rows event must fail its CRC
+    loudly (the MySQL 5.6+ default is binlog_checksum=CRC32; a
+    relay that relays bit-rot corrupts downstream silently)."""
+    blob = bytearray(_blob())
+    # find the WRITE_ROWS event (type 30) and flip a mid-body byte
+    off = 4
+    while True:
+        etype = blob[off + 4]
+        esize = int.from_bytes(blob[off + 9:off + 13], "little")
+        if etype == 30:
+            blob[off + 40] ^= 0xFF
+            break
+        off += esize
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        decode_binlog(bytes(blob))
+
+
+def test_fde_checksum_mismatch_raises():
+    """A FORMAT_DESCRIIPTION that claims CRC32 but fails its own
+    checksum is refused outright — trusting it would mis-frame
+    every subsequent event by 4 bytes."""
+    blob = bytearray(_blob())
+    blob[30] ^= 0x01                     # inside the FDE body
+    with pytest.raises(ValueError, match="FORMAT_DESCRIPTION"):
+        decode_binlog(bytes(blob))
+
+
+def _single_column_stream(col_type: int, meta: int, value) -> bytes:
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    w = BinlogWriter()
+    w.format_description()
+    w.table_map(5, "d", "t", [(col_type, meta)])
+    w.write_rows(5, [(col_type, meta)], [[value]])
+    return w.bytes()
+
+
+def _decode_single(col_type: int, meta: int, value) -> str:
+    rows = mq_rows_from_binlog(_single_column_stream(col_type, meta,
+                                                     value))
+    assert len(rows) == 1
+    return rows[0][3][0][0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_newdecimal_roundtrip_property(data):
+    """Randomized DECIMAL(p, s) values round-trip the independent
+    encoder -> decoder digit-exactly (both sides written separately
+    against the public packed layout; agreement on random values is
+    the in-sandbox substitute for a server-captured fixture)."""
+    precision = data.draw(st.integers(1, 30))
+    scale = data.draw(st.integers(0, precision))
+    intg = precision - scale
+    int_digits = data.draw(st.text("0123456789", min_size=0,
+                                   max_size=intg))
+    frac_digits = data.draw(st.text("0123456789", min_size=scale,
+                                    max_size=scale))
+    neg = data.draw(st.booleans())
+    ip = int_digits.lstrip("0") or "0"
+    if neg and ip == "0" and set(frac_digits) <= {"0"}:
+        neg = False                      # MySQL normalizes -0
+    text = ("-" if neg else "") + ip
+    if scale:
+        text += "." + frac_digits
+    meta = precision | (scale << 8)
+    assert _decode_single(246, meta, text) == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_temporal_roundtrip_property(data):
+    """Randomized DATE / DATETIME2 / TIMESTAMP2 / TIME2 values
+    (fsp 0/2/4/6, negative times included) round-trip exactly."""
+    kind = data.draw(st.sampled_from(["date", "dt2", "ts2", "time2"]))
+    fsp = data.draw(st.sampled_from([0, 2, 4, 6]))
+    frac = ("" if fsp == 0 else
+            "." + data.draw(st.text("0123456789", min_size=fsp,
+                                    max_size=fsp)))
+    if kind == "date":
+        y = data.draw(st.integers(1000, 9999))
+        m, d = data.draw(st.integers(1, 12)), data.draw(st.integers(1, 28))
+        text = f"{y:04d}-{m:02d}-{d:02d}"
+        assert _decode_single(10, 0, text) == text
+    elif kind == "dt2":
+        y = data.draw(st.integers(1000, 9999))
+        m, d = data.draw(st.integers(1, 12)), data.draw(st.integers(1, 28))
+        h, mi, s = (data.draw(st.integers(0, 23)),
+                    data.draw(st.integers(0, 59)),
+                    data.draw(st.integers(0, 59)))
+        text = (f"{y:04d}-{m:02d}-{d:02d} "
+                f"{h:02d}:{mi:02d}:{s:02d}{frac}")
+        assert _decode_single(18, fsp, text) == text
+    elif kind == "ts2":
+        secs = data.draw(st.integers(1, 2**32 - 1))
+        from datetime import datetime, timezone
+
+        text = (datetime.fromtimestamp(secs, timezone.utc)
+                .strftime("%Y-%m-%d %H:%M:%S") + frac)
+        assert _decode_single(17, fsp, text) == text
+    else:
+        h = data.draw(st.integers(0, 838))
+        mi, s = (data.draw(st.integers(0, 59)),
+                 data.draw(st.integers(0, 59)))
+        neg = data.draw(st.booleans())
+        if neg and h == 0 and mi == 0 and s == 0 and (
+                fsp == 0 or set(frac[1:]) <= {"0"}):
+            neg = False                  # -00:00:00 normalizes
+        text = ("-" if neg else "") + f"{h:02d}:{mi:02d}:{s:02d}{frac}"
+        assert _decode_single(19, fsp, text) == text
+
+
+def test_blob_text_vs_binary_rule():
+    """TABLE_MAP cannot distinguish TEXT from BLOB (charset lives
+    in the table def); the documented transport rule is UTF-8 when
+    valid, 0x-hex otherwise — deterministic both ways."""
+    assert _decode_single(252, 1, "héllo".encode()) == "héllo"
+    assert _decode_single(252, 3, bytes([0xC3, 0x28])) == "0xc328"
+    assert _decode_single(252, 4, b"") == ""
+
+
+def test_rich_bytes_through_source_and_projection_decimal_exact(
+        spark, tmp_path):
+    """The exactness capstone: CRC32 wire bytes -> galaxy_binlog
+    streaming source -> schema attach + P2-P4 projections; DECIMAL
+    values arrive in the after/before images as the exact digit
+    strings from the wire (never a float), including the 20-digit
+    integer decimal a double would corrupt."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.cdc.projections import project_changes
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+
+    d = str(tmp_path / "binlogs")
+    os.makedirs(d)
+    shutil.copy(RICH, os.path.join(d, "binlog.000001.bin"))
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+    cols = ["id", "amount", "big_int_dec", "paid_on", "created", "ts",
+            "dur", "note", "yr", "cnt", "label", "qty", "ratio"]
+    raw = (spark.readStream.format("galaxy_binlog")
+           .option("path", d).load())
+    proj = project_changes(raw, cols)
+    q = (proj.filter(~F.col("quarantined"))
+         .select("action", "after", "before", "log_pos")
+         .writeStream.format("memory").queryName("rich_proj")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM rich_proj").collect()
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r.action, []).append(r)
+    ins = sorted(by_action["insert"],
+                 key=lambda r: r.after["id"])
+    assert ins[0].after["amount"] == "12345678.9999"
+    assert ins[0].after["big_int_dec"] == "99999999999999999999"
+    assert float(ins[0].after["big_int_dec"]) != int(
+        ins[0].after["big_int_dec"])     # a double WOULD corrupt it
+    assert ins[1].after["amount"] == "-0.0100"
+    (upd,) = by_action["update"]
+    assert upd.before["amount"] == "-0.0100"
+    assert upd.after["amount"] == "-987654.3210"
+    assert upd.after["created"] == "1999-12-31 00:00:00.0000"
+    assert upd.after["dur"] == "-00:00:01.00"
+    (dele,) = by_action["delete"]
+    assert dele.before["amount"] == "12345678.9999" and dele.after is None
