@@ -10,6 +10,7 @@ from galaxy_spark.streaming.state_store import (  # noqa: E402
     ParquetRollupStore,
     ParquetScd2Store,
     ParquetSnapshotStore,
+    rebucket,
     start_incremental_rollup_parquet,
     start_incremental_scd2_parquet,
     start_incremental_snapshot_parquet,
@@ -20,6 +21,7 @@ __all__ = [
     "ParquetRollupStore",
     "ParquetScd2Store",
     "ParquetSnapshotStore",
+    "rebucket",
     "start_incremental_rollup_parquet",
     "start_incremental_scd2_parquet",
     "start_incremental_snapshot_parquet",

@@ -244,6 +244,71 @@ class ParquetRollupStore(KeyedParquetStore):
              round(r.total_value, 2)) for r in self.state().collect())
 
 
+def rebucket(store: KeyedParquetStore, new_path: str,
+             n_buckets: int, checkpoint_dir: str | None = None):
+    """Migrate a store to a different bucket count (the bucket id
+    is baked into both the directory layout and the data column, so
+    resizing is a rewrite by design — same as re-bucketing a Hive
+    table). Reads the current state once, distributed, and writes
+    it into a NEW store of the same class at ``new_path`` as a
+    single synthetic merge carrying over the source's lineage and
+    max committed epoch, so a streaming query restarted from its
+    ORIGINAL checkpoint continues cleanly against the new store
+    (same lineage -> no foreign-lineage refusal; claims at the
+    carried epoch -> no double-apply of the last batch).
+
+    Contract: run ONLY against a quiesced pipeline (stop the query
+    after ``processAllAvailable``). A crash window between
+    foreachBatch and Spark's commit-log write can leave the store's
+    buckets partially claimed at an epoch the checkpoint will
+    REPLAY; migrating that partial state to one uniform epoch would
+    wrongly skip the replay for never-claimed buckets. Pass
+    ``checkpoint_dir`` to have that verified: the store's max
+    claimed epoch must already be in the checkpoint's commit log.
+
+    Sizing note (SCALE.md §state-store): per-batch merge cost is
+    (touched buckets) x (bucket bytes); pick n_buckets ~
+    expected_state_bytes / target_rewrite_chunk (e.g. 256 MB).
+    """
+    lineages = store.lineages()
+    if len(lineages) > 1:
+        raise ValueError(
+            f"store {store.path!r} holds multiple lineages "
+            f"{sorted(lineages)}; cannot migrate")
+    new_store = store.__class__(store.spark, new_path,
+                                n_buckets=n_buckets)
+    if not lineages:
+        return new_store                       # empty store: done
+    currents = []
+    for d in os.listdir(store.path):
+        if d.startswith("bucket-"):
+            cur = store._current(int(d.split("-", 1)[1]))
+            if cur is not None:
+                currents.append(cur)
+    epoch_key = max(currents)[2:]              # strip "v-"; same
+    #                                          lineage -> lexical max
+    #                                          is the max epoch
+    if checkpoint_dir is not None:
+        lin = _checkpoint_lineage(checkpoint_dir)
+        if lin != epoch_key.rsplit(".", 1)[0]:
+            raise ValueError(
+                f"store lineage {epoch_key.rsplit('.', 1)[0]!r} "
+                f"does not match checkpoint {lin!r}")
+        epoch = int(epoch_key.rsplit(".", 1)[1])
+        commits = os.path.join(checkpoint_dir, "commits")
+        committed = [int(f) for f in os.listdir(commits)
+                     if f.isdigit()] if os.path.isdir(commits) else []
+        if not committed or max(committed) < epoch:
+            raise ValueError(
+                f"store claims epoch {epoch} but the checkpoint has "
+                f"only committed through "
+                f"{max(committed) if committed else 'nothing'}; the "
+                "pipeline is not quiesced — restart it, let it "
+                "drain, stop it cleanly, then rebucket")
+    new_store.merge(store.state(), epoch_key)
+    return new_store
+
+
 def _lineage_scoped_handler(store: KeyedParquetStore,
                             checkpoint_dir: str, partial_fn):
     """foreachBatch handler: distributed partial fold -> store
@@ -295,35 +360,40 @@ def start_incremental_rollup_parquet(
 
 
 def partial_scd2(changes: DataFrame) -> DataFrame:
-    """One micro-batch's SCD2 partial: per-key SORTED version array
-    (pos, value, action). Version arrays are an associative monoid
-    under merge-and-resort (positions are unique per key), so
-    per-batch partials fold into the store exactly like the
-    latest-wins snapshot — but keeping FULL history per key, which
-    is what SCD2 is. Expects scd2_change_frame columns (value =
-    after image only; tombstones close intervals downstream)."""
-    return (changes.groupBy("database", "table", "pk")
-            .agg(F.sort_array(F.collect_list(
-                F.struct("pos", "value", "action"))).alias("versions")))
+    """One micro-batch's SCD2 partial: one ROW PER VERSION keyed by
+    (database, table, pk, pos). SCD2's *state* inherently grows
+    with a key's version count, but its *representation* must not
+    concentrate that growth: an earlier design folded each key's
+    history into a single collect_list array cell, so a realistic
+    CDC hot key (one pk updated millions of times) became one
+    multi-GB row in one bucket — the same hot-key hazard the
+    snapshot fold is hardened against. Row-per-version spreads a
+    hot key's versions across buckets (pos is part of the bucket
+    hash) and keeps every stored row O(1). Expects
+    scd2_change_frame columns (value = after image only; tombstones
+    close intervals downstream)."""
+    return changes.select("database", "table", "pk", "pos", "value",
+                          "action")
 
 
 class ParquetScd2Store(KeyedParquetStore):
     """Incrementally-maintained SCD2 dimension history: the
-    streaming twin of queries.cdc.scd2_history_frame, with version
-    arrays accumulated in the bucketed parquet store. Array-concat
-    is NOT idempotent — a replayed epoch would duplicate versions —
-    which is precisely what the per-(bucket, epoch) commit claims
-    prevent; the snapshot store's counters have the same property.
-    Per-key state grows with that key's version count: inherent to
-    SCD2 (the history IS the state), bounded per key by change
-    rate, spread across buckets by key hash."""
+    streaming twin of queries.cdc.scd2_history_frame, stored
+    ROW-PER-VERSION in the bucketed parquet store with key
+    (database, table, pk, pos). Merge = insert-new-versions: rows
+    for the same (key, pos) are identical (a binlog position is one
+    change), so the max-fold is a dedup and the merge is IDEMPOTENT
+    even beyond the per-(bucket, epoch) commit claims — a replayed
+    version row collapses instead of duplicating. Hot keys spread:
+    pos is part of the bucket hash, so a million-update pk lands
+    across all buckets rather than as one giant array cell."""
 
     def __init__(self, spark: SparkSession, path: str,
                  n_buckets: int = 8) -> None:
         super().__init__(
-            spark, path, ["database", "table", "pk"],
-            [F.sort_array(F.flatten(F.collect_list("versions")))
-             .alias("versions")],
+            spark, path, ["database", "table", "pk", "pos"],
+            [F.max("value").alias("value"),
+             F.max("action").alias("action")],
             n_buckets)
 
     def history(self) -> DataFrame:
@@ -332,15 +402,9 @@ class ParquetScd2Store(KeyedParquetStore):
         intervals (deletes close, then drop)."""
         from pyspark.sql import Window
 
-        ex = (self.state()
-              .select("database", "table", "pk",
-                      F.explode("versions").alias("ver"))
-              .select("database", "table", "pk",
-                      F.col("ver.value").alias("value"),
-                      F.col("ver.pos").alias("pos"),
-                      F.col("ver.action").alias("action")))
         w = Window.partitionBy("database", "table", "pk").orderBy("pos")
-        return (ex.withColumn("valid_to", F.lead("pos").over(w))
+        return (self.state()
+                .withColumn("valid_to", F.lead("pos").over(w))
                 .filter(F.col("action") != "delete")
                 .drop("action")
                 .select("database", "table", "pk", "value", "pos",

@@ -1167,6 +1167,126 @@ def test_parquet_scd2_store_matches_batch_window(spark, events_dir,
     assert len(want) > len({(d, t, p) for d, t, p, *_ in want})
 
 
+def test_scd2_store_hot_key_stays_row_per_version(spark, tmp_path):
+    """A CDC hot key (one pk updated 100k times) must spread across
+    the store as O(1) rows — never concentrate as one giant
+    collect_list array cell in a single bucket (the r6 design that
+    recreated the hot-key hazard the snapshot fold was hardened
+    against). Pins: row-per-version schema (no array column), every
+    bucket holds a share of the hot key, history intervals still
+    chain, and replaying version rows dedups instead of
+    duplicating."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from galaxy_spark.streaming.state_store import (ParquetScd2Store,
+                                                    partial_scd2)
+
+    store = ParquetScd2Store(spark, str(tmp_path / "scd2_hot"),
+                             n_buckets=4)
+    n = 100_000
+    changes = spark.range(n).select(
+        F.lit("d").alias("database"), F.lit("t").alias("table"),
+        F.lit(7).alias("pk"), F.col("id").alias("pos"),
+        (F.col("id") * 1.0).alias("value"),
+        F.lit("update").alias("action"))
+    store.merge(partial_scd2(changes), "lin.000000000000")
+
+    st = store.state()
+    assert st.count() == n
+    assert not any("array" in f.dataType.simpleString()
+                   for f in st.schema.fields)
+    per_bucket: dict = {}
+    for f in glob.glob(f"{store.path}/bucket-*/v-*/part-*.parquet"):
+        b = f.split("bucket-")[1].split("/")[0]
+        per_bucket[b] = per_bucket.get(b, 0) + pq.read_table(f).num_rows
+    assert len(per_bucket) == 4 and min(per_bucket.values()) > n // 16
+
+    hist = store.history()
+    assert hist.count() == n
+    assert hist.filter(F.col("pos") == 5).collect()[0].valid_to == 6
+
+    # a replayed slice of versions collapses by (key, pos) dedup
+    store.merge(partial_scd2(changes.limit(1000)), "lin.000000000001")
+    assert store.state().count() == n
+
+
+def test_rebucket_preserves_state_and_resumes_stream(spark, events_dir,
+                                                     tmp_path):
+    """The bucket-count migration story: quiesce -> rebucket -> the
+    SAME checkpoint resumes against the migrated store, and the
+    final state equals the batch fold over everything. Also pins
+    the two refusals: a non-quiesced store (claims past the commit
+    log) and a lineage mismatch."""
+    from galaxy_spark.queries.cdc import (cdc_apply_snapshot,
+                                          snapshot_change_frame)
+    from galaxy_spark.streaming.state_store import (
+        ParquetSnapshotStore, rebucket,
+        start_incremental_snapshot_parquet)
+    from galaxy_spark.tables import load_table as _lt
+
+    ev = _lt(spark, SF, "events")
+    mid = ev.stat.approxQuantile("event_id", [0.5], 0.01)[0]
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("event_id") <= mid).write.parquet(src)
+
+    ckpt = str(tmp_path / "rb_ckpt")
+    store = ParquetSnapshotStore(spark, str(tmp_path / "rb_a"),
+                                 n_buckets=2)
+
+    def start(st):
+        return start_incremental_snapshot_parquet(
+            snapshot_change_frame(
+                envelope_from_events(_stream_events(spark, src))),
+            st, ckpt)
+
+    q = start(store)
+    q.processAllAvailable()
+    q.stop()
+    before = store.snapshot()
+
+    store2 = rebucket(store, str(tmp_path / "rb_b"), 8,
+                      checkpoint_dir=ckpt)
+    assert store2.n_buckets == 8
+    assert store2.snapshot() == before          # identity, re-spread
+    assert len(os.listdir(store2.path)) >= 8    # occupied buckets
+
+    # resume from the ORIGINAL checkpoint against the migrated store
+    (ev.filter(F.col("event_id") > mid)
+     .write.mode("append").parquet(src))
+    q2 = start(store2)
+    q2.processAllAvailable()
+    q2.stop()
+    want = sorted(
+        (r.database, r["table"], r.pk, r.last_value, r.last_pos,
+         r.n_changes)
+        for r in cdc_apply_snapshot(spark, SF).collect())
+    assert store2.snapshot() == want
+
+    # refusal 1: claims beyond the checkpoint's commit log
+    import shutil as _sh
+
+    b0 = os.path.join(store2.path, "bucket-0")
+    cur = sorted(os.listdir(b0))[-1]
+    lin, ep = cur[2:].rsplit(".", 1)
+    bogus = os.path.join(b0, f"v-{lin}.{int(ep) + 99:012d}")
+    _sh.copytree(os.path.join(b0, cur), bogus)
+    with pytest.raises(ValueError, match="not quiesced"):
+        rebucket(store2, str(tmp_path / "rb_c"), 4,
+                 checkpoint_dir=ckpt)
+    _sh.rmtree(bogus)
+
+    # refusal 2: foreign checkpoint lineage
+    foreign_ckpt = str(tmp_path / "foreign_ckpt")
+    os.makedirs(foreign_ckpt)
+    with open(os.path.join(foreign_ckpt, "metadata"), "w") as f:
+        json.dump({"id": "ffffffff-0000-0000-0000-000000000000"}, f)
+    with pytest.raises(ValueError, match="lineage"):
+        rebucket(store2, str(tmp_path / "rb_d"), 4,
+                 checkpoint_dir=foreign_ckpt)
+
+
 def test_topic_files_sink_routes_like_kafka(spark, events_dir, tmp_path):
     """K1 through the Spark 4 Python DataSource WRITER API: routed
     messages stream into per-topic directories (the broker-less
