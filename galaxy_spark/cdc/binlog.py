@@ -30,8 +30,13 @@ Column-type coverage (public type codes + their TABLE_MAP metadata
 widths): TINY(1), SHORT(2), LONG(3), FLOAT(4, meta 1), DOUBLE(5,
 meta 1), LONGLONG(8), INT24(9), DATE(10), YEAR(13), VARCHAR(15,
 meta 2), TIMESTAMP2(17, meta 1), DATETIME2(18, meta 1), TIME2(19,
-meta 1), NEWDECIMAL(246, meta 2), BLOB/TEXT(252, meta 1). Unknown
-types raise — a CDC relay that guesses at bytes corrupts silently.
+meta 1), NEWDECIMAL(246, meta 2), BLOB/TEXT(252, meta 1), and the
+STRING(254, meta 2) family — CHAR (xor-0x30 packed length bits)
+plus ENUM/SET smuggled behind it (the wire carries the enum INDEX
+/ set BITMASK; the label lists live in the table definition, so
+the integer is the faithful transport value, exactly what go-mysql
+hands the reference). Unknown types raise — a CDC relay that
+guesses at bytes corrupts silently.
 
 Exactness notes (the reference's ``UseDecimal: true`` guarantee,
 ``internal/sync_server/sync.go:52``): NEWDECIMAL decodes the
@@ -91,12 +96,14 @@ TYPE_TINY, TYPE_SHORT, TYPE_LONG = 1, 2, 3
 TYPE_FLOAT, TYPE_DOUBLE, TYPE_LONGLONG, TYPE_VARCHAR = 4, 5, 8, 15
 TYPE_INT24, TYPE_DATE, TYPE_YEAR = 9, 10, 13
 TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2 = 17, 18, 19
-TYPE_NEWDECIMAL, TYPE_BLOB = 246, 252
+TYPE_NEWDECIMAL, TYPE_ENUM, TYPE_SET, TYPE_BLOB = 246, 247, 248, 252
+TYPE_STRING = 254   # CHAR; also carries ENUM/SET (real type in meta)
 _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
              TYPE_FLOAT: 1, TYPE_DOUBLE: 1, TYPE_LONGLONG: 0,
              TYPE_VARCHAR: 2, TYPE_INT24: 0, TYPE_DATE: 0,
              TYPE_YEAR: 0, TYPE_TIMESTAMP2: 1, TYPE_DATETIME2: 1,
-             TYPE_TIME2: 1, TYPE_NEWDECIMAL: 2, TYPE_BLOB: 1}
+             TYPE_TIME2: 1, TYPE_NEWDECIMAL: 2, TYPE_BLOB: 1,
+             TYPE_STRING: 2}
 
 #: packed-decimal leftover-digit storage widths (public layout:
 #: full groups of 9 decimal digits take 4 bytes; a leftover group
@@ -313,6 +320,19 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
             return payload.decode("utf-8")        # TEXT-ish
         except UnicodeDecodeError:
             return "0x" + payload.hex()           # true binary
+    if col_type == TYPE_STRING:
+        # CHAR, or an ENUM/SET smuggled in STRING's clothes: wire
+        # meta bytes [m0, m1] where m0 is the REAL type with CHAR's
+        # upper length bits folded into bits 4-5 (xor-0x30 packed),
+        # m1 the low length byte / index size
+        m0, m1 = meta & 0xFF, meta >> 8
+        if m0 == TYPE_ENUM:
+            return str(int.from_bytes(r.take(m1), "little"))
+        if m0 == TYPE_SET:
+            return str(int.from_bytes(r.take(m1), "little"))
+        max_len = ((((m0 >> 4) & 3) ^ 3) << 8) | m1
+        n = r.u16() if max_len > 255 else r.u8()
+        return r.take(n).decode("utf-8")
     raise ValueError(f"unsupported binlog column type {col_type}")
 
 

@@ -79,6 +79,67 @@ def project_changes(df: DataFrame, columns: Sequence[str],
     )
 
 
+def project_changes_by_schema(df: DataFrame, schemas: DataFrame,
+                              org_row_col: str = "org_row",
+                              action_col: str = "action") -> DataFrame:
+    """P1 fused with P2-P4: per-TABLE schema attach.
+
+    ``project_changes`` takes ONE literal column list — right for a
+    single-table stream, wrong for the reference's actual shape,
+    where every event resolves its OWN table's cached column list
+    (``tableSchema(db, table)``, ``baseinfo.go:39-58``) before
+    projection. Here the registry rides a BROADCAST join (SURVEY
+    §2.1 P1's named Spark mapping): ``schemas`` is a tiny
+    (database, table, columns array<string>) frame — see
+    ``schema_registry.registry_frame`` — joined onto the stream,
+    and the zip uses the name ARRAY COLUMN instead of literals.
+    Still pure JVM column algebra, still one scan.
+
+    Rows whose table has no registry entry quarantine (the
+    reference lazily runs SHOW FULL COLUMNS on a miss — a live
+    catalog round-trip from inside a 100 TB stream is the wrong
+    shape at scale; bootstrap the registry up front, route unknown
+    tables to the DLQ, refresh the broadcast on the next
+    micro-batch after a registry update)."""
+    action = F.col(action_col)
+    rows = F.col(org_row_col)
+    first, second = rows.getItem(0), rows.getItem(1)
+
+    before_row = (
+        F.when(action == "delete", first)
+        .when(action == "update", first)
+    )
+    after_row = (
+        F.when(action == "insert", first)
+        .when(action == "update", second)
+    )
+    expected_rows = F.when(action == "update", F.lit(2)).otherwise(F.lit(1))
+    img = F.coalesce(before_row, after_row)
+    bad = (
+        F.col("__cols").isNull()
+        | (F.size(rows) != expected_rows)
+        | ~F.coalesce(F.size(img) == F.size("__cols"), F.lit(False))
+    )
+
+    def zip_map(row: Column) -> Column:
+        return F.map_from_arrays(F.col("__cols"), row)
+
+    joined = df.join(
+        F.broadcast(schemas.select(
+            "database", "table", F.col("columns").alias("__cols"))),
+        ["database", "table"], "left")
+    return (
+        joined.withColumn("quarantined", bad)
+        .withColumn(
+            "before",
+            F.when(~bad & before_row.isNotNull(), zip_map(before_row)))
+        .withColumn(
+            "after",
+            F.when(~bad & after_row.isNotNull(), zip_map(after_row)))
+        .drop("__cols")
+    )
+
+
 def route_actions(df: DataFrame, action_col: str = "action"
                   ) -> dict[str, DataFrame]:
     """S3 event-type dispatch: three filtered branches of one plan.

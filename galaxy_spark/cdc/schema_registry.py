@@ -267,3 +267,17 @@ def _spark_type_to_mysql(dt: T.DataType) -> str:
         T.DateType(): "date",
         T.BinaryType(): "blob",
     }.get(dt, "varchar(255)")
+
+
+def registry_frame(spark, registry: "SchemaRegistry"):
+    """The registry as the tiny broadcastable DataFrame
+    ``(database, table, columns array<string>)`` that
+    ``projections.project_changes_by_schema`` joins onto the
+    stream (P1's SURVEY-named Spark mapping: "broadcast-join event
+    stream with schema-registry table"). Rebuild + re-broadcast
+    after DDL evolution — in a foreachBatch pipeline that happens
+    naturally at the next micro-batch's plan build."""
+    rows = [(db, tbl, registry.column_names(db, tbl))
+            for db, tbl in registry.tables()]
+    return spark.createDataFrame(
+        rows, "database string, `table` string, columns array<string>")

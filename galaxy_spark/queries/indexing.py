@@ -25,7 +25,9 @@ tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from galaxy_spark.operators import pq, similarity, text
@@ -680,6 +682,238 @@ def agg_countmin_heavy_hitters(spark: SparkSession,
             .select("user_id", "exact_count", "cms_estimate",
                     (F.col("cms_estimate") - F.col("exact_count"))
                     .alias("overcount")))
+
+
+# -- HyperLogLog: mergeable cardinality registers --------------------
+
+_HLL_P = 8                     # 2^8 = 256 buckets
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 48 - _HLL_P       # rank bits after the bucket prefix
+_HLL_2P50 = 1 << 50            # integer harmonic scale: 2^50
+
+
+@register(
+    "agg_hll_cardinality_bound",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS hv
+        FROM events
+    ), r AS (
+        SELECT hv // {1 << _HLL_WBITS} AS bucket,
+               MAX(CASE WHEN strpos(lpad(bin(hv % {1 << _HLL_WBITS}),
+                                         {_HLL_WBITS}, '0'), '1') = 0
+                        THEN {_HLL_WBITS + 1}
+                        ELSE strpos(lpad(bin(hv % {1 << _HLL_WBITS}),
+                                         {_HLL_WBITS}, '0'), '1')
+                   END) AS register
+        FROM h GROUP BY 1
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS occupied,
+               CAST(SUM(CAST(POW(2, 50 - register) AS BIGINT))
+                    AS BIGINT) AS t_occ
+        FROM r
+    ), t AS (
+        SELECT occupied,
+               CAST(t_occ + ({_HLL_M} - occupied) * {_HLL_2P50}
+                    AS BIGINT) AS harmonic_num,
+               (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT)
+                FROM events) AS exact_distinct
+        FROM agg
+    )
+    SELECT {_HLL_M} AS m, occupied, harmonic_num,
+           ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                 * 1125899906842624.0 / harmonic_num, 6) AS est,
+           exact_distinct,
+           (ABS(ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                      * 1125899906842624.0 / harmonic_num, 6)
+                - exact_distinct)
+            <= 0.195 * exact_distinct) AS within_3se
+    FROM t
+    """,
+)
+def agg_hll_cardinality_bound(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) as a MERGEABLE-register
+    query with rank-error certification — the CMS pattern applied
+    to cardinality: bucket = the hash's top p=8 bits, register =
+    max leading-zero rank of the remaining 40 bits, estimate =
+    alpha_m * m^2 / sum_j 2^(-M_j), certified against the exact
+    distinct count within 3 standard errors (3 * 1.04/sqrt(256) =
+    19.5%).
+
+    Why this is THE 100 TB cardinality primitive: registers form a
+    bucket-wise MAX monoid — a fixed 256-cell state that
+    partial-aggregates map-side and merges across partitions /
+    days / tables by cell-wise max, where exact distinct on a
+    trillion-key stream shuffles the key universe (this is exactly
+    what ``approx_count_distinct`` keeps in its sketch buffer; here
+    the registers are explicit, engine-portable, and
+    oracle-checked cell by cell through the harmonic numerator).
+
+    Engine-exact arithmetic: the hash is the repo's md5-slice
+    BIGINT (conv == '0x' cast); ranks come from string search on
+    the lpad'ed binary expansion (no float log2); the harmonic sum
+    is the INTEGER numerator T = sum_j 2^(50 - M_j) (each term a
+    dyadic power, sum exact in int64 — empty buckets contribute
+    2^50), so the only float op is the final alpha*m^2*2^50/T in
+    an identical IEEE operation order on both engines. Raw-regime
+    estimator only (n >= 2.5m at every shipped SF; the linear-
+    counting small-range branch needs ln(), whose libm rounding is
+    not cross-engine-stable — documented limit, not a gap).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                            1, 12), 16, 10).cast("long")
+    w = hv.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    binstr = F.lpad(F.bin(w), _HLL_WBITS, "0")
+    rho = F.when(F.instr(binstr, "1") == 0,
+                 F.lit(_HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
+    regs = (ev.select(F.shiftright(hv, _HLL_WBITS).alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("register")))
+    agg = regs.agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))
+              .cast("long")).cast("long").alias("t_occ"))
+    exact = ev.agg(F.countDistinct("event_id").cast("long")
+                   .alias("exact_distinct"))
+    t = (agg.crossJoin(exact)
+         .select("occupied",
+                 (F.col("t_occ") + (F.lit(_HLL_M) - F.col("occupied"))
+                  * F.lit(_HLL_2P50)).cast("long")
+                 .alias("harmonic_num"),
+                 "exact_distinct"))
+    est = F.round((F.lit(0.7213) / (F.lit(1.0)
+                                    + F.lit(1.079) / F.lit(256.0)))
+                  * F.lit(65536.0) * F.lit(1125899906842624.0)
+                  / F.col("harmonic_num"), 6)
+    return t.select(
+        F.lit(_HLL_M).alias("m"), "occupied", "harmonic_num",
+        est.alias("est"), "exact_distinct",
+        (F.abs(est - F.col("exact_distinct"))
+         <= F.lit(0.195) * F.col("exact_distinct")).alias("within_3se"))
+
+
+# -- mergeable fixed-bin histogram quantiles -------------------------
+
+_HIST_B = 512                  # bins
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "agg_histogram_quantile_value_bound",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(l_extendedprice * 100 AS BIGINT) AS vi
+        FROM lineitem
+    ), mm AS (
+        SELECT CAST(MIN(vi) AS BIGINT) AS mn,
+               CAST(MAX(vi) - MIN(vi) AS BIGINT) AS span,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cents
+    ), binned AS (
+        SELECT LEAST(CAST(FLOOR(CAST((vi - mn) * {_HIST_B} AS DOUBLE)
+                                / span) AS INTEGER),
+                     {_HIST_B - 1}) AS bin
+        FROM cents, mm
+    ), hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+        FROM hist
+    ), qs AS (
+        SELECT CAST(unnest(ARRAY{list(_HIST_QS)}) AS DOUBLE) AS q
+    ), targets AS (
+        SELECT q, CAST(CEIL(q * n) AS BIGINT) AS target, mn, span, n
+        FROM qs, mm
+    ), crossing AS (
+        SELECT t.q, t.target, t.mn, t.span,
+               CAST(MIN(c.bin) AS INTEGER) AS k
+        FROM targets t JOIN cum c ON c.cum >= t.target
+        GROUP BY t.q, t.target, t.mn, t.span
+    ), est AS (
+        SELECT q, target, k,
+               mn + CAST(FLOOR(CAST((k + 1) * span AS DOUBLE)
+                               / {_HIST_B}) AS BIGINT) AS est_cents,
+               CAST(span // {_HIST_B} AS BIGINT) AS bin_width
+        FROM crossing
+    ), ranked AS (
+        SELECT vi, ROW_NUMBER() OVER (ORDER BY vi) AS rn FROM cents
+    ), exactq AS (
+        SELECT t.q, r.vi AS exact_cents
+        FROM targets t JOIN ranked r ON r.rn = t.target
+    )
+    SELECT e.q, e.target, e.k AS crossing_bin, e.est_cents,
+           x.exact_cents,
+           (e.est_cents - x.exact_cents BETWEEN -1 AND e.bin_width + 2)
+               AS within_bin_width
+    FROM est e JOIN exactq x ON e.q = x.q
+    """,
+)
+def agg_histogram_quantile_value_bound(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE fixed-bin histogram sketch,
+    certified by VALUE error — the complement of
+    ``agg_quantile_sketch_bound`` (which certifies the engine
+    sketch's RANK error): 512 equi-width bins over integer cents,
+    estimate = the crossing bin's upper edge, and the guarantee
+    checked is the histogram's own — the true order statistic lies
+    inside the crossing bin, so |est - exact| <= one bin width
+    (±rounding slack).
+
+    Why THIS shape for 100 TB streaming quantiles: the histogram
+    is a (bin -> count) map — a SUM-mergeable monoid exactly like
+    the CMS grid, so it partial-aggregates map-side, merges across
+    partitions/days by cell-wise add, and maintains INCREMENTALLY
+    on the durable keyed store (tests/test_streaming.py pins the
+    streaming twin == this batch build). A t-digest gives tighter
+    tails but its float centroids are merge-order-dependent —
+    unreproducible across engines and replays — so the fixed-bin
+    sketch is the determinism-correct choice; the trade is a fixed
+    value domain (edges from a bootstrap pass; re-bin to widen).
+
+    Engine-exact arithmetic: values as integer CENTS (decimal *
+    100, exact both engines); bin indices and edges from
+    identically-ordered double expressions on exact-int inputs; the
+    exact order statistic (the certification instrument, like
+    CMS's exact counts — at scale only the sketch runs) via
+    TakeOrdered/OFFSET.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        (F.col("l_extendedprice") * 100).cast("long").alias("vi"))
+    mm = cents.agg(F.min("vi").alias("mn"),
+                   (F.max("vi") - F.min("vi")).alias("span"),
+                   F.count("*").alias("n")).collect()[0]
+    mn, span, n = mm["mn"], mm["span"], mm["n"]
+
+    hist = (cents.select(
+        F.least(F.floor(((F.col("vi") - F.lit(mn)) * _HIST_B)
+                        .cast("double") / F.lit(span)).cast("int"),
+                F.lit(_HIST_B - 1)).alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy("bin")    # 512 rows: the tiny sketch, not data
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+
+    rows = []
+    for qv in _HIST_QS:
+        target = math.ceil(qv * n)
+        k = cum.filter(F.col("cum") >= target) \
+            .agg(F.min("bin")).collect()[0][0]
+        est_cents = mn + math.floor(((k + 1) * span) / _HIST_B)
+        # exact order statistic: the certification instrument
+        exact_cents = (cents.orderBy("vi").limit(target)
+                       .agg(F.max("vi")).collect()[0][0])
+        width = span // _HIST_B
+        rows.append((qv, target, k, est_cents, exact_cents,
+                     -1 <= est_cents - exact_cents <= width + 2))
+    return spark.createDataFrame(
+        rows, "q double, target bigint, crossing_bin int, "
+              "est_cents bigint, exact_cents bigint, "
+              "within_bin_width boolean")
 
 
 # -- BPE training: actual merge iterations ---------------------------

@@ -167,6 +167,9 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "text_bpe_merge_steps",
     "sample_weighted_no_replacement",
     "embeddings_second_moments",
+    # r7 additions
+    "agg_hll_cardinality_bound",
+    "agg_histogram_quantile_value_bound",
 )
 
 

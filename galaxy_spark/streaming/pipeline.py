@@ -72,10 +72,19 @@ class SinkConfig:
 
 
 def transform_envelope(env: DataFrame, task_filter: TaskFilter,
-                       columns: Sequence[str]) -> DataFrame:
+                       columns: Sequence[str] | DataFrame) -> DataFrame:
     """filters (F1-F3) -> projections (P2-P4); identical plan for
-    batch and streaming inputs."""
-    return project_changes(task_filter.apply(env), columns)
+    batch and streaming inputs. ``columns`` is either ONE literal
+    column-name list (single-table stream) or a schema-registry
+    DataFrame (database, table, columns) — the per-table P1 path
+    (``schema_registry.registry_frame``), broadcast-joined so each
+    event projects with its OWN table's column list."""
+    from galaxy_spark.cdc.projections import project_changes_by_schema
+
+    filtered = task_filter.apply(env)
+    if isinstance(columns, DataFrame):
+        return project_changes_by_schema(filtered, columns)
+    return project_changes(filtered, columns)
 
 
 def routed_messages(events: DataFrame, task_id: str) -> DataFrame:
@@ -110,11 +119,14 @@ def dead_letter_messages(projected: DataFrame, task_id: str) -> DataFrame:
 
 
 def start_pipeline(env_stream: DataFrame, task_id: str,
-                   task_filter: TaskFilter, columns: Sequence[str],
+                   task_filter: TaskFilter,
+                   columns: Sequence[str] | DataFrame,
                    sink: SinkConfig, checkpoint_dir: str,
                    trigger: dict | None = None,
                    dead_letter: bool = True) -> StreamingQuery:
     """Assemble + start one CDC task as a streaming query.
+    ``columns`` accepts a single literal name list or a per-table
+    schema-registry frame (see ``transform_envelope``).
 
     ``dead_letter=True`` (default): rows the projection quarantines
     (arity mismatch, malformed image — projections.py) are NOT

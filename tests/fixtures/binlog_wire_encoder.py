@@ -32,7 +32,23 @@ DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 TINY, SHORT, LONG, FLOAT, DOUBLE, LONGLONG = 1, 2, 3, 4, 5, 8
 INT24, DATE, YEAR, VARCHAR = 9, 10, 13, 15
 TIMESTAMP2, DATETIME2, TIME2 = 17, 18, 19
-NEWDECIMAL, BLOB = 246, 252
+NEWDECIMAL, ENUM, SET, BLOB, STRING = 246, 247, 248, 252, 254
+
+
+def string_meta(max_len: int) -> int:
+    """CHAR's packed 2-byte STRING metadata as this module's meta
+    int (m0 | m1 << 8): m0 = type byte with the upper 2 length bits
+    xor-0x30-folded into bits 4-5, m1 = low length byte."""
+    m0 = (STRING & ~0x30) | ((((max_len >> 8) & 3) ^ 3) << 4)
+    return m0 | ((max_len & 0xFF) << 8)
+
+
+def enum_meta(index_bytes: int) -> int:
+    return ENUM | (index_bytes << 8)
+
+
+def set_meta(mask_bytes: int) -> int:
+    return SET | (mask_bytes << 8)
 
 
 def le(v: int, n: int) -> bytes:
@@ -178,6 +194,13 @@ def encode_value(value, col_type: int, meta: int) -> bytes:
         return enc_newdecimal(value, meta & 0xFF, meta >> 8)
     if col_type == BLOB:
         return enc_blob(value, meta)
+    if col_type == STRING:
+        m0, m1 = meta & 0xFF, meta >> 8
+        if m0 in (ENUM, SET):
+            return le(value, m1)           # index / bitmask
+        max_len = ((((m0 >> 4) & 3) ^ 3) << 8) | m1
+        b = value.encode("utf-8")
+        return (le(len(b), 2) if max_len > 255 else bytes([len(b)])) + b
     raise ValueError(f"no encoder for column type {col_type}")
 
 
@@ -195,6 +218,8 @@ def meta_bytes(col_type: int, meta: int) -> bytes:
         return bytes([meta & 0xFF, meta >> 8])     # precision, scale
     if col_type == BLOB:
         return bytes([meta])                       # length-byte count
+    if col_type == STRING:
+        return bytes([meta & 0xFF, meta >> 8])     # [m0, m1] packed
     raise ValueError(f"no metadata rule for column type {col_type}")
 
 

@@ -173,6 +173,27 @@ def test_temporal_roundtrip_property(data):
         assert _decode_single(19, fsp, text) == text
 
 
+def test_char_enum_set_string_family():
+    """TYPE_STRING(254) carries three real types behind its packed
+    2-byte metadata: CHAR (upper length bits xor-folded into the
+    type byte — both the 1-byte and 2-byte length-prefix regimes),
+    ENUM (index in 1-2 bytes; the label list lives in the table
+    def, so the INDEX is the faithful wire value, same as
+    go-mysql), and SET (bitmask)."""
+    from tests.fixtures.binlog_wire_encoder import (enum_meta,
+                                                    set_meta,
+                                                    string_meta)
+
+    assert _decode_single(254, string_meta(40), "char val") == "char val"
+    assert _decode_single(254, string_meta(255), "x" * 255) == "x" * 255
+    assert _decode_single(254, string_meta(600), "y" * 300) == "y" * 300
+    assert _decode_single(254, enum_meta(1), 3) == "3"
+    assert _decode_single(254, enum_meta(2), 300) == "300"
+    assert _decode_single(254, set_meta(2), 0b1010) == "10"
+    assert _decode_single(254, set_meta(8), (1 << 60) | 5) \
+        == str((1 << 60) | 5)
+
+
 def test_blob_text_vs_binary_rule():
     """TABLE_MAP cannot distinguish TEXT from BLOB (charset lives
     in the table def); the documented transport rule is UTF-8 when

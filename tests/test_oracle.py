@@ -66,7 +66,7 @@ def test_post_freeze_at_driver_scale(spark, name):
 
 
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r06.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r07.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:

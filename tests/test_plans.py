@@ -513,6 +513,23 @@ def test_second_moments_single_exchange(q):
     assert exchange_count(df) == 1
 
 
+def test_hll_registers_fold_map_side(q):
+    """The HLL register build must partial-aggregate below its
+    exchange (per-partition bucket-max merges into 256 cells before
+    any shuffle — the mergeable-sketch property the query exists to
+    certify), and the only exchanges are the two tiny agg keys plus
+    the 1x1 cross join; events bytes shuffle nowhere."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("agg_hll_cardinality_bound")
+    p = physical_plan(df)
+    # two-phase agg: a partial_max appears in a HashAggregate that
+    # runs BEFORE the bucket exchange
+    assert "partial_max" in p, "register max is not map-side partial"
+    assert p.count("Location: InMemoryFileIndex") <= 2  # regs + exact
+    assert exchange_count(df) <= 4  # bucket agg, 2 final 1-row aggs
+
+
 def test_quantile_bound_broadcasts_candidates(q):
     """The 5 median candidates broadcast back onto the scan for the
     exact rank count; the scan side never shuffles for the join."""

@@ -1167,6 +1167,72 @@ def test_parquet_scd2_store_matches_batch_window(spark, events_dir,
     assert len(want) > len({(d, t, p) for d, t, p, *_ in want})
 
 
+def test_streaming_histogram_quantile_on_durable_store(spark, events_dir,
+                                                       tmp_path):
+    """Streaming quantiles on the durable store (VERDICT r6 #8):
+    the fixed-bin histogram is a SUM-mergeable (bin -> count) map,
+    so per-batch partial counts fold into the generic
+    KeyedParquetStore exactly like the rollup — and the
+    incrementally-maintained histogram must equal the batch build
+    bin-for-bin, with the quantile read off the store honoring the
+    one-bin-width value bound against the exact order statistic.
+    (A t-digest would bound tails tighter but its float centroids
+    are merge-order-dependent — unreproducible across replays; the
+    fixed-bin sketch is the determinism-correct choice, see
+    agg_histogram_quantile_value_bound.)"""
+    import math
+
+    from galaxy_spark.streaming.state_store import KeyedParquetStore
+
+    ev = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    B = 128
+    mm = ev.agg(
+        (F.min("value") * 100).cast("long").alias("mn"),
+        (F.max("value") * 100).cast("long").alias("mx")).collect()[0]
+    mn, span = mm["mn"], mm["mx"] - mm["mn"]
+
+    def binned_counts(df):
+        vi = (F.col("value") * 100).cast("long")
+        return (df.filter(F.col("value").isNotNull())
+                .select(F.least(
+                    F.floor(((vi - F.lit(mn)) * B).cast("double")
+                            / F.lit(span)).cast("int"),
+                    F.lit(B - 1)).alias("bin"))
+                .groupBy("bin")
+                .agg(F.count("*").cast("long").alias("cnt")))
+
+    store = KeyedParquetStore(
+        spark, str(tmp_path / "hist_store"), ["bin"],
+        [F.sum("cnt").cast("long").alias("cnt")], n_buckets=2)
+    q = (_stream_events(spark, events_dir).writeStream
+         .option("checkpointLocation", str(tmp_path / "hist_ck"))
+         .foreachBatch(lambda b, e: store.merge(
+             binned_counts(b), f"lin.{e:012d}"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.bin: r.cnt for r in store.state().collect()}
+    want = {r.bin: r.cnt for r in binned_counts(ev).collect()}
+    assert got == want and sum(got.values()) == ev.count()
+
+    # median off the STORE: crossing bin's upper edge within one
+    # bin width of the exact order statistic
+    n = sum(got.values())
+    target = math.ceil(0.5 * n)
+    cum, k = 0, None
+    for b in sorted(got):
+        cum += got[b]
+        if cum >= target:
+            k = b
+            break
+    est = mn + math.floor((k + 1) * span / B)
+    exact = (ev.select((F.col("value") * 100).cast("long").alias("vi"))
+             .orderBy("vi").limit(target).agg(F.max("vi"))
+             .collect()[0][0])
+    assert -1 <= est - exact <= span // B + 2
+
+
 def test_scd2_store_hot_key_stays_row_per_version(spark, tmp_path):
     """A CDC hot key (one pk updated 100k times) must spread across
     the store as O(1) rows — never concentrate as one giant
