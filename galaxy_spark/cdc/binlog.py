@@ -79,13 +79,19 @@ from dataclasses import dataclass, field
 MAGIC = b"\xfebin"
 
 QUERY_EVENT = 2
+STOP_EVENT = 3
 ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
+HEARTBEAT_EVENT = 27
+ROWS_QUERY_EVENT = 29
 WRITE_ROWS_EVENT_V2 = 30
 UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
+GTID_EVENT = 33
+ANONYMOUS_GTID_EVENT = 34
+PREVIOUS_GTIDS_EVENT = 35
 
 _ACTIONS = {WRITE_ROWS_EVENT_V2: "insert",
             UPDATE_ROWS_EVENT_V2: "update",
@@ -137,6 +143,8 @@ class DecodedEvent:
     rows: list[list[list[str]]] = field(default_factory=list)
     query: str | None = None
     next_file: str | None = None
+    #: "<uuid>:<gno>" for GTID events ("<uuid>:0" for anonymous)
+    gtid: str | None = None
 
 
 class _Reader:
@@ -489,6 +497,35 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
                 next_file=r.rest().decode()))
         elif etype == XID_EVENT:
             events.append(DecodedEvent("xid", ts, log_pos))
+        elif etype in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
+            # 1 byte commit flag, 16-byte SID (uuid), u64 GNO; the
+            # remaining logical-timestamp fields are bookkeeping.
+            # A real 5.6+ server writes one of these before every
+            # transaction — a decoder that raises on them cannot
+            # read any real stream.
+            r.u8()
+            sid = r.take(16)
+            gno = r.u64()
+            u = sid.hex()
+            uuid_txt = "-".join((u[0:8], u[8:12], u[12:16],
+                                 u[16:20], u[20:32]))
+            events.append(DecodedEvent("gtid", ts, log_pos,
+                                       gtid=f"{uuid_txt}:{gno}"))
+        elif etype == PREVIOUS_GTIDS_EVENT:
+            # gtid-set payload: positional bookkeeping (first event
+            # after the FDE on 5.6+); recognized and carried as an
+            # opaque marker — resume positions here are (file, pos),
+            # not GTID sets (documented scope)
+            events.append(DecodedEvent("previous_gtids", ts, log_pos))
+        elif etype == ROWS_QUERY_EVENT:
+            r.u8()                          # length byte (truncated)
+            events.append(DecodedEvent(
+                "rows_query", ts, log_pos,
+                query=r.rest().decode("utf-8", "replace")))
+        elif etype == STOP_EVENT:
+            events.append(DecodedEvent("stop", ts, log_pos))
+        elif etype == HEARTBEAT_EVENT:
+            events.append(DecodedEvent("heartbeat", ts, log_pos))
         else:
             raise ValueError(f"unsupported binlog event type {etype}")
     return events

@@ -320,6 +320,28 @@ class BinlogWriter:
     def xid(self, txid: int) -> None:
         self._emit(16, le(txid, 8))
 
+    def gtid(self, sid_hex: str, gno: int,
+             anonymous: bool = False) -> None:
+        body = (bytes([1]) + bytes.fromhex(sid_hex) + le(gno, 8)
+                + bytes([2]) + le(0, 8) + le(0, 8))  # lt-type + ts
+        self._emit(34 if anonymous else 33, body)
+
+    def previous_gtids(self, sid_hex: str, upto: int) -> None:
+        # gtid-set: n_sids u64, sid 16, n_intervals u64, [start, stop)
+        body = (le(1, 8) + bytes.fromhex(sid_hex) + le(1, 8)
+                + le(1, 8) + le(upto, 8))
+        self._emit(35, body)
+
+    def rows_query(self, sql: str) -> None:
+        q = sql.encode()
+        self._emit(29, bytes([min(len(q), 255)]) + q)
+
+    def heartbeat(self, fname: str) -> None:
+        self._emit(27, fname.encode())
+
+    def stop(self) -> None:
+        self._emit(3, b"")
+
     def rotate(self, next_file: str) -> None:
         self._emit(4, le(4, 8) + next_file.encode())
 

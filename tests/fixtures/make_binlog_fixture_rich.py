@@ -51,19 +51,31 @@ ROW2_V2 = [102, "-987654.3210", "0", "1970-01-01",
            "x" * 260, 42, 0.125]
 
 
+SID = "3e11fa47000011e9b21300505690d3a0"
+
+
 def build() -> bytes:
+    """Realistic 5.6+ stream shape: PREVIOUS_GTIDS right after the
+    FDE, a GTID before the transaction, ROWS_QUERY bookkeeping
+    inside it — the events a refuse-on-unknown decoder must
+    RECOGNIZE to read any real server's binlog at all."""
     w = BinlogWriter()
     w.format_description()
+    w.previous_gtids(SID, 41)
+    w.gtid(SID, 42)
     w.query("shop", "BEGIN")
     w.table_map(TABLE_ID, "shop", "payments", COLUMNS)
+    w.rows_query("INSERT INTO payments VALUES (...)")
     w.write_rows(TABLE_ID, COLUMNS, [ROW1, ROW2])
     w.table_map(TABLE_ID, "shop", "payments", COLUMNS)
     w.update_rows(TABLE_ID, COLUMNS, [(ROW2, ROW2_V2)])
     w.table_map(TABLE_ID, "shop", "payments", COLUMNS)
     w.delete_rows(TABLE_ID, COLUMNS, [ROW1])
     w.xid(4242)
+    w.gtid(SID, 43, anonymous=True)
     w.query("shop",
             "ALTER TABLE payments ADD COLUMN refunded tinyint")
+    w.heartbeat("binlog.000001")
     w.rotate("binlog.000002")
     return w.bytes()
 

@@ -50,9 +50,16 @@ def test_rich_fixture_golden_decode():
     2-byte-length VARCHAR, and NULLs under the bitmap."""
     events = decode_binlog(_blob())
     assert [e.kind for e in events] == [
-        "format_description", "query", "insert", "update", "delete",
-        "xid", "query", "rotate"]
-    ins, upd, dele = events[2], events[3], events[4]
+        "format_description", "previous_gtids", "gtid", "query",
+        "rows_query", "insert", "update", "delete", "xid", "gtid",
+        "query", "heartbeat", "rotate"]
+    by = {e.kind: e for e in events}
+    assert by["gtid"].gtid is not None
+    assert events[2].gtid == \
+        "3e11fa47-0000-11e9-b213-00505690d3a0:42"
+    assert events[9].gtid.endswith(":43")      # anonymous
+    assert by["rows_query"].query == "INSERT INTO payments VALUES (...)"
+    ins, upd, dele = by["insert"], by["update"], by["delete"]
     assert ins.rows == [[ROW1], [ROW2]]
     assert upd.rows == [[ROW2, ROW2_V2]]
     assert dele.rows == [[ROW1]]
