@@ -30,7 +30,10 @@ Column-type coverage (public type codes + their TABLE_MAP metadata
 widths): TINY(1), SHORT(2), LONG(3), FLOAT(4, meta 1), DOUBLE(5,
 meta 1), LONGLONG(8), INT24(9), DATE(10), YEAR(13), VARCHAR(15,
 meta 2), TIMESTAMP2(17, meta 1), DATETIME2(18, meta 1), TIME2(19,
-meta 1), NEWDECIMAL(246, meta 2), BLOB/TEXT(252, meta 1), and the
+meta 1), JSON(245, meta 1 — the full json_binary.cc document
+format: small/large objects and arrays, every scalar width,
+opaque-NEWDECIMAL decimals rendered digit-exact), NEWDECIMAL(246,
+meta 2), BLOB/TEXT(252, meta 1), and the
 STRING(254, meta 2) family — CHAR (xor-0x30 packed length bits)
 plus ENUM/SET smuggled behind it (the wire carries the enum INDEX
 / set BITMASK; the label lists live in the table definition, so
@@ -102,14 +105,15 @@ TYPE_TINY, TYPE_SHORT, TYPE_LONG = 1, 2, 3
 TYPE_FLOAT, TYPE_DOUBLE, TYPE_LONGLONG, TYPE_VARCHAR = 4, 5, 8, 15
 TYPE_INT24, TYPE_DATE, TYPE_YEAR = 9, 10, 13
 TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2 = 17, 18, 19
+TYPE_JSON = 245
 TYPE_NEWDECIMAL, TYPE_ENUM, TYPE_SET, TYPE_BLOB = 246, 247, 248, 252
 TYPE_STRING = 254   # CHAR; also carries ENUM/SET (real type in meta)
 _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
              TYPE_FLOAT: 1, TYPE_DOUBLE: 1, TYPE_LONGLONG: 0,
              TYPE_VARCHAR: 2, TYPE_INT24: 0, TYPE_DATE: 0,
              TYPE_YEAR: 0, TYPE_TIMESTAMP2: 1, TYPE_DATETIME2: 1,
-             TYPE_TIME2: 1, TYPE_NEWDECIMAL: 2, TYPE_BLOB: 1,
-             TYPE_STRING: 2}
+             TYPE_TIME2: 1, TYPE_JSON: 1, TYPE_NEWDECIMAL: 2,
+             TYPE_BLOB: 1, TYPE_STRING: 2}
 
 #: packed-decimal leftover-digit storage widths (public layout:
 #: full groups of 9 decimal digits take 4 bytes; a leftover group
@@ -251,6 +255,117 @@ def _read_frac(r: _Reader, fsp: int) -> str:
     return f".{v:0{fsp}d}"
 
 
+# MySQL JSON binary (json_binary.cc public layout) type bytes
+_J_SMALL_OBJ, _J_LARGE_OBJ = 0x00, 0x01
+_J_SMALL_ARR, _J_LARGE_ARR = 0x02, 0x03
+_J_LITERAL, _J_INT16, _J_UINT16 = 0x04, 0x05, 0x06
+_J_INT32, _J_UINT32, _J_INT64, _J_UINT64 = 0x07, 0x08, 0x09, 0x0A
+_J_DOUBLE, _J_STRING, _J_OPAQUE = 0x0B, 0x0C, 0x0F
+
+
+def _json_varint(b: bytes, pos: int) -> tuple[int, int]:
+    n, shift = 0, 0
+    while True:
+        byte = b[pos]
+        pos += 1
+        n |= (byte & 0x7F) << shift
+        if not (byte & 0x80):
+            return n, pos
+        shift += 7
+
+
+def _decode_json_doc(b: bytes) -> str:
+    """MySQL JSON binary document -> canonical JSON text (keys in
+    STORED order — MySQL sorts them by length then bytes at write
+    time, so the rendering is deterministic). Numbers render
+    exactly: integers as integers, doubles via repr, and the
+    opaque-NEWDECIMAL values MySQL stores for JSON decimals through
+    the same digit-exact packed-decimal decoder as DECIMAL columns
+    (no float transit). Other opaque payloads render as the
+    '0x<hex>' string rule. Large (u32-offset) and small (u16)
+    container variants both supported."""
+    import json as _json
+
+    def scalar(jtype: int, pos: int) -> str:
+        if jtype == _J_LITERAL:
+            return {0: "null", 1: "true", 2: "false"}[b[pos]]
+        if jtype == _J_INT16:
+            return str(int.from_bytes(b[pos:pos + 2], "little",
+                                      signed=True))
+        if jtype == _J_UINT16:
+            return str(int.from_bytes(b[pos:pos + 2], "little"))
+        if jtype == _J_INT32:
+            return str(int.from_bytes(b[pos:pos + 4], "little",
+                                      signed=True))
+        if jtype == _J_UINT32:
+            return str(int.from_bytes(b[pos:pos + 4], "little"))
+        if jtype == _J_INT64:
+            return str(int.from_bytes(b[pos:pos + 8], "little",
+                                      signed=True))
+        if jtype == _J_UINT64:
+            return str(int.from_bytes(b[pos:pos + 8], "little"))
+        if jtype == _J_DOUBLE:
+            return repr(struct.unpack("<d", b[pos:pos + 8])[0])
+        if jtype == _J_STRING:
+            n, p = _json_varint(b, pos)
+            return _json.dumps(b[p:p + n].decode("utf-8"),
+                               ensure_ascii=False)
+        if jtype == _J_OPAQUE:
+            field_type = b[pos]
+            n, p = _json_varint(b, pos + 1)
+            payload = b[p:p + n]
+            if field_type == TYPE_NEWDECIMAL:
+                pr, sc = payload[0], payload[1]
+                return _decode_newdecimal(_Reader(payload[2:]), pr, sc)
+            return _json.dumps("0x" + payload.hex(),
+                               ensure_ascii=False)
+        if jtype in (_J_SMALL_OBJ, _J_LARGE_OBJ,
+                     _J_SMALL_ARR, _J_LARGE_ARR):
+            return container(jtype, pos)
+        raise ValueError(f"unsupported JSON binary type 0x{jtype:02x}")
+
+    def container(jtype: int, base: int) -> str:
+        large = jtype in (_J_LARGE_OBJ, _J_LARGE_ARR)
+        is_obj = jtype in (_J_SMALL_OBJ, _J_LARGE_OBJ)
+        osz = 4 if large else 2
+
+        def word(p: int) -> int:
+            return int.from_bytes(b[p:p + osz], "little")
+
+        count = word(base)
+        pos = base + 2 * osz                 # skip count + size
+        keys = []
+        if is_obj:
+            for i in range(count):
+                koff = word(pos + i * (osz + 2))
+                klen = int.from_bytes(
+                    b[pos + i * (osz + 2) + osz:
+                      pos + i * (osz + 2) + osz + 2], "little")
+                keys.append(_json.dumps(
+                    b[base + koff:base + koff + klen].decode("utf-8"),
+                    ensure_ascii=False))
+            pos += count * (osz + 2)
+        vals = []
+        inline = {_J_LITERAL, _J_INT16, _J_UINT16}
+        if large:
+            inline |= {_J_INT32, _J_UINT32}
+        for i in range(count):
+            vt = b[pos + i * (1 + osz)]
+            vfield = pos + i * (1 + osz) + 1
+            if vt in inline:
+                vals.append(scalar(vt, vfield))
+            else:
+                vals.append(scalar(vt, base + word(vfield)))
+        if is_obj:
+            return "{" + ",".join(f"{k}:{v}"
+                                  for k, v in zip(keys, vals)) + "}"
+        return "[" + ",".join(vals) + "]"
+
+    if not b:
+        return "null"                        # empty value = SQL NULL
+    return scalar(b[0], 1)
+
+
 def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
     """One column value -> transport string (the JSON degrade;
     NEWDECIMAL/temporals render canonical MySQL text, see module
@@ -328,6 +443,9 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
             return payload.decode("utf-8")        # TEXT-ish
         except UnicodeDecodeError:
             return "0x" + payload.hex()           # true binary
+    if col_type == TYPE_JSON:
+        n = int.from_bytes(r.take(meta), "little")
+        return _decode_json_doc(r.take(n))
     if col_type == TYPE_STRING:
         # CHAR, or an ENUM/SET smuggled in STRING's clothes: wire
         # meta bytes [m0, m1] where m0 is the REAL type with CHAR's

@@ -32,6 +32,7 @@ DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 TINY, SHORT, LONG, FLOAT, DOUBLE, LONGLONG = 1, 2, 3, 4, 5, 8
 INT24, DATE, YEAR, VARCHAR = 9, 10, 13, 15
 TIMESTAMP2, DATETIME2, TIME2 = 17, 18, 19
+JSON = 245
 NEWDECIMAL, ENUM, SET, BLOB, STRING = 246, 247, 248, 252, 254
 
 
@@ -159,6 +160,104 @@ def enc_varchar(text: str, max_len: int) -> bytes:
     return (le(len(b), 2) if max_len > 255 else bytes([len(b)])) + b
 
 
+class JDec:
+    """A JSON decimal for enc_json: MySQL stores these as
+    opaque-NEWDECIMAL inside the JSON binary."""
+
+    def __init__(self, text: str, precision: int, scale: int) -> None:
+        self.text, self.precision, self.scale = text, precision, scale
+
+
+def _jvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        byte = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def enc_json(doc) -> bytes:
+    """Python value -> MySQL JSON binary (small-container variants;
+    the decoder also reads large). Ints pick the smallest signed
+    width; floats are doubles; JDec becomes opaque-NEWDECIMAL."""
+
+    def enc_value(v):
+        """-> (type_byte, payload_bytes, inline_small: bool)"""
+        if v is None:
+            return 0x04, bytes([0]), True
+        if v is True:
+            return 0x04, bytes([1]), True
+        if v is False:
+            return 0x04, bytes([2]), True
+        if isinstance(v, int):
+            if -(1 << 15) <= v < (1 << 15):
+                return 0x05, v.to_bytes(2, "little", signed=True), True
+            if -(1 << 31) <= v < (1 << 31):
+                return 0x07, v.to_bytes(4, "little", signed=True), False
+            return 0x09, v.to_bytes(8, "little", signed=True), False
+        if isinstance(v, float):
+            import struct as _s
+
+            return 0x0B, _s.pack("<d", v), False
+        if isinstance(v, str):
+            b = v.encode("utf-8")
+            return 0x0C, _jvarint(len(b)) + b, False
+        if isinstance(v, JDec):
+            from_dec = enc_newdecimal(v.text, v.precision, v.scale)
+            payload = bytes([v.precision, v.scale]) + from_dec
+            return 0x0F, (bytes([NEWDECIMAL]) + _jvarint(len(payload))
+                          + payload), False
+        if isinstance(v, list):
+            return 0x02, enc_container(None, v), False
+        if isinstance(v, dict):
+            return 0x00, enc_container(list(v.keys()),
+                                       list(v.values())), False
+        raise TypeError(f"enc_json: unsupported {type(v)}")
+
+    def enc_container(keys, values) -> bytes:
+        count = len(values)
+        is_obj = keys is not None
+        entry_sz = 3                        # type u8 + offset u16
+        header = 4 + (count * 4 if is_obj else 0) + count * entry_sz
+        key_blobs = ([k.encode("utf-8") for k in keys]
+                     if is_obj else [])
+        key_area = b"".join(key_blobs)
+        enc = [enc_value(v) for v in values]
+        # layout: header | keys | non-inlined values
+        out_vals = bytearray()
+        ventries = bytearray()
+        base_vals = header + len(key_area)
+        for t, payload, inline in enc:
+            if inline:
+                ventries.append(t)
+                ventries += payload.ljust(2, b"\x00")
+            else:
+                off = base_vals + len(out_vals)
+                assert off < (1 << 16), "small container overflow"
+                ventries.append(t)
+                ventries += off.to_bytes(2, "little")
+                out_vals += payload
+        kentries = bytearray()
+        koff = header
+        for kb in key_blobs:
+            kentries += koff.to_bytes(2, "little")
+            kentries += len(kb).to_bytes(2, "little")
+            koff += len(kb)
+        total = header + len(key_area) + len(out_vals)
+        return (count.to_bytes(2, "little") + total.to_bytes(2, "little")
+                + bytes(kentries) + bytes(ventries) + key_area
+                + bytes(out_vals))
+
+    t, payload, _inline = enc_value(doc)
+    if t in (0x00, 0x02):
+        return bytes([t]) + payload
+    return bytes([t]) + payload
+
+
 def encode_value(value, col_type: int, meta: int) -> bytes:
     import struct as _s
 
@@ -201,6 +300,9 @@ def encode_value(value, col_type: int, meta: int) -> bytes:
         max_len = ((((m0 >> 4) & 3) ^ 3) << 8) | m1
         b = value.encode("utf-8")
         return (le(len(b), 2) if max_len > 255 else bytes([len(b)])) + b
+    if col_type == JSON:
+        doc = enc_json(value)
+        return le(len(doc), meta) + doc
     raise ValueError(f"no encoder for column type {col_type}")
 
 
@@ -217,6 +319,8 @@ def meta_bytes(col_type: int, meta: int) -> bytes:
     if col_type == NEWDECIMAL:
         return bytes([meta & 0xFF, meta >> 8])     # precision, scale
     if col_type == BLOB:
+        return bytes([meta])                       # length-byte count
+    if col_type == JSON:
         return bytes([meta])                       # length-byte count
     if col_type == STRING:
         return bytes([meta & 0xFF, meta >> 8])     # [m0, m1] packed

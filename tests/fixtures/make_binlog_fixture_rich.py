@@ -15,9 +15,9 @@ from __future__ import annotations
 import os
 
 from binlog_wire_encoder import (BLOB, DATE, DATETIME2, DOUBLE,
-                                 INT24, LONG, LONGLONG, NEWDECIMAL,
-                                 TIME2, TIMESTAMP2, VARCHAR, YEAR,
-                                 BinlogWriter)
+                                 INT24, JSON, LONG, LONGLONG,
+                                 NEWDECIMAL, TIME2, TIMESTAMP2,
+                                 VARCHAR, YEAR, BinlogWriter, JDec)
 
 TABLE_ID = 77
 # (type, meta): NEWDECIMAL meta = precision | scale << 8
@@ -35,20 +35,23 @@ COLUMNS = [
     (VARCHAR, 300),                   # label VARCHAR(300): 2-byte len
     (LONG, 0),                        # qty
     (DOUBLE, 0),                      # ratio
+    (JSON, 4),                        # props JSON
 ]
 
 ROW1 = [101, "12345678.9999", "99999999999999999999", "2024-02-29",
         "2024-02-29 23:59:59.1234", "2024-03-01 00:00:05", "838:59:58.99",
         b"utf8 text payload \xe2\x9c\x93", 2024, 8388607,
-        "label-one", -7, 2.5]
+        "label-one", -7, 2.5,
+        {"k": 1, "tags": ["a", "b"], "price": JDec("19.9900", 10, 4)}]
 ROW2 = [102, "-0.0100", "0", "1970-01-01",
         "1999-12-31 00:00:00.0000", "2038-01-19 03:14:07", "-00:00:01",
         bytes([0x00, 0xFF, 0x80, 0x7F]), 0, -8388608,
-        "x" * 260, None, None]
+        "x" * 260, None, None, None]
 ROW2_V2 = [102, "-987654.3210", "0", "1970-01-01",
            "1999-12-31 00:00:00.0000", "2038-01-19 03:14:07",
            "-00:00:01", b"rewritten", 0, -8388608,
-           "x" * 260, 42, 0.125]
+           "x" * 260, 42, 0.125,
+           [1, 2.5, "three", False, {"nested": None}]]
 
 
 SID = "3e11fa47000011e9b21300505690d3a0"

@@ -24,15 +24,17 @@ RICH = os.path.join(os.path.dirname(__file__), "fixtures",
 ROW1 = ["101", "12345678.9999", "99999999999999999999", "2024-02-29",
         "2024-02-29 23:59:59.1234", "2024-03-01 00:00:05",
         "838:59:58.99", "utf8 text payload ✓", "2024", "8388607",
-        "label-one", "-7", "2.5"]
+        "label-one", "-7", "2.5",
+        '{"k":1,"tags":["a","b"],"price":19.9900}']
 ROW2 = ["102", "-0.0100", "0", "1970-01-01",
         "1999-12-31 00:00:00.0000", "2038-01-19 03:14:07",
         "-00:00:01.00", "0x00ff807f", "0000", "-8388608",
-        "x" * 260, None, None]
+        "x" * 260, None, None, None]
 ROW2_V2 = ["102", "-987654.3210", "0", "1970-01-01",
            "1999-12-31 00:00:00.0000", "2038-01-19 03:14:07",
            "-00:00:01.00", "rewritten", "0000", "-8388608",
-           "x" * 260, "42", "0.125"]
+           "x" * 260, "42", "0.125",
+           '[1,2.5,"three",false,{"nested":null}]']
 
 
 def _blob() -> bytes:
@@ -201,6 +203,42 @@ def test_char_enum_set_string_family():
         == str((1 << 60) | 5)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_json_binary_roundtrip_property(data):
+    """Randomized JSON documents round-trip the independent JSON
+    binary encoder -> decoder to the canonical compact JSON text
+    (nested containers, every scalar width, inlined small values),
+    and MySQL's opaque-NEWDECIMAL JSON decimals stay digit-exact."""
+    import json as _json
+
+    scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(-(2**62), 2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=20))
+    doc = data.draw(st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=5),
+            st.dictionaries(st.text(max_size=8), kids, max_size=5)),
+        max_leaves=12))
+    if doc is None:
+        doc = False   # a top-level SQL-None rides the NULL bitmap,
+        #               not JSON binary (that path is golden-tested)
+    txt = _decode_single(245, 4, doc)
+    assert txt == _json.dumps(doc, separators=(",", ":"),
+                              ensure_ascii=False)
+
+
+def test_json_decimal_exactness():
+    from tests.fixtures.binlog_wire_encoder import JDec
+
+    got = _decode_single(
+        245, 4, {"a": JDec("-0.010000000000000000010", 21, 21)})
+    assert got == '{"a":-0.010000000000000000010}'
+
+
 def test_blob_text_vs_binary_rule():
     """TABLE_MAP cannot distinguish TEXT from BLOB (charset lives
     in the table def); the documented transport rule is UTF-8 when
@@ -230,7 +268,8 @@ def test_rich_bytes_through_source_and_projection_decimal_exact(
     except Exception:
         pass
     cols = ["id", "amount", "big_int_dec", "paid_on", "created", "ts",
-            "dur", "note", "yr", "cnt", "label", "qty", "ratio"]
+            "dur", "note", "yr", "cnt", "label", "qty", "ratio",
+            "props"]
     raw = (spark.readStream.format("galaxy_binlog")
            .option("path", d).load())
     proj = project_changes(raw, cols)

@@ -104,7 +104,7 @@ def test_mixed_table_binlog_stream_projects_per_table(spark, tmp_path):
         ColumnDef(n, "varchar(255)", True)
         for n in ("id", "amount", "big_int_dec", "paid_on", "created",
                   "ts", "dur", "note", "yr", "cnt", "label", "qty",
-                  "ratio")])
+                  "ratio", "props")])
     raw = (spark.readStream.format("galaxy_binlog")
            .option("path", d).load())
     proj = project_changes_by_schema(raw, registry_frame(spark, reg))
