@@ -79,6 +79,14 @@ BENCH_QUERIES = [
     # full-surface artifact.
     "graph_triangle_count",
     "text_bpe_merge_steps",
+    # r7 breadth: the two new mergeable-sketch shapes (HLL
+    # register build + certification; fixed-bin histogram quantile
+    # with exact-order-statistic instrument). The remaining r7
+    # additions (per-table projection, binlog type tiers) are
+    # streaming/connector surface benched by their tests and the
+    # full artifact.
+    "agg_hll_cardinality_bound",
+    "agg_histogram_quantile_value_bound",
 ]
 
 #: tiny scale used to warm JVM/codegen paths before timing
