@@ -334,11 +334,15 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
                                          non_blocking=True), seq=0)
 
     # incremental decode: accumulate event bytes; decode_binlog is
-    # re-run over the buffer so TABLE_MAP state is always in scope
-    # (bounded: the buffer resets at each XID/rotate transaction
-    # boundary, re-seeding with the current FDE + TABLE_MAPs would
-    # be the long-lived-stream refinement).
+    # re-run over the buffer so TABLE_MAP state is always in scope.
+    # BOUNDED: at each transaction boundary (XID / ROTATE) the
+    # buffer resets to just the stream's FDE — legal because every
+    # transaction re-sends its own TABLE_MAPs before its rows
+    # events, so no cross-transaction decoder state is needed; the
+    # per-packet re-decode cost is O(open transaction), not
+    # O(stream history).
     buf = b""
+    fde_raw = b""
     n_seen = 0
     n_out = 0
     while True:
@@ -350,7 +354,10 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
             raise ConnectionError(f"binlog dump error: {info}")
         if payload[:1] != b"\x00":
             raise ValueError("unexpected packet in replication stream")
-        buf += payload[1:]
+        ev_bytes = payload[1:]
+        if ev_bytes[4] == 15:                    # FORMAT_DESCRIPTION
+            fde_raw = ev_bytes
+        buf += ev_bytes
         events = decode_binlog(buf)
         for ev in events[n_seen:]:
             yield ev
@@ -358,3 +365,6 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
             if max_events is not None and n_out >= max_events:
                 return
         n_seen = len(events)
+        if events and events[-1].kind in ("xid", "rotate"):
+            buf = fde_raw                        # transaction done
+            n_seen = 1 if fde_raw else 0

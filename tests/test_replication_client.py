@@ -188,6 +188,75 @@ def test_wrong_password_is_refused():
     master.join(timeout=10)
 
 
+def test_tail_decode_buffer_bounded_by_transaction(monkeypatch):
+    """The incremental decode must reset at transaction boundaries:
+    over a stream of MANY transactions the bytes re-decoded per
+    packet stay O(open transaction), never O(stream history) — the
+    difference between a relay that runs for a day and one that
+    quadratically eats itself."""
+    import galaxy_spark.cdc.binlog as B
+
+    events = _events_bytes()
+    fde = next(e for e in events if e[4] == 15)
+    txn = [e for e in events
+           if e[4] in (19, 29, 30, 31, 32, 16, 33)]   # one txn block
+
+    class _ScriptedMaster(FakeMaster):
+        def _run(self):
+            # same pre-dump phases as the parent, scripted dump
+            self._handshake_and_commands()
+            seq = 1
+            self._send(b"\x00" + fde, seq)
+            seq += 1
+            for _ in range(30):                      # 30 transactions
+                for ev in txn:
+                    self._send(b"\x00" + ev, seq)
+                    seq += 1
+            self._send(b"\xfe\x00\x00\x02\x00", seq)
+            self.sock.close()
+
+        def _handshake_and_commands(self):
+            # replicate the parent's pre-dump phases
+            import hashlib as _h
+            hs = (bytes([10]) + b"8.4.0-fake\x00"
+                  + struct.pack("<I", 99) + SCRAMBLE[:8] + b"\x00"
+                  + struct.pack("<H", (rc.CLIENT_SECURE_CONNECTION
+                                       | rc.CLIENT_PROTOCOL_41)
+                                & 0xFFFF)
+                  + bytes([33]) + struct.pack("<H", 2)
+                  + struct.pack("<H", rc.CLIENT_PLUGIN_AUTH >> 16)
+                  + bytes([21]) + bytes(10)
+                  + SCRAMBLE[8:] + b"\x00"
+                  + b"mysql_native_password\x00")
+            self._send(hs, 0)
+            self._read()
+            self._send(b"\x00\x00\x00\x02\x00\x00\x00", 2)
+            self._read()
+            self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+            self._read()
+
+    max_decoded = []
+    real = B.decode_binlog
+
+    def spy(blob):
+        max_decoded.append(len(blob))
+        return real(blob)
+
+    monkeypatch.setattr(B, "decode_binlog", spy)
+    client_sock, server_sock = _pair()
+    master = _ScriptedMaster(server_sock)
+    master.start()
+    got = list(rc.tail_binlog(client_sock, USER, PASSWORD,
+                              server_id=2, file="binlog.000001",
+                              pos=4))
+    master.join(timeout=10)
+    assert master.error is None
+    assert sum(1 for e in got if e.kind == "xid") == 30
+    txn_bytes = len(fde) + sum(len(e) for e in txn)
+    assert max(max_decoded) <= txn_bytes + len(fde)
+    assert len([e for e in got if e.kind == "insert"]) == 30
+
+
 def test_relay_writer_feeds_galaxy_binlog_source(spark, tmp_path):
     """The complete wire -> Spark path, MySQL's own relay-log
     shape: the replication client RELAYS raw event bytes from the
