@@ -692,6 +692,26 @@ _HLL_WBITS = 48 - _HLL_P       # rank bits after the bucket prefix
 _HLL_2P50 = 1 << 50            # integer harmonic scale: 2^50
 
 
+def hll_registers(df: DataFrame, key) -> DataFrame:
+    """The HLL register build as a reusable frame: one row per
+    occupied bucket with the max leading-zero rank. Registers are a
+    bucket-wise MAX monoid — computing them per stratum / day /
+    partition and cell-wise max-merging equals computing them
+    globally (pinned in tests/test_graph.py::
+    test_hll_registers_merge_across_strata) — which is what makes
+    the sketch a 100 TB primitive: fixed 256-cell state, mergeable
+    across any partitioning."""
+    hv = F.conv(F.substring(F.md5(key.cast("string")),
+                            1, 12), 16, 10).cast("long")
+    w = hv.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    binstr = F.lpad(F.bin(w), _HLL_WBITS, "0")
+    rho = F.when(F.instr(binstr, "1") == 0,
+                 F.lit(_HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
+    return (df.select(F.shiftright(hv, _HLL_WBITS).alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("register")))
+
+
 @register(
     "agg_hll_cardinality_bound",
     oracle=f"""
@@ -763,15 +783,7 @@ def agg_hll_cardinality_bound(spark: SparkSession,
     not cross-engine-stable — documented limit, not a gap).
     """
     ev = load_table(spark, sf_dir, "events")
-    hv = F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
-                            1, 12), 16, 10).cast("long")
-    w = hv.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
-    binstr = F.lpad(F.bin(w), _HLL_WBITS, "0")
-    rho = F.when(F.instr(binstr, "1") == 0,
-                 F.lit(_HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
-    regs = (ev.select(F.shiftright(hv, _HLL_WBITS).alias("bucket"),
-                      rho.alias("rho"))
-            .groupBy("bucket").agg(F.max("rho").alias("register")))
+    regs = hll_registers(ev, F.col("event_id"))
     agg = regs.agg(
         F.count("*").cast("long").alias("occupied"),
         F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))

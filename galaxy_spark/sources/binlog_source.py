@@ -124,10 +124,33 @@ class BinlogStreamReader(DataSourceStreamReader):
         return {"file": segs[0] if segs else "", "pos": 0}
 
     def latestOffset(self) -> dict:
-        return self._end_of_dir()
+        # Monotonic floor: binlog segments are APPEND-ONLY (MySQL's
+        # own contract), but a raced sample during an external
+        # rewrite could observe a transiently smaller file; Spark
+        # compares offsets by EQUALITY, so returning a smaller
+        # offset would silently move the checkpoint BACKWARD and
+        # re-emit everything after it. Never hand back less than
+        # this reader instance has already reported.
+        cur = self._end_of_dir()
+        floor = getattr(self, "_max_offset", None)
+        if floor is not None and (cur["file"], cur["pos"]) < \
+                (floor["file"], floor["pos"]):
+            return floor
+        self._max_offset = cur
+        return cur
 
     def partitions(self, start: dict, end: dict) \
             -> Sequence[InputPartition]:
+        if (end["file"], end["pos"]) < (start["file"], start["pos"]):
+            # cross-restart shrink: the committed offset points past
+            # the directory's current end — the append-only contract
+            # is broken (truncated/replaced segment). Refuse loudly;
+            # silently re-reading would duplicate delivered events.
+            raise ValueError(
+                f"binlog directory went backward: committed offset "
+                f"{start} is past current end {end}; segments are "
+                "append-only — a shrunken/replaced segment needs a "
+                "fresh checkpoint (recovery_v2)")
         segs = [s for s in _segments(self.path)
                 if (not start["file"] or s >= start["file"])
                 and s <= end["file"]]

@@ -132,8 +132,8 @@ def test_replay_skip_on_mid_segment_resume(spark, binlog_dir, tmp_path):
     n1 = spark.sql("SELECT count(*) c FROM bl_resume").collect()[0]["c"]
     assert n1 == 2  # the two inserted rows
 
-    with open(seg1, "wb") as f:   # segment grows to its full length
-        f.write(full)
+    with open(seg1, "ab") as f:   # segment GROWS to its full length
+        f.write(full[cut:])       # (append-only, like a real writer)
     q.processAllAvailable()
     rows = spark.sql("SELECT * FROM bl_resume").collect()
     # update + delete arrive once; the re-decoded prefix's inserts
@@ -173,8 +173,8 @@ def test_live_tail_mid_append_offset_is_event_aligned(spark, binlog_dir,
     assert sorted(r.action for r in rows) == ["insert", "insert",
                                               "update"]
 
-    with open(seg1, "wb") as f:       # the append completes
-        f.write(full)
+    with open(seg1, "ab") as f:       # the append completes
+        f.write(full[torn_cut:])
     q.processAllAvailable()
     rows = spark.sql("SELECT * FROM bl_tail").collect()
     assert sorted(r.action for r in rows) == ["delete", "insert",
@@ -228,6 +228,48 @@ def test_bytes_to_snapshot_store_full_chain(spark, binlog_dir, tmp_path):
     assert ("shop", "orders", 2, 21.0, 390, 2) in snap
     (_, _, pk9, v9, _, n9) = [r for r in snap if r[2] == 9][0]
     assert (pk9, v9, n9) == (9, 7.5, 1) and len(snap) == 2
+
+
+def test_shrunken_segment_after_restart_refuses_loudly(spark,
+                                                       binlog_dir,
+                                                       tmp_path):
+    """Binlog segments are append-only; if a restart finds the
+    committed offset PAST the directory's current end (truncated or
+    replaced segment), the source must refuse loudly — silently
+    planning from the smaller end would move the checkpoint
+    backward and re-deliver everything after it."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+
+    def start():
+        # memory sinks refuse checkpoint recovery; restart tests
+        # need a foreachBatch sink
+        return (spark.readStream.format("galaxy_binlog")
+                .option("path", binlog_dir).load()
+                .writeStream
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .foreachBatch(lambda b, e: b.count())
+                .start())
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    seg = os.path.join(binlog_dir, "binlog.000001.bin")
+    with open(seg, "rb+") as f:       # segment shrinks while down
+        f.truncate(os.path.getsize(seg) // 2)
+    q = start()
+    with pytest.raises(StreamingQueryException,
+                       match="went backward|append-only"):
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()
 
 
 def test_reference_shape_pipeline_end_to_end(spark, binlog_dir,

@@ -217,7 +217,31 @@ def test_bpe_merge_fold_is_boundary_anchored_greedy(spark):
         assert got == _BPE_SEP.join(want), (i, got, want)
 
 
-def test_triangle_count_matches_python_reference(spark):
+def test_hll_registers_merge_across_strata(spark):
+    """The mergeability the HLL query's 100 TB story rests on,
+    demonstrated in data: registers computed independently PER
+    STRATUM (event_type — any partitioning works) then cell-wise
+    MAX-merged equal the registers computed globally. This is the
+    property that lets one sketch per day/table/partition union
+    into a corpus cardinality without re-reading anything."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.queries.indexing import hll_registers
+    from galaxy_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    direct = {(r.bucket, r.register)
+              for r in hll_registers(ev, F.col("event_id")).collect()}
+
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 3
+    merged: dict = {}
+    for t in types:
+        part = hll_registers(ev.filter(F.col("event_type") == t),
+                             F.col("event_id"))
+        for r in part.collect():
+            merged[r.bucket] = max(merged.get(r.bucket, 0), r.register)
+    assert {(b, m) for b, m in merged.items()} == direct
     """Triangle closure vs a brute-force set-intersection count on
     the same co-purchase edges."""
     from galaxy_spark.registry import all_queries
