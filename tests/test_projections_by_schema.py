@@ -127,6 +127,56 @@ def test_mixed_table_binlog_stream_projects_per_table(spark, tmp_path):
     assert ou.before["qty"] == "1" and ou.after["qty"] == "4"
 
 
+def test_ddl_evolution_refreshes_per_table_projection(spark, tmp_path):
+    """The registry_frame docstring's refresh contract, proven
+    live: a foreachBatch pipeline rebuilds the broadcast registry
+    frame at each batch-plan time, so a DDL ADD COLUMN applied
+    between micro-batches re-projects the NEXT batch with the new
+    column list — the reference's P5-feeds-P1 loop
+    (``process.go:216-242`` persists the evolution; the next event
+    projects with the evolved schema) re-expressed without any
+    query restart."""
+    src = str(tmp_path / "env_src")
+    schema = ("database string, `table` string, action string, "
+              "org_row array<array<string>>")
+    spark.createDataFrame(
+        [("shop", "coupons", "insert", [["SAVE10", "10"]])],
+        schema).write.parquet(src)
+
+    reg = _registry()
+    seen: list = []
+
+    def handle(batch_df, epoch_id):
+        out = project_changes_by_schema(
+            batch_df, registry_frame(spark, reg))
+        seen.extend(out.select("action", "quarantined", "after")
+                    .collect())
+
+    static = spark.read.parquet(src)
+    q = (spark.readStream.schema(static.schema).parquet(src)
+         .writeStream
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .foreachBatch(handle).start())
+    q.processAllAvailable()
+
+    # P5 between batches: the table gains a column
+    assert reg.apply_ddl(
+        "shop", "ALTER TABLE coupons ADD COLUMN expires varchar(10)")
+    spark.createDataFrame(
+        [("shop", "coupons", "insert",
+          [["SAVE20", "20", "2026-12-31"]])],
+        schema).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    good = [r for r in seen if not r.quarantined]
+    assert len(good) == 2
+    by_code = {r.after["code"]: dict(r.after) for r in good}
+    assert by_code["SAVE10"] == {"code": "SAVE10", "pct": "10"}
+    assert by_code["SAVE20"] == {"code": "SAVE20", "pct": "20",
+                                 "expires": "2026-12-31"}
+
+
 def test_typed_table_view_lands_exact_decimals(spark, tmp_path):
     """SURVEY §1.3's typed-per-table analytics mapping: the string
     transport maps cast into the registry's Spark types — DECIMAL

@@ -1233,6 +1233,35 @@ def test_streaming_histogram_quantile_on_durable_store(spark, events_dir,
     assert -1 <= est - exact <= span // B + 2
 
 
+def test_streaming_hll_registers_on_durable_store(spark, events_dir,
+                                                  tmp_path):
+    """Streaming cardinality on the durable store: HLL registers
+    are a bucket-wise MAX monoid, so per-batch register partials
+    fold into the generic KeyedParquetStore with a max-merge — and
+    the incrementally-accumulated registers equal the batch build
+    cell-for-cell (the same continuous-aggregate guarantee as the
+    histogram sketch, for the COUNT DISTINCT axis)."""
+    from galaxy_spark.queries.indexing import hll_registers
+    from galaxy_spark.streaming.state_store import KeyedParquetStore
+
+    store = KeyedParquetStore(
+        spark, str(tmp_path / "hll_store"), ["bucket"],
+        [F.max("register").alias("register")], n_buckets=2)
+    q = (_stream_events(spark, events_dir).writeStream
+         .option("checkpointLocation", str(tmp_path / "hll_ck"))
+         .foreachBatch(lambda b, e: store.merge(
+             hll_registers(b, F.col("event_id")), f"lin.{e:012d}"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.bucket, r.register) for r in store.state().collect()}
+    ev = load_table(spark, SF, "events")
+    want = {(r.bucket, r.register)
+            for r in hll_registers(ev, F.col("event_id")).collect()}
+    assert got == want and len(want) > 100
+
+
 def test_scd2_store_hot_key_stays_row_per_version(spark, tmp_path):
     """A CDC hot key (one pk updated 100k times) must spread across
     the store as O(1) rows — never concentrate as one giant
