@@ -173,7 +173,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     exec_only: dict[str, float] = {}
+    chunk_canaries: list = []
     for chunk in chunks:
+        # per-CHUNK canary (r7): the single pre-run canary cannot
+        # see a load spike that hits one chunk mid-marathon (the
+        # r7 artifact's 5x resize-pipeline outlier was exactly
+        # that); a py_loop sample per chunk gives every query a
+        # local host-speed denominator for adjudication.
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i & 7
+        chunk_canaries.append(round(time.perf_counter() - t0, 3))
         spark = get_spark("galaxy_spark-bench")
         spark.sparkContext.setLogLevel("ERROR")
         # untimed warmup at sf0.001: JIT/codegen/classloading all
@@ -227,6 +238,7 @@ def main() -> None:
         "r3_comparable_total": round(
             sum(exec_only[n] for n in r3_subset if n in exec_only), 3),
         "host_canary": canary,
+        "chunk_canaries": chunk_canaries,
         "sf": sf,
     }))
     if len(chunks) == 1:
