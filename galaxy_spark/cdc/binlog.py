@@ -28,8 +28,10 @@ Two design points, both mirroring the reference:
 
 Column-type coverage (public type codes + their TABLE_MAP metadata
 widths): TINY(1), SHORT(2), LONG(3), FLOAT(4, meta 1), DOUBLE(5,
-meta 1), LONGLONG(8), INT24(9), DATE(10), YEAR(13), VARCHAR(15,
-meta 2), TIMESTAMP2(17, meta 1), DATETIME2(18, meta 1), TIME2(19,
+meta 1), legacy TIMESTAMP(7)/TIME(11)/DATETIME(12) (the pre-5.6.4
+formats a 5.5-era binlog still carries), LONGLONG(8), INT24(9),
+DATE(10)/NEWDATE(14), YEAR(13), VARCHAR(15, meta 2), BIT(16, meta
+2), TIMESTAMP2(17, meta 1), DATETIME2(18, meta 1), TIME2(19,
 meta 1), JSON(245, meta 1 — the full json_binary.cc document
 format: small/large objects and arrays, every scalar width,
 opaque-NEWDECIMAL decimals rendered digit-exact), NEWDECIMAL(246,
@@ -104,6 +106,8 @@ _ACTIONS = {WRITE_ROWS_EVENT_V2: "insert",
 TYPE_TINY, TYPE_SHORT, TYPE_LONG = 1, 2, 3
 TYPE_FLOAT, TYPE_DOUBLE, TYPE_LONGLONG, TYPE_VARCHAR = 4, 5, 8, 15
 TYPE_INT24, TYPE_DATE, TYPE_YEAR = 9, 10, 13
+TYPE_TIMESTAMP, TYPE_TIME, TYPE_DATETIME, TYPE_NEWDATE = 7, 11, 12, 14
+TYPE_BIT = 16
 TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2 = 17, 18, 19
 TYPE_JSON = 245
 TYPE_NEWDECIMAL, TYPE_ENUM, TYPE_SET, TYPE_BLOB = 246, 247, 248, 252
@@ -111,7 +115,9 @@ TYPE_STRING = 254   # CHAR; also carries ENUM/SET (real type in meta)
 _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
              TYPE_FLOAT: 1, TYPE_DOUBLE: 1, TYPE_LONGLONG: 0,
              TYPE_VARCHAR: 2, TYPE_INT24: 0, TYPE_DATE: 0,
-             TYPE_YEAR: 0, TYPE_TIMESTAMP2: 1, TYPE_DATETIME2: 1,
+             TYPE_YEAR: 0, TYPE_TIMESTAMP: 0, TYPE_TIME: 0,
+             TYPE_DATETIME: 0, TYPE_NEWDATE: 0, TYPE_BIT: 2,
+             TYPE_TIMESTAMP2: 1, TYPE_DATETIME2: 1,
              TYPE_TIME2: 1, TYPE_JSON: 1, TYPE_NEWDECIMAL: 2,
              TYPE_BLOB: 1, TYPE_STRING: 2}
 
@@ -388,7 +394,7 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
     if col_type == TYPE_VARCHAR:
         n = r.u16() if meta > 255 else r.u8()
         return r.take(n).decode("utf-8")
-    if col_type == TYPE_DATE:
+    if col_type in (TYPE_DATE, TYPE_NEWDATE):
         v = int.from_bytes(r.take(3), "little")
         return f"{v >> 9:04d}-{(v >> 5) & 0x0F:02d}-{v & 0x1F:02d}"
     if col_type == TYPE_YEAR:
@@ -432,6 +438,32 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
         if meta:
             txt += f".{frac:0{meta}d}"
         return txt
+    if col_type == TYPE_TIMESTAMP:
+        # legacy (pre-5.6.4) TIMESTAMP: 4-byte LE epoch, no fsp
+        from datetime import datetime, timezone
+
+        secs = int.from_bytes(r.take(4), "little")
+        return datetime.fromtimestamp(secs, timezone.utc) \
+            .strftime("%Y-%m-%d %H:%M:%S")
+    if col_type == TYPE_DATETIME:
+        # legacy DATETIME: u64 LE decimal-packed YYYYMMDDHHMMSS
+        v = int.from_bytes(r.take(8), "little")
+        d, t = divmod(v, 1_000_000)
+        return (f"{d // 10000:04d}-{(d // 100) % 100:02d}-{d % 100:02d}"
+                f" {t // 10000:02d}:{(t // 100) % 100:02d}:{t % 100:02d}")
+    if col_type == TYPE_TIME:
+        # legacy TIME: 3-byte LE signed, decimal-packed HHMMSS
+        v = int.from_bytes(r.take(3), "little")
+        if v & 0x800000:
+            v -= 0x1000000
+        sign, v = ("-", -v) if v < 0 else ("", v)
+        return (f"{sign}{v // 10000:02d}:{(v // 100) % 100:02d}"
+                f":{v % 100:02d}")
+    if col_type == TYPE_BIT:
+        # meta wire bytes [bits % 8, bytes]; value stored in
+        # ceil(total_bits / 8) bytes BIG-endian
+        nbits = (meta >> 8) * 8 + (meta & 0xFF)
+        return str(int.from_bytes(r.take((nbits + 7) // 8), "big"))
     if col_type == TYPE_NEWDECIMAL:
         # TABLE_MAP meta read as LE u16: low byte precision, high
         # byte scale (the wire order is [precision, scale])

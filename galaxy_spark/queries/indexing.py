@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from galaxy_spark.operators import pq, similarity, text
@@ -907,14 +907,22 @@ def agg_histogram_quantile_value_bound(spark: SparkSession,
                         .cast("double") / F.lit(span)).cast("int"),
                 F.lit(_HIST_B - 1)).alias("bin"))
         .groupBy("bin").agg(F.count("*").alias("cnt")))
-    w = Window.orderBy("bin")    # 512 rows: the tiny sketch, not data
-    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    # the SKETCH is <= 512 rows: collect it once (bounded driver
+    # state, like a centroid pick) and search crossings in Python —
+    # re-deriving the hist agg per quantile would rescan the corpus
+    # once per q
+    counts = {r["bin"]: r["cnt"] for r in hist.collect()}
 
     rows = []
     for qv in _HIST_QS:
         target = math.ceil(qv * n)
-        k = cum.filter(F.col("cum") >= target) \
-            .agg(F.min("bin")).collect()[0][0]
+        cum = 0
+        k = _HIST_B - 1
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= target:
+                k = b
+                break
         est_cents = mn + math.floor(((k + 1) * span) / _HIST_B)
         # exact order statistic: the certification instrument
         exact_cents = (cents.orderBy("vi").limit(target)

@@ -31,6 +31,7 @@ DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 # type codes (public)
 TINY, SHORT, LONG, FLOAT, DOUBLE, LONGLONG = 1, 2, 3, 4, 5, 8
 INT24, DATE, YEAR, VARCHAR = 9, 10, 13, 15
+TIMESTAMP_V1, TIME_V1, DATETIME_V1, NEWDATE, BIT = 7, 11, 12, 14, 16
 TIMESTAMP2, DATETIME2, TIME2 = 17, 18, 19
 JSON = 245
 NEWDECIMAL, ENUM, SET, BLOB, STRING = 246, 247, 248, 252, 254
@@ -149,6 +150,39 @@ def enc_time2(text: str, fsp: int) -> bytes:
     if neg:
         value = -value
     return be((1 << (8 * (3 + n) - 1)) + value, 3 + n)
+
+
+def enc_timestamp_v1(iso_utc: str) -> bytes:
+    secs = int(datetime.strptime(iso_utc, "%Y-%m-%d %H:%M:%S")
+               .replace(tzinfo=timezone.utc).timestamp())
+    return le(secs, 4)
+
+
+def enc_datetime_v1(iso: str) -> bytes:
+    dt, tm = iso.split(" ")
+    y, mo, d = (int(x) for x in dt.split("-"))
+    h, mi, s = (int(x) for x in tm.split(":"))
+    return le((y * 10000 + mo * 100 + d) * 1_000_000
+              + h * 10000 + mi * 100 + s, 8)
+
+
+def enc_time_v1(text: str) -> bytes:
+    neg = text.startswith("-")
+    if neg:
+        text = text[1:]
+    h, m, s = (int(x) for x in text.split(":"))
+    v = h * 10000 + m * 100 + s
+    if neg:
+        v = (-v) & 0xFFFFFF
+    return le(v, 3)
+
+
+def enc_bit(value: int, nbits: int) -> bytes:
+    return value.to_bytes((nbits + 7) // 8, "big")
+
+
+def bit_meta(nbits: int) -> int:
+    return (nbits % 8) | ((nbits // 8) << 8)
 
 
 def enc_blob(payload: bytes, len_bytes: int) -> bytes:
@@ -279,8 +313,16 @@ def encode_value(value, col_type: int, meta: int) -> bytes:
         return _s.pack("<d", value)
     if col_type == VARCHAR:
         return enc_varchar(value, meta)
-    if col_type == DATE:
+    if col_type in (DATE, NEWDATE):
         return enc_date(value)
+    if col_type == TIMESTAMP_V1:
+        return enc_timestamp_v1(value)
+    if col_type == DATETIME_V1:
+        return enc_datetime_v1(value)
+    if col_type == TIME_V1:
+        return enc_time_v1(value)
+    if col_type == BIT:
+        return enc_bit(value, (meta >> 8) * 8 + (meta & 0xFF))
     if col_type == YEAR:
         return enc_year(value)
     if col_type == DATETIME2:
@@ -308,8 +350,11 @@ def encode_value(value, col_type: int, meta: int) -> bytes:
 
 def meta_bytes(col_type: int, meta: int) -> bytes:
     """The TABLE_MAP per-column metadata encoding for a type."""
-    if col_type in (TINY, SHORT, LONG, LONGLONG, INT24, DATE, YEAR):
+    if col_type in (TINY, SHORT, LONG, LONGLONG, INT24, DATE, YEAR,
+                    TIMESTAMP_V1, TIME_V1, DATETIME_V1, NEWDATE):
         return b""
+    if col_type == BIT:
+        return bytes([meta & 0xFF, meta >> 8])     # bits%8, bytes
     if col_type in (FLOAT, DOUBLE):
         return bytes([8 if col_type == DOUBLE else 4])
     if col_type == VARCHAR:

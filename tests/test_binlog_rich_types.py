@@ -182,6 +182,29 @@ def test_temporal_roundtrip_property(data):
         assert _decode_single(19, fsp, text) == text
 
 
+def test_legacy_pre_564_formats_and_bit():
+    """The pre-5.6.4 wire formats a 5.5-era binlog (or a 5.6 table
+    never rebuilt) still uses: legacy TIMESTAMP (4-byte LE epoch),
+    legacy DATETIME (u64 decimal-packed), legacy TIME (3-byte LE
+    signed decimal-packed), NEWDATE (DATE's packing under code 14),
+    and BIT (split bits%8/bytes metadata, big-endian value)."""
+    from tests.fixtures.binlog_wire_encoder import bit_meta
+
+    assert _decode_single(7, 0, "2009-02-13 23:31:30") \
+        == "2009-02-13 23:31:30"
+    assert _decode_single(12, 0, "9999-12-31 23:59:59") \
+        == "9999-12-31 23:59:59"
+    assert _decode_single(12, 0, "1000-01-01 00:00:00") \
+        == "1000-01-01 00:00:00"
+    assert _decode_single(11, 0, "838:59:59") == "838:59:59"
+    assert _decode_single(11, 0, "-00:00:01") == "-00:00:01"
+    assert _decode_single(14, 0, "2024-02-29") == "2024-02-29"
+    assert _decode_single(16, bit_meta(1), 1) == "1"
+    assert _decode_single(16, bit_meta(12), 0xABC) == str(0xABC)
+    assert _decode_single(16, bit_meta(64), (1 << 63) | 5) \
+        == str((1 << 63) | 5)
+
+
 def test_char_enum_set_string_family():
     """TYPE_STRING(254) carries three real types behind its packed
     2-byte metadata: CHAR (upper length bits xor-folded into the
