@@ -40,8 +40,10 @@ STRING(254, meta 2) family — CHAR (xor-0x30 packed length bits)
 plus ENUM/SET smuggled behind it (the wire carries the enum INDEX
 / set BITMASK; the label lists live in the table definition, so
 the integer is the faithful transport value, exactly what go-mysql
-hands the reference). Unknown types raise — a CDC relay that
-guesses at bytes corrupts silently.
+hands the reference), plus GEOMETRY(255, meta 1 — SRID-tagged
+canonical WKT out of the stored SRID+WKB). The only MySQL column
+type NOT decoded is the pre-5.0 legacy DECIMAL(0); unknown types
+raise — a CDC relay that guesses at bytes corrupts silently.
 
 Exactness notes (the reference's ``UseDecimal: true`` guarantee,
 ``internal/sync_server/sync.go:52``): NEWDECIMAL decodes the
@@ -111,6 +113,7 @@ TYPE_BIT = 16
 TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2 = 17, 18, 19
 TYPE_JSON = 245
 TYPE_NEWDECIMAL, TYPE_ENUM, TYPE_SET, TYPE_BLOB = 246, 247, 248, 252
+TYPE_GEOMETRY = 255
 TYPE_STRING = 254   # CHAR; also carries ENUM/SET (real type in meta)
 _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
              TYPE_FLOAT: 1, TYPE_DOUBLE: 1, TYPE_LONGLONG: 0,
@@ -119,7 +122,7 @@ _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
              TYPE_DATETIME: 0, TYPE_NEWDATE: 0, TYPE_BIT: 2,
              TYPE_TIMESTAMP2: 1, TYPE_DATETIME2: 1,
              TYPE_TIME2: 1, TYPE_JSON: 1, TYPE_NEWDECIMAL: 2,
-             TYPE_BLOB: 1, TYPE_STRING: 2}
+             TYPE_BLOB: 1, TYPE_STRING: 2, TYPE_GEOMETRY: 1}
 
 #: packed-decimal leftover-digit storage widths (public layout:
 #: full groups of 9 decimal digits take 4 bytes; a leftover group
@@ -372,6 +375,64 @@ def _decode_json_doc(b: bytes) -> str:
     return scalar(b[0], 1)
 
 
+def _wkb_to_wkt(wkb: bytes) -> str:
+    """OGC WKB -> WKT text (MySQL stores GEOMETRY values as a
+    4-byte SRID prefix + standard little-endian WKB). Points,
+    linestrings, polygons, their multi* variants, and collections;
+    coordinates render via repr (shortest round-trip double).
+    Unknown WKB types fall back to the 0x-hex rule."""
+    def parse(pos: int) -> tuple[str, int]:
+        if wkb[pos] != 1:                   # big-endian WKB: rare
+            return "0x" + wkb[pos:].hex(), len(wkb)
+        gtype = int.from_bytes(wkb[pos + 1:pos + 5], "little")
+        pos += 5
+
+        def point(p: int) -> tuple[str, int]:
+            x, y = struct.unpack("<dd", wkb[p:p + 16])
+            return f"{x!r} {y!r}", p + 16
+
+        def ring(p: int) -> tuple[str, int]:
+            k = int.from_bytes(wkb[p:p + 4], "little")
+            p += 4
+            pts = []
+            for _ in range(k):
+                t, p = point(p)
+                pts.append(t)
+            return "(" + ", ".join(pts) + ")", p
+
+        if gtype == 1:
+            t, pos = point(pos)
+            return f"POINT({t})", pos
+        if gtype == 2:
+            t, pos = ring(pos)
+            return "LINESTRING" + t, pos
+        if gtype == 3:
+            k = int.from_bytes(wkb[pos:pos + 4], "little")
+            pos += 4
+            rings = []
+            for _ in range(k):
+                t, pos = ring(pos)
+                rings.append(t)
+            return "POLYGON(" + ", ".join(rings) + ")", pos
+        if gtype in (4, 5, 6, 7):
+            names = {4: "MULTIPOINT", 5: "MULTILINESTRING",
+                     6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION"}
+            k = int.from_bytes(wkb[pos:pos + 4], "little")
+            pos += 4
+            parts = []
+            for _ in range(k):
+                t, pos = parse(pos)
+                if gtype != 7:
+                    t = t[t.index("("):]    # canonical WKT: multi*
+                    #                         children drop their tag
+                parts.append(t)
+            return names[gtype] + "(" + ", ".join(parts) + ")", pos
+        return "0x" + wkb.hex(), len(wkb)
+
+    txt, _ = parse(0)
+    return txt
+
+
 def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
     """One column value -> transport string (the JSON degrade;
     NEWDECIMAL/temporals render canonical MySQL text, see module
@@ -478,6 +539,11 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
     if col_type == TYPE_JSON:
         n = int.from_bytes(r.take(meta), "little")
         return _decode_json_doc(r.take(n))
+    if col_type == TYPE_GEOMETRY:
+        n = int.from_bytes(r.take(meta), "little")
+        payload = r.take(n)
+        srid = int.from_bytes(payload[:4], "little")
+        return f"SRID={srid};" + _wkb_to_wkt(payload[4:])
     if col_type == TYPE_STRING:
         # CHAR, or an ENUM/SET smuggled in STRING's clothes: wire
         # meta bytes [m0, m1] where m0 is the REAL type with CHAR's

@@ -35,6 +35,7 @@ TIMESTAMP_V1, TIME_V1, DATETIME_V1, NEWDATE, BIT = 7, 11, 12, 14, 16
 TIMESTAMP2, DATETIME2, TIME2 = 17, 18, 19
 JSON = 245
 NEWDECIMAL, ENUM, SET, BLOB, STRING = 246, 247, 248, 252, 254
+GEOMETRY = 255
 
 
 def string_meta(max_len: int) -> int:
@@ -345,6 +346,10 @@ def encode_value(value, col_type: int, meta: int) -> bytes:
     if col_type == JSON:
         doc = enc_json(value)
         return le(len(doc), meta) + doc
+    if col_type == GEOMETRY:
+        srid, wkb = value                 # (srid, raw WKB bytes)
+        payload = le(srid, 4) + wkb
+        return le(len(payload), meta) + payload
     raise ValueError(f"no encoder for column type {col_type}")
 
 
@@ -366,6 +371,8 @@ def meta_bytes(col_type: int, meta: int) -> bytes:
     if col_type == BLOB:
         return bytes([meta])                       # length-byte count
     if col_type == JSON:
+        return bytes([meta])                       # length-byte count
+    if col_type == GEOMETRY:
         return bytes([meta])                       # length-byte count
     if col_type == STRING:
         return bytes([meta & 0xFF, meta >> 8])     # [m0, m1] packed

@@ -205,6 +205,43 @@ def test_legacy_pre_564_formats_and_bit():
         == str((1 << 63) | 5)
 
 
+def test_geometry_decodes_to_ewkt():
+    """GEOMETRY columns (SRID prefix + OGC WKB) render as
+    SRID-tagged canonical WKT: point/linestring/polygon, the
+    multi* variants (children drop their tags), and collections;
+    big-endian or unknown WKB falls back to hex."""
+    import struct as _s
+
+    def le4(v):
+        return v.to_bytes(4, "little")
+
+    def pt(x, y):
+        return b"\x01" + le4(1) + _s.pack("<dd", x, y)
+
+    def poly(rings):
+        out = b"\x01" + le4(3) + le4(len(rings))
+        for r in rings:
+            out += le4(len(r)) + b"".join(
+                _s.pack("<dd", x, y) for x, y in r)
+        return out
+
+    assert _decode_single(255, 4, (4326, pt(1.5, -2.0))) \
+        == "SRID=4326;POINT(1.5 -2.0)"
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    assert _decode_single(255, 4, (0, poly([sq]))) == \
+        "SRID=0;POLYGON((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 0.0))"
+    multi = b"\x01" + le4(6) + le4(1) + poly(
+        [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]])
+    assert _decode_single(255, 4, (31370, multi)) == (
+        "SRID=31370;MULTIPOLYGON(((0.0 0.0, 1.0 0.0, 1.0 1.0, "
+        "0.0 0.0)))")
+    coll = b"\x01" + le4(7) + le4(2) + pt(9.0, 9.0) + pt(1.0, 2.0)
+    assert _decode_single(255, 4, (0, coll)) == \
+        "SRID=0;GEOMETRYCOLLECTION(POINT(9.0 9.0), POINT(1.0 2.0))"
+    assert _decode_single(255, 4, (0, b"\x00\xde\xad")).startswith(
+        "SRID=0;0x00dead")
+
+
 def test_char_enum_set_string_family():
     """TYPE_STRING(254) carries three real types behind its packed
     2-byte metadata: CHAR (upper length bits xor-folded into the
