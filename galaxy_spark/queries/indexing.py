@@ -229,6 +229,166 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_trigram_backoff",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, {_TOKS} AS tk FROM documents
+    ), parts AS (
+        SELECT doc_id, tg,
+               string_split(tg, ' ')[1] AS w1,
+               string_split(tg, ' ')[2] AS w2,
+               string_split(tg, ' ')[3] AS w3
+        FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(tk) - 2, 0) + 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                AS tg
+            FROM docs)
+    ), ref_tri AS (
+        SELECT tg, COUNT(*) AS c123 FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(tk) - 2, 0) + 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                AS tg
+            FROM docs WHERE {_REF_PRED}) GROUP BY tg
+    ), ref_bi AS (
+        SELECT bg, COUNT(*) AS cb FROM (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM docs WHERE {_REF_PRED}) GROUP BY bg
+    ), ref_uni AS (
+        SELECT w, COUNT(*) AS cu FROM (
+            SELECT unnest(tk) AS w FROM docs WHERE {_REF_PRED})
+        GROUP BY w
+    ), refn AS (
+        SELECT CAST(SUM(len(tk)) AS BIGINT) AS n
+        FROM docs WHERE {_REF_PRED}
+    ), scored AS (
+        SELECT p.doc_id,
+               CASE WHEN t.c123 IS NOT NULL THEN 0
+                    WHEN b23.cb IS NOT NULL THEN 1
+                    ELSE 2 END AS tier,
+               ROUND(CASE
+                   WHEN t.c123 IS NOT NULL
+                       THEN ln(t.c123 * 1.0 / b12.cb)
+                   WHEN b23.cb IS NOT NULL
+                       THEN ln(0.4 * b23.cb / u2.cu)
+                   ELSE ln(0.16 * COALESCE(u3.cu, 0.5) / refn.n)
+               END, 6) AS lp
+        FROM parts p
+        LEFT JOIN ref_tri t ON p.tg = t.tg
+        LEFT JOIN ref_bi b12 ON (p.w1 || ' ' || p.w2) = b12.bg
+        LEFT JOIN ref_bi b23 ON (p.w2 || ' ' || p.w3) = b23.bg
+        LEFT JOIN ref_uni u2 ON p.w2 = u2.w
+        LEFT JOIN ref_uni u3 ON p.w3 = u3.w
+        CROSS JOIN refn
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_trigrams,
+           CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_exact,
+           CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_backoff_bi,
+           CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_backoff_uni,
+           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18, 6))) AS DOUBLE)
+                 / COUNT(*), 4) AS trigram_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_trigram_backoff(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Trigram LM with STUPID BACKOFF (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the smoothing
+    designed FOR distributed count-based LMs: no normalization
+    pass, just S(w3|w1w2) = c123/c12, backing off to 0.4*c23/c2,
+    then 0.16*c3/N with a half-count OOV floor), scored HELD-OUT:
+    the LM counts come from the reference sources (src0-4, the
+    Bloom reference split) and every document is scored against
+    them — so unlike the self-scored unigram/bigram rungs the
+    backoff tiers genuinely fire (75% of the corpus is out of the
+    reference), and the per-doc tier mix (n_exact/n_backoff_*) is
+    itself the curation signal: high backoff share = text unlike
+    the reference.
+
+    Shape at scale: three vocabulary-sized count tables (trigram /
+    bigram / unigram) from ONE reference pass each, then the
+    scoring side re-joins on those keys — trigram-keyed shuffle
+    joins with partial-agg fold per doc; the count tables are the
+    only state and they're corpus-size-INDEPENDENT (vocab-scale).
+    Determinism: the repo's LM pattern — per-trigram ln rounded at
+    1e-6 with identically-ordered IEEE arguments, summed as
+    DECIMAL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens(F.col("text"))
+    is_ref = F.col("source").isin(*_BLOOM_REF_SOURCES)
+
+    def grams(n_wide: int):
+        m = F.greatest(F.size(tk) - (n_wide - 1), F.lit(0))
+        g = F.slice(tk, 1, m)
+        for i in range(2, n_wide + 1):
+            g = F.zip_with(g, F.slice(tk, i, m),
+                           lambda a, b: F.concat_ws(" ", a, b))
+        return g
+
+    parts = (docs.select("doc_id",
+                         F.explode(grams(3)).alias("tg"))
+             .withColumn("w1", F.split("tg", " ").getItem(0))
+             .withColumn("w2", F.split("tg", " ").getItem(1))
+             .withColumn("w3", F.split("tg", " ").getItem(2))
+             .localCheckpoint(eager=False))
+    ref = docs.filter(is_ref)
+    ref_tri = (ref.select(F.explode(grams(3)).alias("rtg"))
+               .groupBy("rtg").agg(F.count("*").alias("c123")))
+    ref_bi = (ref.select(F.explode(grams(2)).alias("bg"))
+              .groupBy("bg").agg(F.count("*").alias("cb")))
+    ref_uni = (ref.select(F.explode(tk).alias("w"))
+               .groupBy("w").agg(F.count("*").alias("cu")))
+    refn = ref.agg(F.sum(F.size(tk)).cast("long").alias("n"))
+
+    b12 = ref_bi.select(F.col("bg").alias("bg12"),
+                        F.col("cb").alias("c12"))
+    b23 = ref_bi.select(F.col("bg").alias("bg23"),
+                        F.col("cb").alias("c23"))
+    u2 = ref_uni.select(F.col("w").alias("uw2"),
+                        F.col("cu").alias("c2"))
+    u3 = ref_uni.select(F.col("w").alias("uw3"),
+                        F.col("cu").alias("c3"))
+    j = (parts
+         .join(ref_tri, parts.tg == F.col("rtg"), "left")
+         .join(b12, F.concat_ws(" ", "w1", "w2") == F.col("bg12"),
+               "left")
+         .join(b23, F.concat_ws(" ", "w2", "w3") == F.col("bg23"),
+               "left")
+         .join(u2, parts.w2 == F.col("uw2"), "left")
+         .join(u3, parts.w3 == F.col("uw3"), "left")
+         .crossJoin(F.broadcast(refn)))
+    tier = (F.when(F.col("c123").isNotNull(), 0)
+            .when(F.col("c23").isNotNull(), 1).otherwise(2))
+    lp = F.round(
+        F.when(F.col("c123").isNotNull(),
+               F.log(F.col("c123") * F.lit(1.0) / F.col("c12")))
+        .when(F.col("c23").isNotNull(),
+              F.log(F.lit(0.4) * F.col("c23") / F.col("c2")))
+        .otherwise(F.log(F.lit(0.16)
+                         * F.coalesce(F.col("c3"), F.lit(0.5))
+                         / F.col("n"))), 6)
+    return (j.select("doc_id", tier.alias("tier"), lp.alias("lp"))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_trigrams"),
+                 F.sum(F.when(F.col("tier") == 0, 1).otherwise(0))
+                 .cast("int").alias("n_exact"),
+                 F.sum(F.when(F.col("tier") == 1, 1).otherwise(0))
+                 .cast("int").alias("n_backoff_bi"),
+                 F.sum(F.when(F.col("tier") == 2, 1).otherwise(0))
+                 .cast("int").alias("n_backoff_uni"),
+                 F.round(-F.sum(F.col("lp").cast("decimal(18,6)"))
+                         .cast("double") / F.count("*"), 4)
+                 .alias("trigram_nll")))
+
+
 _PQ_SUB, _PQ_DIM, _PQ_K = 16, 4, 64
 _PQ_SUBS_SQL = "[" + ", ".join(str(i) for i in range(_PQ_SUB)) + "]"
 

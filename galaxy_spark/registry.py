@@ -170,6 +170,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     # r7 additions
     "agg_hll_cardinality_bound",
     "agg_histogram_quantile_value_bound",
+    "quality_trigram_backoff",
 )
 
 
