@@ -555,3 +555,114 @@ def cdc_reconcile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ch.groupBy("database", "table")
             .agg(F.sum(rh).alias("checksum"),
                  F.count("*").alias("n_rows")))
+
+
+@register(
+    "cdc_incremental_view_sum",
+    oracle=_ENV_CTE + """
+    , ch AS (
+        SELECT db, tbl, user_id AS pk, event_id AS pos,
+               CASE WHEN action = 'delete' THEN 0
+                    ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS cur,
+               CASE WHEN action = 'delete' THEN 0 ELSE 1 END AS curn
+        FROM env
+    ), d AS (
+        SELECT db, tbl,
+               cur - LAG(cur, 1, 0) OVER (PARTITION BY db, tbl, pk
+                                          ORDER BY pos) AS dv,
+               curn - LAG(curn, 1, 0) OVER (PARTITION BY db, tbl, pk
+                                            ORDER BY pos) AS dn
+        FROM ch
+    ), incr AS (
+        SELECT db, tbl,
+               CAST(SUM(dv) AS BIGINT) AS incr_sum_cents,
+               CAST(SUM(dn) AS BIGINT) AS incr_rows
+        FROM d GROUP BY 1, 2
+    ), snap AS (
+        SELECT db, tbl, user_id AS pk,
+               arg_max(action, event_id) AS last_action,
+               arg_max(CASE WHEN action = 'delete' THEN 0
+                            ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END,
+                       event_id) AS last_cents
+        FROM env GROUP BY 1, 2, 3
+    ), direct AS (
+        SELECT db, tbl,
+               CAST(SUM(last_cents) AS BIGINT) AS direct_sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS direct_rows
+        FROM snap WHERE last_action <> 'delete' GROUP BY 1, 2
+    )
+    SELECT i.db AS database, i.tbl AS "table",
+           incr_sum_cents, incr_rows,
+           COALESCE(direct_sum_cents, 0) AS direct_sum_cents,
+           COALESCE(direct_rows, 0) AS direct_rows,
+           (incr_sum_cents = COALESCE(direct_sum_cents, 0)
+            AND incr_rows = COALESCE(direct_rows, 0)) AS consistent
+    FROM incr i LEFT JOIN direct d ON i.db = d.db AND i.tbl = d.tbl
+    """,
+)
+def cdc_incremental_view_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the changelog
+    — the delta rule for SUM/COUNT views (Z-set / retract-stream
+    semantics, the core of DBSP and Flink's retract mode): each
+    change on a key emits a signed delta against the key's PREVIOUS
+    state (insert -> +v/+1, update -> +(v_new - v_old)/0, delete ->
+    -v_old/-1), and the view ``SELECT db, tbl, SUM(value), COUNT(*)
+    GROUP BY db, tbl`` is maintained by merely ADDING the deltas —
+    no recompute, no per-key state at the aggregator. The query
+    runs BOTH paths — the delta fold and the full snapshot
+    recompute (cdc_apply_snapshot's max_by fold + re-aggregate) —
+    and certifies them equal per group (``consistent``), which is
+    the telescoping-sum identity incremental view maintenance
+    rests on.
+
+    Values fold in int64 cents (ROUND(v*100) of a measured double —
+    exact per the SCALE.md quantization rule), so the delta sum is
+    order- and partition-independent with no decimal machinery.
+
+    Shape at scale: delta emission is ONE window over (db, table,
+    pk) ordered by binlog pos — the same exchange+sort SCD2 uses;
+    the fold after it partial-aggregates to |groups| rows map-side,
+    so the second exchange moves O(partitions x groups). In the
+    streaming deployment the LAG state is the per-key last image
+    the snapshot store already holds (streaming/snapshot.py), and
+    each micro-batch ships only its partial delta sums — the view
+    update cost is independent of both history length and key
+    cardinality, which is the entire point of the delta rule.
+    Reference parity: consumers of the reference's Kafka topics
+    (``internal/mq_manager``) maintain exactly such running
+    aggregates downstream of the update/delete envelope
+    (``process.go`` emits before+after images precisely so
+    subscribers can form these retractions).
+    """
+    env = envelope_from_events(load_table(spark, sf_dir, "events"))
+    ch = snapshot_change_frame(env)  # database, table, action, pk, v, pos
+    cents = F.round(F.col("v") * 100, 0).cast("long")
+    cur = F.when(F.col("action") == "delete", F.lit(0)).otherwise(cents)
+    curn = F.when(F.col("action") == "delete", F.lit(0)).otherwise(F.lit(1))
+    w = Window.partitionBy("database", "table", "pk").orderBy("pos")
+    deltas = (ch.select("database", "table", "pk", "pos",
+                        cur.alias("cur"), curn.alias("curn"))
+              .select("database", "table",
+                      (F.col("cur") - F.lag("cur", 1, 0).over(w)).alias("dv"),
+                      (F.col("curn") - F.lag("curn", 1, 0).over(w))
+                      .alias("dn")))
+    incr = (deltas.groupBy("database", "table")
+            .agg(F.sum("dv").alias("incr_sum_cents"),
+                 F.sum("dn").alias("incr_rows")))
+    snap = (ch.groupBy("database", "table", "pk")
+            .agg(F.max_by("action", "pos").alias("last_action"),
+                 F.max_by(cur, F.col("pos")).alias("last_cents")))
+    direct = (snap.filter(F.col("last_action") != "delete")
+              .groupBy("database", "table")
+              .agg(F.sum("last_cents").alias("direct_sum_cents"),
+                   F.count("*").alias("direct_rows")))
+    return (incr.join(F.broadcast(direct), ["database", "table"], "left")
+            .select("database", "table", "incr_sum_cents", "incr_rows",
+                    F.coalesce("direct_sum_cents", F.lit(0))
+                    .alias("direct_sum_cents"),
+                    F.coalesce("direct_rows", F.lit(0)).alias("direct_rows"),
+                    ((F.col("incr_sum_cents")
+                      == F.coalesce("direct_sum_cents", F.lit(0)))
+                     & (F.col("incr_rows")
+                        == F.coalesce("direct_rows", F.lit(0))))
+                    .alias("consistent")))

@@ -264,3 +264,107 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nc").cast("long").alias("n_triangles"),
         F.countDistinct(F.when(F.col("nc") > 0, F.col("src")))
         .alias("n_apex_nodes"))
+
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    head = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), half AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ), seeds AS (
+        SELECT DISTINCT e.src AS node
+        FROM edges e JOIN part ON p_partkey = e.src
+        WHERE p_size = 1
+    ), v0 AS (
+        SELECT node, 0 AS dist FROM seeds
+    ), f0 AS (
+        SELECT node FROM seeds
+    )"""
+    rounds = []
+    for k in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"""
+    , c{k} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f{k - 1} f ON e.src = f.node
+    ), f{k} AS (
+        SELECT c.node FROM c{k} c
+        WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} v WHERE v.node = c.node)
+    ), v{k} AS (
+        SELECT node, dist FROM v{k - 1}
+        UNION ALL
+        SELECT node, {k} AS dist FROM f{k}
+    )""")
+    tail = f"""
+    SELECT node AS part, CAST(dist AS INTEGER) AS dist
+    FROM v{_BFS_ROUNDS}
+    """
+    return head + "".join(rounds) + tail
+
+
+@register("graph_bfs_levels", oracle=_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: shortest hop distance (<= 3) from the seed
+    set (size-1 parts) over the symmetric co-purchase graph — the
+    "distance to a curated seed" primitive behind seed-expansion
+    labeling (quality propagation from vetted documents, spam-ring
+    radius, feature-store neighborhood signals).
+
+    Plan: the DELTA-FRONTIER formulation — each round joins only
+    the nodes DISCOVERED LAST ROUND against the edge list, then
+    anti-joins the visited set to keep first (= shortest) arrivals:
+    per-round work is O(edges touched by the frontier), not
+    O(visited x edges) as the naive union+min-groupBy re-fold
+    would be — on a 100 TB graph the frontier collapses after a
+    few rounds while visited keeps growing, which is exactly when
+    re-folding the full visited set per round becomes the
+    bottleneck. Rounds are fixed (3) so the oracle unrolls the
+    identical iterations as CTEs; distances are pure integers —
+    no float discipline needed anywhere. Edges build once
+    (localCheckpoint) and feed all rounds; each round is one
+    frontier⋈edges shuffle + one anti-join against visited
+    (broadcast while the visited set is small; at billion-node
+    visited sets the anti-join becomes a shuffle join on node id —
+    same plan, one more exchange). Unreached nodes are absent from
+    the output (no sentinel row), matching the streaming/iterative
+    contract of connected_components (operators/graph.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct())
+    half = (baskets.alias("a")
+            .join(baskets.alias("b"),
+                  (F.col("a.o") == F.col("b.o"))
+                  & (F.col("a.p") < F.col("b.p")))
+            .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+            .distinct())
+    edges = (half.union(half.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .localCheckpoint(eager=False))
+    seeds = (edges.select("src").distinct()
+             .join(F.broadcast(part.filter(F.col("p_size") == 1)
+                               .select(F.col("p_partkey").alias("src"))),
+                   "src")
+             .select(F.col("src").alias("node")))
+    visited = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for k in range(1, _BFS_ROUNDS + 1):
+        cand = (edges.join(frontier, edges.src == frontier.node)
+                .select(F.col("dst").alias("node")).distinct())
+        new = (cand.join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(k)))
+        # cut the union lineage each round so round k's anti-join
+        # reads a materialized visited set, not a k-deep plan tree
+        visited = visited.union(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return visited.select(F.col("node").alias("part"),
+                          F.col("dist").cast("int").alias("dist"))

@@ -171,6 +171,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "agg_hll_cardinality_bound",
     "agg_histogram_quantile_value_bound",
     "quality_trigram_backoff",
+    "cdc_incremental_view_sum",
+    "graph_bfs_levels",
 )
 
 
