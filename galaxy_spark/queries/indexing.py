@@ -861,15 +861,26 @@ def hll_registers(df: DataFrame, key) -> DataFrame:
     test_hll_registers_merge_across_strata) — which is what makes
     the sketch a 100 TB primitive: fixed 256-cell state, mergeable
     across any partitioning."""
+    bucket, rho = hll_bucket_rho(key)
+    return (df.select(bucket, rho)
+            .groupBy("bucket").agg(F.max("rho").alias("register")))
+
+
+def hll_bucket_rho(key) -> tuple:
+    """The (bucket, rho) pair for one key — the engine-portable HLL
+    hash arithmetic (md5-slice BIGINT, top-p-bit bucket, leading-
+    zero rank via string search on the lpad'ed binary expansion; no
+    float log2 anywhere). Shared by the global-cardinality registers
+    above and the per-node HyperBall registers
+    (queries/graphs.py:graph_hyperball_ball2)."""
     hv = F.conv(F.substring(F.md5(key.cast("string")),
                             1, 12), 16, 10).cast("long")
     w = hv.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
     binstr = F.lpad(F.bin(w), _HLL_WBITS, "0")
     rho = F.when(F.instr(binstr, "1") == 0,
                  F.lit(_HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
-    return (df.select(F.shiftright(hv, _HLL_WBITS).alias("bucket"),
-                      rho.alias("rho"))
-            .groupBy("bucket").agg(F.max("rho").alias("register")))
+    return (F.shiftright(hv, _HLL_WBITS).alias("bucket"),
+            rho.alias("rho"))
 
 
 @register(

@@ -173,6 +173,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "quality_trigram_backoff",
     "cdc_incremental_view_sum",
     "graph_bfs_levels",
+    "graph_hyperball_ball2",
 )
 
 

@@ -272,3 +272,36 @@ def test_hll_registers_merge_across_strata(spark):
     (row,) = all_queries()["graph_triangle_count"](spark, sf).collect()
     assert (row.n_triangles, row.n_apex_nodes) == (n_tri, len(apexes))
     assert n_tri > 0
+
+
+def test_hyperball_bound_and_exact_instrument(spark):
+    """graph_hyperball_ball2: (a) the certification column must be
+    TRUE on every sampled node, and (b) the query's exact-instrument
+    column (the sampled 2-hop wedge expansion) must equal an
+    independent driver-side Python ball-2 count — validating the
+    instrument the 3σ bound is measured against."""
+    from collections import defaultdict
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["graph_hyperball_ball2"](spark, sf).collect()
+    assert rows and all(r.ok for r in rows)
+
+    li = (load_table(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    for r in rows:
+        ball = {r.part} | adj[r.part]
+        for mid in adj[r.part]:
+            ball |= adj[mid]
+        assert len(ball) == r.exact_ball2, r.part
