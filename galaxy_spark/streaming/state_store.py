@@ -421,3 +421,103 @@ def start_incremental_scd2_parquet(
             .foreachBatch(_lineage_scoped_handler(
                 store, checkpoint_dir, partial_scd2))
             .start())
+
+
+class ParquetViewStore(KeyedParquetStore):
+    """Executor-side maintained aggregate VIEW over the CDC
+    snapshot: (database, table) -> (sum_cents, n_rows), updated by
+    ADDING per-batch signed deltas — the streaming deployment of
+    the delta rule certified by
+    ``queries/cdc.py:cdc_incremental_view_sum`` (insert -> +v/+1,
+    update -> +Δ/0, delete -> -v/-1). View state is |groups| rows;
+    per-batch cost is the batch's touched keys, independent of both
+    history length and key cardinality."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["database", "table"],
+            [F.sum("dv").cast("long").alias("dv"),
+             F.sum("dn").cast("long").alias("dn")],
+            n_buckets)
+
+    def view(self) -> list[tuple]:
+        return sorted((r.database, r["table"], r.dv, r.dn)
+                      for r in self.state().collect())
+
+
+def partial_view_deltas(batch_df: DataFrame,
+                        snap_state: DataFrame) -> DataFrame:
+    """One micro-batch's signed view deltas: per touched key only
+    the (stored image -> batch-last image) transition matters —
+    intra-batch intermediate changes telescope away, so the fold is
+    one max_by per key + a left join against the snapshot store's
+    current state (int64 cents, the batch query's quantization).
+    Requires the binlog contract that per-key positions never move
+    backward across batches (the source's offset monotonicity
+    guarantee) — an out-of-order key would retract an image the
+    store no longer holds."""
+    last = (batch_df.groupBy("database", "table", "pk")
+            .agg(F.max_by("action", "pos").alias("a"),
+                 F.max_by("v", "pos").alias("v")))
+    cur = F.when(F.col("a") == "delete", F.lit(0)).otherwise(
+        F.round(F.col("v") * 100, 0).cast("long"))
+    curn = F.when(F.col("a") == "delete", F.lit(0)).otherwise(F.lit(1))
+    if "last_action" in snap_state.columns:
+        prev = snap_state.select(
+            "database", "table", "pk",
+            F.when(F.col("last_action") == "delete", F.lit(0)).otherwise(
+                F.round(F.col("last_value") * 100, 0).cast("long"))
+            .alias("pv"),
+            F.when(F.col("last_action") == "delete", F.lit(0))
+            .otherwise(F.lit(1)).alias("pn"))
+        joined = last.join(prev, ["database", "table", "pk"], "left")
+    else:  # a never-written store's empty-state sentinel
+        joined = last.withColumn("pv", F.lit(None).cast("long")) \
+                     .withColumn("pn", F.lit(None).cast("long"))
+    return (joined
+            .select("database", "table",
+                    (cur - F.coalesce(F.col("pv"), F.lit(0))).alias("dv"),
+                    (curn - F.coalesce(F.col("pn"), F.lit(0))).alias("dn"))
+            .groupBy("database", "table")
+            .agg(F.sum("dv").cast("long").alias("dv"),
+                 F.sum("dn").cast("long").alias("dn")))
+
+
+def start_incremental_view_parquet(
+        changes_stream: DataFrame, view_store: ParquetViewStore,
+        snap_store: ParquetSnapshotStore,
+        checkpoint_dir: str) -> StreamingQuery:
+    """Maintain snapshot AND aggregate view from one change stream.
+
+    Per batch: (1) compute deltas against the snapshot's CURRENT
+    state and merge them into the view, (2) THEN merge the batch
+    into the snapshot. The order is load-bearing for replay
+    correctness: both merges claim the same (lineage, epoch) key,
+    so after a crash between (1) and (2) the replay recomputes
+    identical deltas (the snapshot is unchanged), the view merge
+    skips on its claim, and the snapshot completes. The reverse
+    order has a poisoned window — snapshot merged, view not — where
+    a replay's deltas compute to zero against the already-advanced
+    snapshot and the view silently loses the batch."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not lineage:
+            lin = _checkpoint_lineage(checkpoint_dir)
+            for store in (view_store, snap_store):
+                foreign = store.lineages() - {lin}
+                if foreign:
+                    raise ValueError(
+                        f"store {store.path!r} holds state from other "
+                        f"checkpoint lineage(s) {sorted(foreign)}; use "
+                        "a fresh store (or checkpoint) per lineage.")
+            lineage.append(lin)
+        key = f"{lineage[0]}.{epoch_id:012d}"
+        view_store.merge(partial_view_deltas(batch_df,
+                                             snap_store.state()), key)
+        snap_store.merge(partial_snapshot(batch_df), key)
+
+    return (changes_stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())

@@ -1597,3 +1597,70 @@ def test_quarantined_rows_route_to_dead_letter_topic(spark, tmp_path):
     payload = json.loads(dl.value)
     assert payload["org_row"] == [["1", "2"]]      # replayable raw row
     assert payload["event_header"]["log_pos"] == 20
+
+
+def test_streaming_incremental_view_on_durable_store(spark, tmp_path):
+    """The delta rule on the durable stores: a multi-batch change
+    stream maintains (snapshot, aggregate view) in lockstep, and the
+    final view equals BOTH the batch cdc_incremental_view_sum fold
+    and a recompute off the snapshot store. Also pins the
+    view-before-snapshot replay window: after the snapshot has
+    absorbed a batch, a replayed merge under the same claimed epoch
+    is a no-op even though its recomputed deltas are zero."""
+    import time as _time
+
+    from galaxy_spark.queries.cdc import snapshot_change_frame
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetSnapshotStore, ParquetViewStore, partial_view_deltas,
+        start_incremental_view_parquet)
+
+    # three arrival slices in pos order (the binlog contract),
+    # mtime-separated so maxFilesPerTrigger=1 yields >= 3 batches
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "view_src")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    cuts = [0, mx // 3, (2 * mx) // 3, mx + 1]
+    for lo, hi in zip(cuts, cuts[1:]):
+        (ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    changes = snapshot_change_frame(envelope_from_events(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)))
+    view = ParquetViewStore(spark, str(tmp_path / "view_store"))
+    snap = ParquetSnapshotStore(spark, str(tmp_path / "view_snap"))
+    ck = str(tmp_path / "view_ckpt")
+    q = start_incremental_view_parquet(changes, view, snap, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    commits = os.listdir(os.path.join(ck, "commits"))
+    assert len([c for c in commits if c.isdigit()]) >= 3
+
+    want = sorted(
+        (r.database, r["table"], r.incr_sum_cents, r.incr_rows)
+        for r in all_queries()["cdc_incremental_view_sum"](
+            spark, SF).collect())
+    assert view.view() == want and len(want) >= 10
+
+    # view == recompute off the snapshot store's live rows
+    st = (snap.state().filter(F.col("last_action") != "delete")
+          .groupBy("database", "table")
+          .agg(F.sum(F.round(F.col("last_value") * 100, 0).cast("long"))
+               .alias("dv"),
+               F.count("*").cast("long").alias("dn")))
+    recompute = sorted((r.database, r["table"], r.dv, r.dn)
+                       for r in st.collect())
+    assert view.view() == recompute
+
+    # replay window: batch already in snapshot -> recomputed deltas
+    # are zero, and the claimed epoch skips the merge regardless
+    batch3 = snapshot_change_frame(envelope_from_events(
+        ev.filter(F.col("event_id") >= cuts[2])))
+    replay = partial_view_deltas(batch3, snap.state())
+    assert all(r.dv == 0 and r.dn == 0 for r in replay.collect())
+    lin = sorted(view.lineages())[0]
+    view.merge(replay, f"{lin}.{2:012d}")
+    assert view.view() == want
