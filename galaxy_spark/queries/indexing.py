@@ -1329,3 +1329,148 @@ def embeddings_second_moments(spark: SparkSession,
     return (partials.groupBy("i", "j")
             .agg(F.sum("sum_micro").alias("sum_micro"),
                  F.sum("n_vecs").alias("n_vecs")))
+
+
+# -- KMV (k-minimum-values) sketch: distinct-set ALGEBRA -------------
+
+_KMV_K = 256
+_KMV_2P48 = float(1 << 48)
+
+
+@register(
+    "agg_kmv_set_intersection",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                             1, 12)) AS BIGINT) AS hv
+        FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                             1, 12)) AS BIGINT) AS hv
+        FROM orders WHERE o_orderstatus = 'O'
+    ), u AS (
+        SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+        ORDER BY hv LIMIT {_KMV_K}
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(hv) AS BIGINT) AS hk,
+               CAST(SUM(CASE WHEN u.hv IN (SELECT hv FROM a)
+                              AND u.hv IN (SELECT hv FROM b)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS j
+        FROM u
+    ), x AS (
+        SELECT (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                FROM orders WHERE o_orderstatus IN ('F', 'O'))
+                   AS exact_union,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderstatus = 'F'
+                    INTERSECT
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderstatus = 'O')) AS exact_inter
+    ), t AS (
+        SELECT m.cnt, m.hk, m.j, x.exact_union, x.exact_inter,
+               CASE WHEN m.cnt < {_KMV_K} THEN 'exact'
+                    ELSE 'raw' END AS regime,
+               CASE WHEN m.cnt < {_KMV_K}
+                    THEN CAST(m.cnt AS DOUBLE)
+                    ELSE ROUND({_KMV_K - 1} * {_KMV_2P48} / m.hk, 6)
+               END AS union_est,
+               CASE WHEN m.cnt < {_KMV_K}
+                    THEN CAST(m.j AS DOUBLE)
+                    ELSE ROUND(m.j * {_KMV_K - 1}.0 * {_KMV_2P48}
+                               / ({_KMV_K}.0 * m.hk), 6)
+               END AS inter_est
+        FROM m, x
+    )
+    SELECT cnt, hk, j, regime, union_est, exact_union,
+           inter_est, exact_inter,
+           ROUND(j / {_KMV_K}.0, 6) AS jaccard_est,
+           (regime = 'exact'
+            OR ABS(union_est - exact_union) <= 0.195 * exact_union)
+               AS ok_union,
+           (regime = 'exact' OR exact_inter < 50
+            OR ABS(inter_est - exact_inter) <= 0.35 * exact_inter)
+               AS ok_inter
+    FROM t
+    """,
+)
+def agg_kmv_set_intersection(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """KMV / k-minimum-values sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007) — the mergeable distinct-set sketch that,
+    unlike HLL, supports SET ALGEBRA: the k smallest hash values of
+    a set determine its cardinality ((k-1) * 2^48 / h_(k)), and the
+    union sketch's members can be probed against each side, giving
+    Jaccard (j/k) and INTERSECTION (j/k * union_est) estimates —
+    the primitive behind "how much does corpus A overlap corpus B"
+    at 100 TB, where exact intersection shuffles both key
+    universes. Sets here: customers with filled ('F') vs open ('O')
+    orders.
+
+    Shape at scale: each side folds to its k smallest DISTINCT
+    hashes via TakeOrderedAndProject (per-partition top-k partials,
+    no global sort — the min-k monoid is mergeable exactly like HLL
+    registers); the union sketch is the top-k of the two sketches'
+    union (2k rows); membership probes broadcast the k-row sketch
+    against the sides' distinct-hash frames as semi-joins. The
+    exact instrument (COUNT DISTINCT + INTERSECT) is the quadratic-
+    shuffle cost the sketch replaces, kept for certification.
+
+    Determinism: hashes are the repo's 48-bit md5-slice BIGINTs;
+    below k the sketch holds the whole set and is EXACT (regime =
+    'exact', exercised at sf0.001); at k+ the raw estimator must
+    land within 3/sqrt(k) ~ 19.5% of exact (sf0.01+). The only
+    float ops are two identically-ordered IEEE expressions over
+    exact integers (the HLL est pattern).
+    """
+    od = load_table(spark, sf_dir, "orders")
+    hv = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")),
+                            1, 12), 16, 10).cast("long").alias("hv")
+    a = (od.filter(F.col("o_orderstatus") == "F").select(hv).distinct()
+         .localCheckpoint(eager=False))
+    b = (od.filter(F.col("o_orderstatus") == "O").select(hv).distinct()
+         .localCheckpoint(eager=False))
+    u = a.union(b).distinct().orderBy("hv").limit(_KMV_K)
+    probed = (u.join(a.withColumn("in_a", F.lit(1)), "hv", "left")
+              .join(b.withColumn("in_b", F.lit(1)), "hv", "left"))
+    m = probed.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("hv").alias("hk"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("j"))
+    ck = lambda st: (od.filter(F.col("o_orderstatus") == st)  # noqa: E731
+                     .select("o_custkey").distinct())
+    x = (od.filter(F.col("o_orderstatus").isin("F", "O"))
+         .agg(F.countDistinct("o_custkey").cast("long")
+              .alias("exact_union"))
+         .crossJoin(
+             ck("F").intersect(ck("O"))
+             .agg(F.count("*").cast("long").alias("exact_inter"))))
+    k, p48 = _KMV_K, _KMV_2P48
+    t = (m.crossJoin(F.broadcast(x))
+         .select("cnt", "hk", "j", "exact_union", "exact_inter",
+                 F.when(F.col("cnt") < k, F.lit("exact"))
+                 .otherwise(F.lit("raw")).alias("regime"),
+                 F.when(F.col("cnt") < k,
+                        F.col("cnt").cast("double"))
+                 .otherwise(F.round(F.lit(k - 1) * F.lit(p48)
+                                    / F.col("hk"), 6))
+                 .alias("union_est"),
+                 F.when(F.col("cnt") < k, F.col("j").cast("double"))
+                 .otherwise(F.round(F.col("j") * F.lit(float(k - 1))
+                                    * F.lit(p48)
+                                    / (F.lit(float(k)) * F.col("hk")),
+                                    6))
+                 .alias("inter_est")))
+    return t.select(
+        "cnt", "hk", "j", "regime", "union_est", "exact_union",
+        "inter_est", "exact_inter",
+        F.round(F.col("j") / F.lit(float(k)), 6).alias("jaccard_est"),
+        ((F.col("regime") == "exact")
+         | (F.abs(F.col("union_est") - F.col("exact_union"))
+            <= F.lit(0.195) * F.col("exact_union"))).alias("ok_union"),
+        ((F.col("regime") == "exact") | (F.col("exact_inter") < 50)
+         | (F.abs(F.col("inter_est") - F.col("exact_inter"))
+            <= F.lit(0.35) * F.col("exact_inter"))).alias("ok_inter"))

@@ -1,0 +1,99 @@
+"""Distributed ML via sufficient statistics.
+
+The scalable form of classical model fitting: fold the data to a
+tiny exact-integer statistic vector with ONE partial-aggregated
+exchange (the same discipline as embeddings_second_moments), then
+solve the model from the statistics — never iterate over rows, and
+never let float partial-sum order into the result. At 100 TB this
+is the only OLS plan that works: the data pass is a map-side-
+combined agg whose output is O(groups), and the solve is O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from galaxy_spark.registry import register
+from galaxy_spark.tables import load_table
+
+_OLS_NUM = ("(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)")
+_OLS_DEN = ("(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)")
+
+
+@register(
+    "ml_ols_price_on_quantity",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_returnflag AS returnflag,
+               CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS xi,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS yi
+        FROM lineitem
+    ), s AS (
+        SELECT returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xi) AS BIGINT) AS sx,
+               CAST(SUM(yi) AS BIGINT) AS sy,
+               CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+               CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+               CAST(SUM(yi * yi) AS DOUBLE) AS syy
+        FROM q GROUP BY 1
+    )
+    SELECT returnflag, n, sx, sy,
+           ROUND({_OLS_NUM} / {_OLS_DEN}, 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sxy)
+                 / {_OLS_DEN}, 6) AS intercept_cents,
+           ROUND(({_OLS_NUM} * {_OLS_NUM})
+                 / ({_OLS_DEN}
+                    * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)),
+                 6) AS r2
+    FROM s
+    """,
+)
+def ml_ols_price_on_quantity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-returnflag least-squares fit of extendedprice ~ quantity
+    from SUFFICIENT STATISTICS: one grouped aggregation accumulates
+    (n, Σx, Σy, Σx², Σxy, Σy²) over int64-cents-quantized columns,
+    and slope / intercept / R² come from the closed-form normal
+    equations on those six numbers — the one-pass, one-exchange
+    regression every feature-quality dashboard runs at warehouse
+    scale (vs. iterating gradient steps over rows).
+
+    Determinism: the model is DEFINED on the cents-quantized data
+    (ROUND(v*100) of measured doubles is exact — SCALE.md rule), so
+    five statistics are exact int64 sums, order-free under partial
+    aggregation. Σy² alone can exceed int64 at warehouse row counts
+    (yi² ~ 1.2e14); Spark folds it as DECIMAL(38,0) and DuckDB as
+    HUGEINT — both exact — and both cast the exact integer to
+    double (correctly rounded, identical). The solve is a fixed
+    tree of IEEE ops over those identical doubles, rounded at 1e-6.
+    A driver-side numpy.polyfit cross-check pins the algebra
+    (tests/test_ml.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("yi"))
+    s = q.groupBy("returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("syy"))
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    return s.select(
+        "returnflag", "n", "sx", "sy",
+        F.round(num / den, 6).alias("slope"),
+        F.round((syd * F.col("sxx") - sxd * F.col("sxy")) / den, 6)
+        .alias("intercept_cents"),
+        F.round((num * num)
+                / (den * (nd * F.col("syy") - syd * F.col("sy"))), 6)
+        .alias("r2"))

@@ -174,6 +174,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "cdc_incremental_view_sum",
     "graph_bfs_levels",
     "graph_hyperball_ball2",
+    "agg_kmv_set_intersection",
+    "ml_ols_price_on_quantity",
 )
 
 
@@ -213,4 +215,5 @@ def _load_all() -> None:
     import galaxy_spark.queries.tpch  # noqa: F401
     import galaxy_spark.queries.indexing  # noqa: F401
     import galaxy_spark.queries.graphs  # noqa: F401
+    import galaxy_spark.queries.ml  # noqa: F401
     _LOADED = True
