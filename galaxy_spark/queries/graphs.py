@@ -538,9 +538,14 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |E| x occupied (measured 22 s -> ~3 s at sf0.1; the
     # unrestricted all-nodes run is this same plan with the samp
     # semi-join dropped)
+    # e_in is |S| x avg-degree rows — small while the sample is, so
+    # BROADCAST it into the register join instead of shuffling the
+    # |V| x occupied r1 frame (2.4 s -> 1.8 s at sf0.1); at a
+    # sample x degree beyond broadcast reach, drop the hint and the
+    # same plan runs as a shuffle join on src
     e_in = edges.join(F.broadcast(samp), edges.dst == samp.node,
                       "left_semi")
-    p2 = (e_in.join(r1, e_in.src == r1.node)
+    p2 = (F.broadcast(e_in).join(r1, e_in.src == r1.node)
           .select(F.col("dst").alias("node"), "bucket", "register"))
     r2 = (r1.join(F.broadcast(samp), "node").select(
               "node", "bucket", "register")
@@ -554,7 +559,7 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
     h0 = samp.select("node", F.col("node").alias("w"))
     h1 = (edges.join(F.broadcast(samp), edges.src == samp.node)
           .select("node", F.col("dst").alias("w")))
-    h2 = (h1.withColumnRenamed("w", "mid")
+    h2 = (F.broadcast(h1.withColumnRenamed("w", "mid"))
           .join(edges, F.col("mid") == edges.src)
           .select("node", F.col("dst").alias("w")))
     exact = (h0.union(h1).union(h2).distinct()
