@@ -536,3 +536,52 @@ def test_quantile_bound_broadcasts_candidates(q):
     df = q("agg_quantile_sketch_bound")
     assert broadcast_join_count(df) >= 1
     assert exchange_count(df) <= 2  # sketch agg + verdict agg
+
+
+def test_incremental_view_partial_sums_and_broadcast(q):
+    """The delta fold partial-aggregates map-side (the telescoped
+    deltas collapse to |groups| rows per task before the exchange)
+    and the tiny direct-recompute frame broadcasts into the
+    certification join — the stream-side frame never re-shuffles
+    for it."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("cdc_incremental_view_sum")
+    p = physical_plan(df)
+    assert "partial_sum" in p, "delta fold is not map-side partial"
+    assert broadcast_join_count(df) >= 1
+
+
+def test_hyperball_register_max_map_side(q):
+    """HyperBall's (node, bucket) register folds must show a
+    map-side partial_max (the MAX-monoid property the propagation
+    cost model rests on), the sampled-edge frame must broadcast
+    into the final register join (r1 stays scan-local), and no
+    round may degenerate to a cartesian."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_hyperball_ball2")
+    p = physical_plan(df)
+    assert "partial_max" in p, "register max is not map-side partial"
+    assert "CartesianProduct" not in p
+    assert broadcast_join_count(df) >= 2
+
+
+def test_kmv_sketch_uses_top_k_not_global_sort(q):
+    """The k-minimum-values sketch must execute as
+    TakeOrderedAndProject (per-partition top-k partials merged on
+    the driver — the min-k monoid) — a global Sort+Exchange on the
+    hash column means the mergeable-sketch plan regressed."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("agg_kmv_set_intersection")
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_ols_single_exchange(q):
+    """OLS from sufficient statistics is ONE grouped aggregation:
+    six partial sums fold map-side, one exchange on the 3-value
+    group key, and the normal-equation solve is scalar projection
+    above it."""
+    df = q("ml_ols_price_on_quantity")
+    assert exchange_count(df) == 1

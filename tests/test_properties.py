@@ -87,3 +87,64 @@ def test_rolling_fingerprint_matches_python_reference(spark, text):
     for ch in text:
         ref = (ref * 257 + ord(ch)) % 1_000_000_007
     assert got == ref
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3),                  # pk
+                       st.sampled_from(["insert", "update", "delete"]),
+                       st.integers(0, 10000)),             # cents value
+             min_size=1, max_size=24),
+    st.integers(0, 2 ** 20),                               # split seed
+)
+@settings(max_examples=8, deadline=None)  # several Spark jobs each
+def test_delta_rule_invariant_under_any_batch_split(spark, changes, seed):
+    """The streaming view's correctness rests on an algebraic
+    invariant: for ANY changelog and ANY partition of it into
+    pos-ordered micro-batches, folding partial_view_deltas batch by
+    batch (against the evolving latest-wins snapshot) lands on
+    exactly the latest-wins recompute. Hypothesis drives arbitrary
+    key/action/value sequences and arbitrary batch boundaries —
+    including immediate deletes, delete-then-reinsert, single-batch
+    and one-row-per-batch splits."""
+    import random
+
+    from galaxy_spark.streaming.snapshot import partial_snapshot
+    from galaxy_spark.streaming.state_store import partial_view_deltas
+
+    rows = [("d", "t", act, pk, cents / 100.0, pos)
+            for pos, (pk, act, cents) in enumerate(changes)]
+    schema = ("database string, table string, action string, "
+              "pk long, v double, pos long")
+
+    # random pos-ordered split into 1..4 batches
+    rng = random.Random(seed)
+    n_cuts = rng.randint(0, min(3, len(rows) - 1))
+    cuts = sorted(rng.sample(range(1, len(rows)), n_cuts)) if n_cuts else []
+    bounds = [0] + cuts + [len(rows)]
+    batches = [rows[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    view: dict = {}
+    snap: dict = {}  # pk -> (pos, action, value): latest-wins twin
+    for batch in batches:
+        bdf = spark.createDataFrame(batch, schema)
+        if snap:
+            snap_df = spark.createDataFrame(
+                [("d", "t", pk, a, v, p) for pk, (p, a, v) in snap.items()],
+                "database string, table string, pk long, "
+                "last_action string, last_value double, last_pos long")
+        else:
+            snap_df = spark.createDataFrame([], "x int").limit(0)
+        for r in partial_view_deltas(bdf, snap_df).collect():
+            key = (r.database, r["table"])
+            dv, dn = view.get(key, (0, 0))
+            view[key] = (dv + r.dv, dn + r.dn)
+        for r in partial_snapshot(bdf).collect():
+            cur = snap.get(r.pk)
+            if cur is None or r.last_pos > cur[0]:
+                snap[r.pk] = (r.last_pos, r.last_action, r.last_value)
+
+    want_dv = sum(round(v * 100) for (p, a, v) in snap.values()
+                  if a != "delete")
+    want_dn = sum(1 for (p, a, v) in snap.values() if a != "delete")
+    got_dv, got_dn = view.get(("d", "t"), (0, 0))
+    assert (got_dv, got_dn) == (want_dv, want_dn)
