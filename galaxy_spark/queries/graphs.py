@@ -268,9 +268,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BFS_ROUNDS = 3
 
-
-def _bfs_oracle() -> str:
-    head = """
+#: shared DuckDB CTE head for the symmetrized part co-purchase
+#: graph — keep in lockstep with ``_copurchase_edges`` below (the
+#: pagerank/triangle oracles predate it and carry their own copies)
+_EDGES_CTE = """
     WITH baskets AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ), half AS (
@@ -280,7 +281,29 @@ def _bfs_oracle() -> str:
         SELECT src, dst FROM half
         UNION ALL
         SELECT dst AS src, src AS dst FROM half
-    ), seeds AS (
+    )"""
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Symmetrized part co-purchase edge list (src, dst), lazily
+    localCheckpointed: the build (scan + order self-join + two
+    distincts) materializes once and feeds every round/consumer."""
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct())
+    half = (baskets.alias("a")
+            .join(baskets.alias("b"),
+                  (F.col("a.o") == F.col("b.o"))
+                  & (F.col("a.p") < F.col("b.p")))
+            .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+            .distinct())
+    return (half.union(half.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+            .localCheckpoint(eager=False))
+
+
+def _bfs_oracle() -> str:
+    head = _EDGES_CTE + """
+    , seeds AS (
         SELECT DISTINCT e.src AS node
         FROM edges e JOIN part ON p_partkey = e.src
         WHERE p_size = 1
@@ -339,17 +362,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    baskets = (li.select(F.col("l_orderkey").alias("o"),
-                         F.col("l_partkey").alias("p")).distinct())
-    half = (baskets.alias("a")
-            .join(baskets.alias("b"),
-                  (F.col("a.o") == F.col("b.o"))
-                  & (F.col("a.p") < F.col("b.p")))
-            .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-            .distinct())
-    edges = (half.union(half.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-             .localCheckpoint(eager=False))
+    edges = _copurchase_edges(li)
     seeds = (edges.select("src").distinct()
              .join(F.broadcast(part.filter(F.col("p_size") == 1)
                                .select(F.col("p_partkey").alias("src"))),
@@ -360,11 +373,16 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, _BFS_ROUNDS + 1):
         cand = (edges.join(frontier, edges.src == frontier.node)
                 .select(F.col("dst").alias("node")).distinct())
+        # `new` is consumed TWICE (union into visited + next round's
+        # frontier) and closes over the whole previous round — cut
+        # lineage HERE, so round k+1 reads a materialized frontier
+        # instead of re-executing rounds 1..k (the quadratic-rounds
+        # trap); `visited` then unions only checkpointed frames and
+        # needs no checkpoint of its own
         new = (cand.join(visited.select("node"), "node", "left_anti")
-               .withColumn("dist", F.lit(k)))
-        # cut the union lineage each round so round k's anti-join
-        # reads a materialized visited set, not a k-deep plan tree
-        visited = visited.union(new).localCheckpoint(eager=False)
+               .withColumn("dist", F.lit(k))
+               .localCheckpoint(eager=False))
+        visited = visited.union(new)
         frontier = new.select("node")
     return visited.select(F.col("node").alias("part"),
                           F.col("dist").cast("int").alias("dist"))
@@ -378,17 +396,8 @@ def _hb_oracle() -> str:
     from galaxy_spark.queries.indexing import (_HLL_M, _HLL_WBITS,
                                                _HLL_2P50)
     wmask = 1 << _HLL_WBITS
-    head = f"""
-    WITH baskets AS (
-        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), half AS (
-        SELECT DISTINCT a.p AS src, b.p AS dst
-        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
-    ), edges AS (
-        SELECT src, dst FROM half
-        UNION ALL
-        SELECT dst AS src, src AS dst FROM half
-    ), nodes AS (
+    head = _EDGES_CTE + f"""
+    , nodes AS (
         SELECT DISTINCT src AS node FROM edges
     ), h AS (
         SELECT node,
@@ -506,17 +515,7 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from galaxy_spark.queries.indexing import (_HLL_M, _HLL_2P50,
                                                hll_bucket_rho)
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (li.select(F.col("l_orderkey").alias("o"),
-                         F.col("l_partkey").alias("p")).distinct())
-    half = (baskets.alias("a")
-            .join(baskets.alias("b"),
-                  (F.col("a.o") == F.col("b.o"))
-                  & (F.col("a.p") < F.col("b.p")))
-            .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-            .distinct())
-    edges = (half.union(half.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-             .localCheckpoint(eager=False))
+    edges = _copurchase_edges(li)
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     samp = (nodes.filter(F.col("node") % _HB_SAMPLE_MOD == 0)
             .localCheckpoint(eager=False))

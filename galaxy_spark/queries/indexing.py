@@ -1385,7 +1385,9 @@ _KMV_2P48 = float(1 << 48)
     )
     SELECT cnt, hk, j, regime, union_est, exact_union,
            inter_est, exact_inter,
-           ROUND(j / {_KMV_K}.0, 6) AS jaccard_est,
+           CASE WHEN cnt < {_KMV_K}
+                THEN ROUND(j / (1.0 * GREATEST(cnt, 1)), 6)
+                ELSE ROUND(j / {_KMV_K}.0, 6) END AS jaccard_est,
            (regime = 'exact'
             OR ABS(union_est - exact_union) <= 0.195 * exact_union)
                AS ok_union,
@@ -1467,7 +1469,14 @@ def agg_kmv_set_intersection(spark: SparkSession,
     return t.select(
         "cnt", "hk", "j", "regime", "union_est", "exact_union",
         "inter_est", "exact_inter",
-        F.round(F.col("j") / F.lit(float(k)), 6).alias("jaccard_est"),
+        # below k the sketch IS the union, so the Jaccard denominator
+        # is the sketch size, not k (j/k would understate by cnt/k)
+        F.when(F.col("cnt") < k,
+               F.round(F.col("j")
+                       / (F.lit(1.0) * F.greatest(F.col("cnt"), F.lit(1))),
+                       6))
+        .otherwise(F.round(F.col("j") / F.lit(float(k)), 6))
+        .alias("jaccard_est"),
         ((F.col("regime") == "exact")
          | (F.abs(F.col("union_est") - F.col("exact_union"))
             <= F.lit(0.195) * F.col("exact_union"))).alias("ok_union"),

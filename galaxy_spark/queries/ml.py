@@ -34,8 +34,8 @@ _OLS_DEN = ("(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)")
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(xi) AS BIGINT) AS sx,
                CAST(SUM(yi) AS BIGINT) AS sy,
-               CAST(SUM(xi * xi) AS BIGINT) AS sxx,
-               CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+               CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+               CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
                CAST(SUM(yi * yi) AS DOUBLE) AS syy
         FROM q GROUP BY 1
     )
@@ -61,15 +61,16 @@ def ml_ols_price_on_quantity(spark: SparkSession,
     scale (vs. iterating gradient steps over rows).
 
     Determinism: the model is DEFINED on the cents-quantized data
-    (ROUND(v*100) of measured doubles is exact — SCALE.md rule), so
-    five statistics are exact int64 sums, order-free under partial
-    aggregation. Σy² alone can exceed int64 at warehouse row counts
-    (yi² ~ 1.2e14); Spark folds it as DECIMAL(38,0) and DuckDB as
-    HUGEINT — both exact — and both cast the exact integer to
-    double (correctly rounded, identical). The solve is a fixed
-    tree of IEEE ops over those identical doubles, rounded at 1e-6.
-    A driver-side numpy.polyfit cross-check pins the algebra
-    (tests/test_ml.py).
+    (ROUND(v*100) of measured doubles is exact — SCALE.md rule).
+    n/Σx/Σy are exact int64 sums, order-free under partial
+    aggregation; the three PRODUCT statistics (Σx², Σxy, Σy² — the
+    per-row products reach ~1.2e14, so their sums cross int64
+    around 1e5-1e9 rows depending on the axis) fold as
+    DECIMAL(38,0) in Spark and HUGEINT in DuckDB — both exact —
+    and both cast the exact integer to double (correctly rounded,
+    identical). The solve is a fixed tree of IEEE ops over those
+    identical doubles, rounded at 1e-6. A driver-side numpy.polyfit
+    cross-check pins the algebra (tests/test_ml.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
@@ -81,8 +82,10 @@ def ml_ols_price_on_quantity(spark: SparkSession,
         F.count("*").cast("long").alias("n"),
         F.sum("xi").alias("sx"),
         F.sum("yi").alias("sy"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
-        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxy"),
         F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
         .cast("double").alias("syy"))
     nd = F.col("n").cast("double")

@@ -514,8 +514,14 @@ def start_incremental_view_parquet(
                         "a fresh store (or checkpoint) per lineage.")
             lineage.append(lin)
         key = f"{lineage[0]}.{epoch_id:012d}"
-        view_store.merge(partial_view_deltas(batch_df,
-                                             snap_store.state()), key)
+        # merge() executes its partial twice (touched-bucket probe +
+        # staged write); every other partial reads only batch_df,
+        # but this one joins the snapshot's full state — checkpoint
+        # the tiny |touched groups|-row delta frame so the
+        # state-sized join runs once per batch, not twice
+        deltas = partial_view_deltas(
+            batch_df, snap_store.state()).localCheckpoint(eager=False)
+        view_store.merge(deltas, key)
         snap_store.merge(partial_snapshot(batch_df), key)
 
     return (changes_stream.writeStream
