@@ -1664,3 +1664,57 @@ def test_streaming_incremental_view_on_durable_store(spark, tmp_path):
     lin = sorted(view.lineages())[0]
     view.merge(replay, f"{lin}.{2:012d}")
     assert view.view() == want
+
+
+def test_streaming_incremental_view_survives_restart(spark, tmp_path):
+    """Kill/restart for the dual-store handler: stop after the first
+    slices commit, append more changes, resume from the SAME
+    checkpoint against the SAME stores — the final view and snapshot
+    must equal the batch folds over everything (the lineage-scoped
+    epoch claims make the restart's epoch numbering safe)."""
+    import time as _time
+
+    from galaxy_spark.queries.cdc import snapshot_change_frame
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetSnapshotStore, ParquetViewStore,
+        start_incremental_view_parquet)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "rv_src")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    half = mx // 2
+
+    def changes_stream():
+        return snapshot_change_frame(envelope_from_events(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)))
+
+    (ev.filter(F.col("event_id") < half)
+     .coalesce(1).write.mode("append").parquet(src))
+    view = ParquetViewStore(spark, str(tmp_path / "rv_view"))
+    snap = ParquetSnapshotStore(spark, str(tmp_path / "rv_snap"))
+    ck = str(tmp_path / "rv_ckpt")
+    q = start_incremental_view_parquet(changes_stream(), view, snap, ck)
+    q.processAllAvailable()
+    q.stop()
+    mid = view.view()
+    assert mid and all(dv > 0 for (_, _, dv, _) in mid)
+
+    _time.sleep(1.1)  # mtime-separate the post-restart slice
+    (ev.filter(F.col("event_id") >= half)
+     .coalesce(1).write.mode("append").parquet(src))
+    q2 = start_incremental_view_parquet(changes_stream(), view, snap, ck)
+    q2.processAllAvailable()
+    q2.stop()
+
+    want = sorted(
+        (r.database, r["table"], r.incr_sum_cents, r.incr_rows)
+        for r in all_queries()["cdc_incremental_view_sum"](
+            spark, SF).collect())
+    assert view.view() == want != mid
+    want_snap = sorted(
+        (r.database, r["table"], r.pk, r.last_value, r.last_pos,
+         r.n_changes)
+        for r in all_queries()["cdc_apply_snapshot"](spark, SF).collect())
+    assert snap.snapshot() == want_snap
