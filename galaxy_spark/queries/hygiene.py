@@ -26,7 +26,7 @@ states the same algorithm the Spark plan runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from galaxy_spark.operators import text
@@ -493,3 +493,110 @@ def sample_weighted_no_replacement(spark: SparkSession,
     return (docs.select("doc_id", "n_chars", key.alias("es_key"))
             .orderBy(F.desc("es_key"), "doc_id")
             .limit(_WSAMPLE_K))
+
+
+@register(
+    "quality_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ), hist AS (
+        SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ), n_per AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        FROM hist GROUP BY 1
+    ), cum AS (
+        SELECT event_type, vc, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type
+                                 ORDER BY vc) AS BIGINT) AS cum
+        FROM hist
+    ), med AS (
+        SELECT cum.event_type, CAST(MIN(vc) AS BIGINT) AS median_cents
+        FROM cum JOIN n_per ON cum.event_type = n_per.event_type
+        WHERE cum.cum >= (n_per.n + 1) // 2
+        GROUP BY 1
+    ), dev AS (
+        SELECT v.event_type, ABS(v.vc - med.median_cents) AS dv
+        FROM v JOIN med ON v.event_type = med.event_type
+    ), dhist AS (
+        SELECT event_type, dv, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dev GROUP BY 1, 2
+    ), dcum AS (
+        SELECT event_type, dv, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type
+                                 ORDER BY dv) AS BIGINT) AS cum
+        FROM dhist
+    ), mad AS (
+        SELECT dcum.event_type, CAST(MIN(dv) AS BIGINT) AS mad_cents
+        FROM dcum JOIN n_per ON dcum.event_type = n_per.event_type
+        WHERE dcum.cum >= (n_per.n + 1) // 2
+        GROUP BY 1
+    )
+    SELECT n_per.event_type, n_per.n,
+           med.median_cents, mad.mad_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dev
+            WHERE dev.event_type = n_per.event_type
+              AND dev.dv > 5 * mad.mad_cents) AS n_outliers
+    FROM n_per
+    JOIN med ON n_per.event_type = med.event_type
+    JOIN mad ON n_per.event_type = mad.event_type
+    """,
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median and MAD (median
+    absolute deviation) of event values per event_type, plus the
+    count of points beyond 5 MADs — the estimator data-quality
+    monitors use where mean/stddev would be dragged by the very
+    outliers they hunt (50% breakdown point vs 0%).
+
+    The scalable exact-selection pattern (NOT a per-group window
+    sort, which is the repo's documented skew hazard): quantize to
+    int64 cents, build a per-group DISTINCT-VALUE histogram (one
+    partial-aggregated exchange — heavy groups collapse to their
+    value cardinality map-side), then take the k-th order statistic
+    as MIN(value) where the running count crosses ceil(n/2); the
+    running sum's window orders only the distinct-value rows, not
+    the data. The MAD repeats the same two steps on |x - median|.
+    Everything is integer arithmetic — no float anywhere — so both
+    engines agree exactly; the lower median keeps even-sized groups
+    integral. At 100 TB with unbounded value cardinality, the
+    histogram step swaps for the mergeable fixed-bin sketch
+    (agg_histogram_quantile_value_bound) at the cost of bin-width
+    error; this exact form is also its certification instrument.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type",
+                  F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
+
+    def _kth_smallest(vals: DataFrame, col: str, out: str) -> DataFrame:
+        """MIN(col) where the per-group running count crosses
+        ceil(n/2), off a distinct-value histogram."""
+        hist = vals.groupBy("event_type", col).agg(
+            F.count("*").alias("c"))
+        w = (Window.partitionBy("event_type").orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        n_per = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
+        return (hist.withColumn("cum", F.sum("c").over(w))
+                .join(F.broadcast(n_per), "event_type")
+                .filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+                .groupBy("event_type")
+                .agg(F.min(col).alias(out)))
+
+    med = _kth_smallest(v, "vc", "median_cents")
+    dev = (v.join(F.broadcast(med), "event_type")
+           .select("event_type",
+                   F.abs(F.col("vc") - F.col("median_cents")).alias("dv")))
+    mad = _kth_smallest(dev, "dv", "mad_cents")
+    n_per = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    out = (dev.join(F.broadcast(mad), "event_type")
+           .groupBy("event_type")
+           .agg(F.sum(F.when(F.col("dv") > 5 * F.col("mad_cents"), 1)
+                      .otherwise(0)).alias("n_outliers")))
+    return (n_per.join(F.broadcast(med), "event_type")
+            .join(F.broadcast(mad), "event_type")
+            .join(F.broadcast(out), "event_type")
+            .select("event_type", "n", "median_cents", "mad_cents",
+                    "n_outliers"))

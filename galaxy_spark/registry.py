@@ -176,6 +176,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "graph_hyperball_ball2",
     "agg_kmv_set_intersection",
     "ml_ols_price_on_quantity",
+    "quality_mad_outliers",
 )
 
 

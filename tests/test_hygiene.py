@@ -190,3 +190,34 @@ def test_weighted_sample_is_length_biased_and_plans_topk(spark):
 
     from galaxy_spark.plans import physical_plan
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_mad_outliers_matches_numpy_reference(spark):
+    """The distinct-value-histogram order-statistic selection must
+    land on exactly numpy's lower median (and the MAD built from
+    it) — pinning the selection algebra independently of the DuckDB
+    oracle, which shares the formulation."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["quality_mad_outliers"](spark, sf).collect()
+    assert len(rows) >= 3
+
+    ev = (load_table(spark, sf, "events")
+          .select("event_type",
+                  F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
+          .collect())
+    for r in rows:
+        x = np.sort([t.vc for t in ev if t.event_type == r.event_type])
+        k = math.floor((len(x) + 1) / 2)
+        med = int(x[k - 1])                      # lower median
+        assert r.median_cents == med
+        d = np.sort(np.abs(x - med))
+        assert r.mad_cents == int(d[k - 1])
+        assert r.n_outliers == int((d > 5 * r.mad_cents).sum())
