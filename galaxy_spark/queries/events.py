@@ -312,3 +312,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.floor(F.datediff("active_week", "cohort_week")
                              / F.lit(7.0)).cast("int").alias("week_offset"))
             .agg(F.count("*").alias("n_users")))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ), trans AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT src, CAST(SUM(n) AS BIGINT) AS out_n
+        FROM trans GROUP BY 1
+    )
+    SELECT t.src, t.dst, t.n,
+           ROUND(t.n * 1.0 / tot.out_n, 6) AS p
+    FROM trans t JOIN tot ON t.src = tot.src
+    """,
+)
+def events_markov_transitions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each consecutive (event, next event) pair in a
+    user's timeline, the transition count and row-normalized
+    probability — the path-analysis primitive behind "what do users
+    do after X" funnels, next-action models, and behavioral-cohort
+    features.
+
+    Shape at scale: ONE window (LEAD over the per-user sort the
+    sessionization query already defines — partitioned by user, so
+    parallelism is user cardinality and no reducer sees more than
+    one user's timeline), then the pair counts partial-aggregate on
+    the tiny (src, dst) key and the row totals broadcast back for
+    normalization. Determinism: ties in ts break on event_id (the
+    repo's sessionization convention); counts are integers and the
+    probability is a single ROUND(n * 1.0 / out_n, 6) — identical
+    IEEE division on identical integers in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    trans = (seq.filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count("*").alias("n")))
+    tot = trans.groupBy("src").agg(F.sum("n").alias("out_n"))
+    return (trans.join(F.broadcast(tot), "src")
+            .select("src", "dst", "n",
+                    F.round(F.col("n") * F.lit(1.0) / F.col("out_n"), 6)
+                    .alias("p")))

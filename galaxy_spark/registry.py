@@ -177,6 +177,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "agg_kmv_set_intersection",
     "ml_ols_price_on_quantity",
     "quality_mad_outliers",
+    "events_markov_transitions",
 )
 
 
