@@ -1134,3 +1134,67 @@ def agg_quantile_sketch_bound(spark: SparkSession,
         "event_type", "n_events",
         (F.abs(F.col("n_le") / F.col("n_events") - 0.5) <= 0.01)
         .alias("median_within_bound"))
+
+
+@register(
+    "window_functions_showcase",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority AS prio, o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               NTILE(4) OVER pw AS quartile,
+               ROUND(PERCENT_RANK() OVER pw, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER pw, 6) AS cume,
+               LAG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 1, 0)
+                   OVER pw AS prev_cents,
+               LEAD(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 1, 0)
+                   OVER pw AS next_cents,
+               FIRST_VALUE(o_orderkey) OVER pw AS first_key,
+               NTH_VALUE(o_orderkey, 2) OVER
+                   (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS second_key
+        FROM orders
+        WINDOW pw AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    )
+    SELECT prio, o_orderkey, cents, quartile, pct_rank, cume,
+           prev_cents, next_cents, first_key, second_key
+    FROM w
+    """,
+)
+def window_functions_showcase(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The remaining analytic-window surface certified in one query:
+    NTILE, PERCENT_RANK, CUME_DIST, LAG/LEAD with defaults,
+    FIRST_VALUE, and full-frame NTH_VALUE, partitioned by order
+    priority and ordered by the UNIQUE order key — uniqueness makes
+    every one of these deterministic (rank functions over ties are
+    engine-unordered; over a key they are pure functions of the
+    data). PERCENT_RANK and CUME_DIST are small-integer divisions
+    (exact IEEE on both engines), rounded at 1e-6 by convention.
+
+    Shape at scale: all eight functions share ONE partition+sort —
+    a single exchange on the 5-value priority key and one sort per
+    partition (Spark computes the whole set in one Window node;
+    the full-frame NTH_VALUE adds an unbounded-following frame over
+    the same sort, not a second exchange). The 5-partition key is
+    deliberately coarse: per-reducer work is |orders|/5, the
+    documented window skew hazard, which is the point — this query
+    is also the regression canary for that plan shape.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    pw = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    full = pw.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return od.select(
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderkey",
+        cents.alias("cents"),
+        F.ntile(4).over(pw).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(pw), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(pw), 6).alias("cume"),
+        F.lag(cents, 1, 0).over(pw).alias("prev_cents"),
+        F.lead(cents, 1, 0).over(pw).alias("next_cents"),
+        F.first("o_orderkey").over(pw).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"))

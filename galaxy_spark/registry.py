@@ -178,6 +178,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "ml_ols_price_on_quantity",
     "quality_mad_outliers",
     "events_markov_transitions",
+    "window_functions_showcase",
 )
 
 
