@@ -254,14 +254,17 @@ def _decode_newdecimal(r: _Reader, precision: int, scale: int) -> str:
 
 
 def _read_frac(r: _Reader, fsp: int) -> str:
-    """Fractional-second suffix for the *2 temporal types: fsp
-    digits stored in ceil(fsp/2) big-endian bytes as the fraction
-    scaled to fsp digits. Empty string when fsp == 0."""
+    """Fractional-second suffix for the *2 temporal types: stored
+    in ceil(fsp/2) big-endian bytes as the fraction scaled to
+    2*ceil(fsp/2) digits (fsp=1 stores centiseconds 0-99; fsp=3
+    stores 100-us units 0-9999), rendered to EXACTLY fsp digits —
+    formatting the raw value at fsp digits printed 2n digits for
+    odd fsp ('.500' came out '.5000'). Empty when fsp == 0."""
     n = (fsp + 1) // 2
     if n == 0:
         return ""
     v = int.from_bytes(r.take(n), "big")
-    return f".{v:0{fsp}d}"
+    return "." + f"{v:0{2 * n}d}"[:fsp]
 
 
 # MySQL JSON binary (json_binary.cc public layout) type bytes
@@ -497,7 +500,8 @@ def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
         txt = (f"{sign}{(packed >> 12) & 0x3FF:02d}"
                f":{(packed >> 6) & 0x3F:02d}:{packed & 0x3F:02d}")
         if meta:
-            txt += f".{frac:0{meta}d}"
+            # stored at 2n digits, rendered to exactly fsp digits
+            txt += "." + f"{frac:0{2 * n}d}"[:meta]
         return txt
     if col_type == TYPE_TIMESTAMP:
         # legacy (pre-5.6.4) TIMESTAMP: 4-byte LE epoch, no fsp
@@ -582,17 +586,28 @@ def _detect_checksum(raw_event: bytes) -> bool:
     """FORMAT_DESCRIPTION checksum probe: a 5.6+ server appends a
     checksum-algorithm byte (0 = NONE, 1 = CRC32) plus the FDE's
     own 4-byte CRC to the FDE body. Returns True iff the alg byte
-    reads CRC32 AND the FDE's own CRC verifies (self-consistent, so
-    a legacy trailer-less FDE whose last bytes happen to be
-    ambiguous can never false-positive); raises if the alg byte
-    claims CRC32 but the FDE's checksum is wrong."""
+    reads CRC32 AND the FDE's own CRC verifies; raises if the alg
+    byte claims CRC32 but the checksum is wrong. The trailer's very
+    EXISTENCE is decided by the FDE's own server_version string
+    first: pre-5.6.1 servers never write the alg byte, so for them
+    body[-5] is just a post-header-length (1 is a legal length) and
+    reading it as the alg byte misclassified valid legacy streams
+    — previously as a hard ValueError when the accidental CRC
+    didn't verify."""
+    import re as _re
     import zlib
 
     body = raw_event[19:]
     # 57 fixed FDE bytes (version u16 + server_version 50 +
     # create_ts u32 + header_len u8) + >=1 post-header length +
     # alg byte + CRC32
-    if len(body) < 57 + 1 + 5 or body[-5] != 1:
+    if len(body) < 57 + 1 + 5:
+        return False
+    ver = body[2:52].split(b"\x00", 1)[0].decode("latin-1")
+    m = _re.match(r"(\d+)\.(\d+)\.(\d+)", ver)
+    if m and tuple(int(g) for g in m.groups()) < (5, 6, 1):
+        return False                       # trailer cannot exist
+    if body[-5] != 1:
         return False
     stored = int.from_bytes(raw_event[-4:], "little")
     if zlib.crc32(raw_event[:-4]) != stored:

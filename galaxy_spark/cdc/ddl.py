@@ -147,9 +147,23 @@ def parse_alter(query: str) -> AlterStatement | None:
             continue
         action = toks[0].lower()
         rest = toks[1:]
-        if rest and rest[0].lower() == "column":
+        had_column_kw = bool(rest) and rest[0].lower() == "column"
+        if had_column_kw:
             rest = rest[1:]
         if not rest:
+            continue
+        # ADD/DROP INDEX|KEY|CONSTRAINT|... are schema-neutral for
+        # column projection and MUST NOT be read as column ops —
+        # 'ADD INDEX idx(email)' once inserted a phantom column
+        # named 'index' and quarantined the whole table. The bare
+        # keyword is an index op ONLY without the COLUMN keyword:
+        # a column legitimately named `key` arrives quoted or as
+        # 'ADD COLUMN key ...', which had_column_kw distinguishes.
+        if (not had_column_kw and action in ("add", "drop")
+                and rest[0].lower() in (
+                    "index", "key", "unique", "primary", "fulltext",
+                    "spatial", "foreign", "constraint", "check",
+                    "partition")):
             continue
         if action == "drop":
             ops.append(DropColumn(_unquote(rest[0])))
@@ -157,6 +171,16 @@ def parse_alter(query: str) -> AlterStatement | None:
             name = _unquote(rest[0])
             col_type, position = _parse_type_and_position(rest[1:])
             ops.append(AddColumn(name, col_type, position))
+        elif action == "rename" and had_column_kw:
+            # MySQL 8.0 'RENAME COLUMN old TO new' — silently
+            # skipping it left the registry stale under the most
+            # common 8.0 rename syntax (arity unchanged, so rows
+            # kept projecting under the obsolete name). 'RENAME TO
+            # t2' / 'RENAME KEY' have no COLUMN keyword and stay
+            # schema-neutral below.
+            if len(rest) >= 3 and rest[1].lower() == "to":
+                ops.append(RenameColumn(_unquote(rest[0]),
+                                        _unquote(rest[2])))
         elif action == "change":
             if len(rest) < 2:
                 continue

@@ -62,8 +62,16 @@ def project_changes(df: DataFrame, columns: Sequence[str],
     )  # delete -> NULL
 
     expected_rows = F.when(action == "update", F.lit(2)).otherwise(F.lit(1))
-    bad = (F.size(rows) != expected_rows) | ~F.coalesce(
-        _arity_ok(columns, F.coalesce(before_row, after_row)), F.lit(False)
+    # BOTH images must pass arity — validating only the coalesced
+    # (first non-null) image let an update with a short AFTER image
+    # reach map_from_arrays and abort the job instead of
+    # quarantining; a null image passes vacuously
+    bad = (F.size(rows) != expected_rows) | ~(
+        F.coalesce(_arity_ok(columns, before_row),
+                   before_row.isNull())
+        & F.coalesce(_arity_ok(columns, after_row),
+                     after_row.isNull())
+        & F.coalesce(before_row, after_row).isNotNull()
     )
 
     return (
@@ -114,11 +122,17 @@ def project_changes_by_schema(df: DataFrame, schemas: DataFrame,
         .when(action == "update", second)
     )
     expected_rows = F.when(action == "update", F.lit(2)).otherwise(F.lit(1))
-    img = F.coalesce(before_row, after_row)
+    # same both-images arity rule as project_changes above
     bad = (
         F.col("__cols").isNull()
         | (F.size(rows) != expected_rows)
-        | ~F.coalesce(F.size(img) == F.size("__cols"), F.lit(False))
+        | ~(
+            F.coalesce(F.size(before_row) == F.size("__cols"),
+                       before_row.isNull())
+            & F.coalesce(F.size(after_row) == F.size("__cols"),
+                         after_row.isNull())
+            & F.coalesce(before_row, after_row).isNotNull()
+        )
     )
 
     def zip_map(row: Column) -> Column:

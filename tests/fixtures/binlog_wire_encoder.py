@@ -110,11 +110,15 @@ def enc_year(v: int) -> bytes:
 
 
 def _enc_frac(micro_text: str, fsp: int) -> bytes:
-    """fsp-digit fraction text -> ceil(fsp/2) big-endian bytes."""
+    """Fraction text -> ceil(fsp/2) big-endian bytes. MySQL stores
+    the fraction scaled to 2*ceil(fsp/2) digits (the full byte
+    capacity: fsp=1 stores centiseconds 0-99, fsp=3 stores 100-us
+    units 0-9999), NOT to fsp digits — an odd-fsp value encoded at
+    fsp digits round-trips to a 10x-off rendering."""
     n = (fsp + 1) // 2
     if n == 0:
         return b""
-    return be(int((micro_text + "0" * fsp)[:fsp] or "0"), n)
+    return be(int((micro_text + "0" * (2 * n))[:2 * n] or "0"), n)
 
 
 def enc_datetime2(iso: str, fsp: int) -> bytes:
@@ -146,7 +150,8 @@ def enc_time2(text: str, fsp: int) -> bytes:
     main, _, frac = text.partition(".")
     h, m, s = (int(x) for x in main.split(":"))
     n = (fsp + 1) // 2
-    fr = int((frac + "0" * fsp)[:fsp] or "0") if fsp else 0
+    # fraction scaled to 2n digits, like _enc_frac
+    fr = int((frac + "0" * (2 * n))[:2 * n] or "0") if fsp else 0
     value = (((h << 12) | (m << 6) | s) << (8 * n)) + fr
     if neg:
         value = -value

@@ -357,3 +357,58 @@ def test_rich_bytes_through_source_and_projection_decimal_exact(
     assert upd.after["dur"] == "-00:00:01.00"
     (dele,) = by_action["delete"]
     assert dele.before["amount"] == "12345678.9999" and dele.after is None
+
+
+def test_odd_fsp_fraction_is_mysql_scaled():
+    """MySQL stores *2-temporal fractions scaled to 2*ceil(fsp/2)
+    digits (fsp=1 -> centiseconds, fsp=3 -> 100us units), rendered
+    to exactly fsp digits. Golden-byte assertions — not just a
+    round-trip, which a convention shared by encoder and decoder
+    would pass while both are 10x off (they were)."""
+    from tests.fixtures.binlog_wire_encoder import (enc_datetime2,
+                                                    enc_time2)
+    from galaxy_spark.cdc.binlog import _Reader, _decode_value
+    from galaxy_spark.cdc.binlog import TYPE_DATETIME2, TYPE_TIME2
+
+    # DATETIME(3): .500 seconds must store as 5000 (units of 100us)
+    blob = enc_datetime2("2024-02-29 12:00:00.500", 3)
+    assert int.from_bytes(blob[5:7], "big") == 5000
+    assert _decode_value(_Reader(blob), TYPE_DATETIME2, 3) \
+        == "2024-02-29 12:00:00.500"
+
+    # DATETIME(1): .9 must store as 90 centiseconds, render '.9'
+    blob = enc_datetime2("2024-02-29 12:00:00.9", 1)
+    assert blob[5] == 90
+    assert _decode_value(_Reader(blob), TYPE_DATETIME2, 1) \
+        == "2024-02-29 12:00:00.9"
+
+    # TIME(5): fraction in microseconds across 3 bytes
+    blob = enc_time2("01:02:03.00042", 5)
+    assert _decode_value(_Reader(blob), TYPE_TIME2, 5) \
+        == "01:02:03.00042"
+
+    # negative TIME(1) with borrow across the packed boundary
+    blob = enc_time2("-00:00:01.5", 1)
+    assert _decode_value(_Reader(blob), TYPE_TIME2, 1) == "-00:00:01.5"
+
+
+def test_legacy_fde_with_accidental_alg_byte_is_not_checksummed():
+    """A pre-5.6.1 FDE has NO checksum trailer — body[-5] is just a
+    post-header-length, and 1 is a legal length. Such a stream must
+    decode as checksum=NONE, not raise 'checksum does not verify'
+    (the old probe read the accidental byte as the alg byte, and
+    the accidental CRC can essentially never verify)."""
+    import struct
+
+    from galaxy_spark.cdc.binlog import _detect_checksum, decode_binlog
+
+    # hand-build a 5.5-era FDE: v4 header + 57 fixed bytes + a
+    # post-header-length array whose LAST FIVE bytes start with 1
+    body = (struct.pack("<H", 4) + b"5.5.62-log".ljust(50, b"\x00")
+            + struct.pack("<I", 0) + bytes([19])
+            + bytes(30) + bytes([1, 0, 0, 0, 0]))  # lengths, last-5 = 1,...
+    header = struct.pack("<IBIIIH", 0, 15, 1, 19 + len(body), 0, 0)
+    raw = header + body
+    assert _detect_checksum(raw) is False
+    events = decode_binlog(raw)
+    assert events[0].kind == "format_description"

@@ -108,3 +108,35 @@ def test_snapshot_fold_correct_under_100x_hot_key(spark, tmp_path):
 
     assert spark.conf.get(
         "spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_update_with_short_after_image_quarantines(spark):
+    """An update whose AFTER image is short (e.g. a mid-DDL race)
+    must quarantine, not crash: validating only the coalesced
+    (first non-null) image let the bad after row reach
+    map_from_arrays and abort the job. Both images are checked now,
+    in both projection variants."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.cdc.projections import (project_changes,
+                                              project_changes_by_schema)
+
+    rows = [
+        ("d", "t", "update", [["1", "a"], ["2", "b"]]),   # ok
+        ("d", "t", "update", [["1", "a"], ["2"]]),        # short AFTER
+        ("d", "t", "update", [["1"], ["2", "b"]]),        # short BEFORE
+        ("d", "t", "insert", [["1", "a"]]),               # ok
+    ]
+    df = spark.createDataFrame(
+        rows, "database string, table string, action string, "
+              "org_row array<array<string>>")
+
+    out = project_changes(df, ["id", "v"]).collect()
+    assert [r.quarantined for r in out] == [False, True, True, False]
+    assert out[0].after["v"] == "b" and out[3].after["id"] == "1"
+
+    schemas = spark.createDataFrame(
+        [("d", "t", ["id", "v"])],
+        "database string, table string, columns array<string>")
+    out2 = project_changes_by_schema(df, schemas).collect()
+    assert [r.quarantined for r in out2] == [False, True, True, False]

@@ -165,3 +165,43 @@ def test_struct_type_nullability():
     st = reg.get("test", "casbin_rule").struct_type()
     assert st["id"].nullable is False
     assert st["v0"].nullable is True
+
+
+def test_index_and_constraint_ddl_is_schema_neutral():
+    """ADD/DROP INDEX|KEY|PRIMARY KEY|FOREIGN KEY|CONSTRAINT must
+    never be read as column ops — 'ADD INDEX idx(email)' once
+    inserted a phantom column named 'index' and quarantined every
+    later row of the table on arity; 'DROP KEY x' once deleted a
+    real column named 'key'. The bare keyword means an index op
+    only WITHOUT the COLUMN keyword: quoted/COLUMN-prefixed columns
+    named 'key'/'index' still parse as columns."""
+    neutral = [
+        "ALTER TABLE t ADD INDEX idx_email (email)",
+        "ALTER TABLE t ADD KEY k1 (a, b)",
+        "ALTER TABLE t ADD UNIQUE INDEX u1 (a)",
+        "ALTER TABLE t ADD PRIMARY KEY (id)",
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES r(b)",
+        "ALTER TABLE t DROP KEY idx_users_email",
+        "ALTER TABLE t DROP INDEX i1",
+        "ALTER TABLE t DROP PRIMARY KEY",
+        "ALTER TABLE t DROP FOREIGN KEY fk1",
+        "ALTER TABLE t RENAME TO t2",
+        "ALTER TABLE t RENAME KEY k1 TO k2",
+    ]
+    for q in neutral:
+        assert parse_alter(q) is None, q
+
+    st = parse_alter("ALTER TABLE t ADD COLUMN key int")
+    assert st.ops == (AddColumn("key", "int", None),)
+    st = parse_alter("ALTER TABLE t DROP COLUMN `index`")
+    assert st.ops == (DropColumn("index"),)
+    st = parse_alter("ALTER TABLE t ADD COLUMN c int, ADD INDEX ix (c)")
+    assert st.ops == (AddColumn("c", "int", None),)
+
+
+def test_rename_column_8_0_syntax():
+    """MySQL 8.0 'RENAME COLUMN old TO new' — arity-neutral, so
+    silently skipping it left every later projection under the
+    obsolete name (no quarantine to surface it)."""
+    st = parse_alter("ALTER TABLE t RENAME COLUMN old_c TO new_c")
+    assert st.ops == (RenameColumn("old_c", "new_c", None),)
