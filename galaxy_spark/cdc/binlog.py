@@ -130,6 +130,15 @@ _META_LEN = {TYPE_TINY: 0, TYPE_SHORT: 0, TYPE_LONG: 0,
 _DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
 
 
+#: column types counted by the 8.0 SIGNEDNESS optional-metadata
+#: bitmap (MySQL's is_numeric_type order — one bit per numeric
+#: column, MSB-first). Only the integer types change decode; the
+#: others carry sign in the value itself.
+_NUMERIC_TYPES = frozenset({
+    1, 2, 3, 4, 5, 8, 9, 13, 246,
+})  # TINY SHORT LONG FLOAT DOUBLE LONGLONG INT24 YEAR NEWDECIMAL
+
+
 @dataclass
 class TableMap:
     table_id: int
@@ -137,6 +146,13 @@ class TableMap:
     table: str
     col_types: list[int]
     col_meta: list[int]
+    #: per-COLUMN unsigned flags from the 8.0 TABLE_MAP optional
+    #: metadata (SIGNEDNESS TLV); all-False when the writer is
+    #: pre-8.0 / did not send it — signed decode, the old behavior
+    unsigned: list[bool] = field(default_factory=list)
+
+    def is_unsigned(self, i: int) -> bool:
+        return bool(self.unsigned) and self.unsigned[i]
 
 
 @dataclass
@@ -205,6 +221,9 @@ class _Reader:
 
     def rest(self) -> bytes:
         return self.take(len(self.buf) - self.off)
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.off
 
 
 def _bitmap_bit(bitmap: bytes, i: int) -> bool:
@@ -436,20 +455,30 @@ def _wkb_to_wkt(wkb: bytes) -> str:
     return txt
 
 
-def _decode_value(r: _Reader, col_type: int, meta: int) -> str:
+def _decode_value(r: _Reader, col_type: int, meta: int,
+                  unsigned: bool = False) -> str:
     """One column value -> transport string (the JSON degrade;
     NEWDECIMAL/temporals render canonical MySQL text, see module
-    docstring)."""
+    docstring). ``unsigned`` comes from the TABLE_MAP SIGNEDNESS
+    metadata and flips the integer types' interpretation — the
+    bytes are identical on the wire; without the flag, INT UNSIGNED
+    values above the signed midpoint rendered negative."""
     if col_type == TYPE_TINY:
-        return str(struct.unpack("<b", r.take(1))[0])
+        v = r.take(1)
+        return str(v[0] if unsigned else struct.unpack("<b", v)[0])
     if col_type == TYPE_SHORT:
-        return str(struct.unpack("<h", r.take(2))[0])
+        return str(struct.unpack("<H" if unsigned else "<h",
+                                 r.take(2))[0])
     if col_type == TYPE_LONG:
-        return str(struct.unpack("<i", r.take(4))[0])
+        return str(struct.unpack("<I" if unsigned else "<i",
+                                 r.take(4))[0])
     if col_type == TYPE_LONGLONG:
-        return str(struct.unpack("<q", r.take(8))[0])
+        return str(struct.unpack("<Q" if unsigned else "<q",
+                                 r.take(8))[0])
     if col_type == TYPE_INT24:
         v = int.from_bytes(r.take(3), "little")
+        if unsigned:
+            return str(v)
         return str(v - 0x1000000 if v & 0x800000 else v)
     if col_type == TYPE_FLOAT:
         return str(struct.unpack("<f", r.take(4))[0])
@@ -577,7 +606,8 @@ def _decode_row_image(r: _Reader, tmap: TableMap,
         if _bitmap_bit(null_bits, j):
             out.append(None)
         else:
-            out.append(_decode_value(r, ct, meta))
+            out.append(_decode_value(r, ct, meta,
+                                     unsigned=tmap.is_unsigned(i)))
         j += 1
     return out
 
@@ -682,7 +712,28 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
                 else:
                     col_meta.append(meta_blob.u16())
             r.take((n_cols + 7) // 8)  # nullability bitmap (unused)
-            table_maps[tid] = TableMap(tid, db, tbl, col_types, col_meta)
+            # 8.0 optional metadata: TLVs (type u8, len lenenc,
+            # value). SIGNEDNESS (type 1) is a bitmap over the
+            # NUMERIC columns in field order, MSB-first — without
+            # it INT UNSIGNED 4294967295 decoded as -1 (discarding
+            # the TLVs was the old behavior). Unknown TLV types are
+            # skipped by length: they are typed extensions, not
+            # framing, so skip-don't-raise is the spec's intent.
+            unsigned = [False] * n_cols
+            while r.remaining() > 0:
+                tlv_type = r.u8()
+                tlv = _Reader(r.take(r.lenenc()))
+                if tlv_type == 1:          # SIGNEDNESS
+                    bits = tlv.take(tlv.remaining())
+                    j = 0
+                    for i, ct in enumerate(col_types):
+                        if ct in _NUMERIC_TYPES:
+                            if j < len(bits) * 8 and (
+                                    bits[j // 8] >> (7 - j % 8)) & 1:
+                                unsigned[i] = True
+                            j += 1
+            table_maps[tid] = TableMap(tid, db, tbl, col_types,
+                                       col_meta, unsigned)
         elif etype in _ACTIONS:
             tid = r.u48()
             r.u16()  # flags

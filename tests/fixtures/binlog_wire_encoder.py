@@ -59,7 +59,10 @@ def le(v: int, n: int) -> bytes:
 
 
 def le_signed(v: int, n: int) -> bytes:
-    return int(v).to_bytes(n, "little", signed=True)
+    """Two's-complement little-endian; unsigned-range values share
+    the same wire bytes, so accept the full n-byte range."""
+    v = int(v)
+    return v.to_bytes(n, "little", signed=v < 0)
 
 
 def be(v: int, n: int) -> bytes:
@@ -419,8 +422,11 @@ class BinlogWriter:
                 + le(0, 2) + d + b"\x00" + sql.encode())
         self._emit(2, body)
 
+    #: types counted by the SIGNEDNESS bitmap (numeric field order)
+    NUMERIC_TYPES = frozenset({1, 2, 3, 4, 5, 8, 9, 13, 246})
+
     def table_map(self, table_id: int, db: str, table: str,
-                  columns: list) -> None:
+                  columns: list, unsigned: list | None = None) -> None:
         d, t = db.encode(), table.encode()
         metas = b"".join(meta_bytes(ct, m) for ct, m in columns)
         body = (le(table_id, 6) + le(0, 2)
@@ -431,6 +437,18 @@ class BinlogWriter:
                 + bytes([len(metas)]) + metas
                 + self._bitmap(list(range(len(columns))),
                                len(columns)))      # all nullable
+        if unsigned is not None:
+            # 8.0 optional metadata: SIGNEDNESS TLV — one bit per
+            # NUMERIC column in field order, MSB-first
+            bits = bytearray((sum(1 for ct, _ in columns
+                                  if ct in self.NUMERIC_TYPES) + 7) // 8)
+            j = 0
+            for i, (ct, _) in enumerate(columns):
+                if ct in self.NUMERIC_TYPES:
+                    if unsigned[i]:
+                        bits[j // 8] |= 1 << (7 - j % 8)
+                    j += 1
+            body += bytes([1, len(bits)]) + bytes(bits)
         self._emit(19, body)
 
     @staticmethod

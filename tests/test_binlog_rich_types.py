@@ -412,3 +412,44 @@ def test_legacy_fde_with_accidental_alg_byte_is_not_checksummed():
     assert _detect_checksum(raw) is False
     events = decode_binlog(raw)
     assert events[0].kind == "format_description"
+
+
+def test_unsigned_integers_decode_via_signedness_metadata():
+    """The 8.0 TABLE_MAP SIGNEDNESS optional-metadata TLV flips the
+    integer types to unsigned decode: INT UNSIGNED 4294967295 must
+    render '4294967295', not '-1' (the wire bytes are identical —
+    only the metadata distinguishes them). Without the TLV (pre-8.0
+    writer) decode stays signed, and unknown TLV types are skipped
+    by length."""
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    cols = [(1, 0), (2, 0), (9, 0), (3, 0), (8, 0), (15, 64)]
+    vals = [255, 65535, 16777215, 4294967295, 2**64 - 1, "tail"]
+
+    w = BinlogWriter()
+    w.format_description()
+    w.table_map(7, "d", "t", cols,
+                unsigned=[True, True, True, True, True, False])
+    w.write_rows(7, cols, [vals])
+    rows = mq_rows_from_binlog(w.bytes())
+    assert rows[0][3][0] == ["255", "65535", "16777215",
+                            "4294967295", "18446744073709551615",
+                            "tail"]
+
+    # same bytes WITHOUT the TLV -> signed decode (old behavior)
+    w2 = BinlogWriter()
+    w2.format_description()
+    w2.table_map(7, "d", "t", cols)
+    w2.write_rows(7, cols, [vals])
+    rows2 = mq_rows_from_binlog(w2.bytes())
+    assert rows2[0][3][0] == ["-1", "-1", "-1", "-1", "-1", "tail"]
+
+    # mixed signedness on one table
+    w3 = BinlogWriter()
+    w3.format_description()
+    w3.table_map(7, "d", "t", cols,
+                 unsigned=[False, True, False, True, False, False])
+    w3.write_rows(7, cols, [vals])
+    rows3 = mq_rows_from_binlog(w3.bytes())
+    assert rows3[0][3][0] == ["-1", "65535", "-1", "4294967295",
+                              "-1", "tail"]
