@@ -15,9 +15,15 @@ over plain bytes:
 - HandshakeResponse41 build with ``mysql_native_password`` proof:
   ``SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd)))``;
 - OK/ERR packet classification;
-- COM_REGISTER_SLAVE and COM_BINLOG_DUMP command builders
-  (the reference's start position semantics: dump from a saved
+- the pre-dump command phase a 5.6+ server REQUIRES:
+  ``SET @master_binlog_checksum = @@global.binlog_checksum`` (the
+  dump is refused without it on a default CRC32-checksummed
+  server), then COM_REGISTER_SLAVE and COM_BINLOG_DUMP (the
+  reference's start position semantics: dump from a saved
   ``(file, pos)``, ``pkg/shared.go:13-14``);
+- the dump's synthetic pre-FDE fake ROTATE (checksummed on a CRC32
+  stream even though the FDE declaring the mode comes after it):
+  decoded by CRC-sniff, never written to relay segments;
 - the replication stream itself: each event arrives as one packet
   with a leading 0x00 OK byte; stripping it yields exactly the
   event bytes ``cdc/binlog.py:decode_binlog`` reads (CRC32
@@ -212,6 +218,51 @@ def authenticate(conn: PacketConn, user: str, password: str) -> dict:
     return hs
 
 
+def build_query(sql: str) -> bytes:
+    return bytes([COM_QUERY]) + sql.encode()
+
+
+def _start_dump(conn: PacketConn, server_id: int, file: str,
+                pos: int) -> None:
+    """The pre-dump command phase a real 5.6+ master REQUIRES:
+    ``SET @master_binlog_checksum = @@global.binlog_checksum``
+    (without it a default-configured server refuses the dump with
+    'Slave can not handle replication events with the checksum...'
+    — the statement returns a plain OK, no resultset needed), then
+    COM_REGISTER_SLAVE, then COM_BINLOG_DUMP."""
+    conn.write_payload(build_query(
+        "SET @master_binlog_checksum = @@global.binlog_checksum"),
+        seq=0)
+    kind, info = classify_response(conn.read_packet())
+    if kind != "ok":
+        raise ConnectionError(
+            f"SET @master_binlog_checksum refused: {info}")
+    conn.write_payload(build_register_slave(server_id), seq=0)
+    kind, info = classify_response(conn.read_packet())
+    if kind != "ok":
+        raise ConnectionError(f"COM_REGISTER_SLAVE refused: {info}")
+    conn.write_payload(build_binlog_dump(server_id, file, pos,
+                                         non_blocking=True), seq=0)
+
+
+def _rotate_next_name(ev: bytes) -> tuple[str, bool]:
+    """Next-file name from a ROTATE whose checksum framing is
+    UNKNOWN — the server's synthetic pre-FDE fake ROTATE arrives
+    BEFORE the FDE that would declare the algorithm, and on a CRC32
+    stream it IS checksummed: parsing body[8:] as the name then
+    swallows the 4 CRC bytes (usually invalid UTF-8 -> crash at
+    stream start). Sniff: if the last 4 bytes verify as the CRC32
+    of the rest, strip them (2^-32 false-positive on a name whose
+    tail happens to match). Returns (name, was_checksummed)."""
+    import zlib
+
+    if (len(ev) >= 31
+            and zlib.crc32(ev[:-4]) == int.from_bytes(ev[-4:],
+                                                      "little")):
+        return ev[27:-4].decode(), True    # 19 header + 8 position
+    return ev[27:].decode(), False
+
+
 def relay_to_segments(sock, user: str, password: str, server_id: int,
                       file: str, pos: int, out_dir: str,
                       max_events: int | None = None) -> int:
@@ -241,12 +292,7 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
 
     conn = PacketConn(sock)
     authenticate(conn, user, password)
-    conn.write_payload(build_register_slave(server_id), seq=0)
-    kind, info = classify_response(conn.read_packet())
-    if kind != "ok":
-        raise ConnectionError(f"COM_REGISTER_SLAVE refused: {info}")
-    conn.write_payload(build_binlog_dump(server_id, file, pos,
-                                         non_blocking=True), seq=0)
+    _start_dump(conn, server_id, file, pos)
 
     os.makedirs(out_dir, exist_ok=True)
     crc32_mode = False
@@ -285,6 +331,15 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
                 if fh is None:
                     open_segment(cur)    # seeds magic + this FDE
                 continue                 # never written twice
+            if etype == ROTATE_EVENT and fde is None:
+                # the server's synthetic pre-FDE fake ROTATE: it
+                # only ANNOUNCES the file the dump starts in. Real
+                # relay logs don't store it, and opening a segment
+                # here would beat the FDE to it (a first segment
+                # with no FDE seed that cannot decode standalone) —
+                # record the name and wait for the FDE.
+                cur, _ = _rotate_next_name(ev)
+                continue
             if fh is None:
                 open_segment(cur)
             if etype == ROTATE_EVENT:
@@ -322,16 +377,12 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
     packets). ERR packets raise; EOF (0xFE short packet, sent under
     BINLOG_DUMP_NON_BLOCK) ends the stream.
     """
-    from galaxy_spark.cdc.binlog import decode_binlog
+    from galaxy_spark.cdc.binlog import (ROTATE_EVENT, DecodedEvent,
+                                         decode_binlog)
 
     conn = PacketConn(sock)
     authenticate(conn, user, password)
-    conn.write_payload(build_register_slave(server_id), seq=0)
-    kind, info = classify_response(conn.read_packet())
-    if kind != "ok":
-        raise ConnectionError(f"COM_REGISTER_SLAVE refused: {info}")
-    conn.write_payload(build_binlog_dump(server_id, file, pos,
-                                         non_blocking=True), seq=0)
+    _start_dump(conn, server_id, file, pos)
 
     # incremental decode: accumulate event bytes; decode_binlog is
     # re-run over the buffer so TABLE_MAP state is always in scope.
@@ -355,6 +406,22 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
         if payload[:1] != b"\x00":
             raise ValueError("unexpected packet in replication stream")
         ev_bytes = payload[1:]
+        if ev_bytes[4] == ROTATE_EVENT and not fde_raw:
+            # pre-FDE fake ROTATE: checksum framing unknown, so
+            # decode it standalone by CRC-sniff instead of letting
+            # decode_binlog (mode NONE until an FDE) read the CRC
+            # bytes into the file name
+            name, _ = _rotate_next_name(ev_bytes)
+            ev = DecodedEvent(
+                "rotate",
+                int.from_bytes(ev_bytes[0:4], "little"),
+                int.from_bytes(ev_bytes[13:17], "little"),
+                next_file=name)
+            yield ev
+            n_out += 1
+            if max_events is not None and n_out >= max_events:
+                return
+            continue
         if ev_bytes[4] == 15:                    # FORMAT_DESCRIPTION
             fde_raw = ev_bytes
         buf += ev_bytes

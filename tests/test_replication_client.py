@@ -30,6 +30,19 @@ SCRAMBLE = bytes(range(1, 21))                  # 20-byte nonce
 USER, PASSWORD = "repl", "s3cret"
 
 
+def _fake_rotate(name: str) -> bytes:
+    """The dump thread's synthetic pre-FDE ROTATE: timestamp 0,
+    log_pos 0, body = position u64 + file name — CHECKSUMMED
+    (CRC32 stream), because the real server checksums it even
+    though the FDE declaring the mode hasn't been sent yet."""
+    import zlib
+
+    body = struct.pack("<Q", 4) + name.encode()
+    ev = (struct.pack("<IBIIIH", 0, 4, 99, 19 + len(body) + 4, 0,
+                      0x20) + body)
+    return ev + struct.pack("<I", zlib.crc32(ev))
+
+
 def _events_bytes() -> list[bytes]:
     """The fixture split into raw per-event byte strings."""
     with open(RICH, "rb") as f:
@@ -106,6 +119,14 @@ class FakeMaster(threading.Thread):
             return
         self._send(b"\x00\x00\x00\x02\x00\x00\x00", 2)   # OK
 
+        # a 5.6+ master REQUIRES the replica to declare checksum
+        # support before the dump; verify the client sends it
+        _seq, cmd = self._read()
+        assert cmd[0] == rc.COM_QUERY
+        self.seen["set_checksum"] = cmd[1:].decode()
+        assert "master_binlog_checksum" in self.seen["set_checksum"]
+        self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+
         _seq, cmd = self._read()
         assert cmd[0] == rc.COM_REGISTER_SLAVE
         self.seen["server_id"] = struct.unpack("<I", cmd[1:5])[0]
@@ -117,6 +138,11 @@ class FakeMaster(threading.Thread):
         self.seen["dump"] = (pos, flags, sid, cmd[11:].decode())
         events = _events_bytes()
         seq = 1
+        # a real dump thread FIRST sends a synthetic checksummed
+        # fake ROTATE announcing the requested file — before the
+        # FDE that would declare the checksum mode
+        self._send(b"\x00" + _fake_rotate(cmd[11:].decode()), seq)
+        seq += 1
         for ev in events:
             # event START offset = header log_pos (END) - size;
             # fixture log_pos values are magic-inclusive already
@@ -149,10 +175,16 @@ def test_full_replication_handshake_and_stream():
     assert master.seen["dump"] == (4, 1, 4321, "binlog.000001")
     with open(RICH, "rb") as f:
         want = decode_binlog(f.read())
-    assert [(e.kind, e.log_pos) for e in got] == \
+    # the dump leads with the synthetic checksummed fake ROTATE
+    # announcing the requested file (decoded by CRC-sniff — the
+    # FDE that declares the mode hasn't arrived yet)
+    assert got[0].kind == "rotate" and got[0].log_pos == 0
+    assert got[0].next_file == "binlog.000001"
+    assert [(e.kind, e.log_pos) for e in got[1:]] == \
         [(e.kind, e.log_pos) for e in want]
     upd = [e for e in got if e.kind == "update"]
     assert upd and upd[0].rows[0][1][1] == "-987654.3210"
+    assert "master_binlog_checksum" in master.seen["set_checksum"]
 
 
 def test_resume_from_position_streams_suffix_only():
@@ -175,7 +207,7 @@ def test_resume_from_position_streams_suffix_only():
     kinds = [e.kind for e in got]
     assert "insert" not in kinds and "update" in kinds \
         and "delete" in kinds
-    assert kinds[0] == "format_description"
+    assert kinds[:2] == ["rotate", "format_description"]
 
 
 def test_wrong_password_is_refused():
@@ -231,9 +263,11 @@ def test_tail_decode_buffer_bounded_by_transaction(monkeypatch):
             self._send(hs, 0)
             self._read()
             self._send(b"\x00\x00\x00\x02\x00\x00\x00", 2)
-            self._read()
+            self._read()                           # SET checksum
             self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
-            self._read()
+            self._read()                           # REGISTER_SLAVE
+            self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+            self._read()                           # BINLOG_DUMP
 
     max_decoded = []
     real = B.decode_binlog
