@@ -107,6 +107,14 @@ def positional_org_row(env: DataFrame, registry) -> DataFrame:
     def row_from(map_col: str, names: list[str]) -> Column:
         return F.array(*[F.col(map_col).getItem(n) for n in names])
 
+    if not list(registry.tables()):
+        # empty registry: every row takes the quarantine path —
+        # the CASE-chain build below would otherwise emit
+        # F.array(None) and fail analysis instead of returning
+        # NULL org_rows
+        return env.withColumn(
+            "org_row",
+            F.lit(None).cast("array<array<string>>"))
     before_row, after_row = None, None
     for db, table in registry.tables():
         names = registry.column_names(db, table)

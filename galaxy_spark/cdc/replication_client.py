@@ -131,9 +131,15 @@ def parse_handshake_v10(payload: bytes) -> dict:
     auth_len = payload[p]
     p += 1 + 10                                  # reserved
     if capabilities & CLIENT_SECURE_CONNECTION:
-        # part 2: max(13, auth_len - 8) bytes incl. trailing \0
+        # part 2: max(13, auth_len - 8) bytes incl. trailing \0 —
+        # strip exactly ONE terminator: a scramble whose last real
+        # byte is 0x00 (1/256 of handshakes) must keep it, or the
+        # auth proof hashes 19 bytes and auth fails
         n2 = max(13, auth_len - 8)
-        scramble += payload[p:p + n2].rstrip(b"\x00")
+        part2 = payload[p:p + n2]
+        if part2.endswith(b"\x00"):
+            part2 = part2[:-1]
+        scramble += part2
         p += n2
     plugin = None
     if capabilities & CLIENT_PLUGIN_AUTH:

@@ -201,3 +201,23 @@ def test_debezium_parse_on_streaming_frames(spark, tmp_path):
     assert {r.database for r in got} == {"inventory"}
     assert sorted(r.action for r in got) == \
         ["delete", "insert", "insert", "insert", "update"]
+
+
+def test_positional_org_row_empty_registry_quarantines(spark):
+    """An empty registry (nothing bootstrapped yet) must produce
+    NULL org_rows — the quarantine path — not an analysis error
+    from an empty CASE chain."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.cdc.debezium import positional_org_row
+    from galaxy_spark.cdc.schema_registry import SchemaRegistry
+
+    env = (spark.createDataFrame(
+        [("d", "t", "insert")],
+        "database string, table string, action string")
+        .withColumn("before",
+                    F.lit(None).cast("map<string,string>"))
+        .withColumn("after",
+                    F.create_map(F.lit("id"), F.lit("1"))))
+    out = positional_org_row(env, SchemaRegistry()).collect()
+    assert out[0].org_row is None
