@@ -50,7 +50,11 @@ def project_changes(df: DataFrame, columns: Sequence[str],
     """
     action = F.col(action_col)
     rows = F.col(org_row_col)
-    first, second = rows.getItem(0), rows.getItem(1)
+    # F.get, not getItem: a malformed update with ONE row must take
+    # the quarantine path, and the arity check now evaluates the
+    # after image even on bad rows -- getItem(1) would raise
+    # INVALID_ARRAY_INDEX there instead of yielding NULL
+    first, second = F.get(rows, 0), F.get(rows, 1)
 
     before_row = (
         F.when(action == "delete", first)
@@ -111,7 +115,11 @@ def project_changes_by_schema(df: DataFrame, schemas: DataFrame,
     micro-batch after a registry update)."""
     action = F.col(action_col)
     rows = F.col(org_row_col)
-    first, second = rows.getItem(0), rows.getItem(1)
+    # F.get, not getItem: a malformed update with ONE row must take
+    # the quarantine path, and the arity check now evaluates the
+    # after image even on bad rows -- getItem(1) would raise
+    # INVALID_ARRAY_INDEX there instead of yielding NULL
+    first, second = F.get(rows, 0), F.get(rows, 1)
 
     before_row = (
         F.when(action == "delete", first)
