@@ -124,9 +124,17 @@ class EpochKeyedRollupStore:
         _fsync_path(tmp)
         try:
             os.rename(tmp, dest)
-        except OSError:  # lost the race: epoch already claimed
+        except OSError:
+            # benign ONLY if a racer actually claimed the epoch
+            # (dest exists). Any other failure — ENOSPC, a second
+            # store handle's constructor sweeping this in-flight
+            # tmp dir — must RAISE so Spark retries the batch;
+            # reporting it as a replay-skip (the old behavior)
+            # silently dropped a live epoch's aggregate.
             shutil.rmtree(tmp, ignore_errors=True)
-            return False
+            if os.path.exists(dest):
+                return False
+            raise
         _fsync_path(self.path)  # persist the rename itself
         return True
 

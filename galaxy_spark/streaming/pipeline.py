@@ -218,9 +218,16 @@ def start_pipeline_live(env_stream: DataFrame, task_id: str,
     _LIVE_MEMORY[task_id] = []
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        good = transform_envelope(batch_df, live_filter.get(),
-                                  columns).filter(~F.col("quarantined"))
-        msgs = routed_messages(good, task_id)
+        projected = transform_envelope(batch_df, live_filter.get(),
+                                       columns)
+        good = projected.filter(~F.col("quarantined"))
+        # same DLQ contract as start_pipeline: quarantined rows
+        # route to <task>.deadletter.<db>.<table> through the SAME
+        # sink — the live variant used to drop them on the floor,
+        # losing malformed payloads exactly on the pipeline meant
+        # for production filter updates
+        msgs = routed_messages(good, task_id).unionByName(
+            dead_letter_messages(projected, task_id))
         if sink.kind == "kafka":
             msgs.write.format("kafka").options(**sink.options).save()
         elif sink.kind == "memory":
@@ -249,7 +256,8 @@ def start_pipeline_live(env_stream: DataFrame, task_id: str,
     return writer.start()
 
 
-def ddl_apply_batch(registry: SchemaRegistry, default_db: str):
+def ddl_apply_batch(registry: SchemaRegistry, default_db: str,
+                    save_path: str | None = None):
     """foreachBatch handler for the QueryEvent/DDL branch (P5).
 
     The reference processes DDL inline in its single-threaded loop
@@ -257,9 +265,22 @@ def ddl_apply_batch(registry: SchemaRegistry, default_db: str):
     low-volume branch whose batches mutate the registry on the
     driver, then persist (the registry is re-broadcast to the data
     plane on the next micro-batch).
+
+    ``save_path`` is the persistence half of that contract: the
+    registry is saved (atomic tmp+rename) after each batch BEFORE
+    the handler returns, so Spark's commit log never advances past
+    DDL the durable registry hasn't absorbed. Without it, a restart
+    resumes after the DDL batch while the reloaded registry lacks
+    the ALTER — every later row of that table quarantines on arity
+    with no error anywhere (the reference's Badger save-on-change
+    signal, ``scheduler.go:45-67``, exists for exactly this).
+    Passing None keeps the in-memory-only behavior for tests /
+    bootstrapped-per-run registries, now an explicit choice.
     """
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         # tiny control stream: collect is bounded by DDL rate, not data
         for row in batch_df.select("database", "query").collect():
             registry.apply_ddl(row["database"] or default_db, row["query"])
+        if save_path is not None:
+            registry.save(save_path)
     return handle

@@ -75,12 +75,18 @@ class KeyedParquetStore:
 
     def __init__(self, spark: SparkSession, path: str,
                  key_cols: list[str], aggs: list[Column],
-                 n_buckets: int = 8) -> None:
+                 n_buckets: int = 8,
+                 state_schema: str | None = None) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.aggs = list(aggs)
         self.n_buckets = n_buckets
+        #: DDL schema of state() rows, used so a never-written
+        #: store's empty state is TYPED — without it snapshot() /
+        #: history() raised UNRESOLVED_COLUMN when polled before
+        #: the first micro-batch committed
+        self.state_schema = state_schema
         os.makedirs(path, exist_ok=True)
         for d in os.listdir(path):  # crash-orphaned staging dirs
             if d.startswith(".stage-"):
@@ -125,6 +131,12 @@ class KeyedParquetStore:
         and both I/O sides run as Spark jobs; the driver sees only
         the touched bucket ids (<= n_buckets ints)."""
         version = f"v-{epoch_key}"
+        # the partial is consumed twice (touched-bucket probe +
+        # staged write) — cut lineage so its upstream fold runs
+        # once per batch, not twice (this was re-running each
+        # handler's full groupBy, and the view handler's
+        # snapshot-state join, per consumption)
+        partial = partial.localCheckpoint(eager=False)
         part = partial.withColumn(
             _BUCKET, F.pmod(F.xxhash64(*self.key_cols),
                             F.lit(self.n_buckets)).cast("int"))
@@ -173,8 +185,16 @@ class KeyedParquetStore:
                 shutil.rmtree(dest, ignore_errors=True)
             try:
                 os.rename(src, dest)
-            except OSError:  # replay lost the commit race
-                continue
+            except OSError:
+                # benign ONLY if a concurrent replay actually won
+                # the commit (its _COMMITTED exists); any other
+                # rename failure (ENOSPC, permissions, a swept
+                # staging dir) must raise — swallowing it would
+                # silently drop this bucket's epoch contribution
+                # while Spark commits the batch
+                if self._committed(b, version):
+                    continue
+                raise
             with open(os.path.join(dest, "_COMMITTED"), "w"):
                 pass
             _fsync_path(dest)
@@ -197,7 +217,8 @@ class KeyedParquetStore:
                 if cur is not None:
                     paths.append(os.path.join(self.path, d, cur))
         if not paths:
-            return self.spark.createDataFrame([], "x int").limit(0)
+            schema = self.state_schema or "x int"
+            return self.spark.createDataFrame([], schema).limit(0)
         return self.spark.read.parquet(*paths).drop(_BUCKET)
 
 
@@ -213,7 +234,10 @@ class ParquetSnapshotStore(KeyedParquetStore):
              F.max_by("last_value", "last_pos").alias("last_value"),
              F.max("last_pos").alias("last_pos"),
              F.sum("n_changes").cast("long").alias("n_changes")],
-            n_buckets)
+            n_buckets,
+            state_schema="database string, table string, pk long, "
+                         "last_action string, last_value double, "
+                         "last_pos long, n_changes long")
 
     def snapshot(self) -> list[tuple]:
         """Same contract as SnapshotStore.snapshot (live rows only,
@@ -236,7 +260,10 @@ class ParquetRollupStore(KeyedParquetStore):
             spark, path, ["grain", "bucket_start", "event_type"],
             [F.sum("n_events").cast("long").alias("n_events"),
              F.sum("total_value").alias("total_value")],
-            n_buckets)
+            n_buckets,
+            state_schema="grain string, bucket_start timestamp, "
+                         "event_type string, n_events long, "
+                         "total_value double")
 
     def snapshot(self) -> list[tuple]:
         return sorted(
@@ -394,7 +421,9 @@ class ParquetScd2Store(KeyedParquetStore):
             spark, path, ["database", "table", "pk", "pos"],
             [F.max("value").alias("value"),
              F.max("action").alias("action")],
-            n_buckets)
+            n_buckets,
+            state_schema="database string, table string, pk long, "
+                         "pos long, value double, action string")
 
     def history(self) -> DataFrame:
         """Validity intervals — same columns and semantics as the
@@ -439,7 +468,9 @@ class ParquetViewStore(KeyedParquetStore):
             spark, path, ["database", "table"],
             [F.sum("dv").cast("long").alias("dv"),
              F.sum("dn").cast("long").alias("dn")],
-            n_buckets)
+            n_buckets,
+            state_schema="database string, table string, "
+                         "dv long, dn long")
 
     def view(self) -> list[tuple]:
         return sorted((r.database, r["table"], r.dv, r.dn)
@@ -514,14 +545,10 @@ def start_incremental_view_parquet(
                         "a fresh store (or checkpoint) per lineage.")
             lineage.append(lin)
         key = f"{lineage[0]}.{epoch_id:012d}"
-        # merge() executes its partial twice (touched-bucket probe +
-        # staged write); every other partial reads only batch_df,
-        # but this one joins the snapshot's full state — checkpoint
-        # the tiny |touched groups|-row delta frame so the
-        # state-sized join runs once per batch, not twice
-        deltas = partial_view_deltas(
-            batch_df, snap_store.state()).localCheckpoint(eager=False)
-        view_store.merge(deltas, key)
+        # merge() checkpoints its partial internally, so the
+        # state-sized snapshot join here runs once per batch
+        view_store.merge(partial_view_deltas(batch_df,
+                                             snap_store.state()), key)
         snap_store.merge(partial_snapshot(batch_df), key)
 
     return (changes_stream.writeStream

@@ -1718,3 +1718,96 @@ def test_streaming_incremental_view_survives_restart(spark, tmp_path):
          r.n_changes)
         for r in all_queries()["cdc_apply_snapshot"](spark, SF).collect())
     assert snap.snapshot() == want_snap
+
+
+def test_ddl_apply_batch_persists_registry(spark, tmp_path):
+    """The persistence half of the DDL contract: with save_path
+    set, applied DDL survives a restart via SchemaRegistry.load —
+    without it, Spark's commit log advances past the DDL batch and
+    a restarted registry lacks the ALTER, quarantining every later
+    row of the table on arity with no error anywhere."""
+    from galaxy_spark.cdc.schema_registry import (ColumnDef,
+                                                  SchemaRegistry)
+
+    reg = SchemaRegistry()
+    reg.put("db0", "t", [ColumnDef("id"), ColumnDef("v")])
+    save = str(tmp_path / "registry.json")
+    handler = ddl_apply_batch(reg, "db0", save_path=save)
+    batch = spark.createDataFrame(
+        [("db0", "ALTER TABLE t ADD COLUMN c int")],
+        "database string, query string")
+    handler(batch, 0)
+    assert [c.name for c in reg.get("db0", "t").columns] \
+        == ["id", "v", "c"]
+
+    reloaded = SchemaRegistry.load(save)
+    assert [c.name for c in reloaded.get("db0", "t").columns] \
+        == ["id", "v", "c"]
+
+
+def test_store_rename_failure_raises_not_skips(tmp_path, monkeypatch):
+    """A commit-rename failure that is NOT a lost replay race must
+    RAISE (so Spark retries the batch) — swallowing it as a replay
+    skip silently dropped a live epoch's contribution while the
+    checkpoint advanced."""
+    import pandas as pd
+
+    from galaxy_spark.streaming.exactly_once import EpochKeyedRollupStore
+
+    store = EpochKeyedRollupStore(str(tmp_path / "eo"))
+    pdf = pd.DataFrame({"grain": ["day"], "bucket_start": ["2024-01-01"],
+                        "event_type": ["click"], "n_events": [1],
+                        "total_value": [1.0]})
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        raise OSError("injected: no space left on device")
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        store.merge(pdf, epoch_id=1, lineage="lin")
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # genuine lost race (dest exists) still reports a replay skip
+    assert store.merge(pdf, epoch_id=2, lineage="lin") is True
+    monkeypatch.setattr(os, "rename", failing_rename)
+    assert store.merge(pdf, epoch_id=2, lineage="lin") is False
+
+
+def test_live_pipeline_routes_quarantined_to_dlq(spark, tmp_path):
+    """The LIVE pipeline must honor the same dead-letter contract
+    as start_pipeline: a malformed (short-arity) row routes to
+    <task>.deadletter.<db>.<table> through the same sink — it used
+    to be silently dropped on exactly the pipeline variant meant
+    for production filter updates."""
+    from galaxy_spark.cdc.filters import TaskFilter
+    from galaxy_spark.streaming.pipeline import (LiveFilterRef,
+                                                 _LIVE_MEMORY,
+                                                 start_pipeline_live)
+
+    src = str(tmp_path / "dlq_env")
+    rows = [
+        ("db0", "click", "insert", [["1", "10", "0.5"]]),   # good
+        ("db0", "click", "insert", [["2", "11"]]),          # short
+    ]
+    (spark.createDataFrame(
+        rows, "database string, table string, action string, "
+              "org_row array<array<string>>")
+     .withColumn("event_header",
+                 F.struct(F.lit(1).cast("long").alias("timestamp"),
+                          F.lit(10).cast("long").alias("log_pos"),
+                          F.lit(1000).cast("long")
+                          .alias("timestamp_ms")))
+     .write.parquet(src))
+    env = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = start_pipeline_live(
+        env, "t_dlq", LiveFilterRef(TaskFilter()),
+        ("event_id", "user_id", "value"),
+        SinkConfig(kind="memory", options={}),
+        str(tmp_path / "dlq_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    topics = sorted(r.topic for r in _LIVE_MEMORY["t_dlq"])
+    assert topics == ["t_dlq.db0.click", "t_dlq.deadletter.db0.click"]
