@@ -73,7 +73,14 @@ class TaskSpec:
         return TaskFilter(self.databases, self.tables, self.exclude_tables)
 
     def sink(self) -> SinkConfig:
-        return SinkConfig(self.sink_kind, dict(self.sink_options))
+        opts = dict(self.sink_options)
+        if self.sink_kind == "topic_files":
+            # scope published batch names to the checkpoint epoch:
+            # recovery_v2 bumps the epoch and restarts batchIds at
+            # 0, which would otherwise overwrite/sweep the previous
+            # epoch's already-delivered batch-<id> files
+            opts.setdefault("lineage", f"e{self.checkpoint_epoch}")
+        return SinkConfig(self.sink_kind, opts)
 
 
 class TaskManager:

@@ -60,7 +60,8 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 
 
 def compact(spark: SparkSession, path: str,
-            target_file_mb: int = 256) -> int:
+            target_file_mb: int = 256,
+            partition_by: Sequence[str] | None = None) -> int:
     """Compact a small-files parquet directory in place.
 
     Streaming sinks and fine-grained partitioned writes accumulate
@@ -68,22 +69,49 @@ def compact(spark: SparkSession, path: str,
     overhead dominates scan time long before the bytes do. This
     rewrites the dataset into ~``target_file_mb`` files (coalesce —
     no shuffle; file count derived from actual byte size) through a
-    temp directory so readers never observe a half-written state.
-    Returns the new file count.
+    temp directory. Returns the new file count.
+
+    ``partition_by`` preserves a hive-partitioned layout (pass the
+    same columns the dataset was written with — e.g.
+    write_partitioned's keys): partition discovery turns the
+    directories into data columns on read, so WITHOUT it the
+    rewrite flattens the layout and read-side partition pruning
+    silently degrades to full scans. A non-partitioned dir omits it.
+
+    Crash-safety: the swap is rename(path -> .bak), rename(tmp ->
+    path), rmtree(.bak). A prior crash is REPAIRED on entry — .bak
+    present with path present means the crash was mid-cleanup
+    (finish the rmtree); .bak present WITHOUT path means the crash
+    was between the renames (restore .bak). Leaving the .bak would
+    otherwise brick every future compact (rename onto a non-empty
+    dir raises ENOTEMPTY); readers can still race the two renames —
+    run compaction in the dataset's write-ownership window, same
+    rule as any in-place OPTIMIZE.
     """
     import glob
     import os
     import shutil
+
+    tmp = path.rstrip("/") + ".compact.tmp"
+    bak = path.rstrip("/") + ".compact.bak"
+    if os.path.isdir(bak):
+        if os.path.isdir(path):
+            shutil.rmtree(bak)             # crashed mid-cleanup
+        else:
+            os.rename(bak, path)           # crashed between renames
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)                 # stale staging
 
     data_files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
                                        recursive=True)]
     total_mb = sum(os.path.getsize(f) for f in data_files) / 1e6
     n_files = max(int(total_mb // target_file_mb) + 1, 1)
 
-    tmp = path.rstrip("/") + ".compact.tmp"
-    spark.read.parquet(path).coalesce(n_files) \
-        .write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + ".compact.bak"
+    writer = spark.read.parquet(path).coalesce(n_files) \
+        .write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)
@@ -111,8 +139,11 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
     """
     from pyspark.sql import functions as F
 
-    shard = (F.crc32(F.md5(F.col(key_col).cast("string")))
-             % n_shards).cast("int").alias("shard")
+    # null keys hash through COALESCE('') — md5(NULL) is NULL, and a
+    # NULL shard lands in __HIVE_DEFAULT_PARTITION__, unreachable by
+    # read_training_shard's shard == i filters (silent corpus loss)
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    shard = (F.crc32(F.md5(key)) % n_shards).cast("int").alias("shard")
     out = df.withColumn("shard", shard)
     (out.repartition(n_shards, F.col("shard"))
         .write.mode(mode)
@@ -229,6 +260,15 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
         # approxQuantile repeats edges on skewed/low-cardinality
         # columns; Bucketizer needs strictly increasing splits.
         # Fewer distinct edges just means fewer occupied positions.
+        if not edges:
+            # all-NULL column: no quantiles exist, and a 2-point
+            # splits array would crash Bucketizer deep in pyspark.ml
+            # — every row shares one position (no layout signal on
+            # this axis; the curve degrades to a sort on the other)
+            src = src.withColumn(pcol, F.lit(0).cast("long")) \
+                     .drop(qcol)
+            pos_cols.append(pcol)
+            continue
         sp = [float("-inf")] + sorted(set(edges)) + [float("inf")]
         src = Bucketizer(splits=sp, inputCol=qcol, outputCol=pcol,
                          handleInvalid="keep").transform(src)

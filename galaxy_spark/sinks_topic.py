@@ -13,9 +13,14 @@ surface (reader + writer) is exercised end to end in-sandbox:
     df.writeStream.format("galaxy_topic_files")
       .option("path", out_dir) ...
 
-Layout: ``<path>/<topic>/batch-<id>-part-<pid>.jsonl`` — one JSON
-line per message ({key, value}), grouped by the row's ``topic``
-column exactly like Kafka routing.
+Layout: ``<path>/<topic>/batch-[<lineage>.]<id>-part-<pid>.jsonl``
+— one JSON line per message ({key, value}), grouped by the row's
+``topic`` column exactly like Kafka routing. The optional
+``lineage`` option (TaskManager passes its checkpoint epoch)
+scopes batch names to the checkpoint generation: batchIds restart
+at 0 after a checkpoint reset, and without the scope a post-
+recovery_v2 query's batch 0 would overwrite and sweep the previous
+generation's already-delivered batch-0 files.
 
 Delivery contract (one streaming query per output path — the same
 ownership rule as a Kafka topic set):
@@ -69,6 +74,19 @@ class TopicFilesStreamWriter(DataSourceStreamWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("galaxy_topic_files requires option 'path'")
+        # batchIds restart at 0 per CHECKPOINT: after a checkpoint
+        # reset (recovery_v2 bumps the task's checkpoint epoch but
+        # keeps the output path), the new query's batch 0 would
+        # os.replace / sweep the PREVIOUS epoch's already-delivered
+        # batch-0 files. The lineage option scopes every published
+        # name (and the sweep) to the checkpoint generation —
+        # TaskManager passes its checkpoint epoch; downstream
+        # replay-dedup keys on (lineage, batchId).
+        self.lineage = options.get("lineage", "")
+
+    def _batch_prefix(self, batchId: int) -> str:
+        return (f"batch-{self.lineage}.{batchId}-" if self.lineage
+                else f"batch-{batchId}-")
 
     def write(self, iterator: Iterator[Row]) -> _Staged:
         """Executor-side: group this partition's rows by topic and
@@ -134,15 +152,16 @@ class TopicFilesStreamWriter(DataSourceStreamWriter):
         overwrites a crashed prior attempt's file of the same
         batch), then sweep litter and superseded same-batch files."""
         published = set()
+        prefix = self._batch_prefix(batchId)
         for m in messages:
             if m is None:
                 continue
             for tmp, base in m.renames:
                 d = os.path.dirname(tmp)
-                final = os.path.join(d, f"batch-{batchId}-{base}")
+                final = os.path.join(d, f"{prefix}{base}")
                 os.replace(tmp, final)
                 published.add(final)
-        self._sweep(batch_prefix=f"batch-{batchId}-", keep=published)
+        self._sweep(batch_prefix=prefix, keep=published)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:

@@ -62,8 +62,30 @@ DDL_SCHEMA = ("database string, query string, ts_sec bigint, "
               "log_pos bigint, binlog_file string")
 
 
+def _seg_key(name: str) -> tuple:
+    """Rotation-order sort key: MySQL names segments with a numeric
+    suffix (``binlog.000001``), and plain lexicographic order breaks
+    at the width rollover (``binlog.1000000`` sorts before
+    ``binlog.999999``); sort (stem, numeric-suffix) when the suffix
+    is digits, else the bare name."""
+    base = name[:-4] if name.endswith(".bin") else name
+    stem, _, seq = base.rpartition(".")
+    if seq.isdigit():
+        return (stem, int(seq))
+    return (base, -1)
+
+
 def _segments(path: str) -> list[str]:
-    return sorted(f for f in os.listdir(path) if f.endswith(".bin"))
+    """Binlog segment files, in rotation order. Both the relay
+    writer's ``<name>.bin`` convention and a real MySQL binlog
+    directory's bare ``binlog.000001`` naming match (files need a
+    dot-separated numeric suffix, which also keeps index/state
+    files out)."""
+    return sorted(
+        (f for f in os.listdir(path)
+         if f.endswith(".bin")
+         or f.rpartition(".")[2].isdigit()),
+        key=_seg_key)
 
 
 def _aligned_end(fpath: str) -> int:
@@ -133,15 +155,16 @@ class BinlogStreamReader(DataSourceStreamReader):
         # this reader instance has already reported.
         cur = self._end_of_dir()
         floor = getattr(self, "_max_offset", None)
-        if floor is not None and (cur["file"], cur["pos"]) < \
-                (floor["file"], floor["pos"]):
+        if floor is not None and (_seg_key(cur["file"]), cur["pos"]) < \
+                (_seg_key(floor["file"]), floor["pos"]):
             return floor
         self._max_offset = cur
         return cur
 
     def partitions(self, start: dict, end: dict) \
             -> Sequence[InputPartition]:
-        if (end["file"], end["pos"]) < (start["file"], start["pos"]):
+        if (_seg_key(end["file"]), end["pos"]) < \
+                (_seg_key(start["file"]), start["pos"]):
             # cross-restart shrink: the committed offset points past
             # the directory's current end — the append-only contract
             # is broken (truncated/replaced segment). Refuse loudly;
@@ -152,8 +175,24 @@ class BinlogStreamReader(DataSourceStreamReader):
                 "append-only — a shrunken/replaced segment needs a "
                 "fresh checkpoint (recovery_v2)")
         segs = [s for s in _segments(self.path)
-                if (not start["file"] or s >= start["file"])
-                and s <= end["file"]]
+                if (not start["file"]
+                    or _seg_key(s) >= _seg_key(start["file"]))
+                and _seg_key(s) <= _seg_key(end["file"])]
+        if (start["file"] and start["file"] not in segs
+                and any(_seg_key(s) > _seg_key(start["file"])
+                        for s in segs)):
+            # the committed START segment was purged while later
+            # segments remain: its unread tail is gone. Silently
+            # omitting it (the old behavior: the list comprehension
+            # just skipped the missing name) would drop those events
+            # with no error -- same refuse-loudly contract as the
+            # shrink case above.
+            raise ValueError(
+                f"committed start segment {start['file']!r} is no "
+                f"longer in {self.path!r} but later segments exist; "
+                "its unread tail has been purged -- recover with a "
+                "fresh checkpoint (recovery_v2) or restore the "
+                "segment")
         out = []
         for s in segs:
             start_pos = start["pos"] if s == start["file"] else 0

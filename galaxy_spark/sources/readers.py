@@ -43,10 +43,13 @@ def jdbc_table_reader(spark: SparkSession, url: str, db: str,
     connection (``sync.go:213``); the result is tiny (one row per
     column) so there is nothing to parallelize.
     """
+    # SQL-literal escape for the schema name: a quote in a legal
+    # MySQL schema name would otherwise break (or redirect) the query
     return (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("query", INFORMATION_SCHEMA_QUERY.format(db=db))
+        .option("query", INFORMATION_SCHEMA_QUERY.format(
+            db=db.replace("'", "''")))
         .option("user", user)
         .option("password", password)
         .option("numPartitions", str(num_partitions))
@@ -105,10 +108,23 @@ def read_json_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """JSON-lines scan; same explicit-schema policy as CSV.
     Corrupt records land in ``_corrupt_record`` (PERMISSIVE mode)
     instead of failing the scan — the batch twin of the CDC
-    quarantine policy."""
+    quarantine policy. Spark only populates the corrupt-record
+    column if it EXISTS in the schema, so an explicit data-only
+    schema (the normal call) gets the field appended here —
+    otherwise malformed lines silently became all-null rows,
+    indistinguishable from legitimately-null data."""
+    from pyspark.sql import types as T
+
     reader = spark.read.option("mode", "PERMISSIVE") \
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     if schema is not None:
+        if isinstance(schema, str):
+            schema = T._parse_datatype_string(schema)
+        if "_corrupt_record" not in schema.fieldNames():
+            # new StructType — .add would mutate the caller's object
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_corrupt_record", T.StringType())])
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -254,3 +254,99 @@ def test_zorder_handles_string_and_timestamp_columns(spark, tmp_path):
         sinks.write_zorder(
             ev.withColumn("arr", F.array(F.lit(1))),
             str(tmp_path / "z_bad"), "arr", "value")
+
+
+def test_compact_repairs_crash_leftovers_and_keeps_partitions(spark,
+                                                              tmp_path):
+    """compact() crash-safety + layout: (a) a leftover .compact.bak
+    from a crash between the renames is restored (and one from a
+    crash mid-cleanup is swept) instead of bricking every future
+    compact with ENOTEMPTY; (b) partition_by preserves the hive
+    layout so read-side pruning survives compaction."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.sinks import compact, write_partitioned
+
+    path = str(tmp_path / "cds")
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("database"),
+        (F.col("id") % 5).cast("string").alias("table"),
+        F.col("id").alias("v"))
+    write_partitioned(df, path)
+
+    # crash between the renames: path gone, .bak holds the data
+    bak = path + ".compact.bak"
+    os.rename(path, bak)
+    n = compact(spark, path, partition_by=("database", "table"))
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 200
+    assert not os.path.exists(bak)
+    # hive layout survived -> partition dirs still exist
+    assert any(d.startswith("database=") for d in os.listdir(path))
+
+    # crash mid-cleanup: .bak AND path both present -> bak swept
+    shutil.copytree(path, bak)
+    compact(spark, path, partition_by=("database", "table"))
+    assert not os.path.exists(bak)
+    assert spark.read.parquet(path).count() == 200
+
+
+def test_training_shards_null_keys_stay_reachable(spark, tmp_path):
+    """A null shard key must land in a REAL shard (hashed via
+    coalesce('')), not in __HIVE_DEFAULT_PARTITION__ where the
+    shard == i readers can never see it — silent corpus loss."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.sinks import read_training_shard, \
+        write_training_shards
+
+    path = str(tmp_path / "shards_null")
+    df = spark.range(50).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("v"))
+    write_training_shards(df, path, n_shards=4)
+    total = sum(read_training_shard(spark, path, i).count()
+                for i in range(4))
+    assert total == 50
+
+
+def test_zorder_all_null_column_degrades_cleanly(spark, tmp_path):
+    """An entirely-NULL numeric column must not crash Bucketizer
+    (approxQuantile returns no edges); the curve degrades to a sort
+    on the other column and every row round-trips."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.sinks import write_zorder
+
+    path = str(tmp_path / "znull")
+    df = spark.range(100).select(
+        F.lit(None).cast("double").alias("a"),
+        F.col("id").cast("double").alias("b"))
+    write_zorder(df, path, "a", "b", bits=4, target_partitions=2)
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_read_json_corrupt_record_with_explicit_schema(spark, tmp_path):
+    """The quarantine contract must hold for the NORMAL call shape
+    (explicit data-only schema): a malformed line must surface in
+    _corrupt_record, not silently become an all-null row."""
+    import os
+
+    from galaxy_spark.sources.readers import read_json_table
+
+    p = str(tmp_path / "j")
+    os.makedirs(p)
+    with open(os.path.join(p, "part.json"), "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": 2, "name": BROKEN\n')
+    out = read_json_table(spark, p, schema="id long, name string")
+    rows = out.collect()
+    assert len(rows) == 2
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "BROKEN" in bad[0]._corrupt_record
+    good = [r for r in rows if r._corrupt_record is None]
+    assert good[0].id == 1 and good[0].name == "ok"

@@ -1811,3 +1811,52 @@ def test_live_pipeline_routes_quarantined_to_dlq(spark, tmp_path):
     q.stop()
     topics = sorted(r.topic for r in _LIVE_MEMORY["t_dlq"])
     assert topics == ["t_dlq.db0.click", "t_dlq.deadletter.db0.click"]
+
+
+def test_topic_files_lineage_scopes_batch_names(tmp_path, monkeypatch):
+    """After a checkpoint reset (recovery_v2 bumps the task's
+    checkpoint epoch; batchIds restart at 0), the new generation's
+    batch 0 must NOT overwrite or sweep the previous generation's
+    already-delivered batch-0 files — the lineage option scopes
+    names and sweeps to the checkpoint generation, and TaskManager
+    wires it from TaskSpec.checkpoint_epoch."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from galaxy_spark.control.tasks import TaskSpec
+    from galaxy_spark.sinks_topic import TopicFilesStreamWriter
+
+    class _Ctx:
+        def partitionId(self):
+            return 0
+
+    import pyspark
+
+    monkeypatch.setattr(pyspark.TaskContext, "get",
+                        staticmethod(lambda: _Ctx()))
+    out = str(tmp_path / "topics")
+    row1 = Row(topic="t.a.b", key="a.b", value='{"v":"epoch0"}')
+    row2 = Row(topic="t.a.b", key="a.b", value='{"v":"epoch1"}')
+
+    w0 = TopicFilesStreamWriter({"path": out, "lineage": "e0"})
+    w0.commit([w0.write(iter([row1]))], batchId=0)
+    w1 = TopicFilesStreamWriter({"path": out, "lineage": "e1"})
+    w1.commit([w1.write(iter([row2]))], batchId=0)
+
+    names = sorted(os.path.basename(f) for f in
+                   glob.glob(f"{out}/t.a.b/batch-*"))
+    assert names == ["batch-e0.0-part-00000.jsonl",
+                     "batch-e1.0-part-00000.jsonl"]
+
+    # and a replay WITHIN a lineage still overwrites, not duplicates
+    w1b = TopicFilesStreamWriter({"path": out, "lineage": "e1"})
+    w1b.commit([w1b.write(iter([row2]))], batchId=0)
+    assert sorted(os.path.basename(f) for f in
+                  glob.glob(f"{out}/t.a.b/batch-e1*")) == [
+        "batch-e1.0-part-00000.jsonl"]
+
+    spec = TaskSpec(task_id="t", sink_kind="topic_files",
+                    sink_options={"path": out})
+    spec.checkpoint_epoch = 3
+    assert spec.sink().options["lineage"] == "e3"
