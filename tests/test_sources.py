@@ -72,10 +72,14 @@ def test_csv_json_roundtrip(spark, tmp_path):
     nation.write.mode("overwrite").json(json_dir)
 
     got_csv = read_csv_table(spark, csv_dir, schema=nation.schema)
+    # read_json_table always carries the quarantine column when
+    # given an explicit schema (all-null on a clean file)
     got_json = read_json_table(spark, json_dir, schema=nation.schema)
+    assert "_corrupt_record" in got_json.columns
     exp = sorted(map(tuple, nation.collect()))
     assert sorted(map(tuple, got_csv.collect())) == exp
-    assert sorted(map(tuple, got_json.collect())) == exp
+    assert sorted(map(tuple,
+                      got_json.drop("_corrupt_record").collect())) == exp
 
 
 def test_json_corrupt_records_quarantined(spark, tmp_path):
