@@ -25,7 +25,8 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
-def with_global_row_index(df, order_cols, index_col: str = "row_idx"):
+def with_global_row_index(df, order_cols, index_col: str = "row_idx",
+                          return_total: bool = False):
     """Globally-ordered 1-based row index WITHOUT the single-reducer
     trap.
 
@@ -43,6 +44,11 @@ def with_global_row_index(df, order_cols, index_col: str = "row_idx"):
     Ties across partition boundaries are broken by the range
     partitioner's split, so pass a total ordering (include a unique
     key in ``order_cols``) for deterministic output.
+
+    ``return_total=True`` returns ``(df, total_rows)`` — the total
+    is the sum of the per-partition counts already collected, so
+    callers that need it (write_zorder's rank normalization) avoid
+    a whole extra count() pass over the data.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -60,11 +66,12 @@ def with_global_row_index(df, order_cols, index_col: str = "row_idx"):
         [(pid, off) for pid, off in offsets.items()],
         "__pid int, __offset long")
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (ranged.join(F.broadcast(off_df), "__pid")
-            .withColumn(index_col,
-                        (F.col("__offset") + F.row_number().over(w))
-                        .cast("long"))
-            .drop("__pid", "__offset"))
+    out = (ranged.join(F.broadcast(off_df), "__pid")
+           .withColumn(index_col,
+                       (F.col("__offset") + F.row_number().over(w))
+                       .cast("long"))
+           .drop("__pid", "__offset"))
+    return (out, acc) if return_total else out
 
 
 def stratified_sample(df, strata_col: str, fractions: dict,

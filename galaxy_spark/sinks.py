@@ -243,8 +243,12 @@ def write_zorder(df: DataFrame, path: str, col_a: str, col_b: str,
             # single-reducer window (operators/util.py)
             from galaxy_spark.operators.util import with_global_row_index
 
-            total = max(src.count(), 1)
-            src = with_global_row_index(src, [c], index_col=pcol)
+            # total comes back from the index build's own partition
+            # counts — a separate count() was one full wasted scan
+            # per string column
+            src, total = with_global_row_index(src, [c], index_col=pcol,
+                                               return_total=True)
+            total = max(total, 1)
             src = src.withColumn(
                 pcol, F.least(F.floor((F.col(pcol) - 1)
                                       * F.lit(n_buckets)
