@@ -60,6 +60,11 @@ def _spec_from_body(body: dict) -> TaskSpec:
         columns=tuple(body.get("columns") or ()),
         sink_kind=body.get("sink_kind", "memory"),
         sink_options=dict(body.get("sink_options") or {}),
+        # without this mapping the documented no-restart live
+        # filter-update path was unreachable over HTTP: every task
+        # silently created static and update_task fell into the
+        # stop+restart branch
+        live=bool(body.get("live", False)),
     )
 
 

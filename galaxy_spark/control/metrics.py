@@ -47,6 +47,15 @@ class MetricsListener(StreamingQueryListener):
     def onQueryIdle(self, event) -> None:  # Spark 3.4+
         pass
 
+    @staticmethod
+    def _esc(label: str) -> str:
+        """Prometheus label-value escaping (backslash, quote,
+        newline — exposition-format requirement): query names come
+        from caller-supplied task ids, and an unescaped quote would
+        corrupt the whole scrape."""
+        return (label.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n"))
+
     def render_prometheus(self) -> str:
         """Prometheus text exposition format."""
         lines = [
@@ -54,11 +63,15 @@ class MetricsListener(StreamingQueryListener):
             "# TYPE galaxy_stream_rows_total counter",
             "# TYPE galaxy_stream_rows_per_second gauge",
         ]
+        esc = self._esc
         with self._lock:
             for name, n in self.batches.items():
-                lines.append(f'galaxy_stream_batches_total{{query="{name}"}} {n}')
+                lines.append(
+                    f'galaxy_stream_batches_total{{query="{esc(name)}"}} {n}')
             for name, n in self.rows.items():
-                lines.append(f'galaxy_stream_rows_total{{query="{name}"}} {n}')
+                lines.append(
+                    f'galaxy_stream_rows_total{{query="{esc(name)}"}} {n}')
             for name, r in self.last_rate.items():
-                lines.append(f'galaxy_stream_rows_per_second{{query="{name}"}} {r}')
+                lines.append(
+                    f'galaxy_stream_rows_per_second{{query="{esc(name)}"}} {r}')
         return "\n".join(lines) + "\n"

@@ -135,6 +135,17 @@ class TaskManager:
         the "new" task resumes from the old task's saved offsets
         (mirrors the reference's duplicate-task rejection; delete
         first to reuse an id)."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9._-]+", spec.task_id) \
+                or spec.task_id in (".", ".."):
+            # the id names checkpoint dirs, metadata files, and
+            # topic prefixes — an unvalidated id with separators
+            # escapes state_dir via path traversal and breaks
+            # delete_task's cleanup regex
+            raise ValueError(
+                f"task_id {spec.task_id!r} invalid: use letters, "
+                "digits, dot, underscore, dash")
         if spec.task_id in self.tasks:
             state = ("running" if spec.task_id in self.queries
                      else "stopped")

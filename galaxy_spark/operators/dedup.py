@@ -170,6 +170,12 @@ def minhash_band_buckets(df: DataFrame, n: int = 5, n_hashes: int = 32,
     tests/test_streaming.py::test_stream_static_minhash_gate_matches_batch).
     Deterministic signatures (seed 42) make index and probe
     comparable across sessions and engines."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by bands={bands}: "
+            f"the trailing {n_hashes % bands} hashes would be "
+            "computed but never banded (paid-for recall silently "
+            "lost)")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures_agg(df, n, n_hashes, 42, text_col, id_col)
     return sig.select(
@@ -259,18 +265,12 @@ def simhash64(shingles, seed: int = 42):
     return out
 
 
-def simhash_agg(df: DataFrame, n: int = 3, seed: int = 42,
-                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) via explode + per-bit vote aggregation.
-
-    Same construction as :func:`simhash64` but in the scalable
-    explode/agg form (one pass, map-side partial votes, one row per
-    doc on the shuffle).
-    """
-    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
-    ex = (src.select("id", F.explode(word_ngrams(text_col, n)).alias("shingle"))
-          .select("id", F.xxhash64(F.lit(seed), "shingle").alias("h")))
-    votes = ex.groupBy("id").agg(*[
+def _simhash_votes_to_fp(hashed: DataFrame) -> DataFrame:
+    """(id, h) shingle-hash rows -> (id, simhash): the per-bit vote
+    aggregation + sign-fold shared by simhash_agg and the banded
+    near-dup pipeline — ONE definition so the tie-at-zero rule
+    (vote > 0 sets the bit) can never diverge between them."""
+    votes = hashed.groupBy("id").agg(*[
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
                    F.lit(1)).otherwise(F.lit(-1))
@@ -284,6 +284,20 @@ def simhash_agg(df: DataFrame, n: int = 3, seed: int = 42,
                          ).otherwise(F.lit(0).cast("long"))
         fp = bit_val if fp is None else fp.bitwiseOR(bit_val)
     return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_agg(df: DataFrame, n: int = 3, seed: int = 42,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) via explode + per-bit vote aggregation.
+
+    Same construction as :func:`simhash64` but in the scalable
+    explode/agg form (one pass, map-side partial votes, one row per
+    doc on the shuffle).
+    """
+    src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+    ex = (src.select("id", F.explode(word_ngrams(text_col, n)).alias("shingle"))
+          .select("id", F.xxhash64(F.lit(seed), "shingle").alias("h")))
+    return _simhash_votes_to_fp(ex)
 
 
 def hamming64(a, b):
@@ -323,21 +337,7 @@ def simhash_band_near_dups(df: DataFrame, n: int = 3, bands: int = 17,
             .localCheckpoint(eager=False)
     ex = (sh.select("id", F.explode("shingles").alias("shingle"))
           .select("id", F.xxhash64(F.lit(42), "shingle").alias("h")))
-    votes = ex.groupBy("id").agg(*[
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{bit}")
-        for bit in range(64)
-    ])
-    fp_expr = None
-    for bit in range(64):
-        bit_val = F.when(F.col(f"v{bit}") > 0,
-                         F.shiftleft(F.lit(1).cast("long"), bit)
-                         ).otherwise(F.lit(0).cast("long"))
-        fp_expr = bit_val if fp_expr is None else fp_expr.bitwiseOR(bit_val)
-    fp = votes.select("id", fp_expr.alias("simhash")) \
-              .localCheckpoint(eager=False)
+    fp = _simhash_votes_to_fp(ex).localCheckpoint(eager=False)
 
     # split 64 bits into `bands` blocks (width 64//bands, first
     # 64 % bands blocks one bit wider)
@@ -467,6 +467,11 @@ def minhash_near_dups(df: DataFrame, n: int = 5, n_hashes: int = 32,
     right trade for a bounded dedup batch, the wrong one for a
     multi-hour job topology (use the composable pieces there).
     """
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by bands={bands}: "
+            f"the trailing {n_hashes % bands} hashes would be "
+            "computed but never banded")
     rows_per_band = n_hashes // bands
     src = spread(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     sh = src.select("id", word_ngrams(text_col, n).alias("shingles")) \

@@ -174,8 +174,11 @@ def degree_orient(edges: DataFrame, src_col: str = "src",
     scan-local CASE to flip. Cost is O(|E|) with no new skew:
     degrees partial-aggregate map-side.
     """
+    # _symmetrize always emits columns named src/dst — group on
+    # those, not the caller's names (non-default src_col/dst_col
+    # used to raise UNRESOLVED_COLUMN here)
     sym = _symmetrize(edges, src_col, dst_col)
-    deg = (sym.groupBy(F.col(src_col).alias("node"))
+    deg = (sym.groupBy(F.col("src").alias("node"))
            .agg(F.count("*").alias("deg")))
     da = deg.select(F.col("node").alias("__a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("__b"), F.col("deg").alias("db"))

@@ -45,19 +45,26 @@ def asof_join(
     which is likewise tie-unspecified).
     """
     lcols = left.columns
+    # the payload travels as ONE struct: a right row's struct is
+    # non-null even when its FIELDS are null, so last(ignorenulls)
+    # carries the latest right ROW atomically — carrying columns
+    # independently skipped genuine NULL values and could stitch a
+    # torn row from different right rows
     r = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("__pay"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in right_payload],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                for c in right_payload) + ">").alias("__pay"),
         *[F.col(c) for c in lcols],
     )
     # right row sorts BEFORE a left row at the same instant -> the
@@ -66,12 +73,11 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = r.unionByName(l).select(
         "__side", *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__r_{c}")
-          for c in right_payload],
+        F.last("__pay", ignorenulls=True).over(w).alias("__r"),
     )
     return (carried.filter(F.col("__side") == 1)
             .select(*lcols,
-                    *[F.col(f"__r_{c}").alias(c) for c in right_payload]))
+                    *[F.col(f"__r.{c}").alias(c) for c in right_payload]))
 
 
 def range_join(

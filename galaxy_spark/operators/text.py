@@ -39,9 +39,13 @@ def punct_count(text: Column | str) -> Column:
 
 
 def quality_score(text: Column | str) -> Column:
-    """Heuristic quality in [0,1]: length + stopword presence −
+    """Heuristic quality, ~[0,1]: length + stopword presence −
     punctuation excess. Mirrors the shape of C4/Gopher-style filters
-    (public recipe), not any proprietary scorer.
+    (public recipe), not any proprietary scorer. The punctuation
+    penalty is unclamped, so punctuation-dominated text scores
+    BELOW zero (down to −1 for all-punctuation) — deliberately kept
+    (more negative = worse, and the certified oracles mirror the
+    exact expression); treat the range as (−1, 1], not [0, 1].
     """
     n_tok = token_count(text).cast("double")
     col = F.col(text) if isinstance(text, str) else text
@@ -211,6 +215,14 @@ def chunk_windows(df, window: int, stride: int,
     """
     from pyspark.sql import functions as F
 
+    if window < 1 or stride < 1 or stride > window:
+        # stride > window would skip tokens between chunks AND
+        # compute a negative trailing-slice length that F.slice
+        # rejects at runtime — refuse with a clear error instead
+        raise ValueError(
+            f"chunk_windows: need 1 <= stride <= window, got "
+            f"window={window} stride={stride} (stride > window "
+            "drops tokens between chunks)")
     tk = F.array_remove(tokens(F.col(text_col)), "")
     t = F.size(tk)
     overflow = F.greatest(t - window, F.lit(0))

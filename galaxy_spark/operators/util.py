@@ -53,9 +53,16 @@ def with_global_row_index(df, order_cols, index_col: str = "row_idx",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ranged = df.repartitionByRange(*order_cols) \
-               .sortWithinPartitions(*order_cols) \
-               .withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint PINS the range exchange: the counts collect
+    # and the caller's later action are separate jobs, and an
+    # un-persisted repartitionByRange re-samples its partition
+    # bounds per execution (seeded off the RDD id) — boundary rows
+    # could land in a different partition than the one whose count
+    # was collected, silently duplicating/skipping indices
+    ranged = (df.repartitionByRange(*order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
     counts = {r["__pid"]: r["n"] for r in
               ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0

@@ -51,3 +51,21 @@ def test_salted_join_equals_plain_join(spark):
         .select("event_id", "c_name")
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_carries_whole_rows_not_columns(spark):
+    """A right row with a genuinely-NULL payload field must win the
+    as-of lookup ATOMICALLY: per-column ignorenulls carry-forward
+    used to skip the NULL and stitch a (x, y) combination that never
+    existed in the right table."""
+    from galaxy_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 1, 10), ("k", 2, None, 20)],
+        "key string, t long, x int, y int")
+    left = spark.createDataFrame([("k", 3), ("k", 0)],
+                                 "key string, lt long")
+    out = {r.lt: r for r in asof_join(
+        left, right, "key", "key", "lt", "t", ["x", "y"]).collect()}
+    assert out[3].x is None and out[3].y == 20   # the t=2 ROW
+    assert out[0].x is None and out[0].y is None  # nothing prior
