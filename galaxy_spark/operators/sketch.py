@@ -1,0 +1,52 @@
+"""Mergeable-sketch primitives shared across query modules.
+
+HyperLogLog register arithmetic lives HERE (operator layer), not in
+a query module: queries/indexing.py's global-cardinality query and
+queries/graphs.py's per-node HyperBall both build on the same
+(bucket, rho) hash algebra, and the cross-import of another query
+module's underscore-privates was the wrong layering. Everything is
+engine-portable integer arithmetic — md5-slice BIGINT hash, top-P
+bucket bits, leading-zero rank via string search on the lpad'ed
+binary expansion (no float log2) — so a DuckDB oracle can restate
+it verbatim; see agg_hll_cardinality_bound for the certification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8                     # 2^8 = 256 buckets
+HLL_M = 1 << HLL_P
+HLL_WBITS = 48 - HLL_P        # rank bits after the bucket prefix
+HLL_2P50 = 1 << 50            # integer harmonic scale: 2^50
+
+
+def hll_bucket_rho(key) -> tuple:
+    """The (bucket, rho) pair for one key — the engine-portable HLL
+    hash arithmetic. Shared by the global-cardinality registers
+    (queries/indexing.py:agg_hll_cardinality_bound) and the
+    per-node HyperBall registers
+    (queries/graphs.py:graph_hyperball_ball2)."""
+    hv = F.conv(F.substring(F.md5(key.cast("string")),
+                            1, 12), 16, 10).cast("long")
+    w = hv.bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
+    binstr = F.lpad(F.bin(w), HLL_WBITS, "0")
+    rho = F.when(F.instr(binstr, "1") == 0,
+                 F.lit(HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
+    return (F.shiftright(hv, HLL_WBITS).alias("bucket"),
+            rho.alias("rho"))
+
+
+def hll_registers(df: DataFrame, key) -> DataFrame:
+    """The HLL register build as a reusable frame: one row per
+    occupied bucket with the max leading-zero rank. Registers are a
+    bucket-wise MAX monoid — computing them per stratum / day /
+    partition and cell-wise max-merging equals computing them
+    globally (pinned in tests/test_graph.py::
+    test_hll_registers_merge_across_strata) — which is what makes
+    the sketch a 100 TB primitive: fixed 256-cell state, mergeable
+    across any partitioning."""
+    bucket, rho = hll_bucket_rho(key)
+    return (df.select(bucket, rho)
+            .groupBy("bucket").agg(F.max("rho").alias("register")))

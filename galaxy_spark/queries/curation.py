@@ -320,16 +320,23 @@ def mixture_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial), one broadcast join, one scan-local filter — no
     shuffle of document data at all.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
-    m = counts.agg(F.min("cnt").alias("m"))
+    # scalar min via a single-partition window over the TINY counts
+    # frame (|sources| rows) — the crossJoin-of-a-re-aggregation
+    # form re-planned the whole corpus counting scan under both
+    # subtrees (3 corpus scans where 2 suffice; same trap
+    # pipeline_curation_end2end documents and avoids)
+    m_col = F.min("cnt").over(Window.partitionBy())
     thr = F.when(
         F.col("cnt") == F.col("m"), F.lit("g")
     ).otherwise(F.format_string(
         "%08x",
         F.floor((F.col("m") * F.lit(1.0) / F.col("cnt"))
                 * F.lit(4294967296.0)).cast("long")))
-    rates = counts.crossJoin(F.broadcast(m)).select(
+    rates = counts.withColumn("m", m_col).select(
         "source", thr.alias("thr"))
     h = F.substring(
         F.md5(F.concat_ws(":", F.lit("mix42"),

@@ -393,8 +393,9 @@ _HB_SAMPLE_MOD = 41            # exact instrument on ~2.4% of nodes
 
 
 def _hb_oracle() -> str:
-    from galaxy_spark.queries.indexing import (_HLL_M, _HLL_WBITS,
-                                               _HLL_2P50)
+    from galaxy_spark.operators.sketch import (HLL_M as _HLL_M,
+                                               HLL_WBITS as _HLL_WBITS,
+                                               HLL_2P50 as _HLL_2P50)
     wmask = 1 << _HLL_WBITS
     head = _EDGES_CTE + f"""
     , nodes AS (
@@ -512,7 +513,8 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is how you'd validate the sketch without paying the
     quadratic cost the sketch exists to avoid.
     """
-    from galaxy_spark.queries.indexing import (_HLL_M, _HLL_2P50,
+    from galaxy_spark.operators.sketch import (HLL_M as _HLL_M,
+                                               HLL_2P50 as _HLL_2P50,
                                                hll_bucket_rho)
     li = load_table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li)

@@ -274,8 +274,9 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHEN t.c123 IS NOT NULL
                        THEN ln(t.c123 * 1.0 / b12.cb)
                    WHEN b23.cb IS NOT NULL
-                       THEN ln(0.4 * b23.cb / u2.cu)
-                   ELSE ln(0.16 * COALESCE(u3.cu, 0.5) / refn.n)
+                       THEN ln(CAST(0.4 AS DOUBLE) * b23.cb / u2.cu)
+                   ELSE ln(CAST(0.16 AS DOUBLE)
+                           * COALESCE(u3.cu, 0.5) / refn.n)
                END, 6) AS lp
         FROM parts p
         LEFT JOIN ref_tri t ON p.tg = t.tg
@@ -333,12 +334,16 @@ def quality_trigram_backoff(spark: SparkSession,
                            lambda a, b: F.concat_ws(" ", a, b))
         return g
 
+    # NOT checkpointed: `parts` has exactly one consumer (the
+    # scoring join chain), so a checkpoint would buy no rescan
+    # while forcing a corpus-scale materialization of the exploded
+    # trigram frame — reserve checkpoints for multiply-consumed
+    # frames (the bigram query's split, bm25's dl)
     parts = (docs.select("doc_id",
                          F.explode(grams(3)).alias("tg"))
              .withColumn("w1", F.split("tg", " ").getItem(0))
              .withColumn("w2", F.split("tg", " ").getItem(1))
-             .withColumn("w3", F.split("tg", " ").getItem(2))
-             .localCheckpoint(eager=False))
+             .withColumn("w3", F.split("tg", " ").getItem(2)))
     ref = docs.filter(is_ref)
     ref_tri = (ref.select(F.explode(grams(3)).alias("rtg"))
                .groupBy("rtg").agg(F.count("*").alias("c123")))
@@ -521,10 +526,11 @@ _BM25_TERMS_SQL = "('" + "','".join(_BM25_TERMS) + "')"
     ), scored AS (
         SELECT tf.doc_id,
                ROUND(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-                     * (tf.tf * ({_BM25_K1} + 1))
-                     / (tf.tf + {_BM25_K1}
-                        * (1 - {_BM25_B}
-                           + {_BM25_B} * dl.dl / s.avgdl)), 6) AS s6
+                     * (tf.tf * (CAST({_BM25_K1} AS DOUBLE) + 1))
+                     / (tf.tf + CAST({_BM25_K1} AS DOUBLE)
+                        * (1 - CAST({_BM25_B} AS DOUBLE)
+                           + CAST({_BM25_B} AS DOUBLE)
+                           * dl.dl / s.avgdl)), 6) AS s6
         FROM tf JOIN df ON tf.term = df.term
                 JOIN dl ON tf.doc_id = dl.doc_id, stats s
     ), folded AS (
@@ -659,7 +665,12 @@ _CHUNK_W, _CHUNK_S = 32, 24  # window, stride (8-token overlap)
     "text_chunk_windows",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, {_TOKS} AS tk FROM documents
+        -- mirror the operator's empty-token removal: an empty /
+        -- whitespace-only document splits to [''] and must yield
+        -- n_tokens=0, not 1 (the operator's documented contract;
+        -- latent divergence if a testdata regen ships empty docs)
+        SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS tk
+        FROM documents
     ), spans AS (
         SELECT doc_id, tk, len(tk) AS t,
                1 + CAST(floor(greatest(len(tk) - {_CHUNK_W}, 0)
@@ -670,9 +681,10 @@ _CHUNK_W, _CHUNK_S = 32, 24  # window, stride (8-token overlap)
     )
     SELECT doc_id,
            CAST(i AS INTEGER) AS chunk_idx,
-           array_to_string(tk[(1 + i * {_CHUNK_S}):
-                              least(i * {_CHUNK_S} + {_CHUNK_W}, t)],
-                           ' ') AS chunk_text,
+           COALESCE(array_to_string(
+               tk[(1 + i * {_CHUNK_S}):
+                  least(i * {_CHUNK_S} + {_CHUNK_W}, t)],
+               ' '), '') AS chunk_text,
            CAST(least(i * {_CHUNK_S} + {_CHUNK_W}, t)
                 - i * {_CHUNK_S} AS INTEGER) AS n_tokens
     FROM spans, unnest(range(0, n_chunks)) AS u(i)
@@ -845,42 +857,16 @@ def agg_countmin_heavy_hitters(spark: SparkSession,
 
 
 # -- HyperLogLog: mergeable cardinality registers --------------------
-
-_HLL_P = 8                     # 2^8 = 256 buckets
-_HLL_M = 1 << _HLL_P
-_HLL_WBITS = 48 - _HLL_P       # rank bits after the bucket prefix
-_HLL_2P50 = 1 << 50            # integer harmonic scale: 2^50
-
-
-def hll_registers(df: DataFrame, key) -> DataFrame:
-    """The HLL register build as a reusable frame: one row per
-    occupied bucket with the max leading-zero rank. Registers are a
-    bucket-wise MAX monoid — computing them per stratum / day /
-    partition and cell-wise max-merging equals computing them
-    globally (pinned in tests/test_graph.py::
-    test_hll_registers_merge_across_strata) — which is what makes
-    the sketch a 100 TB primitive: fixed 256-cell state, mergeable
-    across any partitioning."""
-    bucket, rho = hll_bucket_rho(key)
-    return (df.select(bucket, rho)
-            .groupBy("bucket").agg(F.max("rho").alias("register")))
-
-
-def hll_bucket_rho(key) -> tuple:
-    """The (bucket, rho) pair for one key — the engine-portable HLL
-    hash arithmetic (md5-slice BIGINT, top-p-bit bucket, leading-
-    zero rank via string search on the lpad'ed binary expansion; no
-    float log2 anywhere). Shared by the global-cardinality registers
-    above and the per-node HyperBall registers
-    (queries/graphs.py:graph_hyperball_ball2)."""
-    hv = F.conv(F.substring(F.md5(key.cast("string")),
-                            1, 12), 16, 10).cast("long")
-    w = hv.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
-    binstr = F.lpad(F.bin(w), _HLL_WBITS, "0")
-    rho = F.when(F.instr(binstr, "1") == 0,
-                 F.lit(_HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
-    return (F.shiftright(hv, _HLL_WBITS).alias("bucket"),
-            rho.alias("rho"))
+# the register machinery lives in operators/sketch.py (shared with
+# the HyperBall query); re-exported here for existing importers
+from galaxy_spark.operators.sketch import (  # noqa: E402,F401
+    HLL_2P50 as _HLL_2P50,
+    HLL_M as _HLL_M,
+    HLL_P as _HLL_P,
+    HLL_WBITS as _HLL_WBITS,
+    hll_bucket_rho,
+    hll_registers,
+)
 
 
 @register(
@@ -1084,9 +1070,32 @@ def agg_histogram_quantile_value_bound(spark: SparkSession,
     # once per q
     counts = {r["bin"]: r["cnt"] for r in hist.collect()}
 
+    # exact order statistics for ALL targets in ONE bounded pass:
+    # distinct-value histogram + running-count crossing (the
+    # quality_mad_outliers selection pattern) — the previous
+    # orderBy(vi).limit(target) instrument funneled ~q*n rows
+    # through a single-partition GlobalLimit per quantile (q=0.99
+    # means a near-full corpus sort through one task, three times:
+    # the exact single-reducer trap this repo documents). The
+    # distinct-value frame is bounded by value cardinality, its
+    # running sum orders only those rows, and one driver-side walk
+    # answers every target.
+    targets = {qv: math.ceil(qv * n) for qv in _HIST_QS}
+    from pyspark.sql import Window
+
+    wv = (Window.orderBy("vi")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vhist = (cents.groupBy("vi").agg(F.count("*").alias("c"))
+             .withColumn("cum", F.sum("c").over(wv))
+             .localCheckpoint(eager=False))   # built once, probed 3x
+    exact_for = {
+        t: vhist.filter(F.col("cum") >= t)
+                .agg(F.min("vi")).collect()[0][0]
+        for t in sorted(set(targets.values()))}
+
     rows = []
     for qv in _HIST_QS:
-        target = math.ceil(qv * n)
+        target = targets[qv]
         cum = 0
         k = _HIST_B - 1
         for b in sorted(counts):
@@ -1095,9 +1104,7 @@ def agg_histogram_quantile_value_bound(spark: SparkSession,
                 k = b
                 break
         est_cents = mn + math.floor(((k + 1) * span) / _HIST_B)
-        # exact order statistic: the certification instrument
-        exact_cents = (cents.orderBy("vi").limit(target)
-                       .agg(F.max("vi")).collect()[0][0])
+        exact_cents = exact_for[target]
         width = span // _HIST_B
         rows.append((qv, target, k, est_cents, exact_cents,
                      -1 <= est_cents - exact_cents <= width + 2))
