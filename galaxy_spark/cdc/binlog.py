@@ -99,6 +99,7 @@ DELETE_ROWS_EVENT_V2 = 32
 GTID_EVENT = 33
 ANONYMOUS_GTID_EVENT = 34
 PREVIOUS_GTIDS_EVENT = 35
+TRANSACTION_PAYLOAD_EVENT = 40
 
 _ACTIONS = {WRITE_ROWS_EVENT_V2: "insert",
             UPDATE_ROWS_EVENT_V2: "update",
@@ -172,7 +173,9 @@ class DecodedEvent:
     rows: list[list[list[str]]] = field(default_factory=list)
     query: str | None = None
     next_file: str | None = None
-    #: "<uuid>:<gno>" for GTID events ("<uuid>:0" for anonymous)
+    #: "<uuid>:<gno>" for GTID events — the event's actual GNO is
+    #: carried for BOTH kinds (an anonymous event's SID/GNO fields
+    #: are whatever the writer put on the wire, usually zeros)
     gtid: str | None = None
 
 
@@ -804,6 +807,43 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             events.append(DecodedEvent(
                 "rows_query", ts, log_pos,
                 query=r.rest().decode("utf-8", "replace")))
+        elif etype == TRANSACTION_PAYLOAD_EVENT:
+            # 8.0.20+ with binlog_transaction_compression=ON wraps
+            # each transaction's events in a compressed payload.
+            # The only algorithm MySQL ships is zstd and this
+            # runtime has no zstd module, so decode is impossible —
+            # raise the TARGETED error (the generic unknown-type
+            # message would send an operator spelunking) with the
+            # server-side fix. Parse the leading TLV fields just
+            # far enough to name the algorithm in the message:
+            # {field_type u8(lenenc), length lenenc, value} ...,
+            # type 1 = compression_type (0 = zstd, 255 = none).
+            algo = "unknown"
+            try:
+                probe = _Reader(r.buf[r.off:])
+                while probe.off < len(probe.buf):
+                    ftype = probe.lenenc()
+                    if ftype == 0:               # OTW payload begins
+                        break
+                    flen = probe.lenenc()
+                    val = probe.take(flen)
+                    if ftype == 1:
+                        algo = {0: "zstd", 255: "none"}.get(
+                            val[0] if val else -1, f"#{val[0]}")
+                        break
+            except Exception:
+                pass                             # best-effort label
+            raise ValueError(
+                "Transaction_payload_event (type 40, compression="
+                f"{algo}): the source server runs with "
+                "binlog_transaction_compression=ON (MySQL 8.0.20+), "
+                "which wraps row events in a zstd-compressed "
+                "payload this runtime cannot decompress (no zstd "
+                "module). Fix: SET GLOBAL "
+                "binlog_transaction_compression=OFF on the source "
+                "(existing compressed segments stay compressed — "
+                "resume past them), or relay through a replica "
+                "writing uncompressed binlogs.")
         elif etype == STOP_EVENT:
             events.append(DecodedEvent("stop", ts, log_pos))
         elif etype == HEARTBEAT_EVENT:

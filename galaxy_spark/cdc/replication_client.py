@@ -12,8 +12,17 @@ over plain bytes:
   the 0xFFFFFF continuation rule;
 - HandshakeV10 parse (server version, capability flags, the
   20-byte auth scramble split across two fields);
-- HandshakeResponse41 build with ``mysql_native_password`` proof:
-  ``SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd)))``;
+- HandshakeResponse41 build with the server-announced plugin's
+  proof: ``mysql_native_password`` (``SHA1(pwd) XOR SHA1(scramble +
+  SHA1(SHA1(pwd)))``) or ``caching_sha2_password``'s scramble
+  (``SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) + scramble)`` —
+  the FAST path, accepted when the server has the user's cached
+  entry; the full exchange would send the password under TLS/RSA
+  and is refused loudly, see ``authenticate``);
+- AuthSwitchRequest (0xFE) handling: an 8.0 server whose user is
+  configured for a different plugin than the client offered asks
+  for a re-proof against a FRESH scramble — both supported plugins
+  answer the switch;
 - OK/ERR packet classification;
 - the pre-dump command phase a 5.6+ server REQUIRES:
   ``SET @master_binlog_checksum = @@global.binlog_checksum`` (the
@@ -51,6 +60,11 @@ CLIENT_PLUGIN_AUTH = 0x80000
 COM_QUERY = 0x03
 COM_REGISTER_SLAVE = 0x15
 COM_BINLOG_DUMP = 0x12
+COM_BINLOG_DUMP_GTID = 0x1E
+
+#: COM_BINLOG_DUMP_GTID flags (public protocol constants)
+BINLOG_DUMP_NON_BLOCK = 0x01
+BINLOG_THROUGH_GTID = 0x04
 
 _MAX_CHUNK = 0xFFFFFF
 
@@ -161,15 +175,36 @@ def native_password_proof(password: str, scramble: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
-def build_handshake_response(user: str, password: str,
-                             scramble: bytes) -> bytes:
+def sha2_password_proof(password: str, scramble: bytes) -> bytes:
+    """``caching_sha2_password`` fast-path scramble proof:
+    XOR(SHA256(pwd), SHA256(SHA256(SHA256(pwd)) + scramble)).
+    Pure hashlib — no TLS/RSA needed; the server accepts it when it
+    holds the user's cached credential entry. Empty password ->
+    empty proof."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(h1).digest()
+    h3 = hashlib.sha256(h2 + scramble).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+_PLUGIN_PROOFS = {
+    "mysql_native_password": native_password_proof,
+    "caching_sha2_password": sha2_password_proof,
+}
+
+
+def build_handshake_response(user: str, password: str, scramble: bytes,
+                             plugin: str = "mysql_native_password") \
+        -> bytes:
+    proof = _PLUGIN_PROOFS[plugin](password, scramble)
     caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
             | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
-    proof = native_password_proof(password, scramble)
     return (struct.pack("<IIB", caps, 1 << 24, 33) + bytes(23)
             + user.encode() + b"\x00"
             + bytes([len(proof)]) + proof
-            + b"mysql_native_password\x00")
+            + plugin.encode() + b"\x00")
 
 
 def classify_response(payload: bytes) -> tuple[str, dict]:
@@ -205,23 +240,213 @@ def build_binlog_dump(server_id: int, file: str, pos: int,
             + file.encode())
 
 
+class GtidSet:
+    """An executed-GTID set — ``{source uuid: disjoint sorted
+    [start, stop) interval list}`` — with the three operations
+    replication needs: accumulate GTIDs decoded off the stream
+    (``add``), test coverage (``covers``), and serialize into the
+    COM_BINLOG_DUMP_GTID wire encoding (``encode``: n_sids u64;
+    per sid 16 raw uuid bytes + n_intervals u64 + per interval
+    start u64, stop u64, stop EXCLUSIVE — the public Gtid_set
+    layout). Text form is MySQL's ``uuid:1-5:8,uuid:12`` (ranges
+    inclusive), round-tripped by ``parse``/``__str__``.
+
+    This is the failover-safe resume currency: ``(file, pos)``
+    positions die with the primary's binlog naming, the executed
+    set does not (the reference itself resumes by file/pos,
+    ``pkg/shared.go:13-14`` — auto-position is the step past it)."""
+
+    def __init__(self) -> None:
+        self._sids: dict[str, list[list[int]]] = {}
+
+    @staticmethod
+    def _norm(uuid: str) -> str:
+        u = uuid.replace("-", "").lower()
+        if len(u) != 32:
+            raise ValueError(f"malformed source uuid {uuid!r}")
+        return u
+
+    @classmethod
+    def parse(cls, text: str) -> "GtidSet":
+        out = cls()
+        for part in filter(None,
+                           (p.strip() for p in text.split(","))):
+            uuid, *ranges = part.split(":")
+            if not ranges:
+                raise ValueError(f"malformed gtid set entry {part!r}")
+            for rng in ranges:
+                lo, _, hi = rng.partition("-")
+                start, last = int(lo), int(hi or lo)
+                out._insert(cls._norm(uuid), start, last + 1)
+        return out
+
+    def _insert(self, sid: str, start: int, stop: int) -> None:
+        ivs = self._sids.setdefault(sid, [])
+        ivs.append([start, stop])
+        ivs.sort()
+        merged = [ivs[0]]
+        for s, e in ivs[1:]:                  # coalesce adjacency
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        self._sids[sid] = merged
+
+    def add(self, gtid: str) -> None:
+        """One ``uuid:gno`` (a DecodedEvent.gtid string)."""
+        uuid, gno = gtid.rsplit(":", 1)
+        g = int(gno)
+        self._insert(self._norm(uuid), g, g + 1)
+
+    def covers(self, gtid: str) -> bool:
+        uuid, gno = gtid.rsplit(":", 1)
+        g = int(gno)
+        return any(s <= g < e
+                   for s, e in self._sids.get(self._norm(uuid), ()))
+
+    def __bool__(self) -> bool:
+        return bool(self._sids)
+
+    def __str__(self) -> str:
+        parts = []
+        for sid in sorted(self._sids):
+            u = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+                f"{sid[16:20]}-{sid[20:32]}"
+            rngs = ":".join(
+                f"{s}-{e - 1}" if e - 1 > s else f"{s}"
+                for s, e in self._sids[sid])
+            parts.append(f"{u}:{rngs}")
+        return ",".join(parts)
+
+    def encode(self) -> bytes:
+        out = struct.pack("<Q", len(self._sids))
+        for sid in sorted(self._sids):
+            ivs = self._sids[sid]
+            out += bytes.fromhex(sid) + struct.pack("<Q", len(ivs))
+            for s, e in ivs:
+                out += struct.pack("<QQ", s, e)
+        return out
+
+    @classmethod
+    def decode(cls, blob: bytes) -> "GtidSet":
+        """Inverse of ``encode`` (also the PREVIOUS_GTIDS event
+        body layout, so a relay reader can seed from one)."""
+        out = cls()
+        (n_sids,) = struct.unpack_from("<Q", blob, 0)
+        p = 8
+        for _ in range(n_sids):
+            sid = blob[p:p + 16].hex()
+            (n_ivs,) = struct.unpack_from("<Q", blob, p + 16)
+            p += 24
+            for _ in range(n_ivs):
+                s, e = struct.unpack_from("<QQ", blob, p)
+                p += 16
+                out._insert(sid, s, e)
+        return out
+
+
+def build_binlog_dump_gtid(server_id: int, gtid_set: GtidSet,
+                           non_blocking: bool = False) -> bytes:
+    """COM_BINLOG_DUMP_GTID — auto-position: the server locates the
+    first transaction NOT in the replica's executed set and streams
+    from there, surviving primary failover where ``(file, pos)``
+    names no longer exist. Layout (public protocol): u16 flags
+    (BINLOG_THROUGH_GTID), u32 server_id, u32 name-len + name
+    (empty = auto-position), u64 pos (4 = from start), u32
+    data-size + encoded set."""
+    flags = BINLOG_THROUGH_GTID
+    if non_blocking:
+        flags |= BINLOG_DUMP_NON_BLOCK
+    data = gtid_set.encode()
+    return (bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<HI", flags, server_id)
+            + struct.pack("<I", 0)               # empty file name
+            + struct.pack("<Q", 4)
+            + struct.pack("<I", len(data)) + data)
+
+
 # ---- the client ------------------------------------------------------
 
 def authenticate(conn: PacketConn, user: str, password: str) -> dict:
     """Connection phase over an already-connected socket: read
-    HandshakeV10, answer HandshakeResponse41, expect OK."""
+    HandshakeV10, answer HandshakeResponse41 with the server's
+    announced plugin (``mysql_native_password`` or 8.0's DEFAULT
+    ``caching_sha2_password`` fast path), then drive the auth state
+    machine to OK:
+
+    - ``AuthMoreData`` ``0x01 0x03`` (sha2 fast-auth success):
+      the OK packet follows;
+    - ``AuthMoreData`` ``0x01 0x04`` (sha2 FULL auth): the server
+      has no cached entry for this user and the full exchange sends
+      the password under TLS or an RSA envelope — refused loudly
+      with the operational fix (connect over TLS once to prime the
+      cache, or configure the replication user for
+      mysql_native_password);
+    - ``AuthSwitchRequest`` (0xFE + plugin + fresh scramble): the
+      user's configured plugin differs from the offer — re-prove
+      against the NEW scramble with the requested plugin (both
+      supported plugins answered; one switch max, per protocol).
+    """
     hs = parse_handshake_v10(conn.read_packet())
-    if hs["plugin"] not in (None, "mysql_native_password"):
+    plugin = hs["plugin"] or "mysql_native_password"
+    if plugin not in _PLUGIN_PROOFS:
         raise ValueError(
-            f"unsupported auth plugin {hs['plugin']!r} (this client "
-            "implements mysql_native_password; caching_sha2_password "
-            "needs TLS or an RSA exchange)")
+            f"unsupported auth plugin {plugin!r} (this client "
+            "implements mysql_native_password and the "
+            "caching_sha2_password fast path)")
     conn.write_payload(
-        build_handshake_response(user, password, hs["scramble"]))
-    kind, info = classify_response(conn.read_packet())
-    if kind != "ok":
-        raise ConnectionError(f"authentication failed: {info}")
-    return hs
+        build_handshake_response(user, password, hs["scramble"],
+                                 plugin))
+    switched = False
+    while True:
+        payload = conn.read_packet()
+        kind, info = classify_response(payload)
+        if kind == "ok":
+            return hs
+        if kind == "err":
+            raise ConnectionError(f"authentication failed: {info}")
+        if payload[:1] == b"\x01":               # AuthMoreData
+            if plugin == "caching_sha2_password" \
+                    and payload[1:2] == b"\x03":
+                continue                         # fast-auth OK next
+            if plugin == "caching_sha2_password" \
+                    and payload[1:2] == b"\x04":
+                raise ConnectionError(
+                    "caching_sha2_password FULL authentication "
+                    "required: the server holds no cached entry for "
+                    "this user, and the full exchange transmits the "
+                    "password under TLS or an RSA envelope, which "
+                    "this client does not implement. Fix: connect "
+                    "over TLS once (any client) to prime the "
+                    "server's auth cache, or ALTER USER ... "
+                    "IDENTIFIED WITH mysql_native_password.")
+            raise ValueError(
+                f"unexpected AuthMoreData during {plugin} auth: "
+                f"{payload[:8].hex()}")
+        if payload[:1] == b"\xfe":               # AuthSwitchRequest
+            if len(payload) < 9:
+                raise ValueError(
+                    "server requested the pre-4.1 old-password auth "
+                    "switch, which this client does not implement")
+            if switched:
+                raise ConnectionError(
+                    "server requested a second auth switch")
+            nul = payload.index(b"\x00", 1)
+            plugin = payload[1:nul].decode()
+            scramble = payload[nul + 1:]
+            if scramble.endswith(b"\x00"):
+                scramble = scramble[:-1]         # one terminator max
+            proof_fn = _PLUGIN_PROOFS.get(plugin)
+            if proof_fn is None:
+                raise ValueError(
+                    f"unsupported auth plugin {plugin!r} in "
+                    "AuthSwitchRequest")
+            conn.write_payload(proof_fn(password, scramble))
+            switched = True
+            continue
+        raise ValueError(
+            f"unexpected packet during authentication: "
+            f"{payload[:8].hex()}")
 
 
 def build_query(sql: str) -> bytes:
@@ -229,13 +454,16 @@ def build_query(sql: str) -> bytes:
 
 
 def _start_dump(conn: PacketConn, server_id: int, file: str,
-                pos: int) -> None:
+                pos: int, gtid_set: GtidSet | None = None) -> None:
     """The pre-dump command phase a real 5.6+ master REQUIRES:
     ``SET @master_binlog_checksum = @@global.binlog_checksum``
     (without it a default-configured server refuses the dump with
     'Slave can not handle replication events with the checksum...'
     — the statement returns a plain OK, no resultset needed), then
-    COM_REGISTER_SLAVE, then COM_BINLOG_DUMP."""
+    COM_REGISTER_SLAVE, then COM_BINLOG_DUMP — or, when a
+    ``gtid_set`` is given, COM_BINLOG_DUMP_GTID (auto-position:
+    ``file``/``pos`` are ignored; the server resumes at the first
+    transaction not in the set)."""
     conn.write_payload(build_query(
         "SET @master_binlog_checksum = @@global.binlog_checksum"),
         seq=0)
@@ -247,8 +475,12 @@ def _start_dump(conn: PacketConn, server_id: int, file: str,
     kind, info = classify_response(conn.read_packet())
     if kind != "ok":
         raise ConnectionError(f"COM_REGISTER_SLAVE refused: {info}")
-    conn.write_payload(build_binlog_dump(server_id, file, pos,
-                                         non_blocking=True), seq=0)
+    if gtid_set is not None:
+        conn.write_payload(build_binlog_dump_gtid(
+            server_id, gtid_set, non_blocking=True), seq=0)
+    else:
+        conn.write_payload(build_binlog_dump(server_id, file, pos,
+                                             non_blocking=True), seq=0)
 
 
 def _rotate_next_name(ev: bytes) -> tuple[str, bool]:
@@ -271,7 +503,8 @@ def _rotate_next_name(ev: bytes) -> tuple[str, bool]:
 
 def relay_to_segments(sock, user: str, password: str, server_id: int,
                       file: str, pos: int, out_dir: str,
-                      max_events: int | None = None) -> int:
+                      max_events: int | None = None,
+                      gtid_set: GtidSet | None = None) -> int:
     """The wire -> Spark bridge, shaped like MySQL's own relay log:
     this function is the RELAY WRITER — it speaks the replication
     protocol (authenticate, register, dump) and appends the raw
@@ -298,24 +531,27 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
 
     conn = PacketConn(sock)
     authenticate(conn, user, password)
-    _start_dump(conn, server_id, file, pos)
+    _start_dump(conn, server_id, file, pos, gtid_set=gtid_set)
 
     os.makedirs(out_dir, exist_ok=True)
     crc32_mode = False
     fde: bytes | None = None
     fh = None
     cur = file
+    cur_path: str | None = None
+    seg_virgin = False      # freshly created, nothing past the seed
     n = 0
 
     def open_segment(name: str):
-        nonlocal fh
+        nonlocal fh, cur_path, seg_virgin
         if fh is not None:
             fh.flush()
             os.fsync(fh.fileno())
             fh.close()
-        path = os.path.join(out_dir, f"{name}.bin")
-        fresh = not os.path.exists(path)
-        fh = open(path, "ab")
+        cur_path = os.path.join(out_dir, f"{name}.bin")
+        fresh = not os.path.exists(cur_path)
+        fh = open(cur_path, "ab")
+        seg_virgin = fresh
         if fresh:
             fh.write(MAGIC)
             if fde is not None:
@@ -333,6 +569,21 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
             etype = ev[4]
             if etype == FORMAT_DESCRIPTION_EVENT:
                 crc32_mode = _detect_checksum(ev)
+                if fh is not None and seg_virgin and ev != fde:
+                    # the just-rotated segment's REAL FDE differs
+                    # from the carried seed — the rotation was
+                    # forced by a config change that alters the FDE
+                    # (e.g. SET GLOBAL binlog_checksum), so the
+                    # seed mis-declares the checksum mode for every
+                    # event that would follow it. Nothing but
+                    # magic+seed is in the file yet: rewrite it
+                    # with the stream's actual FDE.
+                    fde = ev
+                    fh.close()
+                    fh = open(cur_path, "wb")
+                    fh.write(MAGIC)
+                    fh.write(fde)
+                    continue
                 fde = ev
                 if fh is None:
                     open_segment(cur)    # seeds magic + this FDE
@@ -356,6 +607,7 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
                 open_segment(cur)
                 continue
             fh.write(ev)
+            seg_virgin = False
             n += 1
             if etype == XID_EVENT:       # transaction boundary
                 fh.flush()
@@ -371,10 +623,13 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
 
 
 def tail_binlog(sock, user: str, password: str, server_id: int,
-                file: str, pos: int, max_events: int | None = None):
+                file: str, pos: int, max_events: int | None = None,
+                gtid_set: GtidSet | None = None):
     """Generator over DecodedEvents from a live replication stream:
-    authenticate, COM_REGISTER_SLAVE, COM_BINLOG_DUMP(file, pos),
-    then yield each event packet's bytes through the byte decoder.
+    authenticate, COM_REGISTER_SLAVE, COM_BINLOG_DUMP(file, pos) —
+    or COM_BINLOG_DUMP_GTID auto-position when ``gtid_set`` is
+    given — then yield each event packet's bytes through the byte
+    decoder.
 
     Each network packet carries [0x00 OK byte][one binlog event];
     the per-connection TABLE_MAP state lives in an incremental
@@ -383,25 +638,33 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
     packets). ERR packets raise; EOF (0xFE short packet, sent under
     BINLOG_DUMP_NON_BLOCK) ends the stream.
     """
-    from galaxy_spark.cdc.binlog import (ROTATE_EVENT, DecodedEvent,
-                                         decode_binlog)
+    from galaxy_spark.cdc.binlog import (ROTATE_EVENT,
+                                         TABLE_MAP_EVENT,
+                                         DecodedEvent, decode_binlog)
 
     conn = PacketConn(sock)
     authenticate(conn, user, password)
-    _start_dump(conn, server_id, file, pos)
+    _start_dump(conn, server_id, file, pos, gtid_set=gtid_set)
 
     # incremental decode: accumulate event bytes; decode_binlog is
     # re-run over the buffer so TABLE_MAP state is always in scope.
-    # BOUNDED: at each transaction boundary (XID / ROTATE) the
-    # buffer resets to just the stream's FDE — legal because every
-    # transaction re-sends its own TABLE_MAPs before its rows
-    # events, so no cross-transaction decoder state is needed; the
-    # per-packet re-decode cost is O(open transaction), not
-    # O(stream history).
+    # BOUNDED by open-transaction tracking: the only cross-packet
+    # decode dependency is TABLE_MAP -> rows WITHIN one transaction
+    # (every transaction re-sends its TABLE_MAPs), so the buffer
+    # resets to just the stream's FDE whenever no transaction is
+    # open. A transaction opens at QUERY 'BEGIN' (or a raw
+    # TABLE_MAP packet — belt and braces for streams that skip the
+    # BEGIN) and closes at XID, ROTATE, or ANY other QUERY — which
+    # covers InnoDB (XID), non-transactional engines committing via
+    # QUERY 'COMMIT'/'ROLLBACK', and DDL/GTID-only stretches that
+    # never emit an XID at all (each DDL QUERY is an auto-commit
+    # boundary). Per-packet re-decode cost stays O(open
+    # transaction), never O(stream history).
     buf = b""
     fde_raw = b""
     n_seen = 0
     n_out = 0
+    open_txn = False
     while True:
         payload = conn.read_packet()
         if payload[:1] == b"\xfe" and len(payload) < 9:
@@ -433,11 +696,26 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
         buf += ev_bytes
         events = decode_binlog(buf)
         for ev in events[n_seen:]:
+            if ev.kind == "query":
+                stmt = (ev.query or "").strip().upper()
+                # BEGIN opens; COMMIT/ROLLBACK close (MyISAM's
+                # commit marker — no XID); any OTHER statement is
+                # an auto-commit boundary (DDL cannot run inside an
+                # open transaction: implicit commit)
+                open_txn = stmt == "BEGIN"
+            elif ev.kind in ("xid", "rotate"):
+                open_txn = False
             yield ev
             n_out += 1
             if max_events is not None and n_out >= max_events:
                 return
         n_seen = len(events)
-        if events and events[-1].kind in ("xid", "rotate"):
+        if ev_bytes[4] == TABLE_MAP_EVENT:
+            # TABLE_MAPs surface no DecodedEvent but open the
+            # rows-decode dependency window: the buffer must hold
+            # them until their rows events arrive and the group
+            # closes
+            open_txn = True
+        if not open_txn:
             buf = fde_raw                        # transaction done
             n_seen = 1 if fde_raw else 0

@@ -41,6 +41,16 @@ too (partition-ordered, not globally ordered).
 ``startingOffsets=latest`` (S2 parity, ``baseinfo.go:254-262``):
 the initial offset probes the directory's current end instead of
 the first file's magic.
+
+``startingGtids="<uuid>:1-5,..."`` — GTID auto-position, the
+failover-safe alternative to (file, pos): file names die with a
+primary (a failover's new relay segments have new names, breaking
+any saved (file, pos)), the executed-GTID set does not. On first
+start the reader scans segments in rotation order for the first
+GTID event NOT covered by the set and begins there; if the whole
+directory is covered it starts at the end. Only the FIRST start
+consults it (same contract as Kafka's startingOffsets — the
+checkpoint owns position afterward).
 """
 
 from __future__ import annotations
@@ -124,6 +134,11 @@ class BinlogStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("galaxy_binlog requires option 'path'")
         self.starting = options.get("startingOffsets", "earliest")
+        self.starting_gtids = options.get("startingGtids")
+        if self.starting_gtids and self.starting != "earliest":
+            raise ValueError(
+                "startingGtids and startingOffsets are mutually "
+                "exclusive start positions — pass one")
         self.include = options.get("include", "rows")
         if self.include not in ("rows", "ddl"):
             raise ValueError(
@@ -140,10 +155,36 @@ class BinlogStreamReader(DataSourceStreamReader):
                 "pos": _aligned_end(os.path.join(self.path, last))}
 
     def initialOffset(self) -> dict:
+        if self.starting_gtids:
+            return self._offset_after_gtids(self.starting_gtids)
         if self.starting == "latest":
             return self._end_of_dir()   # SHOW MASTER STATUS analog
         segs = _segments(self.path)
         return {"file": segs[0] if segs else "", "pos": 0}
+
+    def _offset_after_gtids(self, gtid_text: str) -> dict:
+        """GTID auto-position over segment files: the offset just
+        BEFORE the first GTID event not covered by the executed
+        set — the file-tier twin of COM_BINLOG_DUMP_GTID (the
+        server-side auto-position the replication client speaks).
+        One driver-side sequential scan at FIRST start only; the
+        checkpoint owns position afterward. Segments decode
+        standalone (each is seeded with the stream FDE), so the
+        scan can stop at the first uncovered transaction."""
+        from galaxy_spark.cdc.binlog import decode_binlog
+        from galaxy_spark.cdc.replication_client import GtidSet
+
+        gset = GtidSet.parse(gtid_text)
+        for s in _segments(self.path):
+            with open(os.path.join(self.path, s), "rb") as f:
+                blob = f.read()
+            prev_end = 0
+            for ev in decode_binlog(blob):
+                if ev.kind == "gtid" and ev.gtid \
+                        and not gset.covers(ev.gtid):
+                    return {"file": s, "pos": prev_end}
+                prev_end = ev.log_pos
+        return self._end_of_dir()       # whole directory covered
 
     def latestOffset(self) -> dict:
         # Monotonic floor: binlog segments are APPEND-ONLY (MySQL's

@@ -104,7 +104,8 @@ def read_csv_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
-def read_json_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_json_table(spark: SparkSession, path: str, schema=None,
+                    corrupt_column: bool = True) -> DataFrame:
     """JSON-lines scan; same explicit-schema policy as CSV.
     Corrupt records land in ``_corrupt_record`` (PERMISSIVE mode)
     instead of failing the scan — the batch twin of the CDC
@@ -112,7 +113,15 @@ def read_json_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     column if it EXISTS in the schema, so an explicit data-only
     schema (the normal call) gets the field appended here —
     otherwise malformed lines silently became all-null rows,
-    indistinguishable from legitimately-null data."""
+    indistinguishable from legitimately-null data.
+
+    CONTRACT: with ``corrupt_column=True`` (default) the output
+    schema is the caller's schema PLUS ``_corrupt_record string``
+    — callers that persist the frame, union it against existing
+    datasets, or compare schemas strictly should either select the
+    data columns or pass ``corrupt_column=False`` to keep the
+    schema exactly as given (malformed lines then surface as
+    all-null rows, Spark's bare PERMISSIVE behavior)."""
     from pyspark.sql import types as T
 
     reader = spark.read.option("mode", "PERMISSIVE") \
@@ -120,7 +129,8 @@ def read_json_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         if isinstance(schema, str):
             schema = T._parse_datatype_string(schema)
-        if "_corrupt_record" not in schema.fieldNames():
+        if corrupt_column \
+                and "_corrupt_record" not in schema.fieldNames():
             # new StructType — .add would mutate the caller's object
             schema = T.StructType(
                 list(schema.fields)

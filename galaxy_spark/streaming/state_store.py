@@ -302,8 +302,35 @@ def rebucket(store: KeyedParquetStore, new_path: str,
         raise ValueError(
             f"store {store.path!r} holds multiple lineages "
             f"{sorted(lineages)}; cannot migrate")
-    new_store = store.__class__(store.spark, new_path,
-                                n_buckets=n_buckets)
+    if checkpoint_dir is None:
+        import warnings
+
+        warnings.warn(
+            "rebucket() without checkpoint_dir: cannot verify the "
+            "pipeline is quiesced — a store left partially claimed "
+            "by a crash between foreachBatch and the commit-log "
+            "write migrates with the replay-skip hazard described "
+            "in the docstring; pass checkpoint_dir to have it "
+            "checked", stacklevel=2)
+    if type(store) is KeyedParquetStore:
+        # the base class takes key_cols/aggs explicitly — forward
+        # them (the fixed-schema subclasses bake theirs in, and
+        # calling their (spark, path, n_buckets) signature with
+        # the base class raised a bare TypeError)
+        new_store = KeyedParquetStore(
+            store.spark, new_path, store.key_cols, store.aggs,
+            n_buckets=n_buckets, state_schema=store.state_schema)
+    else:
+        try:
+            new_store = store.__class__(store.spark, new_path,
+                                        n_buckets=n_buckets)
+        except TypeError as exc:
+            raise TypeError(
+                f"rebucket: {store.__class__.__name__} does not "
+                "accept the (spark, path, n_buckets) constructor "
+                "shape — give the subclass that signature (bake "
+                "key_cols/aggs in, as the shipped subclasses do) "
+                f"or migrate manually: {exc}") from exc
     if not lineages:
         return new_store                       # empty store: done
     currents = []

@@ -390,30 +390,35 @@ def meta_bytes(col_type: int, meta: int) -> bytes:
 # ---- event assembly -------------------------------------------------
 
 class BinlogWriter:
-    """Assembles a CRC32-checksummed binlog v4 stream."""
+    """Assembles a binlog v4 stream — CRC32-checksummed by default;
+    ``checksum="none"`` produces an algorithm-0 stream (events carry
+    no trailer and the FDE advertises byte 0), the shape a server
+    writes after ``SET GLOBAL binlog_checksum=NONE``."""
 
     MAGIC = bytes.fromhex("fe62696e")
 
     def __init__(self, server_id: int = 7007,
-                 base_ts: int = 1_710_000_000) -> None:
+                 base_ts: int = 1_710_000_000,
+                 checksum: str = "crc32") -> None:
         self.server_id = server_id
         self.ts = base_ts
         self.out = bytearray(self.MAGIC)
         self.pos = len(self.MAGIC)
+        self.crc32 = checksum == "crc32"
 
     def _emit(self, etype: int, body: bytes) -> None:
-        size = 19 + len(body) + 4                  # + CRC trailer
+        size = 19 + len(body) + (4 if self.crc32 else 0)
         self.pos += size
         header = (le(self.ts, 4) + bytes([etype]) + le(self.server_id, 4)
                   + le(size, 4) + le(self.pos, 4) + le(0, 2))
         ev = header + body
-        self.out += ev + le(zlib.crc32(ev), 4)
+        self.out += ev + (le(zlib.crc32(ev), 4) if self.crc32 else b"")
 
     def format_description(self) -> None:
         body = (le(4, 2) + b"8.4.0-indep-fixture".ljust(50, b"\x00")
                 + le(self.ts, 4) + bytes([19])
                 + bytes(39)                        # post-header lengths
-                + bytes([1]))                      # alg: CRC32
+                + bytes([1 if self.crc32 else 0])) # algorithm byte
         self._emit(15, body)
 
     def query(self, db: str, sql: str) -> None:

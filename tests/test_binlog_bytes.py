@@ -172,3 +172,38 @@ def test_binlog_row_values_roundtrip(rows):
     want = [[str(i), str(q), str(a), n if n is None else n]
             for i, q, a, n in rows]
     assert got == want
+
+
+def test_transaction_payload_event_refused_with_targeted_message():
+    """MySQL 8.0.20+ with binlog_transaction_compression=ON wraps
+    row events in a zstd Transaction_payload_event (type 40). This
+    runtime has no zstd, so decode is impossible — but the refusal
+    must NAME the server setting and the fix, not emit the generic
+    unknown-type message an operator cannot act on."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from galaxy_spark.cdc.binlog import decode_binlog
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    w = BinlogWriter()
+    w.format_description()
+    fde_stream = w.bytes()
+
+    # type-40 body: TLV fields {type lenenc, len lenenc, value}:
+    # compression_type=1 -> value 0 (zstd), then payload-size field
+    body = bytes([1, 1, 0]) + bytes([2, 2, 0x10, 0x00])
+    size = 19 + len(body) + 4
+    pos = len(fde_stream) - 4 + size
+    header = (struct.pack("<IBIIIH", 1_710_000_000, 40, 7007, size,
+                          pos, 0))
+    ev = header + body
+    blob = fde_stream + ev + struct.pack("<I", zlib.crc32(ev))
+
+    with pytest.raises(ValueError,
+                       match="binlog_transaction_compression"):
+        decode_binlog(blob)
+    with pytest.raises(ValueError, match="zstd"):
+        decode_binlog(blob)

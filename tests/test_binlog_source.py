@@ -562,3 +562,100 @@ def test_recovery_v2_jumps_to_latest_position(spark, binlog_dir,
     mgr.await_all()
     mgr.stop_task("t_v2")
     assert spark.read.parquet(out).count() == n1 + 1
+
+
+# ---- GTID auto-position (startingGtids) -------------------------------
+
+def _gtid_relay_dir(tmp_path, names=("binlog.000001.bin",
+                                     "binlog.000002.bin")):
+    """Two relay segments of GTID transactions: segment 1 holds
+    GNOs 1-2 (+ rotate), segment 2 holds GNO 3 — authored by the
+    independent wire encoder."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def txn(w, g):
+        w.gtid(sid, g)
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", cols)
+        w.write_rows(7, cols, [[g, f"order-{g}"]])
+        w.xid(900 + g)
+
+    d = str(tmp_path / "gtid_relay")
+    os.makedirs(d)
+    w1 = BinlogWriter()
+    w1.format_description()
+    txn(w1, 1)
+    txn(w1, 2)
+    w1.rotate(names[1].removesuffix(".bin"))
+    with open(os.path.join(d, names[0]), "wb") as f:
+        f.write(w1.bytes())
+    w2 = BinlogWriter()
+    w2.format_description()
+    txn(w2, 3)
+    with open(os.path.join(d, names[1]), "wb") as f:
+        f.write(w2.bytes())
+    return d, f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+              f"{sid[16:20]}-{sid[20:32]}"
+
+
+def _start_gtids(spark, d, name, ckpt, gtids):
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+    return (spark.readStream.format("galaxy_binlog")
+            .option("path", d).option("startingGtids", gtids)
+            .load()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).start())
+
+
+def test_starting_gtids_resumes_at_first_uncovered(spark, tmp_path):
+    d, uuid = _gtid_relay_dir(tmp_path)
+    q = _start_gtids(spark, d, "gt_resume", str(tmp_path / "ck"),
+                     f"{uuid}:1-2")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM gt_resume").collect()
+    assert [(r.action, r.org_row[0]) for r in rows] == \
+        [("insert", ["3", "order-3"])]
+
+
+def test_starting_gtids_survives_file_rename_failover(spark, tmp_path):
+    """The failover story (file, pos) cannot tell: the new primary's
+    segments have NEW names, but GTIDs are preserved — the same
+    executed set finds the same resume point under any naming."""
+    d, uuid = _gtid_relay_dir(
+        tmp_path, names=("after-failover.000007.bin",
+                         "after-failover.000008.bin"))
+    q = _start_gtids(spark, d, "gt_failover", str(tmp_path / "ck"),
+                     f"{uuid}:1-2")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM gt_failover").collect()
+    assert [(r.action, r.org_row[0]) for r in rows] == \
+        [("insert", ["3", "order-3"])]
+
+
+def test_starting_gtids_fully_covered_emits_nothing(spark, tmp_path):
+    d, uuid = _gtid_relay_dir(tmp_path)
+    q = _start_gtids(spark, d, "gt_covered", str(tmp_path / "ck"),
+                     f"{uuid}:1-3")
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM gt_covered").count() == 0
+
+
+def test_starting_gtids_excludes_starting_offsets():
+    from galaxy_spark.sources.binlog_source import BinlogStreamReader
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        BinlogStreamReader({"path": "/tmp/x",
+                            "startingGtids": "a" * 32 + ":1",
+                            "startingOffsets": "latest"})

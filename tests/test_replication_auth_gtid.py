@@ -1,0 +1,547 @@
+"""Round-8 replication-client surface: caching_sha2_password fast
+path + AuthSwitchRequest fallback (the reference's go-mysql dep
+authenticates against stock MySQL 8.0, ``go.mod:10`` wired at
+``internal/sync_server/sync.go:44-118`` — 8.0's DEFAULT plugin is
+caching_sha2_password, so a client without it cannot connect to an
+unmodified server), GTID auto-position resume
+(COM_BINLOG_DUMP_GTID — past-the-reference failover safety; galaxy
+itself resumes by (file, pos), ``pkg/shared.go:13-14``), the
+bounded tail-decode buffer under XID-less commit markers, and the
+relay writer's FDE re-seed on a checksum-config rotation.
+
+Every test drives the real client bytes against an in-process fake
+master that VERIFIES them server-side (independent proof
+recomputation, independent GTID-set wire parse)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socket
+import struct
+import threading
+
+import pytest
+
+from galaxy_spark.cdc import replication_client as rc
+from galaxy_spark.cdc.binlog import decode_binlog
+from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                BinlogWriter)
+
+SCRAMBLE = bytes(range(1, 21))
+SCRAMBLE2 = bytes(range(101, 121))              # post-switch nonce
+USER, PASSWORD = "repl", "s3cret"
+SID_HEX = "0f81a2b3c4d5e6f7081922aabbccddee"
+SID_UUID = "0f81a2b3-c4d5-e6f7-0819-22aabbccddee"
+
+COLS = [(LONG, 0), (VARCHAR, 64)]
+
+
+def _native_want(password: str, scramble: bytes) -> bytes:
+    h1 = hashlib.sha1(password.encode()).digest()
+    h2 = hashlib.sha1(h1).digest()
+    return bytes(a ^ b for a, b in zip(
+        h1, hashlib.sha1(scramble + h2).digest()))
+
+
+def _sha2_want(password: str, scramble: bytes) -> bytes:
+    h1 = hashlib.sha256(password.encode()).digest()
+    h2 = hashlib.sha256(h1).digest()
+    return bytes(a ^ b for a, b in zip(
+        h1, hashlib.sha256(h2 + scramble).digest()))
+
+
+def _txn_stream(gnos: list[int], checksum: str = "crc32") \
+        -> tuple[bytes, list[bytes]]:
+    """A binlog stream of one transaction per GNO (GTID, BEGIN,
+    TABLE_MAP, one insert carrying the GNO, XID). Returns
+    (full stream bytes, per-event byte list sans magic)."""
+    w = BinlogWriter(checksum=checksum)
+    w.format_description()
+    for g in gnos:
+        w.gtid(SID_HEX, g)
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", COLS)
+        w.write_rows(7, COLS, [[g, f"order-{g}"]])
+        w.xid(900 + g)
+    blob = w.bytes()
+    events, off = [], 4
+    while off < len(blob):
+        size = struct.unpack("<I", blob[off + 9:off + 13])[0]
+        events.append(blob[off:off + size])
+        off += size
+    return blob, events
+
+
+class Master(threading.Thread):
+    """Configurable fake server: announced auth plugin, optional
+    AuthSwitchRequest, optional sha2 full-auth demand, and BOTH
+    dump commands — verifying every client byte server-side."""
+
+    def __init__(self, sock, *, plugin="mysql_native_password",
+                 password=PASSWORD, switch_to=None, sha2_full=False,
+                 transactions=None, fde=None):
+        super().__init__(daemon=True)
+        self.sock = sock
+        self.plugin = plugin
+        self.password = password
+        self.switch_to = switch_to
+        self.sha2_full = sha2_full
+        self.transactions = transactions or []   # [(gno, [events])]
+        self.fde = fde
+        self.seen: dict = {}
+        self.error: Exception | None = None
+
+    def _send(self, payload: bytes, seq: int) -> None:
+        self.sock.sendall(rc.frame_packet(payload, seq))
+
+    def _read(self) -> bytes:
+        head = b""
+        while len(head) < 4:
+            chunk = self.sock.recv(4 - len(head))
+            if not chunk:
+                raise ConnectionError("client closed")
+            head += chunk
+        n = head[0] | (head[1] << 8) | (head[2] << 16)
+        payload = b""
+        while len(payload) < n:
+            payload += self.sock.recv(n - len(payload))
+        return payload
+
+    def run(self) -> None:
+        try:
+            self._run()
+        except Exception as exc:
+            self.error = exc
+
+    def _handshake(self) -> None:
+        hs = (bytes([10]) + b"8.4.0-fake\x00"
+              + struct.pack("<I", 99) + SCRAMBLE[:8] + b"\x00"
+              + struct.pack("<H", (rc.CLIENT_SECURE_CONNECTION
+                                   | rc.CLIENT_PROTOCOL_41) & 0xFFFF)
+              + bytes([33]) + struct.pack("<H", 2)
+              + struct.pack("<H", rc.CLIENT_PLUGIN_AUTH >> 16)
+              + bytes([21]) + bytes(10)
+              + SCRAMBLE[8:] + b"\x00"
+              + self.plugin.encode() + b"\x00")
+        self._send(hs, 0)
+        resp = self._read()
+        p = 32
+        nul = resp.index(b"\x00", p)
+        self.seen["user"] = resp[p:nul].decode()
+        p = nul + 1
+        n = resp[p]
+        proof = resp[p + 1:p + 1 + n]
+        self.seen["client_plugin"] = resp[p + 1 + n:-1].decode()
+
+        if self.switch_to is not None:
+            self._send(b"\xfe" + self.switch_to.encode() + b"\x00"
+                       + SCRAMBLE2 + b"\x00", 2)
+            proof = self._read()
+            want = (_native_want if self.switch_to
+                    == "mysql_native_password" else _sha2_want)(
+                        self.password, SCRAMBLE2)
+            self.seen["auth_ok"] = proof == want
+            self.seen["switch_answered"] = True
+        elif self.plugin == "caching_sha2_password":
+            self.seen["auth_ok"] = proof == _sha2_want(
+                self.password, SCRAMBLE)
+            if self.seen["auth_ok"] and self.sha2_full:
+                self._send(b"\x01\x04", 2)       # full auth demand
+                self.seen["sent_full_auth"] = True
+                return
+            if self.seen["auth_ok"]:
+                self._send(b"\x01\x03", 2)       # fast-auth success
+        else:
+            self.seen["auth_ok"] = proof == _native_want(
+                self.password, SCRAMBLE)
+        if not self.seen["auth_ok"]:
+            self._send(b"\xff" + struct.pack("<H", 1045)
+                       + b"#28000Access denied", 3)
+            return
+        self._send(b"\x00\x00\x00\x02\x00\x00\x00", 3)
+
+    def _run(self) -> None:
+        self._handshake()
+        if not self.seen.get("auth_ok") or self.sha2_full:
+            return
+        cmd = self._read()                       # SET checksum
+        assert cmd[0] == rc.COM_QUERY
+        self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+        cmd = self._read()                       # REGISTER_SLAVE
+        assert cmd[0] == rc.COM_REGISTER_SLAVE
+        self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+        cmd = self._read()                       # dump command
+        self.seen["dump_cmd"] = cmd[0]
+        covered = set()
+        if cmd[0] == rc.COM_BINLOG_DUMP_GTID:
+            flags, server_id = struct.unpack_from("<HI", cmd, 1)
+            self.seen["dump_flags"] = flags
+            (name_len,) = struct.unpack_from("<I", cmd, 7)
+            p = 11 + name_len
+            self.seen["dump_file"] = cmd[11:p].decode()
+            (pos,) = struct.unpack_from("<Q", cmd, p)
+            p += 8
+            (data_len,) = struct.unpack_from("<I", cmd, p)
+            p += 4
+            data = cmd[p:p + data_len]
+            # INDEPENDENT wire parse of the client's gtid set
+            (n_sids,) = struct.unpack_from("<Q", data, 0)
+            q = 8
+            for _ in range(n_sids):
+                sid = data[q:q + 16].hex()
+                (n_ivs,) = struct.unpack_from("<Q", data, q + 16)
+                q += 24
+                for _ in range(n_ivs):
+                    s, e = struct.unpack_from("<QQ", data, q)
+                    q += 16
+                    covered.update((sid, g) for g in range(s, e))
+            self.seen["gtid_raw"] = data
+        seq = 1
+        if self.fde is not None:
+            self._send(b"\x00" + self.fde, seq)
+            seq += 1
+        for gno, events in self.transactions:
+            if (SID_HEX, gno) in covered:
+                continue                         # auto-position skip
+            for ev in events:
+                self._send(b"\x00" + ev, seq)
+                seq += 1
+        self._send(b"\xfe\x00\x00\x02\x00", seq)
+        self.sock.close()
+
+
+def _pair():
+    return socket.socketpair()
+
+
+def _txns_from_stream(events: list[bytes]) -> tuple[bytes, list]:
+    """Group a per-event list into (fde, [(gno, [events])])."""
+    fde = next(e for e in events if e[4] == 15)
+    txns, cur_gno, cur = [], None, []
+    for ev in events:
+        if ev[4] == 15:
+            continue
+        if ev[4] == 33:                          # GTID opens a txn
+            if cur_gno is not None:
+                txns.append((cur_gno, cur))
+            body = ev[19:]
+            cur_gno = struct.unpack_from("<Q", body, 17)[0]
+            cur = [ev]
+        else:
+            cur.append(ev)
+    if cur_gno is not None:
+        txns.append((cur_gno, cur))
+    return fde, txns
+
+
+# ---- caching_sha2_password -------------------------------------------
+
+def test_sha2_fast_path_authenticates_and_streams():
+    _, events = _txn_stream([1])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password",
+               transactions=txns, fde=fde)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                              file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None
+    assert m.seen["auth_ok"] and m.seen["user"] == USER
+    assert m.seen["client_plugin"] == "caching_sha2_password"
+    ins = [e for e in got if e.kind == "insert"]
+    assert len(ins) == 1 and ins[0].rows[0][0] == ["1", "order-1"]
+
+
+def test_sha2_wrong_password_refused():
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password")
+    m.start()
+    with pytest.raises(ConnectionError, match="authentication failed"):
+        list(rc.tail_binlog(c, USER, "wrong", server_id=3,
+                            file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None and m.seen["auth_ok"] is False
+
+
+def test_sha2_full_auth_demand_refused_loudly():
+    """Server has no cached entry -> 0x01 0x04: the client must
+    refuse with the operational fix, not hang or send the password
+    in the clear."""
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password", sha2_full=True)
+    m.start()
+    with pytest.raises(ConnectionError, match="FULL authentication"):
+        list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                            file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None and m.seen["sent_full_auth"]
+
+
+def test_auth_switch_to_native_password():
+    """8.0 server, user configured for mysql_native_password: the
+    server answers the sha2 offer with AuthSwitchRequest + a FRESH
+    scramble; the proof must be against the new scramble."""
+    _, events = _txn_stream([1])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password",
+               switch_to="mysql_native_password",
+               transactions=txns, fde=fde)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                              file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None
+    assert m.seen["switch_answered"] and m.seen["auth_ok"]
+    assert [e.kind for e in got if e.kind == "insert"] == ["insert"]
+
+
+def test_auth_switch_to_sha2():
+    """The reverse switch (native offer is never sent — the client
+    follows the announced plugin — but a switch TO sha2 can happen
+    when the announced plugin lies): proof against the new nonce."""
+    c, s = _pair()
+    m = Master(s, plugin="mysql_native_password",
+               switch_to="caching_sha2_password",
+               transactions=[], fde=None)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                              file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None and m.seen["auth_ok"]
+    assert got == []
+
+
+def test_unknown_announced_plugin_still_refused():
+    c, s = _pair()
+
+    def serve():
+        m = Master(s, plugin="sha256_password")
+        try:
+            m._handshake()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    with pytest.raises(ValueError, match="unsupported auth plugin"):
+        list(rc.tail_binlog(c, USER, PASSWORD, server_id=1,
+                            file="binlog.000001", pos=4))
+    t.join(timeout=10)
+
+
+# ---- GTID auto-position ----------------------------------------------
+
+def test_gtidset_parse_str_roundtrip_and_covers():
+    g = rc.GtidSet.parse(f"{SID_UUID}:1-5:8,{SID_UUID}:6")
+    # 6 coalesces 1-5 and 6 into 1-6
+    assert str(g) == f"{SID_UUID}:1-6:8"
+    assert g.covers(f"{SID_UUID}:4") and g.covers(f"{SID_UUID}:8")
+    assert not g.covers(f"{SID_UUID}:7")
+    assert not g.covers(f"{'0' * 32}:4")
+    assert rc.GtidSet.decode(g.encode()).encode() == g.encode()
+    assert str(rc.GtidSet.parse(str(g))) == str(g)
+
+
+def test_gtid_dump_resumes_at_first_uncovered_transaction():
+    """COM_BINLOG_DUMP_GTID with executed set {1,2}: the master
+    (independently parsing the client's wire encoding) serves only
+    transaction 3 — and the encoding itself is byte-checked."""
+    _, events = _txn_stream([1, 2, 3])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, transactions=txns, fde=fde)
+    m.start()
+    gset = rc.GtidSet.parse(f"{SID_UUID}:1-2")
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=9,
+                              file="", pos=4, gtid_set=gset))
+    m.join(timeout=10)
+    assert m.error is None
+    assert m.seen["dump_cmd"] == rc.COM_BINLOG_DUMP_GTID
+    assert m.seen["dump_flags"] & rc.BINLOG_THROUGH_GTID
+    # independent byte check of the set encoding: 1 sid, 1 interval
+    # [1, 3)
+    assert m.seen["gtid_raw"] == (
+        struct.pack("<Q", 1) + bytes.fromhex(SID_HEX)
+        + struct.pack("<QQQ", 1, 1, 3))
+    ins = [e for e in got if e.kind == "insert"]
+    assert [r for e in ins for r in e.rows] == [[["3", "order-3"]]]
+    gtids = [e.gtid for e in got if e.kind == "gtid"]
+    assert gtids == [f"{SID_UUID}:3"]
+
+
+def test_gtid_dump_all_covered_streams_nothing():
+    _, events = _txn_stream([1, 2])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, transactions=txns, fde=fde)
+    m.start()
+    got = list(rc.tail_binlog(
+        c, USER, PASSWORD, server_id=9, file="", pos=4,
+        gtid_set=rc.GtidSet.parse(f"{SID_UUID}:1-2")))
+    m.join(timeout=10)
+    assert m.error is None
+    assert [e.kind for e in got] == ["format_description"]
+
+
+# ---- bounded tail buffer without XID ---------------------------------
+
+def test_tail_buffer_bounded_on_query_commit(monkeypatch):
+    """MyISAM-style stream: transactions commit via QUERY 'COMMIT'
+    (no XID anywhere). The decode buffer must still reset per
+    transaction — the r7 reset keyed on XID/ROTATE grew without
+    bound here (O(n^2) re-decode on a live tail)."""
+    import galaxy_spark.cdc.binlog as B
+
+    w = BinlogWriter()
+    w.format_description()
+    for g in range(1, 31):
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", COLS)
+        w.write_rows(7, COLS, [[g, f"o{g}"]])
+        w.query("shop", "COMMIT")                # no XID: MyISAM
+    blob = w.bytes()[4:]
+    events, off = [], 0
+    while off < len(blob):
+        size = struct.unpack("<I", blob[off + 9:off + 13])[0]
+        events.append(blob[off:off + size])
+        off += size
+    fde = events[0]
+    txn = events[1:5]                            # one txn's 4 events
+
+    max_decoded = []
+    real = B.decode_binlog
+
+    def spy(b):
+        max_decoded.append(len(b))
+        return real(b)
+
+    monkeypatch.setattr(B, "decode_binlog", spy)
+    c, s = _pair()
+    m = Master(s, transactions=[(g, events[1 + (g - 1) * 4:
+                                           1 + g * 4])
+                                for g in range(1, 31)], fde=fde)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=2,
+                              file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None
+    assert sum(1 for e in got if e.kind == "insert") == 30
+    txn_bytes = len(fde) + sum(len(e) for e in txn)
+    assert max(max_decoded) <= txn_bytes + len(fde)
+
+
+def test_tail_buffer_bounded_on_ddl_gtid_stretch(monkeypatch):
+    """A DDL/GTID-only stretch (no XID, no rows): every QUERY is an
+    auto-commit boundary, so the buffer must stay at O(one event),
+    not accumulate the whole stretch."""
+    import galaxy_spark.cdc.binlog as B
+
+    w = BinlogWriter()
+    w.format_description()
+    for g in range(1, 41):
+        w.gtid(SID_HEX, g)
+        w.query("shop", f"ALTER TABLE t{g} ADD COLUMN c{g} INT")
+    blob = w.bytes()[4:]
+    events, off = [], 0
+    while off < len(blob):
+        size = struct.unpack("<I", blob[off + 9:off + 13])[0]
+        events.append(blob[off:off + size])
+        off += size
+    fde = events[0]
+
+    max_decoded = []
+    real = B.decode_binlog
+
+    def spy(b):
+        max_decoded.append(len(b))
+        return real(b)
+
+    monkeypatch.setattr(B, "decode_binlog", spy)
+    c, s = _pair()
+    m = Master(s, transactions=[(0, events[1:])], fde=fde)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=2,
+                              file="binlog.000001", pos=4))
+    m.join(timeout=10)
+    assert m.error is None
+    assert sum(1 for e in got if e.kind == "query") == 40
+    biggest = max(len(e) for e in events)
+    assert max(max_decoded) <= len(fde) + 2 * biggest
+
+
+# ---- relay FDE re-seed on checksum-config rotation --------------------
+
+def test_relay_reseeds_real_fde_after_config_change_rotation(tmp_path):
+    """SET GLOBAL binlog_checksum forcibly rotates and the NEW
+    segment's FDE declares a different checksum mode. The relay
+    writer seeds rotated segments with the PREVIOUS FDE (so they
+    decode standalone) — but when the real FDE arrives on a still-
+    virgin segment it must REPLACE the seed, or every event in the
+    segment decodes under the wrong checksum framing."""
+    _, crc_events = _txn_stream([1], checksum="crc32")
+    crc_fde, crc_txns = _txns_from_stream(crc_events)
+    none_blob, none_events = _txn_stream([2], checksum="none")
+    none_fde = next(e for e in none_events if e[4] == 15)
+    _, none_txns = _txns_from_stream(none_events)
+
+    # rotate event, CRC32-framed (emitted by the OLD stream)
+    w = BinlogWriter(checksum="crc32")
+    w.format_description()
+    w.rotate("binlog.000002")
+    rot = None
+    blob = w.bytes()[4:]
+    off = 0
+    while off < len(blob):
+        size = struct.unpack("<I", blob[off + 9:off + 13])[0]
+        ev = blob[off:off + size]
+        if ev[4] == 4:
+            rot = ev
+        off += size
+
+    class _Scripted(Master):
+        def _run(self):
+            self._handshake()
+            for _ in range(2):                   # SET, REGISTER
+                self._read()
+                self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+            self._read()                         # DUMP: stream starts
+            seq = 1
+            for ev in ([crc_fde] + [e for _, t in crc_txns
+                                    for e in t]
+                       + [rot, none_fde]
+                       + [e for _, t in none_txns for e in t]):
+                self._send(b"\x00" + ev, seq)
+                seq += 1
+            self._send(b"\xfe\x00\x00\x02\x00", seq)
+            self.sock.close()
+
+    c, s = _pair()
+    m = _Scripted(s)
+    m.start()
+    relay_dir = str(tmp_path / "relay")
+    n = rc.relay_to_segments(c, USER, PASSWORD, server_id=5,
+                             file="binlog.000001", pos=4,
+                             out_dir=relay_dir)
+    m.join(timeout=10)
+    assert m.error is None and n > 0
+    assert sorted(os.listdir(relay_dir)) == [
+        "binlog.000001.bin", "binlog.000002.bin"]
+    # segment 2 must decode STANDALONE under its REAL (none) FDE —
+    # with the stale CRC32 seed this either raises a checksum
+    # mismatch or eats 4 trailer bytes as data
+    with open(os.path.join(relay_dir, "binlog.000002.bin"),
+              "rb") as f:
+        seg2 = decode_binlog(f.read())
+    kinds = [e.kind for e in seg2]
+    assert kinds[0] == "format_description"
+    ins = [e for e in seg2 if e.kind == "insert"]
+    assert [r for e in ins for r in e.rows] == [[["2", "order-2"]]]
+    # and segment 1 still decodes under CRC32
+    with open(os.path.join(relay_dir, "binlog.000001.bin"),
+              "rb") as f:
+        seg1 = decode_binlog(f.read())
+    assert [r for e in seg1 if e.kind == "insert"
+            for r in e.rows] == [[["1", "order-1"]]]

@@ -214,3 +214,24 @@ def test_jdbc_roundtrip_and_live_catalog_bootstrap(spark, tmp_path):
     cols = reg.get("APP", "ORDERS_SRC").columns
     assert [c.name for c in cols] == ["id", "note", "amount"]
     assert "INTEGER" in cols[0].col_type.upper()
+
+
+def test_json_corrupt_column_opt_out_keeps_schema_exact(spark, tmp_path):
+    """corrupt_column=False: the output schema is EXACTLY the
+    caller's schema (for persist/union/strict-equality call sites);
+    malformed lines surface as all-null rows, Spark's bare
+    PERMISSIVE behavior."""
+    from galaxy_spark.sources.readers import read_json_table
+
+    p = str(tmp_path / "rows.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": oops not json\n')
+
+    strict = read_json_table(spark, p, schema="id long, name string",
+                             corrupt_column=False)
+    assert strict.columns == ["id", "name"]
+    assert strict.count() == 2
+
+    default = read_json_table(spark, p, schema="id long, name string")
+    assert default.columns == ["id", "name", "_corrupt_record"]

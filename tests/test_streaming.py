@@ -1860,3 +1860,31 @@ def test_topic_files_lineage_scopes_batch_names(tmp_path, monkeypatch):
                     sink_options={"path": out})
     spec.checkpoint_epoch = 3
     assert spec.sink().options["lineage"] == "e3"
+
+
+def test_rebucket_base_class_store_and_quiesce_warning(spark, tmp_path):
+    """rebucket on a plain KeyedParquetStore must forward
+    key_cols/aggs (the subclass-shaped constructor call raised a
+    bare TypeError), and omitting checkpoint_dir warns that the
+    quiesce check is skipped."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.streaming.state_store import (KeyedParquetStore,
+                                                    rebucket)
+
+    store = KeyedParquetStore(
+        spark, str(tmp_path / "base_a"), ["k"],
+        [F.sum("v").cast("long").alias("v")], n_buckets=2,
+        state_schema="k string, v long")
+    store.merge(spark.createDataFrame([("a", 1), ("b", 2)],
+                                      "k string, v long"),
+                "ck1.000000000000")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        moved = rebucket(store, str(tmp_path / "base_b"), 4)
+    assert any("quiesced" in str(w.message) for w in caught)
+    assert moved.n_buckets == 4
+    assert sorted((r.k, r.v) for r in moved.state().collect()) == \
+        [("a", 1), ("b", 2)]
