@@ -252,6 +252,118 @@ dedup_ngram_spans.__doc__ = dedup_ngram_spans.__doc__.format(n=_SPAN_N)
 
 
 # ------------------------------------------------------------------
+# EXACT substring-dedup cut spans (Lee et al. 2022 shape)
+# ------------------------------------------------------------------
+
+_SUB_L = 32   # seed length (chars): spans >= L are found EXACTLY
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, CAST(off AS BIGINT) AS off,
+               md5(substr(text, CAST(off AS INTEGER), {_SUB_L})) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(
+                         length(text) - {_SUB_L} + 2, 1))) AS off
+              FROM documents)
+    ), dup AS (
+        SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ), s AS (
+        SELECT g.doc_id, g.off FROM g JOIN dup ON g.h = dup.h
+    ), brk AS (
+        SELECT doc_id, off,
+               CASE WHEN off > COALESCE(MAX(off + {_SUB_L} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY off
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -1) THEN 1 ELSE 0 END AS new_island
+        FROM s
+    ), isl AS (
+        SELECT doc_id, off,
+               SUM(new_island) OVER (
+                   PARTITION BY doc_id ORDER BY off) AS island
+        FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(off) AS BIGINT) AS span_start,
+           CAST(MAX(off) + {_SUB_L} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(off) + {_SUB_L} - MIN(off) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-dedup cut spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    shape): every MAXIMAL character span of length >= {L} whose
+    every {L}-char window recurs elsewhere in the corpus —
+    upgrading ``dedup_ngram_spans`` (which reports duplicated GRAMS)
+    to the actual per-document CUT LIST [span_start, span_end] a
+    substring-level deduper removes.
+
+    Method — fixed-length seeds instead of a suffix array, same
+    answer for spans >= {L}: a duplicated region of length M >= {L}
+    contains M-{L}+1 duplicated {L}-char windows at CONSECUTIVE
+    offsets, so (1) emit every {L}-char window as (md5, doc, off) —
+    one row per character position, the linear-size leaf table a
+    suffix array would also materialize; (2) keep positions whose
+    window-hash occurs >= 2 times corpus-wide (self-repeats within
+    one doc count — they are cut targets too); (3) merge overlapping
+    surviving seeds per document (gaps-and-islands over a running
+    max-end window) into maximal spans. Exactness: every reported
+    span is a real duplicated region boundary-for-boundary, and no
+    duplicated span of length >= {L} is missed (md5 collisions at
+    2^-64/pair are the same risk every content-hash dedup in this
+    repo documents).
+
+    Scale shape: TWO key-partitioned exchanges — the hash-keyed
+    duplicate count (map-side partial agg absorbs boilerplate heavy
+    hitters before the shuffle) and the doc-keyed island merge (the
+    window sort is per-doc, bounded by doc length; the final
+    (doc, island) rollup reuses the doc_id partitioning — doc_id
+    subsumes the clustering, no third exchange). The surviving-hash
+    join-back broadcasts the duplicate set when it fits (AQE) and
+    falls back to reusing the h-keyed exchange otherwise. Seeds are
+    16-byte hashes, not raw windows, so the shuffle is
+    O(corpus chars) x 24 bytes regardless of {L}; no all-pairs, no
+    crossJoin, no suffix sort across the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_pos = F.length("text") - _SUB_L + 1
+    g = (docs
+         .select("doc_id", "text",
+                 F.explode(F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
+                           .otherwise(F.array())).alias("off"))
+         .select("doc_id", F.col("off").cast("long").alias("off"),
+                 F.md5(F.substr("text", F.col("off"),
+                                F.lit(_SUB_L))).alias("h")))
+    dup = (g.groupBy("h").agg(F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= 2).select("h"))
+    s = g.join(dup, "h").select("doc_id", "off")
+
+    w = Window.partitionBy("doc_id").orderBy("off")
+    prev_end = F.max(F.col("off") + _SUB_L - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = s.withColumn(
+        "new_island",
+        F.when(F.col("off") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0))
+    isl = brk.withColumn("island", F.sum("new_island").over(w))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("off").alias("span_start"),
+                 (F.max("off") + _SUB_L - 1).alias("span_end"),
+                 (F.max("off") + _SUB_L - F.min("off"))
+                 .alias("span_len"),
+                 F.count("*").alias("n_seeds"))
+            .drop("island"))
+
+
+dedup_substring_spans.__doc__ = dedup_substring_spans.__doc__.format(
+    L=_SUB_L)
+
+
+# ------------------------------------------------------------------
 # Temperature-weighted mixture sampling
 # ------------------------------------------------------------------
 

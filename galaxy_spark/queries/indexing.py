@@ -1257,6 +1257,127 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "step int, merged_pair string, pair_count bigint")
 
 
+# -- BPE encode: APPLY the learned merges to the corpus ---------------
+
+def _bpe_encode_oracle() -> str:
+    """The encode-pass oracle: the SAME unrolled training chain as
+    ``_bpe_oracle`` (identical merge selection and greedy-fold
+    application, guaranteeing the two queries learn the same merge
+    table), but carrying ``word`` through every symbolization step
+    so the final vocab symbolization can be joined back onto the
+    corpus and summed per document."""
+    sep = "chr(31)"
+    parts = [f"""
+    WITH wf AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word
+    ), s0 AS (
+        SELECT word, freq, array_to_string(list_transform(
+            range(1, length(word) + 1),
+            i -> substr(word, CAST(i AS INTEGER), 1)), {sep}) AS sym
+        FROM wf
+    )"""]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(f""", p{k} AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+            SELECT freq, unnest(list_transform(
+                range(1, len(L)),
+                i -> list_extract(L, i) || {sep} ||
+                     list_extract(L, i + 1))) AS pair
+            FROM (SELECT freq, string_split(sym, {sep}) AS L
+                  FROM s{k - 1})
+        ) GROUP BY pair
+    ), b{k} AS (
+        SELECT split_part(pair, {sep}, 1) AS a_sym,
+               split_part(pair, {sep}, 2) AS b_sym,
+               replace(pair, {sep}, '') AS merged
+        FROM p{k}
+        ORDER BY pair_count DESC, pair LIMIT 1
+    ), s{k} AS (
+        SELECT word, freq, list_reduce(string_split(sym, {sep}),
+            (acc, x) -> CASE
+              WHEN (acc = a_sym OR ends_with(acc, {sep} || a_sym))
+                   AND x = b_sym
+              THEN left(acc, length(acc) - length(a_sym)) || merged
+              ELSE acc || {sep} || x END) AS sym
+        FROM s{k - 1}, b{k}
+    )""")
+    return "".join(parts) + f""", enc AS (
+        SELECT word,
+               len(string_split(sym, {sep})) AS n_units
+        FROM s{_BPE_STEPS}
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_units) AS BIGINT) AS n_units
+    FROM (SELECT doc_id, unnest({_TOKS}) AS word FROM documents) d
+    JOIN enc e ON d.word = e.word
+    GROUP BY d.doc_id"""
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply pass that completes the tokenizer
+    loop ``text_bpe_pair_counts`` (round-1 counts) ->
+    ``text_bpe_merge_steps`` (train the merge table) ->
+    THIS (encode the corpus with the learned merges): train the
+    same {steps}-step merge table, apply it to the word VOCABULARY
+    with the identical boundary-anchored greedy fold
+    (``_bpe_merge_fold``), then join the per-word unit counts back
+    onto the corpus — per document: its word count and its encoded
+    BPE-unit count (the number a token-budgeted training pipeline
+    actually bills by).
+
+    Scale shape: training is the merge_steps plan (vocab-scale pair
+    aggs, a 1-row argmax per round); ENCODING is applied to the
+    vocabulary — |vocab| fold evaluations, NOT |corpus| (every
+    occurrence of a word encodes identically, so encode-then-join
+    replaces per-occurrence work with a word-keyed equi-join; at
+    100 TB that is the difference between re-folding a trillion
+    token instances and folding a few hundred million vocab
+    entries). The join is word-keyed (vocab-scale build side), the
+    per-doc rollup partial-aggregates map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(text.tokens(F.col("text"))).alias("word"))
+    wf = toks.groupBy("word").agg(F.count("*").alias("freq"))
+    s = wf.select(
+        "word", "freq",
+        F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("sym")
+    ).localCheckpoint(eager=False)
+
+    for _step in range(_BPE_STEPS):
+        L = F.split(F.col("sym"), _BPE_SEP)
+        m = F.size(L) - 1
+        pairs = F.zip_with(F.slice(L, 1, m), F.slice(L, 2, m),
+                           lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))
+        pc = (s.select("freq", F.explode(pairs).alias("pair"))
+              .groupBy("pair").agg(F.sum("freq").alias("pair_count")))
+        best = pc.orderBy(F.desc("pair_count"), "pair").limit(1) \
+            .collect()[0]                       # 1 row: the argmax
+        a_sym, b_sym = best["pair"].split(_BPE_SEP)
+        s = s.withColumn(
+            "sym", F.aggregate(F.split(F.col("sym"), _BPE_SEP),
+                               F.lit(""),
+                               _bpe_merge_fold(a_sym, b_sym))
+        ).localCheckpoint(eager=False)          # round boundary
+
+    enc = s.select(
+        "word",
+        F.size(F.split(F.col("sym"), _BPE_SEP)).alias("n_units"))
+    return (toks.join(enc, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_units").cast("long").alias("n_units")))
+
+
+text_bpe_encode.__doc__ = text_bpe_encode.__doc__.format(
+    steps=_BPE_STEPS)
+
+
 # -- one-pass second moments (PCA / whitening / OPQ prep) ------------
 
 @register(

@@ -179,6 +179,9 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "quality_mad_outliers",
     "events_markov_transitions",
     "window_functions_showcase",
+    # r8 additions
+    "text_bpe_encode",
+    "dedup_substring_spans",
 )
 
 

@@ -591,3 +591,33 @@ def test_ols_single_exchange(q):
     above it."""
     df = q("ml_ols_price_on_quantity")
     assert exchange_count(df) == 1
+
+
+def test_bpe_encode_vocab_scale_apply(q):
+    """The encode pass must apply the fold to the VOCABULARY and
+    join back (word-keyed equi-join, broadcast at this scale), with
+    the per-doc rollup partial-aggregated map-side — re-folding per
+    token OCCURRENCE (or a cartesian) means the |vocab|-not-|corpus|
+    property regressed."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("text_bpe_encode")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p, \
+        "per-doc rollup is not map-side partial"
+    assert broadcast_join_count(df) >= 1
+
+
+def test_substring_spans_two_exchanges_no_cartesian(q):
+    """EXACT substring spans: the hash-keyed duplicate count and
+    the doc-keyed island merge are the only hash exchanges — the
+    (doc, island) rollup must REUSE the doc_id window partitioning
+    (doc_id subsumes the clustering), and the surviving-hash
+    join-back must not cartesian."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("dedup_substring_spans")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert exchange_count(df) <= 3   # h-agg, doc window (+ join fallback)

@@ -149,3 +149,51 @@ def test_chunk_windows_boundary_lengths(spark):
     for n in lengths:
         assert sorted(got[n]) == expected(n), f"length {n}"
     assert sorted(got[-1]) == expected(0), "whitespace-only doc"
+
+
+def test_bpe_encode_consistent_with_training_merges(spark):
+    """encode(vocab) must be consistent with the training-side
+    symbol stream: re-encoding every document in plain Python with
+    the merge table that text_bpe_merge_steps REPORTS (independent
+    greedy left-to-right implementation, no Spark fold involved)
+    must reproduce text_bpe_encode's per-doc unit counts exactly.
+    This pins train->apply end to end: a drift in either the merge
+    selection or the fold semantics breaks the equality."""
+    import re
+
+    from galaxy_spark.registry import all_queries
+
+    queries = all_queries()
+    steps = queries["text_bpe_merge_steps"](spark, SF_SMOKE).collect()
+    merges = [tuple(r.merged_pair.split(" ", 1))
+              for r in sorted(steps, key=lambda r: r.step)]
+    assert len(merges) == 3
+
+    def n_units(word: str) -> int:
+        if word == "":
+            return 1          # engines: split('')=[''] -> one unit
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: (r.n_words, r.n_units)
+           for r in queries["text_bpe_encode"](spark,
+                                               SF_SMOKE).collect()}
+    docs = (load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text").collect())
+    want = {}
+    for r in docs:
+        words = re.split(r"\s+", r.text.strip())
+        want[r.doc_id] = (len(words),
+                          sum(n_units(w) for w in words))
+    assert got == want
