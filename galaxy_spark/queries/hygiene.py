@@ -263,15 +263,18 @@ _SUB_L = 32   # seed length (chars): spans >= L are found EXACTLY
     oracle=f"""
     WITH g AS (
         SELECT doc_id, CAST(off AS BIGINT) AS off,
-               md5(substr(text, CAST(off AS INTEGER), {_SUB_L})) AS h
+               CAST(('0x' || substr(md5(substr(text,
+                   CAST(off AS INTEGER), {_SUB_L})), 1, 15))
+                   AS BIGINT) AS h
         FROM (SELECT doc_id, text,
                      unnest(range(1, greatest(
                          length(text) - {_SUB_L} + 2, 1))) AS off
               FROM documents)
-    ), dup AS (
-        SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
     ), s AS (
-        SELECT g.doc_id, g.off FROM g JOIN dup ON g.h = dup.h
+        SELECT doc_id, off FROM (
+            SELECT doc_id, off,
+                   COUNT(*) OVER (PARTITION BY h) AS n_occ
+            FROM g) WHERE n_occ >= 2
     ), brk AS (
         SELECT doc_id, off,
                CASE WHEN off > COALESCE(MAX(off + {_SUB_L} - 1) OVER (
@@ -305,42 +308,56 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Method — fixed-length seeds instead of a suffix array, same
     answer for spans >= {L}: a duplicated region of length M >= {L}
     contains M-{L}+1 duplicated {L}-char windows at CONSECUTIVE
-    offsets, so (1) emit every {L}-char window as (md5, doc, off) —
-    one row per character position, the linear-size leaf table a
-    suffix array would also materialize; (2) keep positions whose
-    window-hash occurs >= 2 times corpus-wide (self-repeats within
-    one doc count — they are cut targets too); (3) merge overlapping
+    offsets, so (1) emit every {L}-char window as a 60-bit seed key
+    (md5-slice, == the oracle's '0x' cast) at (doc, off) — one row
+    per character position, the linear-size leaf table a suffix
+    array would also materialize; (2) keep positions whose seed key
+    occurs >= 2 times corpus-wide (self-repeats within one doc
+    count — they are cut targets too); (3) merge overlapping
     surviving seeds per document (gaps-and-islands over a running
     max-end window) into maximal spans. Exactness: every reported
-    span is a real duplicated region boundary-for-boundary, and no
-    duplicated span of length >= {L} is missed (md5 collisions at
-    2^-64/pair are the same risk every content-hash dedup in this
-    repo documents).
+    span is a real duplicated region boundary-for-boundary up to
+    seed-key collisions — 2^-60/pair here (negligible through
+    sf-scale corpora); a trillion-position corpus should widen the
+    key to the full digest (the plan is unchanged; the shuffle
+    doubles).
 
-    Scale shape: TWO key-partitioned exchanges — the hash-keyed
-    duplicate count (map-side partial agg absorbs boilerplate heavy
-    hitters before the shuffle) and the doc-keyed island merge (the
-    window sort is per-doc, bounded by doc length; the final
-    (doc, island) rollup reuses the doc_id partitioning — doc_id
-    subsumes the clustering, no third exchange). The surviving-hash
-    join-back broadcasts the duplicate set when it fits (AQE) and
-    falls back to reusing the h-keyed exchange otherwise. Seeds are
-    16-byte hashes, not raw windows, so the shuffle is
-    O(corpus chars) x 24 bytes regardless of {L}; no all-pairs, no
-    crossJoin, no suffix sort across the corpus.
+    Scale shape: TWO key-partitioned exchanges — the seed-keyed
+    duplicate COUNT WINDOW (one pass; a groupBy+join-back variant
+    consumes the expensive windowed scan twice) and the doc-keyed
+    island merge (the window sort is per-doc, bounded by doc
+    length; the final (doc, island) rollup reuses the doc_id
+    partitioning — doc_id subsumes the clustering, no third
+    exchange). Seeds are 8-byte keys, not raw windows, so the
+    shuffle is O(corpus chars) x 24 bytes regardless of {L}; no
+    all-pairs, no crossJoin, no suffix sort across the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_pos = F.length("text") - _SUB_L + 1
-    g = (docs
-         .select("doc_id", "text",
-                 F.explode(F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
-                           .otherwise(F.array())).alias("off"))
-         .select("doc_id", F.col("off").cast("long").alias("off"),
-                 F.md5(F.substr("text", F.col("off"),
-                                F.lit(_SUB_L))).alias("h")))
-    dup = (g.groupBy("h").agg(F.count("*").alias("n_occ"))
-           .filter(F.col("n_occ") >= 2).select("h"))
-    s = g.join(dup, "h").select("doc_id", "off")
+    # Three measured plan decisions (sf0.1, local[32]):
+    # (1) hash every window INSIDE a per-doc transform() BEFORE the
+    #     explode — exploding positions first and hashing after
+    #     carries the full document text on every position row
+    #     through the generate (12.5 s -> 8.4 s);
+    # (2) duplicate detection as a COUNT window over h, not
+    #     groupBy+join-back — the join-back variant consumes the
+    #     scan TWICE, recomputing every window hash (8.4 -> 4.6 s);
+    # (3) 60-bit BIGINT seed keys (md5-slice conv, == the oracle's
+    #     '0x' cast) instead of 32-char digests — the h exchange
+    #     and sort move 8-byte keys, 4x less shuffle per position
+    #     (4.6 -> 4.2 s here; the gap widens with corpus size).
+    hashes = F.when(n_pos >= 1, F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: F.conv(F.substring(
+            F.md5(F.substr(F.col("text"), i, F.lit(_SUB_L))),
+            1, 15), 16, 10).cast("long")
+    )).otherwise(F.array().cast("array<long>"))
+    g = (docs.select("doc_id", F.posexplode(hashes).alias("p0", "h"))
+         .select("doc_id", (F.col("p0") + 1).cast("long").alias("off"),
+                 "h"))
+    s = (g.withColumn("n_occ",
+                      F.count("*").over(Window.partitionBy("h")))
+         .filter(F.col("n_occ") >= 2).select("doc_id", "off"))
 
     w = Window.partitionBy("doc_id").orderBy("off")
     prev_end = F.max(F.col("off") + _SUB_L - 1).over(

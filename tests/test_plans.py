@@ -610,14 +610,17 @@ def test_bpe_encode_vocab_scale_apply(q):
 
 
 def test_substring_spans_two_exchanges_no_cartesian(q):
-    """EXACT substring spans: the hash-keyed duplicate count and
-    the doc-keyed island merge are the only hash exchanges — the
-    (doc, island) rollup must REUSE the doc_id window partitioning
-    (doc_id subsumes the clustering), and the surviving-hash
-    join-back must not cartesian."""
+    """EXACT substring spans: the seed-keyed duplicate count window
+    and the doc-keyed island merge are the ONLY exchanges — the
+    scan (the expensive per-char window hashing) is consumed once
+    (a groupBy+join-back shape re-executes it, measured 2x), and
+    the (doc, island) rollup must REUSE the doc_id window
+    partitioning (doc_id subsumes the clustering)."""
     from galaxy_spark.plans import physical_plan
 
     df = q("dedup_substring_spans")
     p = physical_plan(df)
     assert "CartesianProduct" not in p
-    assert exchange_count(df) <= 3   # h-agg, doc window (+ join fallback)
+    assert exchange_count(df) == 2   # h count window, doc window
+    assert p.count("FileScan") <= 1, \
+        "the windowed scan must be consumed once"
