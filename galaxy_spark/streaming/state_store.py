@@ -581,3 +581,129 @@ def start_incremental_view_parquet(
     return (changes_stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(handle).start())
+
+
+# ------------------------------------------------------------------
+# Streaming approximate top-k (heavy hitters) on the durable store
+# ------------------------------------------------------------------
+
+class ParquetCmsStore(KeyedParquetStore):
+    """Streaming count-min sketch on the durable store: the d x w
+    counter grid as (row_i, pos) -> cnt rows under a cell-wise SUM
+    monoid. State is FIXED-SIZE regardless of key cardinality (the
+    property that makes CMS the 100 TB frequency primitive —
+    ``agg_countmin_heavy_hitters``'s batch rationale), and sum is
+    associative/commutative, so the incrementally-accumulated grid
+    equals the batch sketch CELL-FOR-CELL under any micro-batch
+    split."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["row_i", "pos"],
+            [F.sum("cnt").cast("long").alias("cnt")],
+            n_buckets,
+            state_schema="row_i int, pos string, cnt long")
+
+
+class ParquetCandidateStore(KeyedParquetStore):
+    """Heavy-hitter CANDIDATE set: every item that entered any
+    micro-batch's per-batch top-m (by batch count). Bounded by
+    m x batches rows — never the key universe. ``seen_cnt`` sums
+    the item's counts over the batches where it ranked (a LOWER
+    bound on its true count, bookkeeping only); the AUTHORITATIVE
+    estimate is the CMS probe in ``streaming_heavy_hitters``."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["item"],
+            [F.sum("seen_cnt").cast("long").alias("seen_cnt")],
+            n_buckets,
+            state_schema="item string, seen_cnt long")
+
+
+def partial_cms(batch_df: DataFrame, key_col: str) -> DataFrame:
+    """One micro-batch's CMS cell partials: d seed-prefixed
+    md5-slice positions per key (the batch query's exact
+    arithmetic, shared import), summed per cell map-side."""
+    from galaxy_spark.queries.indexing import _cms_positions
+
+    return (batch_df
+            .select(F.posexplode(F.array(
+                *_cms_positions(F.col(key_col))))
+                .alias("row_i", "pos"))
+            .groupBy("row_i", "pos")
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def partial_topk_candidates(batch_df: DataFrame, key_col: str,
+                            m: int) -> DataFrame:
+    """One micro-batch's top-m items by batch count — a
+    TakeOrderedAndProject (per-partition m-row heap partials merged
+    on the driver, the KMV pattern), so the candidate feed is
+    bounded at m rows per batch no matter the batch's key count."""
+    return (batch_df.groupBy(key_col)
+            .agg(F.count("*").cast("long").alias("seen_cnt"))
+            .orderBy(F.desc("seen_cnt"), key_col).limit(m)
+            .select(F.col(key_col).cast("string").alias("item"),
+                    "seen_cnt"))
+
+
+def start_streaming_heavy_hitters(
+        stream: DataFrame, cms_store: ParquetCmsStore,
+        cand_store: ParquetCandidateStore, checkpoint_dir: str,
+        key_col: str, m: int = 16) -> StreamingQuery:
+    """Maintain sketch + candidates from one stream. Unlike the IVM
+    starter (where view-before-snapshot order is load-bearing),
+    BOTH partials here depend only on the batch — never on the
+    other store's state — so the two same-epoch-keyed merges are
+    replay-correct in either order: after a crash between them the
+    replay recomputes identical partials, the claimed store skips,
+    the other completes."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if not lineage:
+            lin = _checkpoint_lineage(checkpoint_dir)
+            for store in (cms_store, cand_store):
+                foreign = store.lineages() - {lin}
+                if foreign:
+                    raise ValueError(
+                        f"store {store.path!r} holds state from "
+                        f"other checkpoint lineage(s) "
+                        f"{sorted(foreign)}; use a fresh store (or "
+                        "checkpoint) per lineage.")
+            lineage.append(lin)
+        key = f"{lineage[0]}.{epoch_id:012d}"
+        cms_store.merge(partial_cms(batch_df, key_col), key)
+        cand_store.merge(partial_topk_candidates(batch_df, key_col,
+                                                 m), key)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_heavy_hitters(cms_store: ParquetCmsStore,
+                            cand_store: ParquetCandidateStore,
+                            k: int) -> DataFrame:
+    """Approximate top-k off the stores: probe every candidate's d
+    cells in the accumulated sketch, estimate = MIN (identical
+    arithmetic to the batch query, so for any candidate the
+    streaming estimate EQUALS the batch estimate over the same
+    rows), rank by estimate. Approximation contract: the estimate
+    is exact-or-over (collisions only add); the candidate set can
+    miss an adversarial key that never ranks in any single batch's
+    top-m while accumulating across batches — size m against the
+    expected skew (a true heavy hitter is heavy in most batches)."""
+    from galaxy_spark.queries.indexing import _cms_positions
+
+    probes = cand_store.state().select(
+        "item",
+        F.posexplode(F.array(*_cms_positions(F.col("item"))))
+        .alias("row_i", "pos"))
+    return (probes.join(cms_store.state(), ["row_i", "pos"])
+            .groupBy("item")
+            .agg(F.min("cnt").alias("cms_estimate"))
+            .orderBy(F.desc("cms_estimate"), "item").limit(k))

@@ -1888,3 +1888,91 @@ def test_rebucket_base_class_store_and_quiesce_warning(spark, tmp_path):
     assert moved.n_buckets == 4
     assert sorted((r.k, r.v) for r in moved.state().collect()) == \
         [("a", 1), ("b", 2)]
+
+
+def test_streaming_cms_heavy_hitters_on_durable_store(spark, events_dir,
+                                                      tmp_path):
+    """Streaming approximate top-k on the durable store (the
+    CMS + per-batch top-m candidate pattern): (1) the accumulated
+    sketch equals the batch sketch CELL-FOR-CELL (cell-wise sum
+    monoid — no batch split can move a counter); (2) with m sized
+    to the key skew, the store-ranked top-k equals the batch
+    query's CMS ranking, estimate-for-estimate; (3) the candidate
+    store is bounded by m x batches rows, never the key universe."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetCandidateStore, ParquetCmsStore, partial_cms,
+        start_streaming_heavy_hitters, streaming_heavy_hitters)
+
+    cms = ParquetCmsStore(spark, str(tmp_path / "cms_store"))
+    cand = ParquetCandidateStore(spark, str(tmp_path / "cand_store"))
+    q = start_streaming_heavy_hitters(
+        _stream_events(spark, events_dir), cms, cand,
+        str(tmp_path / "hh_ck"), key_col="user_id", m=64)
+    q.processAllAvailable()
+    q.stop()
+
+    ev = load_table(spark, SF, "events")
+    got_cells = {(r.row_i, r.pos): r.cnt
+                 for r in cms.state().collect()}
+    want_cells = {(r.row_i, r.pos): r.cnt
+                  for r in partial_cms(ev, "user_id").collect()}
+    assert got_cells == want_cells and len(want_cells) > 50
+
+    # candidate set bounded: <= m per committed batch
+    import os as _os
+
+    n_batches = len([f for f in _os.listdir(
+        str(tmp_path / "hh_ck" / "commits")) if f.isdigit()])
+    n_cand = cand.state().count()
+    assert 0 < n_cand <= 64 * max(n_batches, 1)
+
+    # top-k off the stores == the batch query's CMS ranking
+    from galaxy_spark.registry import all_queries
+
+    got_top = [(r.item, r.cms_estimate)
+               for r in streaming_heavy_hitters(cms, cand, 5).collect()]
+    want_top = [(str(r.user_id), r.cms_estimate)
+                for r in all_queries()["agg_countmin_heavy_hitters"](
+                    spark, SF)
+                .orderBy(F.desc("cms_estimate"),
+                         F.col("user_id").cast("string"))
+                .limit(5).collect()]
+    assert got_top == want_top
+
+
+def test_streaming_heavy_hitters_restart_resumes(spark, tmp_path):
+    """Kill/restart mid-stream: the same-epoch-keyed double merge
+    replays idempotently, and the final sketch equals the batch
+    sketch over ALL rows."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetCmsStore, ParquetCandidateStore, partial_cms,
+        start_streaming_heavy_hitters)
+
+    src = str(tmp_path / "hh_src")
+    ev = load_table(spark, SF, "events").select("user_id")
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half2 = ev.filter(F.col("user_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    cms = ParquetCmsStore(spark, str(tmp_path / "cms2"))
+    cand = ParquetCandidateStore(spark, str(tmp_path / "cand2"))
+    ck = str(tmp_path / "hh_ck2")
+
+    def start():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        return start_streaming_heavy_hitters(stream, cms, cand, ck,
+                                             key_col="user_id", m=64)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()                                   # the "kill"
+    half2.write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.row_i, r.pos): r.cnt for r in cms.state().collect()}
+    want = {(r.row_i, r.pos): r.cnt
+            for r in partial_cms(ev, "user_id").collect()}
+    assert got == want
