@@ -809,41 +809,45 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
                 query=r.rest().decode("utf-8", "replace")))
         elif etype == TRANSACTION_PAYLOAD_EVENT:
             # 8.0.20+ with binlog_transaction_compression=ON wraps
-            # each transaction's events in a compressed payload.
-            # The only algorithm MySQL ships is zstd and this
-            # runtime has no zstd module, so decode is impossible —
-            # raise the TARGETED error (the generic unknown-type
-            # message would send an operator spelunking) with the
-            # server-side fix. Parse the leading TLV fields just
-            # far enough to name the algorithm in the message:
-            # {field_type u8(lenenc), length lenenc, value} ...,
-            # type 1 = compression_type (0 = zstd, 255 = none).
-            algo = "unknown"
-            try:
-                probe = _Reader(r.buf[r.off:])
-                while probe.off < len(probe.buf):
-                    ftype = probe.lenenc()
-                    if ftype == 0:               # OTW payload begins
-                        break
-                    flen = probe.lenenc()
-                    val = probe.take(flen)
-                    if ftype == 1:
-                        algo = {0: "zstd", 255: "none"}.get(
-                            val[0] if val else -1, f"#{val[0]}")
-                        break
-            except Exception:
-                pass                             # best-effort label
-            raise ValueError(
-                "Transaction_payload_event (type 40, compression="
-                f"{algo}): the source server runs with "
-                "binlog_transaction_compression=ON (MySQL 8.0.20+), "
-                "which wraps row events in a zstd-compressed "
-                "payload this runtime cannot decompress (no zstd "
-                "module). Fix: SET GLOBAL "
-                "binlog_transaction_compression=OFF on the source "
-                "(existing compressed segments stay compressed — "
-                "resume past them), or relay through a replica "
-                "writing uncompressed binlogs.")
+            # each transaction's events in a payload event. OTW
+            # layout: TLV fields {type lenenc, length lenenc,
+            # value} terminated by the end mark (type 0), then the
+            # payload bytes; field 1 = compression algorithm
+            # (0 = zstd, 255 = NONE — the server emits NONE for
+            # small/incompressible transactions), field 2 =
+            # uncompressed size. Inner events carry NO per-event
+            # checksum (the OUTER event's trailer covers them) and
+            # each transaction re-sends its TABLE_MAPs, so an
+            # algorithm-NONE payload decodes by plain recursion.
+            # zstd payloads are refused with the TARGETED
+            # operational message (this runtime has no zstd
+            # module; the generic unknown-type error would send an
+            # operator spelunking).
+            algo = 0                             # spec default: zstd
+            while r.off < len(r.buf):
+                ftype = r.lenenc()
+                if ftype == 0:                   # end mark
+                    break
+                val = _Reader(r.take(r.lenenc()))
+                if ftype == 1:
+                    algo = val.lenenc()
+            if algo == 255:                      # NONE: raw events
+                events.extend(decode_binlog(r.rest()))
+            else:
+                name = {0: "zstd"}.get(algo, f"#{algo}")
+                raise ValueError(
+                    "Transaction_payload_event (type 40, "
+                    f"compression={name}): the source server runs "
+                    "with binlog_transaction_compression=ON (MySQL "
+                    "8.0.20+) and this payload is compressed with "
+                    f"{name}, which this runtime cannot decompress "
+                    "(no zstd module; algorithm-NONE payloads ARE "
+                    "decoded). Fix: SET GLOBAL "
+                    "binlog_transaction_compression=OFF on the "
+                    "source (existing compressed segments stay "
+                    "compressed — resume past them), or relay "
+                    "through a replica writing uncompressed "
+                    "binlogs.")
         elif etype == STOP_EVENT:
             events.append(DecodedEvent("stop", ts, log_pos))
         elif etype == HEARTBEAT_EVENT:

@@ -276,7 +276,20 @@ class GtidSet:
                 raise ValueError(f"malformed gtid set entry {part!r}")
             for rng in ranges:
                 lo, _, hi = rng.partition("-")
-                start, last = int(lo), int(hi or lo)
+                try:
+                    start, last = int(lo), int(hi or lo)
+                except ValueError:
+                    raise ValueError(
+                        f"malformed gtid range {rng!r} in {part!r}")
+                if start < 1 or last < start:
+                    # fail FAST: silently treating '5-3' as an empty
+                    # interval makes every GTID "uncovered", so a
+                    # typo'd startingGtids re-delivers the entire
+                    # history and a GTID dump sends an invalid
+                    # (stop < start) interval to the server
+                    raise ValueError(
+                        f"invalid gtid range {rng!r} (need "
+                        f"1 <= start <= end) in {part!r}")
                 out._insert(cls._norm(uuid), start, last + 1)
         return out
 

@@ -1201,6 +1201,43 @@ def _bpe_merge_fold(a: str, b: str):
     return fold
 
 
+def _bpe_train(s: DataFrame) -> tuple[list[tuple], DataFrame]:
+    """Run the ``_BPE_STEPS`` merge rounds over a symbolization
+    frame (requires columns ``freq`` and ``sym``; any carried
+    columns — e.g. the encode pass's ``word`` — ride along): per
+    round a vocab-scale pair aggregation, a 1-row argmax collect
+    (count desc, pair asc — Sennrich tie-break), and the
+    boundary-anchored greedy fold, localCheckpointed at each round
+    boundary. Returns (merge-table rows ``(step, merged_pair,
+    pair_count)``, the final symbolization frame).
+
+    ONE implementation shared by ``text_bpe_merge_steps`` (reports
+    the rows) and ``text_bpe_encode`` (applies the final
+    symbolization): the pinned train->apply equality
+    (``test_bpe_encode_consistent_with_training_merges``) requires
+    the two training chains to be byte-identical, and a shared
+    helper removes the drift channel a copy would open."""
+    rows = []
+    for step in range(1, _BPE_STEPS + 1):
+        L = F.split(F.col("sym"), _BPE_SEP)
+        m = F.size(L) - 1
+        pairs = F.zip_with(F.slice(L, 1, m), F.slice(L, 2, m),
+                           lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))
+        pc = (s.select("freq", F.explode(pairs).alias("pair"))
+              .groupBy("pair").agg(F.sum("freq").alias("pair_count")))
+        best = pc.orderBy(F.desc("pair_count"), "pair").limit(1) \
+            .collect()[0]                       # 1 row: the argmax
+        rows.append((step, best["pair"].replace(_BPE_SEP, " "),
+                     best["pair_count"]))
+        a_sym, b_sym = best["pair"].split(_BPE_SEP)
+        s = s.withColumn(
+            "sym", F.aggregate(F.split(F.col("sym"), _BPE_SEP),
+                               F.lit(""),
+                               _bpe_merge_fold(a_sym, b_sym))
+        ).localCheckpoint(eager=False)          # round boundary
+    return rows, s
+
+
 @register("text_bpe_merge_steps", oracle=_bpe_oracle())
 def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, steps 1..3 ACTUALLY ITERATED
@@ -1234,25 +1271,7 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("sym")
     ).localCheckpoint(eager=False)
 
-    rows = []
-    for step in range(1, _BPE_STEPS + 1):
-        L = F.split(F.col("sym"), _BPE_SEP)
-        m = F.size(L) - 1
-        pairs = F.zip_with(F.slice(L, 1, m), F.slice(L, 2, m),
-                           lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))
-        pc = (s.select("freq", F.explode(pairs).alias("pair"))
-              .groupBy("pair").agg(F.sum("freq").alias("pair_count")))
-        best = pc.orderBy(F.desc("pair_count"), "pair").limit(1) \
-            .collect()[0]                       # 1 row: the argmax
-        rows.append((step, best["pair"].replace(_BPE_SEP, " "),
-                     best["pair_count"]))
-        a_sym, b_sym = best["pair"].split(_BPE_SEP)
-        s = s.withColumn(
-            "sym", F.aggregate(F.split(F.col("sym"), _BPE_SEP),
-                               F.lit(""),
-                               _bpe_merge_fold(a_sym, b_sym))
-        ).localCheckpoint(eager=False)          # round boundary
-
+    rows, _ = _bpe_train(s)
     return spark.createDataFrame(
         rows, "step int, merged_pair string, pair_count bigint")
 
@@ -1349,22 +1368,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("sym")
     ).localCheckpoint(eager=False)
 
-    for _step in range(_BPE_STEPS):
-        L = F.split(F.col("sym"), _BPE_SEP)
-        m = F.size(L) - 1
-        pairs = F.zip_with(F.slice(L, 1, m), F.slice(L, 2, m),
-                           lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))
-        pc = (s.select("freq", F.explode(pairs).alias("pair"))
-              .groupBy("pair").agg(F.sum("freq").alias("pair_count")))
-        best = pc.orderBy(F.desc("pair_count"), "pair").limit(1) \
-            .collect()[0]                       # 1 row: the argmax
-        a_sym, b_sym = best["pair"].split(_BPE_SEP)
-        s = s.withColumn(
-            "sym", F.aggregate(F.split(F.col("sym"), _BPE_SEP),
-                               F.lit(""),
-                               _bpe_merge_fold(a_sym, b_sym))
-        ).localCheckpoint(eager=False)          # round boundary
-
+    _, s = _bpe_train(s)
     enc = s.select(
         "word",
         F.size(F.split(F.col("sym"), _BPE_SEP)).alias("n_units"))

@@ -100,3 +100,91 @@ def ml_ols_price_on_quantity(spark: SparkSession,
         F.round((num * num)
                 / (den * (nd * F.col("syy") - syd * F.col("sy"))), 6)
         .alias("r2"))
+
+
+@register(
+    "ml_ols_per_part",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_partkey AS partkey,
+               CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS xi,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS yi
+        FROM lineitem
+    ), s AS (
+        SELECT partkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xi) AS BIGINT) AS sx,
+               CAST(SUM(yi) AS BIGINT) AS sy,
+               CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+               CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+               CAST(SUM(yi * yi) AS DOUBLE) AS syy
+        FROM q GROUP BY 1
+    )
+    SELECT partkey, n,
+           CASE WHEN {_OLS_DEN} = 0 THEN NULL
+                ELSE ROUND({_OLS_NUM} / {_OLS_DEN}, 6) END AS slope,
+           CASE WHEN {_OLS_DEN} = 0 THEN NULL
+                ELSE ROUND((CAST(sy AS DOUBLE)*sxx
+                            - CAST(sx AS DOUBLE)*sxy)
+                           / {_OLS_DEN}, 6) END AS intercept_cents,
+           CASE WHEN {_OLS_DEN} * (CAST(n AS DOUBLE)*syy
+                                   - CAST(sy AS DOUBLE)*sy) = 0
+                THEN NULL
+                ELSE ROUND(({_OLS_NUM} * {_OLS_NUM})
+                           / ({_OLS_DEN}
+                              * (CAST(n AS DOUBLE)*syy
+                                 - CAST(sy AS DOUBLE)*sy)), 6)
+           END AS r2
+    FROM s
+    """,
+)
+def ml_ols_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY regression at GROUP-SCALE — one fit per part
+    (thousands of keys here; the same plan at millions): the
+    grouped-map-UDF use case ("fit a model per key") expressed as
+    pure sufficient statistics instead, because a grouped-map
+    Pandas UDF must SHUFFLE EVERY ROW to its group and hold each
+    whole group in one worker's memory, while this plan
+    partial-aggregates the six statistics map-side — the exchange
+    carries O(groups) rows, never O(rows) — and no group ever
+    materializes anywhere.
+
+    Degenerate groups are the point of a per-key fit: a part with
+    one lineitem (or all-equal quantities) has zero x-variance, so
+    slope/intercept are NULL (guarded identically in both engines:
+    the den==0 test is one IEEE expression over exact-integer-cast
+    doubles — bit-identical inputs, bit-identical zero). R² is
+    additionally NULL when y-variance is zero. Same determinism
+    contract as ``ml_ols_price_on_quantity`` (exact int64 /
+    DECIMAL(38,0)-HUGEINT statistics; fixed IEEE solve tree;
+    ROUND 1e-6).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("yi"))
+    s = q.groupBy("partkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("syy"))
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    ydev = nd * F.col("syy") - syd * F.col("sy")
+    return s.select(
+        "partkey", "n",
+        F.when(den != 0, F.round(num / den, 6)).alias("slope"),
+        F.when(den != 0,
+               F.round((syd * F.col("sxx") - sxd * F.col("sxy"))
+                       / den, 6)).alias("intercept_cents"),
+        F.when(den * ydev != 0,
+               F.round((num * num) / (den * ydev), 6)).alias("r2"))

@@ -182,6 +182,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     # r8 additions
     "text_bpe_encode",
     "dedup_substring_spans",
+    "ml_ols_per_part",
 )
 
 

@@ -167,23 +167,46 @@ class BinlogStreamReader(DataSourceStreamReader):
         BEFORE the first GTID event not covered by the executed
         set — the file-tier twin of COM_BINLOG_DUMP_GTID (the
         server-side auto-position the replication client speaks).
-        One driver-side sequential scan at FIRST start only; the
-        checkpoint owns position afterward. Segments decode
-        standalone (each is seeded with the stream FDE), so the
-        scan can stop at the first uncovered transaction."""
-        from galaxy_spark.cdc.binlog import decode_binlog
+        One driver-side scan at FIRST start only; the checkpoint
+        owns position afterward.
+
+        The scan is a seek-based HEADER WALK, not a decode: only
+        event headers (19 bytes) plus GTID event bodies (25 bytes:
+        flag + SID + GNO at fixed offsets) are read, so locating
+        the resume point in a directory of 1 GB segments costs
+        O(event headers) seeks, never gigabytes of row-image
+        decode on the driver. A torn trailing event (the relay
+        writer mid-append — the case ``_aligned_end`` exists for)
+        ends the walk at the last complete boundary instead of
+        raising."""
+        from galaxy_spark.cdc.binlog import GTID_EVENT
         from galaxy_spark.cdc.replication_client import GtidSet
 
         gset = GtidSet.parse(gtid_text)
         for s in _segments(self.path):
-            with open(os.path.join(self.path, s), "rb") as f:
-                blob = f.read()
-            prev_end = 0
-            for ev in decode_binlog(blob):
-                if ev.kind == "gtid" and ev.gtid \
-                        and not gset.covers(ev.gtid):
-                    return {"file": s, "pos": prev_end}
-                prev_end = ev.log_pos
+            fpath = os.path.join(self.path, s)
+            size = os.path.getsize(fpath)
+            with open(fpath, "rb") as f:
+                pos = 4 if f.read(4) == b"\xfebin" else 0
+                prev_end = 0
+                while pos + 19 <= size:
+                    f.seek(pos)
+                    head = f.read(19)
+                    etype = head[4]
+                    esize = int.from_bytes(head[9:13], "little")
+                    log_pos = int.from_bytes(head[13:17], "little")
+                    if esize < 19 or pos + esize > size:
+                        break            # torn/garbage tail
+                    if etype == GTID_EVENT:
+                        body = f.read(25)
+                        sid = body[1:17].hex()
+                        gno = int.from_bytes(body[17:25], "little")
+                        u = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+                            f"{sid[16:20]}-{sid[20:32]}"
+                        if not gset.covers(f"{u}:{gno}"):
+                            return {"file": s, "pos": prev_end}
+                    prev_end = log_pos
+                    pos += esize
         return self._end_of_dir()       # whole directory covered
 
     def latestOffset(self) -> dict:

@@ -363,27 +363,38 @@ def rebucket(store: KeyedParquetStore, new_path: str,
     return new_store
 
 
-def _lineage_scoped_handler(store: KeyedParquetStore,
-                            checkpoint_dir: str, partial_fn):
-    """foreachBatch handler: distributed partial fold -> store
-    MERGE, with the epoch key scoped to the checkpoint lineage and
-    the same foreign-lineage refusal as start_exactly_once_rollup
-    (epoch ids restart at 0 per checkpoint; continuing into a
-    foreign-lineage store would drop live batches as replays)."""
-    lineage: list[str] = []
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if not lineage:
-            lin = _checkpoint_lineage(checkpoint_dir)
+def _require_lineage(checkpoint_dir: str, stores, cache: list) -> str:
+    """Resolve and cache the checkpoint lineage, refusing any store
+    that holds foreign-lineage state (epoch ids restart at 0 per
+    checkpoint — continuing into a foreign-lineage store would drop
+    live batches as replays; same contract as
+    start_exactly_once_rollup). ONE copy of the guard for every
+    foreachBatch handler in this module, however many stores it
+    merges."""
+    if not cache:
+        lin = _checkpoint_lineage(checkpoint_dir)
+        for store in stores:
             foreign = store.lineages() - {lin}
             if foreign:
                 raise ValueError(
                     f"store {store.path!r} holds state from other "
                     f"checkpoint lineage(s) {sorted(foreign)}; use a "
                     "fresh store (or checkpoint) per lineage.")
-            lineage.append(lin)
+        cache.append(lin)
+    return cache[0]
+
+
+def _lineage_scoped_handler(store: KeyedParquetStore,
+                            checkpoint_dir: str, partial_fn):
+    """foreachBatch handler: distributed partial fold -> store
+    MERGE, with the epoch key scoped to the checkpoint lineage
+    (guard: ``_require_lineage``)."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(checkpoint_dir, (store,), lineage)
         store.merge(partial_fn(batch_df),
-                    f"{lineage[0]}.{epoch_id:012d}")
+                    f"{lin}.{epoch_id:012d}")
 
     return handle
 
@@ -561,17 +572,9 @@ def start_incremental_view_parquet(
     lineage: list[str] = []
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if not lineage:
-            lin = _checkpoint_lineage(checkpoint_dir)
-            for store in (view_store, snap_store):
-                foreign = store.lineages() - {lin}
-                if foreign:
-                    raise ValueError(
-                        f"store {store.path!r} holds state from other "
-                        f"checkpoint lineage(s) {sorted(foreign)}; use "
-                        "a fresh store (or checkpoint) per lineage.")
-            lineage.append(lin)
-        key = f"{lineage[0]}.{epoch_id:012d}"
+        lin = _require_lineage(checkpoint_dir,
+                               (view_store, snap_store), lineage)
+        key = f"{lin}.{epoch_id:012d}"
         # merge() checkpoints its partial internally, so the
         # state-sized snapshot join here runs once per batch
         view_store.merge(partial_view_deltas(batch_df,
@@ -664,18 +667,9 @@ def start_streaming_heavy_hitters(
     lineage: list[str] = []
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if not lineage:
-            lin = _checkpoint_lineage(checkpoint_dir)
-            for store in (cms_store, cand_store):
-                foreign = store.lineages() - {lin}
-                if foreign:
-                    raise ValueError(
-                        f"store {store.path!r} holds state from "
-                        f"other checkpoint lineage(s) "
-                        f"{sorted(foreign)}; use a fresh store (or "
-                        "checkpoint) per lineage.")
-            lineage.append(lin)
-        key = f"{lineage[0]}.{epoch_id:012d}"
+        lin = _require_lineage(checkpoint_dir,
+                               (cms_store, cand_store), lineage)
+        key = f"{lin}.{epoch_id:012d}"
         cms_store.merge(partial_cms(batch_df, key_col), key)
         cand_store.merge(partial_topk_candidates(batch_df, key_col,
                                                  m), key)

@@ -207,3 +207,54 @@ def test_transaction_payload_event_refused_with_targeted_message():
         decode_binlog(blob)
     with pytest.raises(ValueError, match="zstd"):
         decode_binlog(blob)
+
+
+def test_transaction_payload_none_compression_decodes():
+    """Algorithm-NONE type-40 payloads (the server emits these for
+    small/incompressible transactions under
+    binlog_transaction_compression=ON) are raw inner events — the
+    decoder must decode them by recursion, not refuse them with a
+    zstd message."""
+    import struct
+    import zlib
+
+    from galaxy_spark.cdc.binlog import decode_binlog
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    # inner transaction: NO per-event checksums (the outer event's
+    # trailer covers the payload), own TABLE_MAP
+    inner = BinlogWriter(checksum="none")
+    cols = [(LONG, 0), (VARCHAR, 32)]
+    inner.query("shop", "BEGIN")
+    inner.table_map(9, "shop", "orders", cols)
+    inner.write_rows(9, cols, [[7, "wrapped"]])
+    inner.xid(42)
+    payload = inner.bytes()[4:]                  # strip magic
+
+    def lenenc(v: int) -> bytes:
+        return bytes([v]) if v < 251 else \
+            b"\xfc" + struct.pack("<H", v)
+
+    body = (lenenc(1) + lenenc(len(lenenc(255))) + lenenc(255)
+            + lenenc(2) + lenenc(len(lenenc(len(payload))))
+            + lenenc(len(payload))
+            + lenenc(0)                          # OTW end mark
+            + payload)
+
+    outer = BinlogWriter(checksum="crc32")
+    outer.format_description()
+    stream = bytearray(outer.bytes())
+    size = 19 + len(body) + 4
+    pos = len(stream) - 4 + size
+    header = struct.pack("<IBIIIH", 1_710_000_000, 40, 7007, size,
+                         pos, 0)
+    ev = header + body
+    stream += ev + struct.pack("<I", zlib.crc32(ev))
+
+    got = decode_binlog(bytes(stream))
+    kinds = [e.kind for e in got]
+    assert kinds == ["format_description", "query", "insert", "xid"]
+    (ins,) = [e for e in got if e.kind == "insert"]
+    assert ins.rows == [[["7", "wrapped"]]]
+    assert ins.database == "shop" and ins.table == "orders"

@@ -659,3 +659,45 @@ def test_starting_gtids_excludes_starting_offsets():
         BinlogStreamReader({"path": "/tmp/x",
                             "startingGtids": "a" * 32 + ":1",
                             "startingOffsets": "latest"})
+
+
+def test_starting_gtids_tolerates_torn_tail_and_stays_cheap(
+        spark, tmp_path, monkeypatch):
+    """The GTID scan must be a header WALK: (1) a torn trailing
+    event (relay writer mid-append) ends the walk at the last
+    complete boundary instead of raising; (2) no full-segment
+    decode runs — decode_binlog is never called during
+    initialOffset (a 1 GB segment must cost header seeks, not
+    gigabytes of row-image decode on the driver)."""
+    import galaxy_spark.cdc.binlog as B
+    from galaxy_spark.sources.binlog_source import BinlogStreamReader
+
+    d, uuid = _gtid_relay_dir(tmp_path)
+    # tear the tail: append half an event header + garbage
+    with open(os.path.join(d, "binlog.000002.bin"), "ab") as f:
+        f.write(b"\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b")
+
+    calls = []
+    real = B.decode_binlog
+    monkeypatch.setattr(B, "decode_binlog",
+                        lambda blob: calls.append(len(blob))
+                        or real(blob))
+    reader = BinlogStreamReader({"path": d,
+                                 "startingGtids": f"{uuid}:1-2"})
+    off = reader.initialOffset()
+    assert off["file"] == "binlog.000002.bin"
+    assert not calls, "GTID scan must not full-decode segments"
+
+
+def test_gtidset_rejects_reversed_and_malformed_ranges():
+    import pytest as _pytest
+
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    u = "0f81a2b3-c4d5-e6f7-0819-22aabbccddee"
+    with _pytest.raises(ValueError, match="invalid gtid range"):
+        GtidSet.parse(f"{u}:5-3")
+    with _pytest.raises(ValueError, match="invalid gtid range"):
+        GtidSet.parse(f"{u}:0")
+    with _pytest.raises(ValueError, match="malformed gtid range"):
+        GtidSet.parse(f"{u}:x-3")

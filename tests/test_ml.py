@@ -56,3 +56,88 @@ def test_kmv_sketch_is_min_k_monoid(spark):
     skb = [r.hv for r in b.orderBy("hv").limit(k).collect()]
     merged = sorted(set(ska) | set(skb))[:k]
     assert merged == direct
+
+
+def test_per_part_ols_degenerate_groups_null_identically(spark,
+                                                         tmp_path):
+    """The per-key fit's whole point is surviving degenerate
+    groups: a 1-row group and an all-equal-x group must yield NULL
+    slope/intercept (zero x-variance), a constant-y group NULL R²
+    — and the Spark query and its DuckDB oracle must agree on the
+    synthetic corpus exactly (the sf corpora have no degenerate
+    part, so this path needs its own data)."""
+    import duckdb
+
+    from galaxy_spark.registry import all_oracles, all_queries
+    from tests.oracle_harness import compare
+
+    # synthetic lineitem: part 1 = healthy fit; part 2 = single
+    # row; part 3 = constant x; part 4 = constant y
+    rows = [
+        (1, 1.0, 10.0), (1, 2.0, 21.0), (1, 3.0, 29.0),
+        (2, 5.0, 50.0),
+        (3, 4.0, 10.0), (3, 4.0, 20.0),
+        (4, 1.0, 7.0), (4, 2.0, 7.0), (4, 9.0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, "
+              "l_extendedprice double")
+    d = str(tmp_path / "synth")
+    import os
+
+    os.makedirs(d)
+    df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{d}/lineitem.parquet/*.parquet'")
+    got = all_queries()["ml_ols_per_part"](spark, d)
+    probs = compare(got, con, all_oracles()["ml_ols_per_part"])
+    assert not probs, probs
+
+    by_key = {r.partkey: r for r in got.collect()}
+    assert by_key[1].slope is not None and by_key[1].r2 is not None
+    assert by_key[2].slope is None and by_key[2].intercept_cents is None
+    assert by_key[3].slope is None
+    assert by_key[4].slope is not None and by_key[4].r2 is None
+    assert by_key[4].slope == 0.0
+
+
+def test_per_part_ols_output_is_o_groups_one_exchange(spark):
+    """The grouped-map-UDF alternative ships O(rows) through the
+    shuffle and materializes whole groups; the statistics plan must
+    show ONE exchange with map-side partial aggregation, and the
+    output row count equals the group count exactly."""
+    from galaxy_spark.plans import exchange_count, physical_plan
+    from galaxy_spark.registry import all_queries
+
+    df = all_queries()["ml_ols_per_part"](spark, SF)
+    assert exchange_count(df) == 1
+    assert "partial_" in physical_plan(df), \
+        "statistics must fold map-side"
+    n_groups = (load_table(spark, SF, "lineitem")
+                .select("l_partkey").distinct().count())
+    assert df.count() == n_groups
+
+
+def test_per_part_ols_scales_to_many_groups(spark):
+    """1e5 synthetic keys through the same statistics shape: the
+    result is exactly |groups| rows (no group ever materializes;
+    the exchange carries only partials). This is the scale regime
+    where a grouped-map Pandas UDF plan dies first."""
+    from pyspark.sql import functions as F2
+
+    n_keys = 100_000
+    base = (spark.range(0, n_keys * 4)
+            .select((F2.col("id") % n_keys).alias("k"),
+                    (F2.col("id") % 97).cast("long").alias("xi"),
+                    ((F2.col("id") % 97) * 3 + F2.col("id") % 11)
+                    .cast("long").alias("yi")))
+    s = base.groupBy("k").agg(
+        F2.count("*").alias("n"),
+        F2.sum("xi").alias("sx"), F2.sum("yi").alias("sy"),
+        F2.sum((F2.col("xi") * F2.col("xi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+        F2.sum((F2.col("xi") * F2.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxy"))
+    assert s.count() == n_keys

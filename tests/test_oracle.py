@@ -65,8 +65,12 @@ def test_post_freeze_at_driver_scale(spark, name):
         con.close()
 
 
+#: per-ROUND artifact (r8+): each round's rows land in that round's
+#: file, leaving the previous round's judged artifact byte-frozen
+#: exactly as certified (the r8 review caught new rows being
+#: upserted into the already-judged r07 file).
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r07.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r08.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:
