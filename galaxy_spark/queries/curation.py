@@ -538,6 +538,71 @@ def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS i
+              FROM documents)
+    ), c AS (
+        SELECT doc_id, ch, COUNT(*) AS cnt FROM ch GROUP BY 1, 2
+    ), n AS (
+        SELECT doc_id, SUM(cnt) AS n_chars FROM c GROUP BY 1
+    ), t AS (
+        SELECT c.doc_id, n.n_chars,
+               ROUND((c.cnt * 1.0 / n.n_chars)
+                     * ln(c.cnt * 1.0 / n.n_chars), 6) AS term
+        FROM c JOIN n ON c.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CAST(MIN(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS INTEGER) AS n_distinct,
+           -CAST(SUM(CAST(term AS DECIMAL(18, 6))) AS DOUBLE)
+               AS entropy_nats
+    FROM t GROUP BY doc_id
+    """,
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    quality ladder's cheapest garbage detector: machine-generated
+    filler, base64 blobs, and key-mash runs sit at entropy extremes
+    (near-zero for single-char repetition, near-uniform-max for
+    random bytes), while natural language clusters in a narrow
+    band. Output per doc: char count, alphabet size, entropy in
+    nats (the exact 6-decimal sum, NOT re-rounded: a final
+    ROUND(x, 4) sat on a half-up boundary at sf0.01 and flipped
+    between engines — the decimal sum itself converts to an
+    identical double on both sides).
+
+    Shape at scale: one char explode (|corpus chars| rows, 1-char
+    payload) into a (doc, char)-keyed count — map-side partial agg
+    bounds each task's contribution by docs x alphabet, so the
+    exchange carries alphabet-sized groups, not character streams —
+    then a doc-keyed rollup. Float determinism: each p*ln(p) term
+    is rounded at 1e-6 THEN summed as DECIMAL (the unigram-NLL fix
+    pattern), so partial-agg order can't move the score; empty
+    documents have no char rows and drop out identically in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), ""))
+                      .alias("ch"))
+          .filter(F.col("ch") != ""))
+    c = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    n = c.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars"))
+    p = F.col("cnt") * F.lit(1.0) / F.col("n_chars")
+    t = (c.join(n, "doc_id")
+         .select("doc_id", "n_chars",
+                 F.round(p * F.log(p), 6).alias("term")))
+    return (t.groupBy("doc_id")
+            .agg(F.min("n_chars").cast("long").alias("n_chars"),
+                 F.count("*").cast("integer").alias("n_distinct"),
+                 (-F.sum(F.col("term").cast("decimal(18,6)")))
+                 .cast("double").alias("entropy_nats")))
+
+
+@register(
     "pipeline_curation_end2end",
     oracle=f"""
     WITH t AS (

@@ -183,6 +183,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "text_bpe_encode",
     "dedup_substring_spans",
     "ml_ols_per_part",
+    "quality_char_entropy",
 )
 
 
