@@ -823,17 +823,39 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             # operational message (this runtime has no zstd
             # module; the generic unknown-type error would send an
             # operator spelunking).
-            algo = 0                             # spec default: zstd
-            while r.off < len(r.buf):
-                ftype = r.lenenc()
-                if ftype == 0:                   # end mark
-                    break
-                val = _Reader(r.take(r.lenenc()))
-                if ftype == 1:
-                    algo = val.lenenc()
-            if algo == 255:                      # NONE: raw events
-                events.extend(decode_binlog(r.rest()))
-            else:
+            # absent field 1 means NONE: libbinlogevents'
+            # read-side default is compression::type::NONE and the
+            # writer omits the field for uncompressed payloads —
+            # defaulting to zstd here refused real uncompressed
+            # events (r8 review finding)
+            algo = 255
+            try:
+                while r.off < len(r.buf):
+                    ftype = r.lenenc()
+                    if ftype == 0:               # end mark
+                        break
+                    val = _Reader(r.take(r.lenenc()))
+                    if ftype == 1:
+                        algo = val.lenenc()
+                payload = r.rest()
+                inner = (decode_binlog(payload) if algo == 255
+                         else None)
+            except ValueError as exc:
+                # malformed TLVs or a payload that does not parse
+                # as raw events: keep the TARGETED operational
+                # message (a bare lenenc/truncation error sends the
+                # operator spelunking) with the real cause chained
+                raise ValueError(
+                    "Transaction_payload_event (type 40) did not "
+                    "decode: the source server runs with "
+                    "binlog_transaction_compression=ON (MySQL "
+                    "8.0.20+); if the payload is compressed this "
+                    "runtime cannot decompress it (no zstd "
+                    "module). Fix: SET GLOBAL "
+                    "binlog_transaction_compression=OFF on the "
+                    "source, or relay through a replica writing "
+                    f"uncompressed binlogs. (cause: {exc})") from exc
+            if inner is None:
                 name = {0: "zstd"}.get(algo, f"#{algo}")
                 raise ValueError(
                     "Transaction_payload_event (type 40, "
@@ -848,6 +870,7 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
                     "compressed — resume past them), or relay "
                     "through a replica writing uncompressed "
                     "binlogs.")
+            events.extend(inner)
         elif etype == STOP_EVENT:
             events.append(DecodedEvent("stop", ts, log_pos))
         elif etype == HEARTBEAT_EVENT:

@@ -585,10 +585,19 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents have no char rows and drop out identically in both
     engines."""
     docs = load_table(spark, sf_dir, "documents")
-    ch = (docs.select("doc_id",
-                      F.explode(F.split(F.col("text"), ""))
-                      .alias("ch"))
-          .filter(F.col("ch") != ""))
+    # codepoint-true char extraction via substr over a sequence —
+    # NOT F.split(text, ""), which walks Java UTF-16 code units
+    # and splits non-BMP characters into surrogate halves the
+    # oracle's codepoint substr never produces (r8 review finding;
+    # latent on the ASCII sf corpora, wrong on real text). The
+    # per-doc transform also keeps the explode payload at one char
+    # per row instead of carrying the document.
+    n = F.length("text")
+    chars = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substr(F.col("text"), i, F.lit(1)))
+    ).otherwise(F.array().cast("array<string>"))
+    ch = docs.select("doc_id", F.explode(chars).alias("ch"))
     c = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
     n = c.groupBy("doc_id").agg(F.sum("cnt").alias("n_chars"))
     p = F.col("cnt") * F.lit(1.0) / F.col("n_chars")

@@ -21,6 +21,43 @@ _OLS_NUM = ("(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)")
 _OLS_DEN = ("(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)")
 
 
+def _ols_stats(li: DataFrame, key, key_name: str) -> DataFrame:
+    """The six-statistic fold shared by EVERY OLS query in this
+    module (the Spark twin of the `_OLS_NUM`/`_OLS_DEN` SQL
+    sharing): cents-quantized x/y, exact int64 n/Σx/Σy,
+    DECIMAL(38,0)-folded product sums cast to double. ONE
+    implementation so a determinism fix (like the r7 DECIMAL
+    overflow fix) can never apply to one fit and miss another."""
+    q = li.select(
+        key.alias(key_name),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("yi"))
+    return q.groupBy(key_name).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
+        .cast("double").alias("syy"))
+
+
+def _ols_solve():
+    """The normal-equation expression tree over the six statistics
+    — identical IEEE op order in every user. Returns
+    (num, den, ydev, intercept_expr)."""
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    ydev = nd * F.col("syy") - syd * F.col("sy")
+    intercept = (syd * F.col("sxx") - sxd * F.col("sxy")) / den
+    return num, den, ydev, intercept
+
+
 @register(
     "ml_ols_price_on_quantity",
     oracle=f"""
@@ -73,33 +110,13 @@ def ml_ols_price_on_quantity(spark: SparkSession,
     cross-check pins the algebra (tests/test_ml.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.select(
-        F.col("l_returnflag").alias("returnflag"),
-        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xi"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-        .alias("yi"))
-    s = q.groupBy("returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("xi").alias("sx"),
-        F.sum("yi").alias("sy"),
-        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxx"),
-        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxy"),
-        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("syy"))
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = nd * F.col("sxy") - sxd * F.col("sy")
-    den = nd * F.col("sxx") - sxd * F.col("sx")
+    s = _ols_stats(li, F.col("l_returnflag"), "returnflag")
+    num, den, ydev, intercept = _ols_solve()
     return s.select(
         "returnflag", "n", "sx", "sy",
         F.round(num / den, 6).alias("slope"),
-        F.round((syd * F.col("sxx") - sxd * F.col("sxy")) / den, 6)
-        .alias("intercept_cents"),
-        F.round((num * num)
-                / (den * (nd * F.col("syy") - syd * F.col("sy"))), 6)
-        .alias("r2"))
+        F.round(intercept, 6).alias("intercept_cents"),
+        F.round((num * num) / (den * ydev), 6).alias("r2"))
 
 
 @register(
@@ -160,31 +177,12 @@ def ml_ols_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND 1e-6).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.select(
-        F.col("l_partkey").alias("partkey"),
-        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xi"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-        .alias("yi"))
-    s = q.groupBy("partkey").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("xi").alias("sx"),
-        F.sum("yi").alias("sy"),
-        F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxx"),
-        F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxy"),
-        F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("syy"))
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = nd * F.col("sxy") - sxd * F.col("sy")
-    den = nd * F.col("sxx") - sxd * F.col("sx")
-    ydev = nd * F.col("syy") - syd * F.col("sy")
+    s = _ols_stats(li, F.col("l_partkey"), "partkey")
+    num, den, ydev, intercept = _ols_solve()
     return s.select(
         "partkey", "n",
         F.when(den != 0, F.round(num / den, 6)).alias("slope"),
-        F.when(den != 0,
-               F.round((syd * F.col("sxx") - sxd * F.col("sxy"))
-                       / den, 6)).alias("intercept_cents"),
+        F.when(den != 0, F.round(intercept, 6))
+        .alias("intercept_cents"),
         F.when(den * ydev != 0,
                F.round((num * num) / (den * ydev), 6)).alias("r2"))

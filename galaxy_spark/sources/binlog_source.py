@@ -98,27 +98,42 @@ def _segments(path: str) -> list[str]:
         key=_seg_key)
 
 
+def _walk_event_headers(f, size: int):
+    """Iterate COMPLETE event headers in an open segment file:
+    yields ``(pos, etype, esize, log_pos)`` per event and stops at
+    the last whole-event boundary — a torn trailing event (the
+    writer mid-append) or garbage tail ends the walk instead of
+    raising. Seeks + 19-byte header reads only, no payload decode.
+    ONE implementation of the torn-tail boundary rule, shared by
+    ``_aligned_end`` and the GTID auto-position scan (two divergent
+    copies was an r8 review finding)."""
+    pos = 4 if f.read(4) == b"\xfebin" else 0
+    while pos + 19 <= size:
+        f.seek(pos)
+        head = f.read(19)
+        esize = int.from_bytes(head[9:13], "little")
+        if esize < 19 or pos + esize > size:
+            return                   # torn/garbage tail: stop here
+        yield (pos, head[4], esize,
+               int.from_bytes(head[13:17], "little"))
+        pos += esize
+
+
 def _aligned_end(fpath: str) -> int:
     """End byte-offset of the last COMPLETE event in a (possibly
     growing) segment. The writer may be mid-append when
     ``latestOffset`` samples the file, and an offset landing inside
     a half-written event would make every retry of that micro-batch
-    re-slice the same torn bytes and fail permanently. Events chain
-    19-byte headers carrying their own size, so walking headers —
-    seeks only, no payload reads — finds the last event boundary at
-    or below the current file size. A trailing partial event simply
-    stays beyond the offset until a later ``latestOffset`` sees it
-    complete."""
+    re-slice the same torn bytes and fail permanently. A trailing
+    partial event simply stays beyond the offset until a later
+    ``latestOffset`` sees it complete."""
     size = os.path.getsize(fpath)
     with open(fpath, "rb") as f:
-        pos = 4 if f.read(4) == b"\xfebin" else 0
-        while pos + 19 <= size:
-            f.seek(pos + 9)          # event_size u32 at header+9
-            esize = int.from_bytes(f.read(4), "little")
-            if esize < 19 or pos + esize > size:
-                break                # torn/garbage tail: stop here
-            pos += esize
-    return pos
+        end = 4 if f.read(4) == b"\xfebin" else 0
+        f.seek(0)
+        for pos, _etype, esize, _lp in _walk_event_headers(f, size):
+            end = pos + esize
+    return end
 
 
 class _SegmentSlice(InputPartition):
@@ -170,16 +185,23 @@ class BinlogStreamReader(DataSourceStreamReader):
         One driver-side scan at FIRST start only; the checkpoint
         owns position afterward.
 
-        The scan is a seek-based HEADER WALK, not a decode: only
-        event headers (19 bytes) plus GTID event bodies (25 bytes:
-        flag + SID + GNO at fixed offsets) are read, so locating
-        the resume point in a directory of 1 GB segments costs
-        O(event headers) seeks, never gigabytes of row-image
-        decode on the driver. A torn trailing event (the relay
-        writer mid-append — the case ``_aligned_end`` exists for)
-        ends the walk at the last complete boundary instead of
-        raising."""
-        from galaxy_spark.cdc.binlog import GTID_EVENT
+        The scan is a seek-based HEADER WALK (shared
+        ``_walk_event_headers``), not a decode: only event headers
+        (19 bytes) plus GTID event bodies (25 bytes: flag + SID +
+        GNO at fixed offsets) are read, so locating the resume
+        point in a directory of 1 GB segments costs O(event
+        headers) seeks, never gigabytes of row-image decode on the
+        driver; torn trailing events end the walk at the last
+        complete boundary.
+
+        ANONYMOUS_GTID events (gtid_mode OFF/ON_PERMISSIVE
+        transactions) are NEVER covered by an executed set — no
+        set names them — so the scan resumes at the first one it
+        meets, matching MySQL's own auto-position (which always
+        sends anonymous transactions). Skipping them silently
+        dropped those transactions (r8 review finding)."""
+        from galaxy_spark.cdc.binlog import (ANONYMOUS_GTID_EVENT,
+                                             GTID_EVENT)
         from galaxy_spark.cdc.replication_client import GtidSet
 
         gset = GtidSet.parse(gtid_text)
@@ -187,17 +209,13 @@ class BinlogStreamReader(DataSourceStreamReader):
             fpath = os.path.join(self.path, s)
             size = os.path.getsize(fpath)
             with open(fpath, "rb") as f:
-                pos = 4 if f.read(4) == b"\xfebin" else 0
                 prev_end = 0
-                while pos + 19 <= size:
-                    f.seek(pos)
-                    head = f.read(19)
-                    etype = head[4]
-                    esize = int.from_bytes(head[9:13], "little")
-                    log_pos = int.from_bytes(head[13:17], "little")
-                    if esize < 19 or pos + esize > size:
-                        break            # torn/garbage tail
+                for pos, etype, esize, log_pos in \
+                        _walk_event_headers(f, size):
+                    if etype == ANONYMOUS_GTID_EVENT:
+                        return {"file": s, "pos": prev_end}
                     if etype == GTID_EVENT:
+                        f.seek(pos + 19)
                         body = f.read(25)
                         sid = body[1:17].hex()
                         gno = int.from_bytes(body[17:25], "little")
@@ -206,7 +224,6 @@ class BinlogStreamReader(DataSourceStreamReader):
                         if not gset.covers(f"{u}:{gno}"):
                             return {"file": s, "pos": prev_end}
                     prev_end = log_pos
-                    pos += esize
         return self._end_of_dir()       # whole directory covered
 
     def latestOffset(self) -> dict:

@@ -258,3 +258,62 @@ def test_transaction_payload_none_compression_decodes():
     (ins,) = [e for e in got if e.kind == "insert"]
     assert ins.rows == [[["7", "wrapped"]]]
     assert ins.database == "shop" and ins.table == "orders"
+
+
+def test_transaction_payload_omitted_field_defaults_to_none():
+    """MySQL's writer OMITS the compression-type field for
+    uncompressed payloads (libbinlogevents' read-side default is
+    NONE) — a type-40 event with just the end mark + raw payload
+    must decode, not be refused as zstd."""
+    import struct
+    import zlib
+
+    from galaxy_spark.cdc.binlog import decode_binlog
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    inner = BinlogWriter(checksum="none")
+    cols = [(LONG, 0), (VARCHAR, 32)]
+    inner.table_map(9, "shop", "orders", cols)
+    inner.write_rows(9, cols, [[8, "default-none"]])
+    payload = inner.bytes()[4:]
+
+    body = bytes([0]) + payload                  # end mark only
+    outer = BinlogWriter(checksum="crc32")
+    outer.format_description()
+    stream = bytearray(outer.bytes())
+    size = 19 + len(body) + 4
+    pos = len(stream) - 4 + size
+    ev = struct.pack("<IBIIIH", 1_710_000_000, 40, 7007, size,
+                     pos, 0) + body
+    stream += ev + struct.pack("<I", zlib.crc32(ev))
+
+    got = decode_binlog(bytes(stream))
+    (ins,) = [e for e in got if e.kind == "insert"]
+    assert ins.rows == [[["8", "default-none"]]]
+
+
+def test_transaction_payload_malformed_keeps_targeted_message():
+    """A corrupt type-40 TLV area must still raise the message
+    naming binlog_transaction_compression — not a bare lenenc
+    parse error (the operator-spelunking outcome)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from galaxy_spark.cdc.binlog import decode_binlog
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    outer = BinlogWriter(checksum="crc32")
+    outer.format_description()
+    stream = bytearray(outer.bytes())
+    body = b"\xfb\xff\x01\x02"                   # invalid lenenc
+    size = 19 + len(body) + 4
+    pos = len(stream) - 4 + size
+    ev = struct.pack("<IBIIIH", 1_710_000_000, 40, 7007, size,
+                     pos, 0) + body
+    stream += ev + struct.pack("<I", zlib.crc32(ev))
+    with pytest.raises(ValueError,
+                       match="binlog_transaction_compression"):
+        decode_binlog(bytes(stream))

@@ -701,3 +701,42 @@ def test_gtidset_rejects_reversed_and_malformed_ranges():
         GtidSet.parse(f"{u}:0")
     with _pytest.raises(ValueError, match="malformed gtid range"):
         GtidSet.parse(f"{u}:x-3")
+
+
+def test_starting_gtids_resumes_at_anonymous_transactions(spark,
+                                                          tmp_path):
+    """ANONYMOUS_GTID transactions (gtid_mode OFF/ON_PERMISSIVE)
+    are never covered by any executed set — the scan must resume AT
+    the first one (MySQL's auto-position always sends anonymous
+    transactions), not skip past it to end-of-directory."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter()
+    w.format_description()
+    w.gtid(sid, 1)
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[1, "tagged-1"]])
+    w.xid(901)
+    w.gtid(sid, 0, anonymous=True)               # anonymous txn
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[2, "anon-2"]])
+    w.xid(902)
+    d = str(tmp_path / "anon_relay")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    uuid = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+           f"{sid[16:20]}-{sid[20:32]}"
+    q = _start_gtids(spark, d, "gt_anon", str(tmp_path / "ck"),
+                     f"{uuid}:1")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM gt_anon").collect()
+    assert [(r.action, r.org_row[0]) for r in rows] == \
+        [("insert", ["2", "anon-2"])]

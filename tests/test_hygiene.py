@@ -221,3 +221,33 @@ def test_mad_outliers_matches_numpy_reference(spark):
         d = np.sort(np.abs(x - med))
         assert r.mad_cents == int(d[k - 1])
         assert r.n_outliers == int((d > 5 * r.mad_cents).sum())
+
+
+def test_char_entropy_codepoint_parity_on_non_bmp_text(spark,
+                                                       tmp_path):
+    """The entropy scan must count Unicode CODEPOINTS, not UTF-16
+    code units: an emoji is one character in both engines (the r8
+    review caught F.split(text, '') walking surrogate halves —
+    latent on the ASCII sf corpora, wrong on real text)."""
+    import os
+
+    import duckdb
+
+    from galaxy_spark.registry import all_oracles, all_queries
+    from tests.oracle_harness import compare
+
+    rows = [(1, "ab\U0001F600\U0001F600cd"), (2, "aaaa"), (3, "")]
+    d = str(tmp_path / "unicode")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet/*.parquet'")
+    got = all_queries()["quality_char_entropy"](spark, d)
+    probs = compare(got, con, all_oracles()["quality_char_entropy"])
+    assert not probs, probs
+    by = {r.doc_id: r for r in got.collect()}
+    assert by[1].n_chars == 6 and by[1].n_distinct == 5
+    assert by[2].entropy_nats == 0.0
+    assert 3 not in by              # empty doc drops out

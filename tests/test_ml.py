@@ -120,24 +120,33 @@ def test_per_part_ols_output_is_o_groups_one_exchange(spark):
     assert df.count() == n_groups
 
 
-def test_per_part_ols_scales_to_many_groups(spark):
-    """1e5 synthetic keys through the same statistics shape: the
-    result is exactly |groups| rows (no group ever materializes;
-    the exchange carries only partials). This is the scale regime
-    where a grouped-map Pandas UDF plan dies first."""
+def test_per_part_ols_scales_to_many_groups(spark, tmp_path):
+    """1e5 synthetic keys through the REGISTERED query (not a
+    lookalike aggregation — the r8 review caught a tautological
+    version of this test that never invoked product code): the
+    result is exactly |groups| rows off one partial-aggregated
+    exchange. This is the scale regime where a grouped-map Pandas
+    UDF plan dies first."""
+    import os
+
     from pyspark.sql import functions as F2
 
+    from galaxy_spark.plans import exchange_count
+    from galaxy_spark.registry import all_queries
+
     n_keys = 100_000
-    base = (spark.range(0, n_keys * 4)
-            .select((F2.col("id") % n_keys).alias("k"),
-                    (F2.col("id") % 97).cast("long").alias("xi"),
-                    ((F2.col("id") % 97) * 3 + F2.col("id") % 11)
-                    .cast("long").alias("yi")))
-    s = base.groupBy("k").agg(
-        F2.count("*").alias("n"),
-        F2.sum("xi").alias("sx"), F2.sum("yi").alias("sy"),
-        F2.sum((F2.col("xi") * F2.col("xi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxx"),
-        F2.sum((F2.col("xi") * F2.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxy"))
-    assert s.count() == n_keys
+    d = str(tmp_path / "many")
+    os.makedirs(d)
+    (spark.range(0, n_keys * 4)
+     .select((F2.col("id") % n_keys).alias("l_partkey"),
+             ((F2.col("id") % 97) / 10.0 + 1.0).alias("l_quantity"),
+             (((F2.col("id") % 97) * 3 + F2.col("id") % 11) / 10.0)
+             .alias("l_extendedprice"))
+     .write.mode("overwrite")
+     .parquet(os.path.join(d, "lineitem.parquet")))
+
+    df = all_queries()["ml_ols_per_part"](spark, d)
+    assert exchange_count(df) == 1
+    assert df.count() == n_keys
+    # every 4-row group has x-variance: fits must be non-NULL
+    assert df.filter("slope IS NULL").count() == 0
