@@ -624,3 +624,18 @@ def test_substring_spans_two_exchanges_no_cartesian(q):
     assert exchange_count(df) == 2   # h count window, doc window
     assert p.count("FileScan") <= 1, \
         "the windowed scan must be consumed once"
+
+
+def test_char_entropy_partial_absorption_no_cartesian(q):
+    """Char entropy: the (doc, char) count must partial-aggregate
+    map-side (alphabet-sized groups absorb the per-char explode
+    before the exchange); the n_chars join is doc-keyed — never a
+    cartesian — and the whole plan stays within the 4 bounded
+    exchanges of agg + total + join + rollup."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("quality_char_entropy")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert exchange_count(df) <= 4
