@@ -118,8 +118,12 @@ def real_decode(payload: bytes, fmt: str) -> np.ndarray:
     if fmt == "gif":
         return _decode_gif(payload)
     raise NotImplementedError(
-        f"real {fmt!r} decoding requires pyav/ffmpeg; wire it here — "
-        "all Spark-side plumbing already works")
+        f"real {fmt!r} FRAME decoding requires pyav/ffmpeg (an H.264 "
+        "bitstream decoder); wire it here — the container-metadata "
+        "tier (parse_mp4 / video_container_metadata: brand, "
+        "timescale, duration, tracks, codec, dimensions, mdat "
+        "accounting) is already real, and all Spark-side plumbing "
+        "works")
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:
@@ -599,3 +603,245 @@ def audio_features(media: DataFrame) -> DataFrame:
                 "media_id", "n_samples", "rms", "zero_crossings"])
 
     return auds.mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# MP4 / ISO-BMFF container tier (public spec: ISO/IEC 14496-12)
+# ------------------------------------------------------------------
+# The container METADATA path is now real: box walking, ftyp brand,
+# version-0/1 mvhd, per-track tkhd/hdlr/stsd, mdat accounting,
+# 64-bit largesize and size==0-to-EOF framing. Only the codec
+# bitstream decode (H.264 inside the samples) still raises — that
+# genuinely needs pyav/ffmpeg — so the honest-refusal surface
+# shrank from "mp4" to "mp4 FRAMES".
+
+import struct as _struct
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate (fourcc, body_start, body_end) over a box span.
+    Framing per the spec: u32 BE size incl. header; size==1 ->
+    u64 largesize follows the fourcc; size==0 -> box runs to the
+    END of the enclosing span. Malformed framing raises."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError(
+                f"mp4: truncated box header at offset {off}")
+        size = int.from_bytes(buf[off:off + 4], "big")
+        fourcc = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError(
+                    f"mp4: truncated largesize at offset {off}")
+            size = int.from_bytes(buf[body:body + 8], "big")
+            body += 8
+            if size < 16:
+                raise ValueError(
+                    f"mp4: largesize {size} too small at {off}")
+        elif size == 0:
+            size = end - off
+        elif size < 8:
+            raise ValueError(
+                f"mp4: box size {size} too small at offset {off}")
+        if off + size > end:
+            raise ValueError(
+                f"mp4: box {fourcc!r} at {off} claims size {size} "
+                f"past span end {end}")
+        yield fourcc, body, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int,
+              fourcc: bytes) -> tuple | None:
+    for fc, b, e in _mp4_boxes(buf, start, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO-BMFF (mp4/mov) container's structural metadata:
+    major brand, movie timescale + duration (version-0 AND
+    version-1 mvhd), per-track handler/codec/dimensions from
+    tkhd + hdlr + stsd, and total mdat bytes. Refuse-don't-guess:
+    missing magic boxes or torn framing raise with the box named.
+    Codec BITSTREAM decode is out of scope (see ``real_decode``)."""
+    n = len(payload)
+    ftyp = _mp4_find(payload, 0, n, b"ftyp")
+    if ftyp is None:
+        raise ValueError("mp4: no ftyp box — not an ISO-BMFF file")
+    brand = payload[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace")
+    moov = _mp4_find(payload, 0, n, b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box (movie metadata missing)")
+    mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: moov has no mvhd")
+    b = mvhd[0]
+    version = payload[b]
+    if version == 1:                       # 64-bit times
+        timescale = int.from_bytes(payload[b + 20:b + 24], "big")
+        duration = int.from_bytes(payload[b + 24:b + 32], "big")
+    else:
+        timescale = int.from_bytes(payload[b + 12:b + 16], "big")
+        duration = int.from_bytes(payload[b + 16:b + 20], "big")
+    if timescale == 0:
+        raise ValueError("mp4: mvhd timescale is 0")
+
+    tracks = []
+    for fc, tb, te in _mp4_boxes(payload, moov[0], moov[1]):
+        if fc != b"trak":
+            continue
+        tkhd = _mp4_find(payload, tb, te, b"tkhd")
+        width = height = None
+        if tkhd is not None:
+            # width/height are the LAST two 16.16 fields of tkhd
+            width = int.from_bytes(
+                payload[tkhd[1] - 8:tkhd[1] - 4], "big") >> 16
+            height = int.from_bytes(
+                payload[tkhd[1] - 4:tkhd[1]], "big") >> 16
+        handler = codec = None
+        mdia = _mp4_find(payload, tb, te, b"mdia")
+        if mdia is not None:
+            hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+            if hdlr is not None:
+                handler = payload[hdlr[0] + 8:hdlr[0] + 12] \
+                    .decode("ascii", "replace")
+            minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+            if minf is not None:
+                stbl = _mp4_find(payload, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    stsd = _mp4_find(payload, stbl[0], stbl[1],
+                                     b"stsd")
+                    if stsd is not None and \
+                            int.from_bytes(payload[stsd[0] + 4:
+                                                   stsd[0] + 8],
+                                           "big") >= 1:
+                        codec = payload[stsd[0] + 12:stsd[0] + 16] \
+                            .decode("ascii", "replace")
+        tracks.append({"handler": handler, "codec": codec,
+                       "width": width, "height": height})
+
+    mdat_bytes = sum(e - bb for fc, bb, e in
+                     _mp4_boxes(payload, 0, n) if fc == b"mdat")
+    vid = next((t for t in tracks if t["handler"] == "vide"),
+               tracks[0] if tracks else
+               {"codec": None, "width": None, "height": None})
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": len(tracks),
+        "codec": vid["codec"],
+        "width": vid["width"],
+        "height": vid["height"],
+        "mdat_bytes": mdat_bytes,
+    }
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return _struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+_MP4_MATRIX = b"".join(_struct.pack(">i", v) for v in
+                       (0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                        0x40000000))
+
+
+def build_mp4(payload: bytes, width: int, height: int,
+              duration_ms: int) -> bytes:
+    """A minimal REAL ISO-BMFF file (spec-layout boxes, parseable by
+    any mp4 tool): ftyp(isom) + moov(mvhd + one video trak with
+    tkhd/mdhd/hdlr/minf/stbl/stsd(avc1)) + mdat(payload). The
+    synthesis twin for the oracle query and tests — the PARSER is
+    the product; timescale fixed at 1000 so duration is in ms."""
+    ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512)
+                + b"isomavc1")
+    mvhd = _box(b"mvhd", bytes(4)                       # v0 + flags
+                + _struct.pack(">IIII", 0, 0, 1000, duration_ms)
+                + _struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + bytes(8) + _MP4_MATRIX + bytes(24)
+                + _struct.pack(">I", 2))
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x01"            # v0, enabled
+                + _struct.pack(">IIII", 0, 0, 1, 0)
+                + _struct.pack(">I", duration_ms) + bytes(8)
+                + _struct.pack(">hhHH", 0, 0, 0, 0) + _MP4_MATRIX
+                + _struct.pack(">II", width << 16, height << 16))
+    mdhd = _box(b"mdhd", bytes(4)
+                + _struct.pack(">IIII", 0, 0, 1000, duration_ms)
+                + _struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide"
+                + bytes(12) + b"galaxy\x00")
+    stsd = _box(b"stsd", bytes(4) + _struct.pack(">I", 1)
+                + _box(b"avc1", bytes(78)))
+    stbl = _box(b"stbl", stsd + _box(b"stts", bytes(8))
+                + _box(b"stsc", bytes(8))
+                + _box(b"stsz", bytes(12))
+                + _box(b"stco", bytes(8)))
+    minf = _box(b"minf",
+                _box(b"vmhd", _struct.pack(">I", 1) + bytes(8))
+                + _box(b"dinf", _box(b"dref",
+                                     bytes(4) + _struct.pack(">I", 1)
+                                     + _box(b"url ",
+                                            b"\x00\x00\x00\x01")))
+                + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov + _box(b"mdat", payload)
+
+
+MP4_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("brand", T.StringType(), True),
+    T.StructField("timescale", T.LongType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_tracks", T.IntegerType(), True),
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mdat_bytes", T.LongType(), True),
+])
+
+
+def wrap_mp4(media: DataFrame, width: int = 8, height: int = 8) \
+        -> DataFrame:
+    """Wrap each payload into a real ISO-BMFF container (mdat =
+    payload; duration_ms = payload length) — the Arrow synthesis
+    stage feeding the parser through genuine Spark binary columns."""
+    sel = media.select("media_id", "payload")
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(mid),
+                     build_mp4(bytes(p), width, height, len(bytes(p))))
+                    for mid, p in zip(pdf["media_id"], pdf["payload"])]
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return sel.mapInPandas(
+        wrap, "media_id long, payload binary")
+
+
+def video_container_metadata(media: DataFrame) -> DataFrame:
+    """Parse each mp4 payload's container metadata (REAL ISO-BMFF
+    box walk) in an Arrow-batched mapInPandas stage — shuffle-free,
+    scan-parallel, the same plumbing shape as every decoder here."""
+    sel = media.select("media_id", "payload")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp4(bytes(p))
+                rows.append((int(mid), m["brand"], m["timescale"],
+                             m["duration_ms"], m["n_tracks"],
+                             m["codec"], m["width"], m["height"],
+                             m["mdat_bytes"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "brand", "timescale", "duration_ms",
+                "n_tracks", "codec", "width", "height",
+                "mdat_bytes"])
+
+    return sel.mapInPandas(parse, MP4_META_SCHEMA)

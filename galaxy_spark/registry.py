@@ -184,6 +184,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "dedup_substring_spans",
     "ml_ols_per_part",
     "quality_char_entropy",
+    "multimodal_video_metadata",
 )
 
 

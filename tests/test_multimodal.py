@@ -117,3 +117,100 @@ def test_frame_md5_query_consistency(spark, docs_local):
         ref = hashlib.md5(
             payload[r.frame_idx * 64:(r.frame_idx + 1) * 64]).hexdigest()
         assert r.frame_md5 == ref
+
+
+# ---- MP4 / ISO-BMFF container tier (r8) ---------------------------
+
+def test_mp4_roundtrip_and_spark_pipeline(spark):
+    """build_mp4 -> parse_mp4 round-trips every field, and the two
+    Arrow stages carry real ISO-BMFF bytes through genuine Spark
+    binary columns."""
+    from galaxy_spark.operators.multimodal import (
+        build_mp4, parse_mp4, video_container_metadata, wrap_mp4)
+
+    m = parse_mp4(build_mp4(b"x" * 321, 16, 9, 321))
+    assert m == {"brand": "isom", "timescale": 1000,
+                 "duration_ms": 321, "n_tracks": 1, "codec": "avc1",
+                 "width": 16, "height": 9, "mdat_bytes": 321}
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, bytearray(b"e" * 100))],
+        "media_id long, payload binary")
+    got = {r.media_id: r for r in
+           video_container_metadata(wrap_mp4(media)).collect()}
+    assert got[1].duration_ms == 4 and got[1].mdat_bytes == 4
+    assert got[2].codec == "avc1" and got[2].n_tracks == 1
+
+
+def test_mp4_version1_mvhd_largesize_and_unknown_boxes():
+    """Spec coverage beyond the synthesis twin: version-1 mvhd
+    (64-bit times), a 64-bit largesize mdat, an unknown top-level
+    box (skipped by size), and two tracks (the 'vide' one wins the
+    codec/dimension columns over a 'soun' track)."""
+    import struct
+
+    from galaxy_spark.operators.multimodal import (_MP4_MATRIX, _box,
+                                                   parse_mp4)
+
+    mvhd_v1 = _box(b"mvhd", b"\x01\x00\x00\x00"
+                   + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+                   + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                   + bytes(8) + _MP4_MATRIX + bytes(24)
+                   + struct.pack(">I", 3))
+
+    def trak(handler, codec, w, h):
+        tkhd = _box(b"tkhd", b"\x00\x00\x00\x01"
+                    + struct.pack(">IIII", 0, 0, 1, 0)
+                    + struct.pack(">I", 0) + bytes(8)
+                    + struct.pack(">hhHH", 0, 0, 0, 0) + _MP4_MATRIX
+                    + struct.pack(">II", w << 16, h << 16))
+        hdlr = _box(b"hdlr", bytes(8) + handler + bytes(12) + b"t\x00")
+        stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                    + _box(codec, bytes(78)))
+        mdia = _box(b"mdia", hdlr + _box(
+            b"minf", _box(b"stbl", stsd)))
+        return _box(b"trak", tkhd + mdia)
+
+    moov = _box(b"moov", mvhd_v1
+                + trak(b"soun", b"mp4a", 0, 0)
+                + trak(b"vide", b"hvc1", 1920, 1080))
+    payload = b"F" * 40
+    mdat_large = (struct.pack(">I", 1) + b"mdat"
+                  + struct.pack(">Q", 16 + len(payload)) + payload)
+    blob = (_box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+            + _box(b"free", b"junk-the-parser-must-skip")
+            + moov + mdat_large)
+
+    m = parse_mp4(blob)
+    assert m["brand"] == "mp42"
+    assert m["timescale"] == 90000 and m["duration_ms"] == 7000
+    assert m["n_tracks"] == 2
+    assert m["codec"] == "hvc1"
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["mdat_bytes"] == 40
+
+
+def test_mp4_malformed_raises_with_box_context():
+    import pytest as _pytest
+
+    from galaxy_spark.operators.multimodal import (_box, build_mp4,
+                                                   parse_mp4)
+
+    with _pytest.raises(ValueError, match="no ftyp"):
+        parse_mp4(b"\x00\x00\x00\x08junk")
+    with _pytest.raises(ValueError, match="no moov"):
+        parse_mp4(_box(b"ftyp", b"isom" + bytes(4)))
+    whole = build_mp4(b"xy", 8, 8, 2)
+    with _pytest.raises(ValueError, match="past span end|truncated"):
+        parse_mp4(whole[:-5])                    # torn mdat
+
+
+def test_mp4_frame_decode_still_honestly_refuses():
+    import pytest as _pytest
+
+    from galaxy_spark.operators.multimodal import build_mp4, real_decode
+
+    with _pytest.raises(NotImplementedError,
+                        match="container-metadata tier .* is already "
+                              "real"):
+        real_decode(build_mp4(b"z", 8, 8, 1), "mp4")
