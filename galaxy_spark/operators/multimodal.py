@@ -618,11 +618,15 @@ def audio_features(media: DataFrame) -> DataFrame:
 import struct as _struct
 
 
-def _mp4_boxes(buf: bytes, start: int, end: int):
+def _mp4_boxes(buf: bytes, start: int, end: int,
+               top_level: bool = False):
     """Iterate (fourcc, body_start, body_end) over a box span.
     Framing per the spec: u32 BE size incl. header; size==1 ->
     u64 largesize follows the fourcc; size==0 -> box runs to the
-    END of the enclosing span. Malformed framing raises."""
+    end of the FILE, which the spec permits ONLY for the last
+    top-level box — a size-0 NESTED box (one corrupted byte) would
+    silently swallow every sibling, so it raises here (r8 review
+    finding). Malformed framing raises."""
     off = start
     while off < end:
         if off + 8 > end:
@@ -641,6 +645,10 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
                 raise ValueError(
                     f"mp4: largesize {size} too small at {off}")
         elif size == 0:
+            if not top_level:
+                raise ValueError(
+                    f"mp4: size-0 box {fourcc!r} at offset {off} is "
+                    "only legal as the last TOP-LEVEL box")
             size = end - off
         elif size < 8:
             raise ValueError(
@@ -653,12 +661,27 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
         off += size
 
 
-def _mp4_find(buf: bytes, start: int, end: int,
-              fourcc: bytes) -> tuple | None:
-    for fc, b, e in _mp4_boxes(buf, start, end):
+def _mp4_find(buf: bytes, start: int, end: int, fourcc: bytes,
+              top_level: bool = False) -> tuple | None:
+    for fc, b, e in _mp4_boxes(buf, start, end, top_level):
         if fc == fourcc:
             return b, e
     return None
+
+
+def _mp4_field(payload: bytes, body: tuple, off: int, n: int,
+               what: str) -> bytes:
+    """A field read BOUNDED by its box body: reading past the body
+    end (short/corrupt box) raises instead of silently returning
+    bytes of the next box as plausible-looking metadata (r8 review
+    finding — a 4-byte tkhd 'returned' width 29803 from the sibling
+    box's fourcc)."""
+    b, e = body
+    if b + off + n > e:
+        raise ValueError(
+            f"mp4: {what} truncated (box body {e - b} bytes, field "
+            f"needs {off + n})")
+    return payload[b + off:b + off + n]
 
 
 def parse_mp4(payload: bytes) -> dict:
@@ -669,26 +692,41 @@ def parse_mp4(payload: bytes) -> dict:
     missing magic boxes or torn framing raise with the box named.
     Codec BITSTREAM decode is out of scope (see ``real_decode``)."""
     n = len(payload)
-    ftyp = _mp4_find(payload, 0, n, b"ftyp")
+    ftyp = _mp4_find(payload, 0, n, b"ftyp", top_level=True)
     if ftyp is None:
         raise ValueError("mp4: no ftyp box — not an ISO-BMFF file")
-    brand = payload[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace")
-    moov = _mp4_find(payload, 0, n, b"moov")
+    brand = _mp4_field(payload, ftyp, 0, 4, "ftyp major brand") \
+        .decode("ascii", "replace")
+    moov = _mp4_find(payload, 0, n, b"moov", top_level=True)
     if moov is None:
         raise ValueError("mp4: no moov box (movie metadata missing)")
     mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
     if mvhd is None:
         raise ValueError("mp4: moov has no mvhd")
-    b = mvhd[0]
-    version = payload[b]
+    version = _mp4_field(payload, mvhd, 0, 1, "mvhd version")[0]
     if version == 1:                       # 64-bit times
-        timescale = int.from_bytes(payload[b + 20:b + 24], "big")
-        duration = int.from_bytes(payload[b + 24:b + 32], "big")
+        timescale = int.from_bytes(
+            _mp4_field(payload, mvhd, 20, 4, "mvhd timescale"), "big")
+        duration = int.from_bytes(
+            _mp4_field(payload, mvhd, 24, 8, "mvhd duration"), "big")
+        unknown = duration == 0xFFFFFFFFFFFFFFFF
     else:
-        timescale = int.from_bytes(payload[b + 12:b + 16], "big")
-        duration = int.from_bytes(payload[b + 16:b + 20], "big")
+        timescale = int.from_bytes(
+            _mp4_field(payload, mvhd, 12, 4, "mvhd timescale"), "big")
+        duration = int.from_bytes(
+            _mp4_field(payload, mvhd, 16, 4, "mvhd duration"), "big")
+        unknown = duration == 0xFFFFFFFF
     if timescale == 0:
         raise ValueError("mp4: mvhd timescale is 0")
+    # all-ones duration is the spec's UNKNOWN sentinel (live /
+    # fragmented muxers) — carry null, and never let the ms
+    # conversion overflow int64 (r8 review finding: the sentinel
+    # crashed the Arrow stage)
+    duration_ms = None if unknown else duration * 1000 // timescale
+    if duration_ms is not None and duration_ms >= 1 << 63:
+        raise ValueError(
+            f"mp4: implausible duration {duration} at timescale "
+            f"{timescale}")
 
     tracks = []
     for fc, tb, te in _mp4_boxes(payload, moov[0], moov[1]):
@@ -697,7 +735,13 @@ def parse_mp4(payload: bytes) -> dict:
         tkhd = _mp4_find(payload, tb, te, b"tkhd")
         width = height = None
         if tkhd is not None:
-            # width/height are the LAST two 16.16 fields of tkhd
+            # width/height are the LAST two 16.16 fields; a spec
+            # tkhd body is 84 (v0) / 96 (v1) bytes — shorter means
+            # the tail read would leave the box
+            body_len = tkhd[1] - tkhd[0]
+            if body_len < 84:
+                raise ValueError(
+                    f"mp4: tkhd truncated ({body_len} bytes)")
             width = int.from_bytes(
                 payload[tkhd[1] - 8:tkhd[1] - 4], "big") >> 16
             height = int.from_bytes(
@@ -707,7 +751,8 @@ def parse_mp4(payload: bytes) -> dict:
         if mdia is not None:
             hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
             if hdlr is not None:
-                handler = payload[hdlr[0] + 8:hdlr[0] + 12] \
+                handler = _mp4_field(payload, hdlr, 8, 4,
+                                     "hdlr handler type") \
                     .decode("ascii", "replace")
             minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
             if minf is not None:
@@ -715,24 +760,27 @@ def parse_mp4(payload: bytes) -> dict:
                 if stbl is not None:
                     stsd = _mp4_find(payload, stbl[0], stbl[1],
                                      b"stsd")
-                    if stsd is not None and \
-                            int.from_bytes(payload[stsd[0] + 4:
-                                                   stsd[0] + 8],
-                                           "big") >= 1:
-                        codec = payload[stsd[0] + 12:stsd[0] + 16] \
+                    if stsd is not None and int.from_bytes(
+                            _mp4_field(payload, stsd, 4, 4,
+                                       "stsd entry count"),
+                            "big") >= 1:
+                        codec = _mp4_field(
+                            payload, stsd, 12, 4,
+                            "stsd sample-entry fourcc") \
                             .decode("ascii", "replace")
         tracks.append({"handler": handler, "codec": codec,
                        "width": width, "height": height})
 
     mdat_bytes = sum(e - bb for fc, bb, e in
-                     _mp4_boxes(payload, 0, n) if fc == b"mdat")
+                     _mp4_boxes(payload, 0, n, top_level=True)
+                     if fc == b"mdat")
     vid = next((t for t in tracks if t["handler"] == "vide"),
                tracks[0] if tracks else
                {"codec": None, "width": None, "height": None})
     return {
         "brand": brand,
         "timescale": timescale,
-        "duration_ms": duration * 1000 // timescale,
+        "duration_ms": duration_ms,
         "n_tracks": len(tracks),
         "codec": vid["codec"],
         "width": vid["width"],
@@ -815,9 +863,13 @@ def wrap_mp4(media: DataFrame, width: int = 8, height: int = 8) \
 
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [(int(mid),
-                     build_mp4(bytes(p), width, height, len(bytes(p))))
-                    for mid, p in zip(pdf["media_id"], pdf["payload"])]
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                pb = bytes(p)
+                rows.append((int(mid),
+                             build_mp4(pb, width, height, len(pb))))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return sel.mapInPandas(
@@ -832,6 +884,8 @@ def video_container_metadata(media: DataFrame) -> DataFrame:
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:
+                continue
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 m = parse_mp4(bytes(p))

@@ -214,3 +214,75 @@ def test_mp4_frame_decode_still_honestly_refuses():
                         match="container-metadata tier .* is already "
                               "real"):
         real_decode(build_mp4(b"z", 8, 8, 1), "mp4")
+
+
+def test_mp4_refuses_short_boxes_instead_of_garbage():
+    """Field reads are bounded by their box body: a 4-byte tkhd
+    must raise, not 'return' a width read from the sibling box's
+    header; an empty ftyp body must raise, not report the next
+    box's size bytes as the brand (r8 review reproductions)."""
+    import struct
+
+    import pytest as _pytest
+
+    from galaxy_spark.operators.multimodal import (_MP4_MATRIX, _box,
+                                                   parse_mp4)
+
+    with _pytest.raises(ValueError, match="ftyp major brand"):
+        parse_mp4(_box(b"ftyp", b"") + _box(b"moov", b""))
+
+    mvhd = _box(b"mvhd", bytes(4)
+                + struct.pack(">IIII", 0, 0, 1000, 5)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + bytes(8) + _MP4_MATRIX + bytes(24)
+                + struct.pack(">I", 2))
+    short_trak = _box(b"trak", _box(b"tkhd", b"\x00\x00\x00\x01")
+                      + _box(b"mdia", b""))
+    blob = (_box(b"ftyp", b"isom" + bytes(4))
+            + _box(b"moov", mvhd + short_trak))
+    with _pytest.raises(ValueError, match="tkhd truncated"):
+        parse_mp4(blob)
+
+
+def test_mp4_nested_size_zero_box_refused():
+    """A size-0 NESTED box (legal only as the last top-level box)
+    would silently swallow every sibling — one corrupted byte must
+    raise, not report a track-less movie."""
+    import pytest as _pytest
+
+    from galaxy_spark.operators.multimodal import (_box, build_mp4,
+                                                   parse_mp4)
+
+    whole = bytearray(build_mp4(b"zz", 8, 8, 2))
+    # zero the mvhd size field inside moov: moov starts after ftyp
+    ftyp_size = int.from_bytes(whole[0:4], "big")
+    mvhd_off = ftyp_size + 8                     # moov body start
+    assert whole[mvhd_off + 4:mvhd_off + 8] == b"mvhd"
+    whole[mvhd_off:mvhd_off + 4] = b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError, match="size-0 box"):
+        parse_mp4(bytes(whole))
+
+
+def test_mp4_unknown_duration_sentinel_is_null(spark):
+    """All-ones mvhd duration (the spec's UNKNOWN sentinel, emitted
+    by live/fragmented muxers) must surface as NULL duration_ms —
+    the raw value overflowed int64 in the Arrow stage."""
+    import struct
+
+    from galaxy_spark.operators.multimodal import (
+        _MP4_MATRIX, _box, parse_mp4, video_container_metadata)
+
+    mvhd_v1 = _box(b"mvhd", b"\x01\x00\x00\x00"
+                   + struct.pack(">QQI", 0, 0, 90000)
+                   + b"\xff" * 8
+                   + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                   + bytes(8) + _MP4_MATRIX + bytes(24)
+                   + struct.pack(">I", 2))
+    blob = (_box(b"ftyp", b"isom" + bytes(4))
+            + _box(b"moov", mvhd_v1) + _box(b"mdat", b"x"))
+    assert parse_mp4(blob)["duration_ms"] is None
+
+    media = spark.createDataFrame([(1, bytearray(blob))],
+                                  "media_id long, payload binary")
+    (row,) = video_container_metadata(media).collect()
+    assert row.duration_ms is None and row.timescale == 90000
