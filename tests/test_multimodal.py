@@ -286,3 +286,26 @@ def test_mp4_unknown_duration_sentinel_is_null(spark):
                                   "media_id long, payload binary")
     (row,) = video_container_metadata(media).collect()
     assert row.duration_ms is None and row.timescale == 90000
+
+
+def test_mp4_build_parse_roundtrip_property():
+    """Hypothesis: build_mp4 -> parse_mp4 is the identity on every
+    synthesis parameter across random payloads/dimensions/durations
+    (the container twin of the binlog encoder round-trips)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from galaxy_spark.operators.multimodal import build_mp4, parse_mp4
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=300),
+           st.integers(1, 4096), st.integers(1, 4096),
+           st.integers(0, 10**9))
+    def check(payload, w, h, dur):
+        m = parse_mp4(build_mp4(payload, w, h, dur))
+        assert m == {"brand": "isom", "timescale": 1000,
+                     "duration_ms": dur, "n_tracks": 1,
+                     "codec": "avc1", "width": w, "height": h,
+                     "mdat_bytes": len(payload)}
+
+    check()

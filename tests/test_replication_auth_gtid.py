@@ -545,3 +545,50 @@ def test_relay_reseeds_real_fde_after_config_change_rotation(tmp_path):
         seg1 = decode_binlog(f.read())
     assert [r for e in seg1 if e.kind == "insert"
             for r in e.rows] == [[["1", "order-1"]]]
+
+
+# ---- property tests --------------------------------------------------
+
+def test_gtidset_roundtrip_properties():
+    """Hypothesis: for random interval sets, text and wire forms
+    both round-trip, coverage answers match the raw set, and
+    encode() always emits coalesced disjoint [start, stop)
+    intervals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sid = SID_UUID
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(1, 200), st.integers(0, 9)),
+                    min_size=1, max_size=20))
+    def check(ranges):
+        g = rc.GtidSet()
+        covered = set()
+        for start, span in ranges:
+            for gno in range(start, start + span + 1):
+                g.add(f"{sid}:{gno}")
+                covered.add(gno)
+        # text round-trip
+        assert str(rc.GtidSet.parse(str(g))) == str(g)
+        # wire round-trip
+        assert rc.GtidSet.decode(g.encode()).encode() == g.encode()
+        # coverage == the raw set, incl. boundary probes
+        for gno in range(1, 215):
+            assert g.covers(f"{sid}:{gno}") == (gno in covered)
+        # encoded intervals are sorted, disjoint, non-adjacent
+        import struct as _s
+
+        data = g.encode()
+        (n_sids,) = _s.unpack_from("<Q", data, 0)
+        assert n_sids == 1
+        (n_ivs,) = _s.unpack_from("<Q", data, 24)
+        prev_stop = None
+        for i in range(n_ivs):
+            s_, e_ = _s.unpack_from("<QQ", data, 32 + 16 * i)
+            assert s_ < e_
+            if prev_stop is not None:
+                assert s_ > prev_stop      # coalesced: gap required
+            prev_stop = e_
+
+    check()
