@@ -812,10 +812,12 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             # each transaction's events in a payload event. OTW
             # layout: TLV fields {type lenenc, length lenenc,
             # value} terminated by the end mark (type 0), then the
-            # payload bytes; field 1 = compression algorithm
-            # (0 = zstd, 255 = NONE — the server emits NONE for
-            # small/incompressible transactions), field 2 =
-            # uncompressed size. Inner events carry NO per-event
+            # payload bytes. libbinlogevents' OTW field codes:
+            # 1 = payload size (skippable — the event size bounds
+            # it), 2 = compression algorithm (0 = zstd, 255 = NONE
+            # — the server emits NONE for small/incompressible
+            # transactions), 3 = uncompressed size (skippable).
+            # Inner events carry NO per-event
             # checksum (the OUTER event's trailer covers them) and
             # each transaction re-sends its TABLE_MAPs, so an
             # algorithm-NONE payload decodes by plain recursion.
@@ -823,11 +825,13 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             # operational message (this runtime has no zstd
             # module; the generic unknown-type error would send an
             # operator spelunking).
-            # absent field 1 means NONE: libbinlogevents'
+            # absent field 2 means NONE: libbinlogevents'
             # read-side default is compression::type::NONE and the
             # writer omits the field for uncompressed payloads —
             # defaulting to zstd here refused real uncompressed
-            # events (r8 review finding)
+            # events (r8 review finding). Reading field 1 as the
+            # algorithm (r8's bug) misread payload SIZE as the
+            # algorithm on real 8.0.20+ streams (r9 advice).
             algo = 255
             try:
                 while r.off < len(r.buf):
@@ -835,7 +839,7 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
                     if ftype == 0:               # end mark
                         break
                     val = _Reader(r.take(r.lenenc()))
-                    if ftype == 1:
+                    if ftype == 2:
                         algo = val.lenenc()
                 payload = r.rest()
                 inner = (decode_binlog(payload) if algo == 255

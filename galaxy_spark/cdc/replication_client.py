@@ -582,7 +582,22 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
             etype = ev[4]
             if etype == FORMAT_DESCRIPTION_EVENT:
                 crc32_mode = _detect_checksum(ev)
-                if fh is not None and seg_virgin and ev != fde:
+
+                def _fde_sig(e: bytes) -> bytes:
+                    # format signature: post-header body minus the
+                    # checksum trailer, with create_timestamp
+                    # (body[52:56]) masked — the 19-byte header
+                    # (timestamp, log_pos) and create_timestamp
+                    # differ between the carried seed and every new
+                    # segment's real FDE, so comparing raw bytes
+                    # fired the rewrite on EVERY rotation, not only
+                    # on a genuine format change (r9 advice)
+                    b = (e[19:len(e) - 4] if _detect_checksum(e)
+                         else e[19:])
+                    return b[:52] + b[56:]
+
+                if (fh is not None and seg_virgin and fde is not None
+                        and _fde_sig(ev) != _fde_sig(fde)):
                     # the just-rotated segment's REAL FDE differs
                     # from the carried seed — the rotation was
                     # forced by a config change that alters the FDE

@@ -215,6 +215,18 @@ class BinlogStreamReader(DataSourceStreamReader):
                     if etype == ANONYMOUS_GTID_EVENT:
                         return {"file": s, "pos": prev_end}
                     if etype == GTID_EVENT:
+                        if esize < 19 + 25:
+                            # a GTID event shorter than header +
+                            # flag/SID/GNO cannot carry a full
+                            # transaction id; slicing it anyway
+                            # computes a silently-wrong GNO from
+                            # truncated bytes — refuse loudly like
+                            # the rest of the decode surface
+                            # (r9 advice)
+                            raise ValueError(
+                                f"corrupt GTID event at {s}:{pos}: "
+                                f"size {esize} < 44 (header + "
+                                "flag/SID/GNO)")
                         f.seek(pos + 19)
                         body = f.read(25)
                         sid = body[1:17].hex()

@@ -192,9 +192,12 @@ def test_transaction_payload_event_refused_with_targeted_message():
     w.format_description()
     fde_stream = w.bytes()
 
-    # type-40 body: TLV fields {type lenenc, len lenenc, value}:
-    # compression_type=1 -> value 0 (zstd), then payload-size field
-    body = bytes([1, 1, 0]) + bytes([2, 2, 0x10, 0x00])
+    # type-40 body: TLV fields {type lenenc, len lenenc, value},
+    # MySQL's OTW field codes: 1 = payload size (skippable),
+    # 2 = compression type -> value 0 (zstd), then end mark
+    body = (bytes([1, 2, 0x10, 0x00])        # payload size field
+            + bytes([2, 1, 0])               # compression = zstd
+            + bytes([0]))                    # OTW end mark
     size = 19 + len(body) + 4
     pos = len(fde_stream) - 4 + size
     header = (struct.pack("<IBIIIH", 1_710_000_000, 40, 7007, size,
@@ -236,9 +239,12 @@ def test_transaction_payload_none_compression_decodes():
         return bytes([v]) if v < 251 else \
             b"\xfc" + struct.pack("<H", v)
 
-    body = (lenenc(1) + lenenc(len(lenenc(255))) + lenenc(255)
-            + lenenc(2) + lenenc(len(lenenc(len(payload))))
-            + lenenc(len(payload))
+    # MySQL's OTW field codes: 1 = payload size, 2 = compression
+    # type (255 = NONE), 3 = uncompressed size
+    psize = lenenc(len(payload))
+    body = (lenenc(1) + lenenc(len(psize)) + psize
+            + lenenc(2) + lenenc(len(lenenc(255))) + lenenc(255)
+            + lenenc(3) + lenenc(len(psize)) + psize
             + lenenc(0)                          # OTW end mark
             + payload)
 

@@ -689,6 +689,40 @@ def test_starting_gtids_tolerates_torn_tail_and_stays_cheap(
     assert not calls, "GTID scan must not full-decode segments"
 
 
+def test_starting_gtids_refuses_corrupt_short_gtid_event(tmp_path):
+    """A GTID event shorter than header + flag/SID/GNO (44 bytes)
+    cannot carry a full transaction id — the scan must fail loudly,
+    not compute a GNO from truncated bytes (the silent-wrong-resume
+    outcome)."""
+    import struct
+
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    from galaxy_spark.sources.binlog_source import BinlogStreamReader
+
+    d = str(tmp_path / "corrupt_relay")
+    os.makedirs(d)
+    w = BinlogWriter()
+    w.format_description()
+    blob = bytearray(w.bytes())
+    # complete (per its own header) but undersized GTID event:
+    # 19-byte header declaring total size 30 -> 11-byte body, far
+    # short of the 25-byte flag/SID/GNO layout
+    size = 30
+    pos = len(blob) - 4 + size
+    ev = struct.pack("<IBIIIH", 1_710_000_000, 33, 7007, size,
+                     pos, 0) + bytes(size - 19)
+    blob += ev
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(bytes(blob))
+
+    uuid = "0f81a2b3-c4d5-e6f7-0819-22aabbccddee"
+    reader = BinlogStreamReader({"path": d,
+                                 "startingGtids": f"{uuid}:1"})
+    with pytest.raises(ValueError, match="corrupt GTID event"):
+        reader.initialOffset()
+
+
 def test_gtidset_rejects_reversed_and_malformed_ranges():
     import pytest as _pytest
 

@@ -547,6 +547,75 @@ def test_relay_reseeds_real_fde_after_config_change_rotation(tmp_path):
             for r in e.rows] == [[["1", "order-1"]]]
 
 
+def test_relay_keeps_seed_on_same_format_rotation(tmp_path):
+    """A NORMAL rotation (flush logs / size limit): the new
+    segment's real FDE differs from the carried seed only in its
+    19-byte header (timestamp, log_pos) — the format is identical,
+    so the seed must be KEPT, not rewritten. The r8 guard compared
+    raw event bytes and fired the rewrite on every rotation (r9
+    advice); the signature compare pins the intended behavior."""
+    import zlib
+
+    _, crc_events = _txn_stream([1], checksum="crc32")
+    crc_fde, crc_txns = _txns_from_stream(crc_events)
+    _, crc_events2 = _txn_stream([2], checksum="crc32")
+    _, crc_txns2 = _txns_from_stream(crc_events2)
+
+    # same-format FDE with a DIFFERENT header timestamp (as every
+    # new segment's FDE has) — re-stamp and re-checksum
+    body = crc_fde[:-4]
+    body = struct.pack("<I", 1_800_000_000) + body[4:]
+    crc_fde2 = body + struct.pack("<I", zlib.crc32(body))
+    assert crc_fde2 != crc_fde
+
+    w = BinlogWriter(checksum="crc32")
+    w.format_description()
+    w.rotate("binlog.000002")
+    blob = w.bytes()[4:]
+    rot, off = None, 0
+    while off < len(blob):
+        size = struct.unpack("<I", blob[off + 9:off + 13])[0]
+        ev = blob[off:off + size]
+        if ev[4] == 4:
+            rot = ev
+        off += size
+
+    class _Scripted(Master):
+        def _run(self):
+            self._handshake()
+            for _ in range(2):                   # SET, REGISTER
+                self._read()
+                self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
+            self._read()                         # DUMP
+            seq = 1
+            for ev in ([crc_fde] + [e for _, t in crc_txns
+                                    for e in t]
+                       + [rot, crc_fde2]
+                       + [e for _, t in crc_txns2 for e in t]):
+                self._send(b"\x00" + ev, seq)
+                seq += 1
+            self._send(b"\xfe\x00\x00\x02\x00", seq)
+            self.sock.close()
+
+    c, s = _pair()
+    m = _Scripted(s)
+    m.start()
+    relay_dir = str(tmp_path / "relay")
+    n = rc.relay_to_segments(c, USER, PASSWORD, server_id=5,
+                             file="binlog.000001", pos=4,
+                             out_dir=relay_dir)
+    m.join(timeout=10)
+    assert m.error is None and n > 0
+    with open(os.path.join(relay_dir, "binlog.000002.bin"),
+              "rb") as f:
+        seg2 = f.read()
+    # the CARRIED seed (original header) is still the segment's FDE
+    assert seg2[4:4 + len(crc_fde)] == crc_fde
+    got = decode_binlog(seg2)
+    assert [r for e in got if e.kind == "insert"
+            for r in e.rows] == [[["2", "order-2"]]]
+
+
 # ---- property tests --------------------------------------------------
 
 def test_gtidset_roundtrip_properties():
