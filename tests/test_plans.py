@@ -609,21 +609,32 @@ def test_bpe_encode_vocab_scale_apply(q):
     assert broadcast_join_count(df) >= 1
 
 
-def test_substring_spans_two_exchanges_no_cartesian(q):
-    """EXACT substring spans: the seed-keyed duplicate count window
-    and the doc-keyed island merge are the ONLY exchanges — the
-    scan (the expensive per-char window hashing) is consumed once
-    (a groupBy+join-back shape re-executes it, measured 2x), and
-    the (doc, island) rollup must REUSE the doc_id window
-    partitioning (doc_id subsumes the clustering)."""
+def test_substring_spans_partial_agg_no_window_skew(q):
+    """EXACT substring spans, de-skewed (r9): duplicate detection
+    must be a two-phase groupBy(h).count() whose PARTIAL aggregation
+    absorbs hot seeds map-side BELOW the h exchange — a COUNT window
+    over partitionBy(h) (the r8 shape) shuffles every occurrence of
+    a boilerplate seed into ONE unsplittable window task at corpus
+    scale. The expensive per-char hashing scan is localCheckpointed
+    and consumed from storage (no FileScan re-execution), the
+    join-back is h-keyed (semi) — never a cartesian — and the
+    doc-keyed island merge + (doc, island) rollup reuse one doc_id
+    exchange (doc_id subsumes the clustering)."""
     from galaxy_spark.plans import physical_plan
 
     df = q("dedup_substring_spans")
     p = physical_plan(df)
     assert "CartesianProduct" not in p
-    assert exchange_count(df) == 2   # h count window, doc window
-    assert p.count("FileScan") <= 1, \
-        "the windowed scan must be consumed once"
+    assert "partial_count" in p, \
+        "duplicate count must partial-aggregate below the h exchange"
+    # no Window node may partition by the seed key: only the
+    # doc-keyed island windows are allowed
+    assert "windowspecdefinition(h#" not in p
+    # pre-hash repartition, h groupBy, (h join-back when not
+    # broadcast,) doc window — bounded, all key-partitioned
+    assert exchange_count(df) <= 4
+    assert p.count("FileScan") == 0, \
+        "the windowed scan must be consumed from the checkpoint"
 
 
 def test_char_entropy_partial_absorption_no_cartesian(q):
