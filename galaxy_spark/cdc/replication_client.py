@@ -17,8 +17,10 @@ over plain bytes:
   SHA1(SHA1(pwd)))``) or ``caching_sha2_password``'s scramble
   (``SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) + scramble)`` —
   the FAST path, accepted when the server has the user's cached
-  entry; the full exchange would send the password under TLS/RSA
-  and is refused loudly, see ``authenticate``);
+  entry; FULL auth completes over TLS via the protocol's SSLRequest
+  upgrade + cleartext-password frame when ``ssl_context`` is given,
+  and only the RSA-over-plaintext route is refused loudly, see
+  ``authenticate``);
 - AuthSwitchRequest (0xFE) handling: an 8.0 server whose user is
   configured for a different plugin than the client offered asks
   for a re-proof against a FRESH scramble — both supported plugins
@@ -54,6 +56,7 @@ import struct
 
 CLIENT_LONG_PASSWORD = 0x0001
 CLIENT_PROTOCOL_41 = 0x0200
+CLIENT_SSL = 0x0800
 CLIENT_SECURE_CONNECTION = 0x8000
 CLIENT_PLUGIN_AUTH = 0x80000
 
@@ -196,15 +199,28 @@ _PLUGIN_PROOFS = {
 
 
 def build_handshake_response(user: str, password: str, scramble: bytes,
-                             plugin: str = "mysql_native_password") \
-        -> bytes:
+                             plugin: str = "mysql_native_password",
+                             ssl_active: bool = False) -> bytes:
     proof = _PLUGIN_PROOFS[plugin](password, scramble)
     caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
-            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
+            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+            | (CLIENT_SSL if ssl_active else 0))
     return (struct.pack("<IIB", caps, 1 << 24, 33) + bytes(23)
             + user.encode() + b"\x00"
             + bytes([len(proof)]) + proof
             + plugin.encode() + b"\x00")
+
+
+def build_ssl_request() -> bytes:
+    """SSLRequest: the 32-byte HandshakeResponse41 PREFIX (caps with
+    CLIENT_SSL, max packet, charset, 23 filler bytes) sent INSTEAD
+    of the full response — the protocol's TLS upgrade point. The
+    client sends this, wraps the socket, and repeats the handshake
+    response (with the auth proof) over the secure channel."""
+    caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
+            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+            | CLIENT_SSL)
+    return struct.pack("<IIB", caps, 1 << 24, 33) + bytes(23)
 
 
 def classify_response(payload: bytes) -> tuple[str, dict]:
@@ -380,21 +396,31 @@ def build_binlog_dump_gtid(server_id: int, gtid_set: GtidSet,
 
 # ---- the client ------------------------------------------------------
 
-def authenticate(conn: PacketConn, user: str, password: str) -> dict:
+def authenticate(conn: PacketConn, user: str, password: str,
+                 ssl_context=None,
+                 server_hostname: str | None = None) -> dict:
     """Connection phase over an already-connected socket: read
     HandshakeV10, answer HandshakeResponse41 with the server's
     announced plugin (``mysql_native_password`` or 8.0's DEFAULT
     ``caching_sha2_password`` fast path), then drive the auth state
     machine to OK:
 
+    - ``ssl_context`` (an ``ssl.SSLContext``): upgrade to TLS at the
+      protocol's upgrade point — SSLRequest (the 32-byte response
+      prefix with CLIENT_SSL), then wrap the socket, then send the
+      full HandshakeResponse41 over the secure channel (sequence
+      numbers continue across the upgrade). Refused if the server
+      does not announce CLIENT_SSL;
     - ``AuthMoreData`` ``0x01 0x03`` (sha2 fast-auth success):
       the OK packet follows;
-    - ``AuthMoreData`` ``0x01 0x04`` (sha2 FULL auth): the server
-      has no cached entry for this user and the full exchange sends
-      the password under TLS or an RSA envelope — refused loudly
-      with the operational fix (connect over TLS once to prime the
-      cache, or configure the replication user for
-      mysql_native_password);
+    - ``AuthMoreData`` ``0x01 0x04`` (sha2 FULL auth — no cached
+      entry, the first-ever connect for this account): over TLS the
+      protocol specifies the cleartext password + NUL as the next
+      packet (the channel provides the secrecy) — sent and the OK
+      awaited. Over PLAINTEXT the full exchange would need the RSA
+      envelope — refused loudly with the operational fix (pass
+      ``ssl_context``, prime the cache once with any TLS client, or
+      configure the user for mysql_native_password);
     - ``AuthSwitchRequest`` (0xFE + plugin + fresh scramble): the
       user's configured plugin differs from the offer — re-prove
       against the NEW scramble with the requested plugin (both
@@ -407,9 +433,22 @@ def authenticate(conn: PacketConn, user: str, password: str) -> dict:
             f"unsupported auth plugin {plugin!r} (this client "
             "implements mysql_native_password and the "
             "caching_sha2_password fast path)")
+    tls_active = False
+    if ssl_context is not None:
+        if not hs["capabilities"] & CLIENT_SSL:
+            raise ConnectionError(
+                "TLS requested (ssl_context) but the server did not "
+                "announce CLIENT_SSL — it is built without SSL or "
+                "has it disabled (require_secure_transport cannot "
+                "be on); connect without ssl_context or enable SSL "
+                "on the server")
+        conn.write_payload(build_ssl_request())
+        conn.sock = ssl_context.wrap_socket(
+            conn.sock, server_hostname=server_hostname)
+        tls_active = True
     conn.write_payload(
         build_handshake_response(user, password, hs["scramble"],
-                                 plugin))
+                                 plugin, ssl_active=tls_active))
     switched = False
     while True:
         payload = conn.read_packet()
@@ -424,14 +463,21 @@ def authenticate(conn: PacketConn, user: str, password: str) -> dict:
                 continue                         # fast-auth OK next
             if plugin == "caching_sha2_password" \
                     and payload[1:2] == b"\x04":
+                if tls_active:
+                    # FULL auth, secure channel: the protocol's
+                    # cleartext-password frame (NUL-terminated) —
+                    # never sent on plaintext
+                    conn.write_payload(password.encode() + b"\x00")
+                    continue                     # OK (or ERR) next
                 raise ConnectionError(
                     "caching_sha2_password FULL authentication "
                     "required: the server holds no cached entry for "
                     "this user, and the full exchange transmits the "
-                    "password under TLS or an RSA envelope, which "
-                    "this client does not implement. Fix: connect "
-                    "over TLS once (any client) to prime the "
-                    "server's auth cache, or ALTER USER ... "
+                    "password under TLS or an RSA envelope; this "
+                    "client implements the TLS route only. Fix: "
+                    "pass ssl_context= to connect over TLS, or "
+                    "connect over TLS once (any client) to prime "
+                    "the server's auth cache, or ALTER USER ... "
                     "IDENTIFIED WITH mysql_native_password.")
             raise ValueError(
                 f"unexpected AuthMoreData during {plugin} auth: "
@@ -517,7 +563,9 @@ def _rotate_next_name(ev: bytes) -> tuple[str, bool]:
 def relay_to_segments(sock, user: str, password: str, server_id: int,
                       file: str, pos: int, out_dir: str,
                       max_events: int | None = None,
-                      gtid_set: GtidSet | None = None) -> int:
+                      gtid_set: GtidSet | None = None,
+                      ssl_context=None,
+                      server_hostname: str | None = None) -> int:
     """The wire -> Spark bridge, shaped like MySQL's own relay log:
     this function is the RELAY WRITER — it speaks the replication
     protocol (authenticate, register, dump) and appends the raw
@@ -543,7 +591,8 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
                                          XID_EVENT, _detect_checksum)
 
     conn = PacketConn(sock)
-    authenticate(conn, user, password)
+    authenticate(conn, user, password, ssl_context=ssl_context,
+                 server_hostname=server_hostname)
     _start_dump(conn, server_id, file, pos, gtid_set=gtid_set)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -652,7 +701,9 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
 
 def tail_binlog(sock, user: str, password: str, server_id: int,
                 file: str, pos: int, max_events: int | None = None,
-                gtid_set: GtidSet | None = None):
+                gtid_set: GtidSet | None = None,
+                ssl_context=None,
+                server_hostname: str | None = None):
     """Generator over DecodedEvents from a live replication stream:
     authenticate, COM_REGISTER_SLAVE, COM_BINLOG_DUMP(file, pos) —
     or COM_BINLOG_DUMP_GTID auto-position when ``gtid_set`` is
@@ -671,7 +722,8 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
                                          DecodedEvent, decode_binlog)
 
     conn = PacketConn(sock)
-    authenticate(conn, user, password)
+    authenticate(conn, user, password, ssl_context=ssl_context,
+                 server_hostname=server_hostname)
     _start_dump(conn, server_id, file, pos, gtid_set=gtid_set)
 
     # incremental decode: accumulate event bytes; decode_binlog is

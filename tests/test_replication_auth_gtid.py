@@ -80,7 +80,7 @@ class Master(threading.Thread):
 
     def __init__(self, sock, *, plugin="mysql_native_password",
                  password=PASSWORD, switch_to=None, sha2_full=False,
-                 transactions=None, fde=None):
+                 transactions=None, fde=None, tls_ctx=None):
         super().__init__(daemon=True)
         self.sock = sock
         self.plugin = plugin
@@ -89,6 +89,7 @@ class Master(threading.Thread):
         self.sha2_full = sha2_full
         self.transactions = transactions or []   # [(gno, [events])]
         self.fde = fde
+        self.tls_ctx = tls_ctx                   # server SSLContext
         self.seen: dict = {}
         self.error: Exception | None = None
 
@@ -115,10 +116,13 @@ class Master(threading.Thread):
             self.error = exc
 
     def _handshake(self) -> None:
+        low = (rc.CLIENT_SECURE_CONNECTION
+               | rc.CLIENT_PROTOCOL_41
+               | (rc.CLIENT_SSL if self.tls_ctx is not None
+                  else 0)) & 0xFFFF
         hs = (bytes([10]) + b"8.4.0-fake\x00"
               + struct.pack("<I", 99) + SCRAMBLE[:8] + b"\x00"
-              + struct.pack("<H", (rc.CLIENT_SECURE_CONNECTION
-                                   | rc.CLIENT_PROTOCOL_41) & 0xFFFF)
+              + struct.pack("<H", low)
               + bytes([33]) + struct.pack("<H", 2)
               + struct.pack("<H", rc.CLIENT_PLUGIN_AUTH >> 16)
               + bytes([21]) + bytes(10)
@@ -126,6 +130,16 @@ class Master(threading.Thread):
               + self.plugin.encode() + b"\x00")
         self._send(hs, 0)
         resp = self._read()
+        if len(resp) == 32:                      # SSLRequest prefix
+            (caps,) = struct.unpack_from("<I", resp, 0)
+            assert caps & rc.CLIENT_SSL, \
+                "32-byte response without CLIENT_SSL"
+            assert self.tls_ctx is not None, \
+                "client requested TLS but master has no cert"
+            self.sock = self.tls_ctx.wrap_socket(self.sock,
+                                                 server_side=True)
+            self.seen["tls"] = True
+            resp = self._read()                  # real response, TLS
         p = 32
         nul = resp.index(b"\x00", p)
         self.seen["user"] = resp[p:nul].decode()
@@ -149,6 +163,18 @@ class Master(threading.Thread):
             if self.seen["auth_ok"] and self.sha2_full:
                 self._send(b"\x01\x04", 2)       # full auth demand
                 self.seen["sent_full_auth"] = True
+                if not self.seen.get("tls"):
+                    return                       # plaintext: client
+                                                 # must refuse
+                frame = self._read()             # cleartext pwd+NUL
+                self.seen["full_ok"] = \
+                    frame == self.password.encode() + b"\x00"
+                if not self.seen["full_ok"]:
+                    self._send(b"\xff" + struct.pack("<H", 1045)
+                               + b"#28000Access denied", 4)
+                    self.seen["auth_ok"] = False
+                    return
+                self._send(b"\x00\x00\x00\x02\x00\x00\x00", 4)
                 return
             if self.seen["auth_ok"]:
                 self._send(b"\x01\x03", 2)       # fast-auth success
@@ -163,8 +189,10 @@ class Master(threading.Thread):
 
     def _run(self) -> None:
         self._handshake()
-        if not self.seen.get("auth_ok") or self.sha2_full:
+        if not self.seen.get("auth_ok"):
             return
+        if self.sha2_full and not self.seen.get("full_ok"):
+            return                               # plaintext refusal
         cmd = self._read()                       # SET checksum
         assert cmd[0] == rc.COM_QUERY
         self._send(b"\x00\x00\x00\x02\x00\x00\x00", 1)
@@ -277,6 +305,116 @@ def test_sha2_full_auth_demand_refused_loudly():
                             file="binlog.000001", pos=4))
     m.join(timeout=10)
     assert m.error is None and m.seen["sent_full_auth"]
+
+
+def _tls_pair():
+    """(server_ctx, client_ctx) from a freshly minted self-signed
+    localhost certificate — the client VERIFIES the cert (loaded as
+    its root) and the hostname, the posture a production replica
+    should run with. Skips when no tool can mint a cert."""
+    import shutil
+    import ssl
+    import subprocess
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="galaxy_tls_")
+    cert = os.path.join(d, "cert.pem")
+    key = os.path.join(d, "key.pem")
+    if shutil.which("openssl"):
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+             "-keyout", key, "-out", cert, "-days", "3650",
+             "-nodes", "-subj", "/CN=localhost",
+             "-addext", "subjectAltName=DNS:localhost"],
+            check=True, capture_output=True)
+    else:
+        pytest.skip("no openssl CLI to mint a test certificate")
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(cert, key)
+    cctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    cctx.load_verify_locations(cert)
+    return sctx, cctx
+
+
+def test_sha2_full_auth_completes_over_tls():
+    """The first-ever connect for an account (no cached entry): the
+    server demands FULL auth. Over TLS the client must complete it —
+    SSLRequest upgrade, handshake response over the secure channel,
+    then the cleartext-password frame — and stream binlog events on
+    the same wrapped socket. The master independently verifies every
+    byte (proof, password frame) server-side."""
+    sctx, cctx = _tls_pair()
+    _, events = _txn_stream([1])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password", sha2_full=True,
+               transactions=txns, fde=fde, tls_ctx=sctx)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                              file="binlog.000001", pos=4,
+                              ssl_context=cctx,
+                              server_hostname="localhost"))
+    m.join(timeout=10)
+    assert m.error is None
+    assert m.seen["tls"] and m.seen["sent_full_auth"]
+    assert m.seen["full_ok"] and m.seen["auth_ok"]
+    ins = [e for e in got if e.kind == "insert"]
+    assert len(ins) == 1 and ins[0].rows[0][0] == ["1", "order-1"]
+
+
+def test_sha2_full_auth_over_tls_wrong_password_refused():
+    sctx, cctx = _tls_pair()
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password", sha2_full=True,
+               tls_ctx=sctx)
+    m.start()
+    with pytest.raises(ConnectionError,
+                       match="authentication failed"):
+        list(rc.tail_binlog(c, USER, "wrong", server_id=3,
+                            file="binlog.000001", pos=4,
+                            ssl_context=cctx,
+                            server_hostname="localhost"))
+    m.join(timeout=10)
+    assert m.error is None
+
+
+def test_tls_request_refused_when_server_lacks_ssl_cap():
+    """ssl_context against a server NOT announcing CLIENT_SSL must
+    refuse BEFORE sending anything sensitive — never silently fall
+    back to plaintext."""
+    import ssl
+
+    cctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password")
+    m.start()
+    with pytest.raises(ConnectionError, match="CLIENT_SSL"):
+        list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                            file="binlog.000001", pos=4,
+                            ssl_context=cctx,
+                            server_hostname="localhost"))
+    c.close()
+
+
+def test_sha2_fast_path_over_tls_streams():
+    """TLS with a CACHED entry: the fast path still applies (the
+    scramble proof travels over the secure channel) and the stream
+    flows over the wrapped socket end-to-end."""
+    sctx, cctx = _tls_pair()
+    _, events = _txn_stream([1])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, plugin="caching_sha2_password",
+               transactions=txns, fde=fde, tls_ctx=sctx)
+    m.start()
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=3,
+                              file="binlog.000001", pos=4,
+                              ssl_context=cctx,
+                              server_hostname="localhost"))
+    m.join(timeout=10)
+    assert m.error is None and m.seen["tls"] and m.seen["auth_ok"]
+    ins = [e for e in got if e.kind == "insert"]
+    assert len(ins) == 1 and ins[0].rows[0][0] == ["1", "order-1"]
 
 
 def test_auth_switch_to_native_password():
