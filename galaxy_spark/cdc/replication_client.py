@@ -333,6 +333,12 @@ class GtidSet:
         return any(s <= g < e
                    for s, e in self._sids.get(self._norm(uuid), ()))
 
+    def merge(self, other: "GtidSet") -> None:
+        """Union in another set (interval-wise, coalescing)."""
+        for sid, ivs in other._sids.items():
+            for s, e in ivs:
+                self._insert(sid, s, e)
+
     def __bool__(self) -> bool:
         return bool(self._sids)
 

@@ -12,8 +12,16 @@ schema attach (P1) and projections (P2-P4) then run as the same
 column algebra as every other source tier.
 
 Offset model (mirrors the reference's ``(file, pos)`` position,
-``pkg/shared.go:13-14``): ``{"file": <name>, "pos": <byte>}``
-where ``pos`` is the END log_pos of the last consumed event.
+``pkg/shared.go:13-14``, EXTENDED with the failover currency the
+reference lacks): ``{"file": <name>, "pos": <byte>, "gtids":
+<executed set text>}`` where ``pos`` is the END log_pos of the last
+consumed event and ``gtids`` is the executed-GTID set at that
+boundary (startingGtids plus every GTID event at or before it,
+incrementally tracked). When a checkpointed offset names a segment
+that no longer exists — a primary failover renamed/renumbered the
+binlogs — ``partitions`` re-resolves the boundary from the carried
+set instead of refusing: same transactions, new layout, no
+duplicates and no gaps mid-stream, not only at first start.
 Binlog events chain end-positions in their headers, and
 ``latestOffset`` walks those headers to the last COMPLETE event in
 the growing tail segment (``_aligned_end``), so every offset is
@@ -136,6 +144,24 @@ def _aligned_end(fpath: str) -> int:
     return end
 
 
+def _read_gtid(f, pos: int, esize: int, where: str) -> str:
+    """``uuid:gno`` from a GTID event at ``pos`` in an open segment
+    (the walker's file handle; it reseeks per event, so reading here
+    is safe). A GTID event shorter than header + flag/SID/GNO (44
+    bytes) cannot carry a full transaction id — refused loudly, not
+    sliced into a silently-wrong GNO (r9 advice)."""
+    if esize < 19 + 25:
+        raise ValueError(
+            f"corrupt GTID event at {where}: size {esize} < 44 "
+            "(header + flag/SID/GNO)")
+    f.seek(pos + 19)
+    body = f.read(25)
+    sid = body[1:17].hex()
+    gno = int.from_bytes(body[17:25], "little")
+    return (f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-"
+            f"{sid[16:20]}-{sid[20:32]}:{gno}")
+
+
 class _SegmentSlice(InputPartition):
     def __init__(self, path: str, fname: str, start_pos: int,
                  end_pos: int) -> None:
@@ -171,11 +197,16 @@ class BinlogStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.starting_gtids:
-            return self._offset_after_gtids(self.starting_gtids)
-        if self.starting == "latest":
-            return self._end_of_dir()   # SHOW MASTER STATUS analog
-        segs = _segments(self.path)
-        return {"file": segs[0] if segs else "", "pos": 0}
+            off = self._offset_after_gtids(self.starting_gtids)
+        elif self.starting == "latest":
+            off = self._end_of_dir()    # SHOW MASTER STATUS analog
+        else:
+            segs = _segments(self.path)
+            off = {"file": segs[0] if segs else "", "pos": 0}
+        # every offset carries the executed set from the very first
+        # one — a failover before the first latestOffset is covered
+        off["gtids"] = self._gtids_at(off["file"], off["pos"])
+        return off
 
     def _offset_after_gtids(self, gtid_text: str) -> dict:
         """GTID auto-position over segment files: the offset just
@@ -215,28 +246,58 @@ class BinlogStreamReader(DataSourceStreamReader):
                     if etype == ANONYMOUS_GTID_EVENT:
                         return {"file": s, "pos": prev_end}
                     if etype == GTID_EVENT:
-                        if esize < 19 + 25:
-                            # a GTID event shorter than header +
-                            # flag/SID/GNO cannot carry a full
-                            # transaction id; slicing it anyway
-                            # computes a silently-wrong GNO from
-                            # truncated bytes — refuse loudly like
-                            # the rest of the decode surface
-                            # (r9 advice)
-                            raise ValueError(
-                                f"corrupt GTID event at {s}:{pos}: "
-                                f"size {esize} < 44 (header + "
-                                "flag/SID/GNO)")
-                        f.seek(pos + 19)
-                        body = f.read(25)
-                        sid = body[1:17].hex()
-                        gno = int.from_bytes(body[17:25], "little")
-                        u = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
-                            f"{sid[16:20]}-{sid[20:32]}"
-                        if not gset.covers(f"{u}:{gno}"):
+                        gtid = _read_gtid(f, pos, esize,
+                                          f"{s}:{pos}")
+                        if not gset.covers(gtid):
                             return {"file": s, "pos": prev_end}
                     prev_end = log_pos
         return self._end_of_dir()       # whole directory covered
+
+    def _gtids_at(self, file: str, pos: int) -> str:
+        """Executed-GTID text at offset (file, pos): the starting
+        set plus every GTID event at or before it, maintained
+        INCREMENTALLY — a watermark remembers how far the directory
+        has been walked, so steady-state cost per micro-batch is a
+        header walk over the tail delta (the same cost class as
+        ``_aligned_end``'s alignment walk); only the first call of
+        a reader instance (fresh start or restart) walks the whole
+        directory once. This is what makes the offsets themselves
+        failover-safe MID-STREAM: every committed offset carries
+        the currency that survives a primary's death, not only the
+        first start (r8 carried GTIDs at ``startingGtids``
+        resolution time and went back to bare (file, pos)
+        afterward)."""
+        from galaxy_spark.cdc.binlog import GTID_EVENT
+        from galaxy_spark.cdc.replication_client import GtidSet
+
+        if not hasattr(self, "_gtids"):
+            self._gtids = (GtidSet.parse(self.starting_gtids)
+                           if self.starting_gtids else GtidSet())
+            self._scan_file, self._scan_pos = "", 0
+        target = (_seg_key(file), pos)
+        if target < (_seg_key(self._scan_file), self._scan_pos):
+            return str(self._gtids)     # watermark is already past
+        for s in _segments(self.path):
+            k = _seg_key(s)
+            if self._scan_file and k < _seg_key(self._scan_file):
+                continue                # fully merged already
+            if k > _seg_key(file):
+                break
+            fpath = os.path.join(self.path, s)
+            size = os.path.getsize(fpath)
+            with open(fpath, "rb") as f:
+                for p, etype, esize, _lp in \
+                        _walk_event_headers(f, size):
+                    if s == self._scan_file \
+                            and p + esize <= self._scan_pos:
+                        continue        # below the watermark
+                    if s == file and p + esize > pos:
+                        break           # beyond the offset
+                    if etype == GTID_EVENT:
+                        self._gtids.add(
+                            _read_gtid(f, p, esize, f"{s}:{p}"))
+        self._scan_file, self._scan_pos = file, pos
+        return str(self._gtids)
 
     def latestOffset(self) -> dict:
         # Monotonic floor: binlog segments are APPEND-ONLY (MySQL's
@@ -251,11 +312,29 @@ class BinlogStreamReader(DataSourceStreamReader):
         if floor is not None and (_seg_key(cur["file"]), cur["pos"]) < \
                 (_seg_key(floor["file"]), floor["pos"]):
             return floor
+        cur["gtids"] = self._gtids_at(cur["file"], cur["pos"])
         self._max_offset = cur
         return cur
 
+    def _resolve_offset(self, off: dict, segs_now: list[str]) -> dict:
+        """Failover re-resolution: a checkpointed offset whose
+        segment no longer exists names a dead primary's file — but
+        if it carries the executed-GTID set, the set re-locates the
+        exact boundary in the NEW primary's segments (same
+        transactions, new names/positions). Without the set the
+        refuse-loudly paths below still apply."""
+        if (off.get("file") and off["file"] not in segs_now
+                and off.get("gtids") is not None):
+            new = self._offset_after_gtids(off["gtids"])
+            new["gtids"] = off["gtids"]
+            return new
+        return off
+
     def partitions(self, start: dict, end: dict) \
             -> Sequence[InputPartition]:
+        segs_now = _segments(self.path)
+        start = self._resolve_offset(start, segs_now)
+        end = self._resolve_offset(end, segs_now)
         if (_seg_key(end["file"]), end["pos"]) < \
                 (_seg_key(start["file"]), start["pos"]):
             # cross-restart shrink: the committed offset points past
