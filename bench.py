@@ -227,6 +227,23 @@ def main() -> None:
     from galaxy_spark.registry import all_queries
     from galaxy_spark.session import get_spark
 
+    # CDC throughput FIRST, on a fresh JVM (r9, r8 verdict wrong #2):
+    # running it after the query marathon measured a worn JVM —
+    # the committed full-artifact number (66.6k/s) sat 15-35% under
+    # the clean-host figure (77.8k/s cold, SCALE.md). A dedicated
+    # session before any query work matches the standalone-run
+    # discipline; its own canary sample sits beside it so the number
+    # can be host-normalized like every other row.
+    spark = get_spark("galaxy_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    cdc = _cdc_throughput(spark)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i & 7
+    cdc["canary_py_loop"] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
     queries = all_queries()
 
     # SPARK_GRAFT_BENCH_ALL=1: time EVERY registered query (one-off
@@ -317,12 +334,6 @@ def main() -> None:
             spark.stop()
 
     total = round(sum(timings.values()), 3)
-
-    # CDC throughput (r8): the reference's own headline claim,
-    # measured — full byte->source->projection->keyed-sink chain.
-    spark = get_spark("galaxy_spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    cdc = _cdc_throughput(spark)
 
     # the first 17 names are the r1-r3 bench set; their WRITE-ONLY
     # subtotal is the number comparable against BENCH_r02/BENCH_r03
