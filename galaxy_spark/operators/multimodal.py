@@ -22,9 +22,12 @@ all five standard scanline filters, and multi-frame animated GIF
 (full LZW decompression, transparency, sub-rectangle frame
 compositing — the video-adjacent tier, so ``sample_frames_real``
 samples genuinely decoded frames) — verified against golden bytes
-in tests. Video (mp4) still raises NotImplementedError: there is no
-stdlib route to an H.264 stream, and shipping a fake there would be
-dishonest. The synthetic-fixture queries keep using the
+in tests. Video: the mp4/ISO-BMFF CONTAINER tier is real since r8
+(``parse_mp4``: box walk, mvhd/tkhd/hdlr/stsd, and r9's avcC codec
+config — profile/level/NAL length); only the H.264 BITSTREAM decode
+inside the samples still raises — there is no stdlib route to an
+H.264 stream, and shipping a fake there would be dishonest. The
+synthetic-fixture queries keep using the
 deterministic fake (``_fake_decode``) because the driver's parquet
 fixtures carry text-derived payloads, not real media; the plumbing
 (schema, UDF signatures, Arrow batch iteration, output shapes) is
@@ -747,6 +750,7 @@ def parse_mp4(payload: bytes) -> dict:
             height = int.from_bytes(
                 payload[tkhd[1] - 4:tkhd[1]], "big") >> 16
         handler = codec = None
+        profile = level = nal_len = None
         mdia = _mp4_find(payload, tb, te, b"mdia")
         if mdia is not None:
             hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
@@ -764,19 +768,47 @@ def parse_mp4(payload: bytes) -> dict:
                             _mp4_field(payload, stsd, 4, 4,
                                        "stsd entry count"),
                             "big") >= 1:
-                        codec = _mp4_field(
-                            payload, stsd, 12, 4,
-                            "stsd sample-entry fourcc") \
-                            .decode("ascii", "replace")
+                        entry = next(_mp4_boxes(payload,
+                                                stsd[0] + 8,
+                                                stsd[1]), None)
+                        if entry is not None:
+                            efc, eb, ee = entry
+                            codec = efc.decode("ascii", "replace")
+                            # AVC codec CONFIG (still container
+                            # metadata, not bitstream): child boxes
+                            # of a VisualSampleEntry start after its
+                            # 78 fixed bytes; the avcC
+                            # AVCDecoderConfigurationRecord leads
+                            # with version, AVCProfileIndication,
+                            # profile_compat, AVCLevelIndication,
+                            # then lengthSizeMinusOne in the low 2
+                            # bits of byte 4 (ISO/IEC 14496-15)
+                            if efc in (b"avc1", b"avc3") \
+                                    and eb + 78 < ee:
+                                avcc = _mp4_find(payload, eb + 78,
+                                                 ee, b"avcC")
+                                if avcc is not None:
+                                    rec = _mp4_field(
+                                        payload, avcc, 0, 5,
+                                        "avcC config record")
+                                    if rec[0] == 1:
+                                        profile = rec[1]
+                                        level = rec[3]
+                                        nal_len = (rec[4] & 0x03) + 1
         tracks.append({"handler": handler, "codec": codec,
-                       "width": width, "height": height})
+                       "width": width, "height": height,
+                       "codec_profile": profile,
+                       "codec_level": level,
+                       "nal_length_size": nal_len})
 
     mdat_bytes = sum(e - bb for fc, bb, e in
                      _mp4_boxes(payload, 0, n, top_level=True)
                      if fc == b"mdat")
     vid = next((t for t in tracks if t["handler"] == "vide"),
                tracks[0] if tracks else
-               {"codec": None, "width": None, "height": None})
+               {"codec": None, "width": None, "height": None,
+                "codec_profile": None, "codec_level": None,
+                "nal_length_size": None})
     return {
         "brand": brand,
         "timescale": timescale,
@@ -785,6 +817,9 @@ def parse_mp4(payload: bytes) -> dict:
         "codec": vid["codec"],
         "width": vid["width"],
         "height": vid["height"],
+        "codec_profile": vid["codec_profile"],
+        "codec_level": vid["codec_level"],
+        "nal_length_size": vid["nal_length_size"],
         "mdat_bytes": mdat_bytes,
     }
 
@@ -799,12 +834,14 @@ _MP4_MATRIX = b"".join(_struct.pack(">i", v) for v in
 
 
 def build_mp4(payload: bytes, width: int, height: int,
-              duration_ms: int) -> bytes:
+              duration_ms: int, profile: int = 100,
+              level: int = 41) -> bytes:
     """A minimal REAL ISO-BMFF file (spec-layout boxes, parseable by
     any mp4 tool): ftyp(isom) + moov(mvhd + one video trak with
-    tkhd/mdhd/hdlr/minf/stbl/stsd(avc1)) + mdat(payload). The
-    synthesis twin for the oracle query and tests — the PARSER is
-    the product; timescale fixed at 1000 so duration is in ms."""
+    tkhd/mdhd/hdlr/minf/stbl/stsd(avc1 + avcC codec config)) +
+    mdat(payload). The synthesis twin for the oracle query and
+    tests — the PARSER is the product; timescale fixed at 1000 so
+    duration is in ms; default profile/level = High@4.1."""
     ftyp = _box(b"ftyp", b"isom" + _struct.pack(">I", 512)
                 + b"isomavc1")
     mvhd = _box(b"mvhd", bytes(4)                       # v0 + flags
@@ -822,8 +859,13 @@ def build_mp4(payload: bytes, width: int, height: int,
                 + _struct.pack(">HH", 0x55C4, 0))
     hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide"
                 + bytes(12) + b"galaxy\x00")
+    # avcC: AVCDecoderConfigurationRecord (version 1, profile,
+    # compat 0, level, lengthSizeMinusOne=3 -> 4-byte NALs, zero
+    # SPS/PPS — config metadata only, no bitstream)
+    avcc = _box(b"avcC", bytes([1, profile, 0, level,
+                                0xFC | 0x03, 0xE0, 0]))
     stsd = _box(b"stsd", bytes(4) + _struct.pack(">I", 1)
-                + _box(b"avc1", bytes(78)))
+                + _box(b"avc1", bytes(78) + avcc))
     stbl = _box(b"stbl", stsd + _box(b"stts", bytes(8))
                 + _box(b"stsc", bytes(8))
                 + _box(b"stsz", bytes(12))
@@ -850,6 +892,9 @@ MP4_META_SCHEMA = T.StructType([
     T.StructField("codec", T.StringType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
+    T.StructField("codec_profile", T.IntegerType(), True),
+    T.StructField("codec_level", T.IntegerType(), True),
+    T.StructField("nal_length_size", T.IntegerType(), True),
     T.StructField("mdat_bytes", T.LongType(), True),
 ])
 
@@ -892,10 +937,12 @@ def video_container_metadata(media: DataFrame) -> DataFrame:
                 rows.append((int(mid), m["brand"], m["timescale"],
                              m["duration_ms"], m["n_tracks"],
                              m["codec"], m["width"], m["height"],
-                             m["mdat_bytes"]))
+                             m["codec_profile"], m["codec_level"],
+                             m["nal_length_size"], m["mdat_bytes"]))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "brand", "timescale", "duration_ms",
                 "n_tracks", "codec", "width", "height",
+                "codec_profile", "codec_level", "nal_length_size",
                 "mdat_bytes"])
 
     return sel.mapInPandas(parse, MP4_META_SCHEMA)

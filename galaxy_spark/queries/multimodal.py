@@ -168,6 +168,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id, 'isom' AS brand, CAST(1000 AS BIGINT) AS timescale,
            CAST(plen AS BIGINT) AS duration_ms, 1 AS n_tracks,
            'avc1' AS codec, 8 AS width, 8 AS height,
+           100 AS codec_profile, 41 AS codec_level,
+           4 AS nal_length_size,
            CAST(plen AS BIGINT) AS mdat_bytes
     FROM media WHERE modality = 'video'
     """,
@@ -179,12 +181,14 @@ def multimodal_video_metadata(spark: SparkSession,
     (``build_mp4``: ftyp + moov/mvhd/trak/tkhd/mdhd/hdlr/stbl/stsd
     + mdat) in one Arrow stage, then PARSED back by the real box
     walker (``parse_mp4``) in another — brand, movie timescale and
-    duration, track count, sample-entry codec, tkhd dimensions, and
-    mdat byte accounting. Algorithm-mirroring oracle: the synthesis
-    parameters are deterministic functions of the row (duration =
-    payload length ms, 8x8 avc1), so DuckDB states the expected
-    metadata without parsing — any misread field in the parser
-    breaks the hash. Codec-bitstream decode is the one remaining
+    duration, track count, sample-entry codec, tkhd dimensions,
+    avcC codec config (profile/level/NAL length size — r9, still
+    container metadata, not bitstream), and mdat byte accounting.
+    Algorithm-mirroring oracle: the synthesis parameters are
+    deterministic functions of the row (duration = payload length
+    ms, 8x8 avc1 High@4.1), so DuckDB states the expected metadata
+    without parsing — any misread field in the parser breaks the
+    hash. Codec-bitstream decode is the one remaining
     honest refusal (``real_decode``).
 
     Shape at scale: two shuffle-free scan-parallel mapInPandas

@@ -131,7 +131,9 @@ def test_mp4_roundtrip_and_spark_pipeline(spark):
     m = parse_mp4(build_mp4(b"x" * 321, 16, 9, 321))
     assert m == {"brand": "isom", "timescale": 1000,
                  "duration_ms": 321, "n_tracks": 1, "codec": "avc1",
-                 "width": 16, "height": 9, "mdat_bytes": 321}
+                 "width": 16, "height": 9, "codec_profile": 100,
+                 "codec_level": 41, "nal_length_size": 4,
+                 "mdat_bytes": 321}
 
     media = spark.createDataFrame(
         [(1, bytearray(b"abcd")), (2, bytearray(b"e" * 100))],
@@ -188,6 +190,8 @@ def test_mp4_version1_mvhd_largesize_and_unknown_boxes():
     assert m["codec"] == "hvc1"
     assert (m["width"], m["height"]) == (1920, 1080)
     assert m["mdat_bytes"] == 40
+    # hvc1 carries no avcC: the AVC config columns stay null
+    assert m["codec_profile"] is None and m["codec_level"] is None
 
 
 def test_mp4_malformed_raises_with_box_context():
@@ -300,12 +304,16 @@ def test_mp4_build_parse_roundtrip_property():
     @settings(max_examples=60, deadline=None)
     @given(st.binary(min_size=0, max_size=300),
            st.integers(1, 4096), st.integers(1, 4096),
-           st.integers(0, 10**9))
-    def check(payload, w, h, dur):
-        m = parse_mp4(build_mp4(payload, w, h, dur))
+           st.integers(0, 10**9),
+           st.integers(0, 255), st.integers(0, 255))
+    def check(payload, w, h, dur, profile, level):
+        m = parse_mp4(build_mp4(payload, w, h, dur,
+                                profile=profile, level=level))
         assert m == {"brand": "isom", "timescale": 1000,
                      "duration_ms": dur, "n_tracks": 1,
                      "codec": "avc1", "width": w, "height": h,
+                     "codec_profile": profile, "codec_level": level,
+                     "nal_length_size": 4,
                      "mdat_bytes": len(payload)}
 
     check()
