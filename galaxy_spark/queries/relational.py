@@ -1198,3 +1198,81 @@ def window_functions_showcase(spark: SparkSession,
         F.lead(cents, 1, 0).over(pw).alias("next_cents"),
         F.first("o_orderkey").over(pw).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(full).alias("second_key"))
+
+
+@register(
+    "agg_exact_quantiles_scalable",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), hist AS (
+        SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ), n_per AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        FROM hist GROUP BY 1
+    ), cum AS (
+        SELECT event_type, vc, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type
+                                 ORDER BY vc) AS BIGINT) AS cum
+        FROM hist
+    )
+    SELECT cum.event_type, n_per.n,
+           CAST(MIN(CASE WHEN cum >= (n + 3) // 4 THEN vc END)
+                AS BIGINT) AS p25_cents,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN vc END)
+                AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN vc END)
+                AS BIGINT) AS p90_cents,
+           CAST(MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN vc END)
+                AS BIGINT) AS p95_cents
+    FROM cum JOIN n_per ON cum.event_type = n_per.event_type
+    GROUP BY 1, 2
+    """,
+)
+def agg_exact_quantiles_scalable(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT quantile VECTOR (p25/p50/p90/p95) per group in ONE
+    histogram pass — the exact-selection generalization of
+    ``quality_mad_outliers``'s single median, and the exact twin that
+    certifies the approximate tiers (``agg_percentiles_price``'s
+    percentile_approx, ``agg_histogram_quantile_value_bound``'s
+    fixed bins): quantize to int64 cents, build the per-group
+    DISTINCT-VALUE histogram (partial-aggregated — heavy groups
+    collapse to their value cardinality map-side), one running-count
+    window over the distinct values only, then every requested
+    quantile reads off the SAME cumulative frame as a conditional
+    MIN (ceil(p*n) crossing) in one final aggregation — k quantiles
+    cost one pass, not k sorts.
+
+    Every boundary is integer arithmetic (ceil(p*n) as
+    (num*n + den - 1) // den floor-division with both engines'
+    semantics pinned), so the hash cannot drift on rounding. At unbounded
+    value cardinality the histogram swaps for the mergeable
+    fixed-bin sketch; this exact form is its certification
+    instrument — same contract as the MAD row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
+    hist = v.groupBy("event_type", "vc").agg(F.count("*").alias("c"))
+    n_per = hist.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"))
+    w = (Window.partitionBy("event_type").orderBy("vc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .join(F.broadcast(n_per), "event_type"))
+
+    def q_at(num: int, den: int, out: str):
+        # ceil(num*n/den) crossing = (num*n + den - 1) // den;
+        # F.floor because Spark's integer / is FLOAT division
+        k = F.floor((num * F.col("n") + den - 1) / den)
+        return F.min(F.when(F.col("cum") >= k, F.col("vc"))) \
+            .cast("long").alias(out)
+
+    return (cum.groupBy("event_type", "n")
+            .agg(q_at(1, 4, "p25_cents"), q_at(1, 2, "p50_cents"),
+                 q_at(9, 10, "p90_cents"), q_at(19, 20, "p95_cents")))

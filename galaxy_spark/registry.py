@@ -185,6 +185,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "ml_ols_per_part",
     "quality_char_entropy",
     "multimodal_video_metadata",
+    # r9 additions
+    "agg_exact_quantiles_scalable",
 )
 
 

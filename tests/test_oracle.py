@@ -70,7 +70,7 @@ def test_post_freeze_at_driver_scale(spark, name):
 #: exactly as certified (the r8 review caught new rows being
 #: upserted into the already-judged r07 file).
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r08.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r09.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:
