@@ -22,19 +22,23 @@ HLL_WBITS = 48 - HLL_P        # rank bits after the bucket prefix
 HLL_2P50 = 1 << 50            # integer harmonic scale: 2^50
 
 
-def hll_bucket_rho(key) -> tuple:
+def hll_bucket_rho(key, p: int = HLL_P) -> tuple:
     """The (bucket, rho) pair for one key — the engine-portable HLL
     hash arithmetic. Shared by the global-cardinality registers
-    (queries/indexing.py:agg_hll_cardinality_bound) and the
-    per-node HyperBall registers
-    (queries/graphs.py:graph_hyperball_ball2)."""
+    (queries/indexing.py:agg_hll_cardinality_bound), the per-node
+    HyperBall registers (queries/graphs.py:graph_hyperball_ball2),
+    and the sliding-window registers (``p`` trades memory for
+    error: m = 2^p cells, se = 1.04/sqrt(m); small windows want a
+    small m so the raw-regime floor 2.5*m stays below the window's
+    true cardinality)."""
+    wbits = 48 - p
     hv = F.conv(F.substring(F.md5(key.cast("string")),
                             1, 12), 16, 10).cast("long")
-    w = hv.bitwiseAND(F.lit((1 << HLL_WBITS) - 1))
-    binstr = F.lpad(F.bin(w), HLL_WBITS, "0")
+    w = hv.bitwiseAND(F.lit((1 << wbits) - 1))
+    binstr = F.lpad(F.bin(w), wbits, "0")
     rho = F.when(F.instr(binstr, "1") == 0,
-                 F.lit(HLL_WBITS + 1)).otherwise(F.instr(binstr, "1"))
-    return (F.shiftright(hv, HLL_WBITS).alias("bucket"),
+                 F.lit(wbits + 1)).otherwise(F.instr(binstr, "1"))
+    return (F.shiftright(hv, wbits).alias("bucket"),
             rho.alias("rho"))
 
 

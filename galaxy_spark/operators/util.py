@@ -124,3 +124,40 @@ def stratified_hash_sample(df: DataFrame, strata_col: str, key_col: str,
         F.md5(F.concat_ws(":", F.lit(str(seed)),
                           F.col(key_col).cast("string"))), 1, 8)
     return df.filter(h < thr)
+
+
+def hash_split(df: DataFrame, key_col: str, splits, seed: int = 13):
+    """Deterministic disjoint-split assignment (train/valid/test):
+    label each row by which cumulative md5-hash band its key falls
+    into. ``splits`` is an ordered sequence of (name, fraction)
+    whose fractions sum to 1.0.
+
+    Same layout-independence argument as ``stratified_hash_sample``
+    — the assignment is a pure function of (seed, key), so a corpus
+    refresh, a repartition, or a different engine reproduces the
+    identical split (and a row can never land in two splits or in
+    none: the bands partition the hash space by construction, which
+    a trio of independent Bernoulli samples cannot guarantee). One
+    scan-local CASE, no shuffle, no state.
+
+    Returns df with a ``split`` column appended.
+    """
+    from pyspark.sql import functions as F
+
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9 or any(f < 0 for f in fracs):
+        raise ValueError(f"split fractions must be >=0 and sum to 1: {splits}")
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(key_col).cast("string"))), 1, 8)
+    # walk bands from the top: ELSE = last split, then stack
+    # strict-< upper bounds for the preceding ones
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    bounds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, format(int(cum * 16**8), "08x")))
+    for name, hex_thr in reversed(bounds):
+        expr = F.when(h < F.lit(hex_thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -364,3 +364,161 @@ def events_markov_transitions(spark: SparkSession,
             .select("src", "dst", "n",
                     F.round(F.col("n") * F.lit(1.0) / F.col("out_n"), 6)
                     .alias("p")))
+
+
+# -- sliding-window distinct users via mergeable HLL registers --------
+
+_WAU_P = 5                    # 2^5 = 32 registers per day
+_WAU_M = 1 << _WAU_P
+_WAU_WBITS = 48 - _WAU_P
+_WAU_ALPHA = 0.697            # Flajolet alpha_32
+_WAU_RAW_FLOOR = int(2.5 * _WAU_M)   # raw-regime validity floor
+_WAU_3SE = 0.5516             # 3 * 1.04 / sqrt(32)
+_WAU_DAYS = 7
+_WAU_2P50 = 1 << 50           # integer harmonic scale: 2^50
+
+
+@register(
+    "agg_hll_sliding_distinct_users",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), dd AS (
+        SELECT DISTINCT day FROM base
+    ), h AS (
+        SELECT day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS hv
+        FROM base
+    ), r AS (
+        SELECT day, hv // {1 << _WAU_WBITS} AS bucket,
+               MAX(CASE WHEN strpos(lpad(bin(hv % {1 << _WAU_WBITS}),
+                                         {_WAU_WBITS}, '0'), '1') = 0
+                        THEN {_WAU_WBITS + 1}
+                        ELSE strpos(lpad(bin(hv % {1 << _WAU_WBITS}),
+                                         {_WAU_WBITS}, '0'), '1')
+                   END) AS register
+        FROM h GROUP BY 1, 2
+    ), merged AS (
+        SELECT r.day + off.off AS tday, bucket,
+               MAX(register) AS register
+        FROM r
+        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) off
+        JOIN dd ON r.day + off.off = dd.day
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT tday, CAST(COUNT(*) AS BIGINT) AS occupied,
+               CAST(SUM(CAST(POW(2, 50 - register) AS BIGINT))
+                    AS BIGINT) AS t_occ
+        FROM merged GROUP BY 1
+    ), ex AS (
+        SELECT p.day + off.off AS tday,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                 AS exact_users_7d
+        FROM (SELECT DISTINCT day, user_id FROM base) p
+        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) off
+        JOIN dd ON p.day + off.off = dd.day
+        GROUP BY 1
+    ), est AS (
+        SELECT agg.tday AS day, occupied,
+               CAST(t_occ + ({_WAU_M} - occupied)
+                    * {_WAU_2P50} AS BIGINT) AS harmonic_num,
+               exact_users_7d
+        FROM agg JOIN ex ON agg.tday = ex.tday
+    )
+    SELECT day, occupied, harmonic_num,
+           ROUND(CAST({_WAU_ALPHA} AS DOUBLE) * {float(_WAU_M * _WAU_M)}
+                 * {_WAU_2P50}.0 / harmonic_num, 6) AS est,
+           exact_users_7d,
+           CASE WHEN exact_users_7d >= {_WAU_RAW_FLOOR} THEN 'raw'
+                ELSE 'small-range' END AS regime,
+           (exact_users_7d < {_WAU_RAW_FLOOR}
+            OR ABS(ROUND(CAST({_WAU_ALPHA} AS DOUBLE) * {float(_WAU_M * _WAU_M)}
+                         * {_WAU_2P50}.0 / harmonic_num, 6)
+                   - exact_users_7d)
+               <= {_WAU_3SE} * exact_users_7d) AS hll_ok
+    FROM est
+    """,
+)
+def agg_hll_sliding_distinct_users(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve)
+    from MERGEABLE HyperLogLog registers — the sliding-distinct
+    pattern that makes time-window cardinality tractable at 100 TB:
+    the raw stream collapses ONCE into per-(day, bucket) max-rank
+    registers (a fixed m=32-cell state per day, partial-aggregated
+    map-side), and every window estimate is a cell-wise MAX merge
+    of 7 tiny register rows — re-scanning raw events per window,
+    the naive COUNT(DISTINCT) OVER shape, re-shuffles the key
+    universe once PER WINDOW and cannot share partials across
+    overlapping windows.
+
+    The window merge is an explode of each day's registers onto the
+    <= 7 target days it serves (the register frame is |days| * m
+    rows — O(calendar), independent of corpus size — so the 7x
+    fan-out costs nothing), then groupBy(target day, bucket) MAX;
+    target days are restricted to days that exist in the data.
+
+    Certification follows the repo's sketch contract (regime column
+    + ok-bound column + exact instrument IN the query): m=32 keeps
+    the raw-regime floor 2.5m = 80 below sf0.01's true per-window
+    cardinality (134-150), so the 3se = 55.16% Flajolet bound is
+    EXERCISED there, while sf0.001 (15 users) honestly reports
+    'small-range' (the linear-counting branch needs ln(), not
+    cross-engine-stable — same documented limit as the global HLL
+    row). All register arithmetic is the shared engine-portable
+    integer algebra (``operators/sketch.py:hll_bucket_rho`` at
+    p=5); the only float op is the final alpha*m^2*2^50/T in one
+    identical IEEE operation order.
+
+    Reference parity: galaxy has no sketch surface at all; this
+    extends the repo's own ``agg_hll_cardinality_bound`` global
+    primitive (SURVEY.md section 2.2) along the time axis.
+    """
+    from galaxy_spark.operators.sketch import hll_bucket_rho
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts")).alias("day")
+    bucket, rho = hll_bucket_rho(F.col("user_id"), p=_WAU_P)
+
+    regs = (ev.select(day, bucket, rho)
+            .groupBy("day", "bucket").agg(F.max("rho").alias("register")))
+    days = ev.select(day).distinct().withColumnRenamed("day", "tday")
+    offs = F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("off")
+
+    merged = (regs.select("day", "bucket", "register", offs)
+              .select(F.date_add("day", F.col("off")).alias("tday"),
+                      "bucket", "register")
+              .join(F.broadcast(days), "tday")
+              .groupBy("tday", "bucket")
+              .agg(F.max("register").alias("register")))
+    agg = merged.groupBy("tday").agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))
+              .cast("long")).cast("long").alias("t_occ"))
+
+    pairs = ev.select(day, "user_id").distinct()
+    exact = (pairs.select("day", "user_id", offs)
+             .select(F.date_add("day", F.col("off")).alias("tday"), "user_id")
+             .join(F.broadcast(days), "tday")
+             .groupBy("tday")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_users_7d")))
+
+    t = (agg.join(exact, "tday")
+         .select(F.col("tday").alias("day"), "occupied",
+                 (F.col("t_occ")
+                  + (F.lit(_WAU_M) - F.col("occupied"))
+                  * F.lit(_WAU_2P50)).cast("long").alias("harmonic_num"),
+                 "exact_users_7d"))
+    est = F.round(F.lit(_WAU_ALPHA) * F.lit(float(_WAU_M * _WAU_M))
+                  * F.lit(float(_WAU_2P50)) / F.col("harmonic_num"), 6)
+    return t.select(
+        "day", "occupied", "harmonic_num", est.alias("est"),
+        "exact_users_7d",
+        F.when(F.col("exact_users_7d") >= _WAU_RAW_FLOOR, "raw")
+        .otherwise("small-range").alias("regime"),
+        ((F.col("exact_users_7d") < _WAU_RAW_FLOOR)
+         | (F.abs(est - F.col("exact_users_7d"))
+            <= F.lit(_WAU_3SE) * F.col("exact_users_7d"))).alias("hll_ok"))

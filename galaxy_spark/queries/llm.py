@@ -818,3 +818,67 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("sim_bin"))
             .groupBy("sim_bin")
             .agg(F.count("*").alias("n_pairs")))
+
+
+@register(
+    "split_train_valid_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN substring(md5('13:' || doc_id), 1, 8)
+                         < 'cccccccc' THEN 'train'
+                    WHEN substring(md5('13:' || doc_id), 1, 8)
+                         < 'e6666666' THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), per AS (
+        SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM assigned GROUP BY 1, 2
+    ), tot AS (
+        SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs
+        FROM per GROUP BY 1
+    )
+    SELECT per.lang, split, n_docs, chars_total,
+           ROUND(n_docs * 1.0 / lang_docs, 6) AS frac
+    FROM per JOIN tot ON per.lang = tot.lang
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split with a per-
+    language leakage audit — the assignment step every training-data
+    pipeline runs before tokenization, done as a pure function of
+    (seed, doc_id) so it is stable under repartitioning, corpus
+    refreshes, and engine changes (``operators/util.py:hash_split``:
+    the md5 hash space is partitioned into cumulative bands, so
+    membership is provably disjoint AND exhaustive — three
+    independent Bernoulli samples can leak a document into two
+    splits or drop it from all three; a single banded hash cannot).
+
+    The emitted frame is the audit a human reviews: per (lang,
+    split) document and char counts plus the realized fraction —
+    hash banding guarantees the EXPECTED 80/10/10, and the realized
+    fractions quantify the binomial wobble per stratum (small
+    strata wobble more; that's the signal for stratified
+    RE-balancing, the sibling ``mixture_resample_balanced``).
+
+    Scale: the assignment is one scan-local CASE (no shuffle — the
+    label rides the scan into any downstream write, e.g. a
+    partitionBy('split') shard writer); the audit partial-aggregates
+    onto the tiny (lang, split) key and the per-language totals
+    broadcast back. Division follows the repo's *1.0/ convention
+    (events_markov_transitions): one identical IEEE op on identical
+    integers in both engines, rounded at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = util.hash_split(
+        docs, "doc_id",
+        [("train", 0.8), ("valid", 0.1), ("test", 0.1)], seed=13)
+    per = assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"))
+    tot = per.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return (per.join(F.broadcast(tot), "lang")
+            .select("lang", "split", "n_docs", "chars_total",
+                    F.round(F.col("n_docs") * F.lit(1.0)
+                            / F.col("lang_docs"), 6).alias("frac")))

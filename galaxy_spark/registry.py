@@ -187,6 +187,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "multimodal_video_metadata",
     # r9 additions
     "agg_exact_quantiles_scalable",
+    "agg_hll_sliding_distinct_users",
+    "split_train_valid_test",
 )
 
 

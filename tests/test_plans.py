@@ -650,3 +650,91 @@ def test_char_entropy_partial_absorption_no_cartesian(q):
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial_sum" in p
     assert exchange_count(df) <= 4
+
+
+def test_exact_quantiles_histogram_partial_agg(q):
+    """The exact quantile vector must build its per-group histogram
+    with map-side partial aggregation (heavy groups collapse to
+    value cardinality before the exchange), broadcast the tiny
+    per-group totals, and read every quantile off ONE cumulative
+    window — no per-quantile sort, no cartesian."""
+    df = q("agg_exact_quantiles_scalable")
+    from galaxy_spark.plans import physical_plan
+
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p, "histogram must partial-aggregate"
+    assert broadcast_join_count(df) >= 1
+    import re
+
+    # formatted explain lists each node in the tree AND the detail
+    # section — count detail headers, one per physical node
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, \
+        "k quantiles must share one window"
+
+
+def test_sliding_hll_register_collapse_before_fanout(q):
+    """The sliding-WAU sketch must collapse the raw event scan into
+    per-(day, bucket) registers map-side BEFORE the 7-day fan-out
+    (the explode runs on the O(calendar * m) register frame, never
+    on raw events), and the day-universe restriction joins
+    broadcast. The exact instrument's distinct-pair build is the
+    only other event-scan consumer."""
+    df = q("agg_hll_sliding_distinct_users")
+    from galaxy_spark.plans import physical_plan
+
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_max" in p, \
+        "register build must be a map-side MAX partial"
+    assert broadcast_join_count(df) >= 2
+    # explode must sit ABOVE the register aggregate: a generator
+    # consuming the raw scan would 7x the corpus instead of the
+    # register frame
+    gen = p.index("Generate")
+    agg = p.index("partial_max")
+    assert gen < agg or "Generate" not in p[:agg]
+
+
+def test_hash_split_disjoint_exhaustive_and_layout_free(spark):
+    """hash_split must assign every row to exactly one split (bands
+    partition the hash space), reproduce the identical assignment
+    under repartitioning (pure function of seed+key), and reject
+    fraction vectors that do not sum to 1."""
+    import pytest as _pytest
+
+    from galaxy_spark.operators.util import hash_split
+    from galaxy_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    splits = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    a = hash_split(docs, "doc_id", splits, seed=13)
+    counts = dict(a.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "valid", "test"}
+    assert sum(counts.values()) == docs.count()  # exhaustive, disjoint
+    assert counts["train"] > counts.get("valid", 0)
+    b = hash_split(docs.repartition(17), "doc_id", splits, seed=13)
+    assert sorted(map(tuple, a.select("doc_id", "split").collect())) == \
+        sorted(map(tuple, b.select("doc_id", "split").collect()))
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", [("a", 0.5), ("b", 0.4)])
+
+
+def test_split_query_scan_local_assignment(q):
+    """The split audit's assignment must ride the scan (one CASE, no
+    pre-label shuffle): the plan's only exchanges are the (lang,
+    split) partial-agged rollup and the broadcast of per-language
+    totals."""
+    df = q("split_train_valid_test")
+    from galaxy_spark.plans import physical_plan
+
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert broadcast_join_count(df) >= 1
+    # 3 = the (lang, split) rollup exchange (its subtree appears
+    # twice: once under the broadcast totals, once as the probe
+    # side — Spark recomputes rather than reuses the tiny frame)
+    # + the per-language total exchange; no exchange touches the
+    # pre-assignment scan
+    assert exchange_count(df) <= 3
