@@ -52,6 +52,7 @@ call.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 
 CLIENT_LONG_PASSWORD = 0x0001
@@ -282,11 +283,29 @@ class GtidSet:
             raise ValueError(f"malformed source uuid {uuid!r}")
         return u
 
+    #: MariaDB's GTID text form is ``domain-server_id-sequence``
+    #: (three decimal fields, no uuid, no colon) — recognize it so
+    #: the refusal names the real problem instead of "malformed":
+    #: MariaDB replication needs a DIFFERENT handshake (the slave
+    #: sets @slave_connect_state / @mariadb_slave_capability and
+    #: streams via plain COM_BINLOG_DUMP), not MySQL's
+    #: COM_BINLOG_DUMP_GTID, so accepting the parse would fail
+    #: confusingly at the wire instead of clearly at the config.
+    _MARIADB_GTID = re.compile(r"^\d+-\d+-\d+$")
+
     @classmethod
     def parse(cls, text: str) -> "GtidSet":
         out = cls()
         for part in filter(None,
                            (p.strip() for p in text.split(","))):
+            if cls._MARIADB_GTID.match(part):
+                raise ValueError(
+                    f"{part!r} is a MariaDB GTID (domain-server-"
+                    f"sequence); this client implements MySQL's "
+                    f"COM_BINLOG_DUMP_GTID auto-position, not the "
+                    f"MariaDB handshake (@slave_connect_state over "
+                    f"COM_BINLOG_DUMP) — against MariaDB, resume by "
+                    f"file/pos offsets instead of startingGtids")
             uuid, *ranges = part.split(":")
             if not ranges:
                 raise ValueError(f"malformed gtid set entry {part!r}")

@@ -701,3 +701,83 @@ def streaming_heavy_hitters(cms_store: ParquetCmsStore,
             .groupBy("item")
             .agg(F.min("cnt").alias("cms_estimate"))
             .orderBy(F.desc("cms_estimate"), "item").limit(k))
+
+
+# ------------------------------------------------------------------
+# Streaming cardinality (HLL registers) on the durable store
+# ------------------------------------------------------------------
+
+class ParquetHllStore(KeyedParquetStore):
+    """Streaming HyperLogLog on the durable store: the m max-rank
+    registers as (hll_bucket -> register) rows under a cell-wise
+    MAX monoid. Like the CMS grid this state is FIXED-SIZE
+    regardless of key cardinality, and max is associative/
+    commutative/IDEMPOTENT — so the incrementally-accumulated
+    registers equal the batch sketch (``operators/sketch.py:
+    hll_registers``) cell-for-cell under any micro-batch split,
+    and even a re-merged duplicate partial cannot move a register
+    (strictly stronger replay story than the sum monoids, which
+    rely on the store's epoch-claim skip). The key column is
+    ``hll_bucket`` — ``__bucket`` is the store's own layout key."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["hll_bucket"],
+            [F.max("register").cast("int").alias("register")],
+            n_buckets,
+            state_schema="hll_bucket long, register int")
+
+
+def partial_hll(batch_df: DataFrame, key_col: str) -> DataFrame:
+    """One micro-batch's register partials: the batch query's exact
+    (bucket, rho) arithmetic (shared import — one drift channel
+    fewer), MAXed per bucket map-side."""
+    from galaxy_spark.operators.sketch import hll_registers
+
+    return (hll_registers(batch_df, F.col(key_col))
+            .select(F.col("bucket").alias("hll_bucket"),
+                    F.col("register").cast("int").alias("register")))
+
+
+def start_streaming_cardinality(
+        stream: DataFrame, hll_store: ParquetHllStore,
+        checkpoint_dir: str, key_col: str) -> StreamingQuery:
+    """Maintain the register store from one stream — single-store
+    variant of the heavy-hitters starter (one merge per epoch, so
+    replay correctness needs only the store's own claim skip; with
+    MAX it would hold even without it)."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(checkpoint_dir, (hll_store,), lineage)
+        hll_store.merge(partial_hll(batch_df, key_col),
+                        f"{lin}.{epoch_id:012d}")
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_cardinality_estimate(hll_store: ParquetHllStore) -> DataFrame:
+    """The accumulated estimate off the store: identical occupied/
+    harmonic/alpha arithmetic to the batch certification query
+    (``agg_hll_cardinality_bound``), so over the same rows the
+    streaming estimate EQUALS the batch estimate to the last IEEE
+    bit. Raw-regime estimator only — same documented limit."""
+    from galaxy_spark.operators.sketch import HLL_2P50, HLL_M
+
+    agg = hll_store.state().agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))
+              .cast("long")).cast("long").alias("t_occ"))
+    t = agg.select(
+        "occupied",
+        (F.col("t_occ") + (F.lit(HLL_M) - F.col("occupied"))
+         * F.lit(HLL_2P50)).cast("long").alias("harmonic_num"))
+    est = F.round((F.lit(0.7213) / (F.lit(1.0)
+                                    + F.lit(1.079) / F.lit(256.0)))
+                  * F.lit(65536.0) * F.lit(1125899906842624.0)
+                  / F.col("harmonic_num"), 6)
+    return t.select(F.lit(HLL_M).alias("m"), "occupied",
+                    "harmonic_num", est.alias("est"))

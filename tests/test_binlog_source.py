@@ -908,6 +908,26 @@ def test_gtidset_rejects_reversed_and_malformed_ranges():
         GtidSet.parse(f"{u}:x-3")
 
 
+def test_gtidset_names_mariadb_format_in_refusal():
+    """A MariaDB ``domain-server-sequence`` GTID must be RECOGNIZED
+    and refused with the operational fix (file/pos offsets), not a
+    generic 'malformed' — the MariaDB handshake is a different wire
+    protocol, so the config is where the failure belongs."""
+    import pytest as _pytest
+
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    with _pytest.raises(ValueError, match="MariaDB GTID"):
+        GtidSet.parse("0-1-100")
+    with _pytest.raises(ValueError, match="file/pos offsets"):
+        GtidSet.parse("0f81a2b3-c4d5-e6f7-0819-22aabbccddee:1-5, "
+                      "1-2-300")
+    # a MySQL uuid set must still parse — the dashes inside the
+    # uuid must not trip the three-decimal-field recognizer
+    s = GtidSet.parse("0f81a2b3-c4d5-e6f7-0819-22aabbccddee:1-5")
+    assert s.covers("0f81a2b3-c4d5-e6f7-0819-22aabbccddee:3")
+
+
 def test_starting_gtids_resumes_at_anonymous_transactions(spark,
                                                           tmp_path):
     """ANONYMOUS_GTID transactions (gtid_mode OFF/ON_PERMISSIVE)

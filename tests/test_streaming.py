@@ -1976,3 +1976,42 @@ def test_streaming_heavy_hitters_restart_resumes(spark, tmp_path):
     want = {(r.row_i, r.pos): r.cnt
             for r in partial_cms(ev, "user_id").collect()}
     assert got == want
+
+
+def test_streaming_hll_cardinality_on_durable_store(spark, events_dir,
+                                                    tmp_path):
+    """Streaming cardinality on the durable store: (1) accumulated
+    registers equal the batch sketch cell-for-cell (cell-wise MAX
+    monoid); (2) the store estimate equals the batch certification
+    query's estimate to the last bit; (3) MAX idempotence: re-merging
+    a duplicate partial moves nothing."""
+    from galaxy_spark.operators.sketch import hll_registers
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetHllStore, partial_hll, start_streaming_cardinality,
+        streaming_cardinality_estimate)
+
+    store = ParquetHllStore(spark, str(tmp_path / "hll_store"))
+    q = start_streaming_cardinality(
+        _stream_events(spark, events_dir), store,
+        str(tmp_path / "hll_ck"), key_col="event_id")
+    q.processAllAvailable()
+    q.stop()
+
+    ev = load_table(spark, SF, "events")
+    got = {(r.hll_bucket, r.register) for r in store.state().collect()}
+    want = {(r.bucket, r.register)
+            for r in hll_registers(ev, F.col("event_id")).collect()}
+    assert got == want and len(want) > 100
+
+    got_est = streaming_cardinality_estimate(store).collect()[0]
+    want_est = all_queries()["agg_hll_cardinality_bound"](
+        spark, SF).collect()[0]
+    assert (got_est.occupied, got_est.harmonic_num, got_est.est) == \
+        (want_est.occupied, want_est.harmonic_num, want_est.est)
+
+    # idempotence: a replayed partial under a NEW epoch key (the
+    # claim-skip can't help) still cannot move a MAX register
+    store.merge(partial_hll(ev, "event_id"), "zzreplay.000000000099")
+    assert {(r.hll_bucket, r.register)
+            for r in store.state().collect()} == want
