@@ -54,3 +54,46 @@ def hll_registers(df: DataFrame, key) -> DataFrame:
     bucket, rho = hll_bucket_rho(key)
     return (df.select(bucket, rho)
             .groupBy("bucket").agg(F.max("rho").alias("register")))
+
+
+def sliding_hll_estimates(regs: DataFrame, days: DataFrame,
+                          window_days: int, p: int,
+                          alpha: float) -> DataFrame:
+    """Trailing-``window_days`` HLL estimates from per-day registers:
+    explode each (day, bucket, register) row onto the target days it
+    serves (the frame is O(calendar * m) — corpus-size-independent,
+    so the fan-out is free), restrict to the day universe, cell-wise
+    MAX merge, then occupied/harmonic/estimate per target day in the
+    repo's engine-exact arithmetic (integer harmonic numerator; one
+    identically-ordered IEEE op for the estimate).
+
+    Shared by the batch certification query
+    (``queries/events.py:agg_hll_sliding_distinct_users``) and the
+    streaming reader (``streaming/state_store.py:
+    streaming_sliding_wau``) — one drift channel fewer.
+
+    ``regs``: (day date, bucket long, register int-ish);
+    ``days``: one column ``tday`` — the target-day universe.
+    Returns (day, occupied, harmonic_num, est).
+    """
+    m = 1 << p
+    offs = F.explode(
+        F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off")
+    merged = (regs.select("day", "bucket", "register", offs)
+              .select(F.date_add("day", F.col("off")).alias("tday"),
+                      "bucket", "register")
+              .join(F.broadcast(days), "tday")
+              .groupBy("tday", "bucket")
+              .agg(F.max("register").alias("register")))
+    agg = merged.groupBy("tday").agg(
+        F.count("*").cast("long").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))
+              .cast("long")).cast("long").alias("t_occ"))
+    t = agg.select(
+        F.col("tday").alias("day"), "occupied",
+        (F.col("t_occ") + (F.lit(m) - F.col("occupied"))
+         * F.lit(HLL_2P50)).cast("long").alias("harmonic_num"))
+    est = F.round(F.lit(alpha) * F.lit(float(m * m))
+                  * F.lit(float(HLL_2P50)) / F.col("harmonic_num"), 6)
+    return t.select("day", "occupied", "harmonic_num",
+                    est.alias("est"))

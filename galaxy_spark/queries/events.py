@@ -476,7 +476,8 @@ def agg_hll_sliding_distinct_users(spark: SparkSession,
     extends the repo's own ``agg_hll_cardinality_bound`` global
     primitive (SURVEY.md section 2.2) along the time axis.
     """
-    from galaxy_spark.operators.sketch import hll_bucket_rho
+    from galaxy_spark.operators.sketch import (hll_bucket_rho,
+                                               sliding_hll_estimates)
 
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -485,19 +486,10 @@ def agg_hll_sliding_distinct_users(spark: SparkSession,
     regs = (ev.select(day, bucket, rho)
             .groupBy("day", "bucket").agg(F.max("rho").alias("register")))
     days = ev.select(day).distinct().withColumnRenamed("day", "tday")
+    sketch = sliding_hll_estimates(regs, days, _WAU_DAYS, _WAU_P,
+                                   _WAU_ALPHA)
+
     offs = F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("off")
-
-    merged = (regs.select("day", "bucket", "register", offs)
-              .select(F.date_add("day", F.col("off")).alias("tday"),
-                      "bucket", "register")
-              .join(F.broadcast(days), "tday")
-              .groupBy("tday", "bucket")
-              .agg(F.max("register").alias("register")))
-    agg = merged.groupBy("tday").agg(
-        F.count("*").cast("long").alias("occupied"),
-        F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))
-              .cast("long")).cast("long").alias("t_occ"))
-
     pairs = ev.select(day, "user_id").distinct()
     exact = (pairs.select("day", "user_id", offs)
              .select(F.date_add("day", F.col("off")).alias("tday"), "user_id")
@@ -506,16 +498,10 @@ def agg_hll_sliding_distinct_users(spark: SparkSession,
              .agg(F.countDistinct("user_id").cast("long")
                   .alias("exact_users_7d")))
 
-    t = (agg.join(exact, "tday")
-         .select(F.col("tday").alias("day"), "occupied",
-                 (F.col("t_occ")
-                  + (F.lit(_WAU_M) - F.col("occupied"))
-                  * F.lit(_WAU_2P50)).cast("long").alias("harmonic_num"),
-                 "exact_users_7d"))
-    est = F.round(F.lit(_WAU_ALPHA) * F.lit(float(_WAU_M * _WAU_M))
-                  * F.lit(float(_WAU_2P50)) / F.col("harmonic_num"), 6)
+    t = sketch.join(exact.withColumnRenamed("tday", "day"), "day")
+    est = F.col("est")
     return t.select(
-        "day", "occupied", "harmonic_num", est.alias("est"),
+        "day", "occupied", "harmonic_num", "est",
         "exact_users_7d",
         F.when(F.col("exact_users_7d") >= _WAU_RAW_FLOOR, "raw")
         .otherwise("small-range").alias("regime"),

@@ -781,3 +781,75 @@ def streaming_cardinality_estimate(hll_store: ParquetHllStore) -> DataFrame:
                   / F.col("harmonic_num"), 6)
     return t.select(F.lit(HLL_M).alias("m"), "occupied",
                     "harmonic_num", est.alias("est"))
+
+
+class ParquetDailyHllStore(KeyedParquetStore):
+    """Per-day HLL registers under the same cell-wise MAX monoid —
+    the durable state behind a continuously-maintained sliding-
+    window distinct count (the WAU curve, batch twin
+    ``agg_hll_sliding_distinct_users``). State is O(calendar x m)
+    rows: it grows with DAYS, never with key cardinality."""
+
+    def __init__(self, spark: SparkSession, path: str, p: int = 5,
+                 n_buckets: int = 2) -> None:
+        self.p = p
+        super().__init__(
+            spark, path, ["day", "hll_bucket"],
+            [F.max("register").cast("int").alias("register")],
+            n_buckets,
+            state_schema="day date, hll_bucket long, register int")
+
+
+def partial_daily_hll(batch_df: DataFrame, ts_col: str, key_col: str,
+                      p: int = 5) -> DataFrame:
+    """One micro-batch's per-day register partials (shared
+    (bucket, rho) arithmetic at precision ``p``)."""
+    from galaxy_spark.operators.sketch import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(key_col), p=p)
+    return (batch_df
+            .select(F.to_date(F.date_trunc("day", ts_col)).alias("day"),
+                    bucket, rho)
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").cast("int").alias("register"))
+            .select("day", F.col("bucket").alias("hll_bucket"),
+                    "register"))
+
+
+def start_streaming_sliding_wau(
+        stream: DataFrame, store: ParquetDailyHllStore,
+        checkpoint_dir: str, ts_col: str,
+        key_col: str) -> StreamingQuery:
+    """Maintain the per-day register store from one stream."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(checkpoint_dir, (store,), lineage)
+        store.merge(partial_daily_hll(batch_df, ts_col, key_col,
+                                      store.p),
+                    f"{lin}.{epoch_id:012d}")
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_sliding_wau(store: ParquetDailyHllStore,
+                          window_days: int = 7,
+                          alpha: float = 0.697) -> DataFrame:
+    """The trailing-window estimates off the store — the SAME
+    merge + estimate code the batch query runs
+    (``operators/sketch.py:sliding_hll_estimates``), so over the
+    same rows streaming equals batch field-for-field. Late events
+    are absorbed exactly (a late row can only raise its day's MAX
+    registers, and every window containing that day re-merges from
+    state on the next read) — no watermark-drop tradeoff, which is
+    the operational argument for register state over windowed
+    COUNT(DISTINCT) state."""
+    from galaxy_spark.operators.sketch import sliding_hll_estimates
+
+    regs = store.state().select(
+        "day", F.col("hll_bucket").alias("bucket"), "register")
+    days = regs.select(F.col("day").alias("tday")).distinct()
+    return sliding_hll_estimates(regs, days, window_days, store.p,
+                                 alpha)

@@ -2015,3 +2015,42 @@ def test_streaming_hll_cardinality_on_durable_store(spark, events_dir,
     store.merge(partial_hll(ev, "event_id"), "zzreplay.000000000099")
     assert {(r.hll_bucket, r.register)
             for r in store.state().collect()} == want
+
+
+def test_streaming_sliding_wau_on_durable_store(spark, events_dir,
+                                                tmp_path):
+    """Continuously-maintained sliding WAU: the streaming store's
+    trailing-7-day estimates equal the batch certification query's
+    sketch columns field-for-field (same shared merge + estimate
+    code over the same registers), and a late-arriving duplicate
+    day re-merges idempotently (MAX registers)."""
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetDailyHllStore, partial_daily_hll,
+        start_streaming_sliding_wau, streaming_sliding_wau)
+
+    store = ParquetDailyHllStore(spark, str(tmp_path / "wau_store"))
+    q = start_streaming_sliding_wau(
+        _stream_events(spark, events_dir), store,
+        str(tmp_path / "wau_ck"), ts_col="ts", key_col="user_id")
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (str(r.day), r.occupied, r.harmonic_num, r.est)
+        for r in streaming_sliding_wau(store).collect())
+    want = sorted(
+        (str(r.day), r.occupied, r.harmonic_num, r.est)
+        for r in all_queries()["agg_hll_sliding_distinct_users"](
+            spark, SF).collect())
+    assert got == want and len(got) > 10
+
+    # late-data absorption: replaying every event as a "late"
+    # partial under a fresh epoch key cannot move a MAX register
+    ev = load_table(spark, SF, "events")
+    store.merge(partial_daily_hll(ev, "ts", "user_id"),
+                "zzlate.000000000099")
+    got2 = sorted(
+        (str(r.day), r.occupied, r.harmonic_num, r.est)
+        for r in streaming_sliding_wau(store).collect())
+    assert got2 == got
