@@ -189,6 +189,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "agg_exact_quantiles_scalable",
     "agg_hll_sliding_distinct_users",
     "split_train_valid_test",
+    "dedup_editdistance_pairs",
 )
 
 

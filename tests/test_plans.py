@@ -738,3 +738,16 @@ def test_split_query_scan_local_assignment(q):
     # + the per-language total exchange; no exchange touches the
     # pre-assignment scan
     assert exchange_count(df) <= 3
+
+
+def test_editdistance_blocking_is_equi_join(q):
+    """The deletion-neighborhood join must plan as an EQUI-join on
+    the variant (hash/sort-merge), never a cartesian or broadcast
+    nested loop — the lossless blocking is the whole point; a theta
+    join would mean the all-pairs product snuck back in."""
+    df = q("dedup_editdistance_pairs")
+    from galaxy_spark.plans import physical_plan
+
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
