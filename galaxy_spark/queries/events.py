@@ -508,3 +508,66 @@ def agg_hll_sliding_distinct_users(spark: SparkSession,
         ((F.col("exact_users_7d") < _WAU_RAW_FLOOR)
          | (F.abs(est - F.col("exact_users_7d"))
             <= F.lit(_WAU_3SE) * F.col("exact_users_7d"))).alias("hll_ok"))
+
+
+@register(
+    "events_anomaly_daily_counts",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n_events) AS BIGINT) AS s,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS q
+        FROM daily GROUP BY 1
+    )
+    SELECT daily.event_type, day, n_events,
+           (n_days >= 2
+            AND (n_events * n_days - s) * (n_events * n_days - s)
+                > 4 * (n_days * q - s * s)) AS is_anomaly
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    """,
+)
+def events_anomaly_daily_counts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the daily event curve — flag any
+    (event_type, day) whose count sits more than 2 population
+    standard deviations from that type's own mean — computed ENTIRELY
+    in integers via sufficient statistics: with n days, S = sum of
+    counts, Q = sum of squared counts, the |z| > 2 test
+    ((x - S/n)^2 > 4 * (nQ - S^2)/n^2) cross-multiplies to
+    (x*n - S)^2 > 4*(nQ - S^2) — no float mean, no float stddev, no
+    sqrt, so the flag cannot drift on libm rounding anywhere (the
+    same discipline as the OLS sufficient-statistics rows; counts
+    are bounded by |corpus|, so the int64 squares hold to ~3e9 rows
+    PER DAY PER TYPE before needing the DECIMAL(38,0) promotion
+    ml_ols_price_on_quantity documents).
+
+    Shape at scale: the daily rollup partial-aggregates onto the
+    tiny (type, day) key; the per-type moments partial-aggregate
+    again onto |types| rows and broadcast back. Two bounded
+    exchanges over O(calendar x types) rows — the raw scan is
+    touched once. Degenerate guard: a type with a single observed
+    day has zero variance and both sides collapse to 0 > 0; the
+    explicit n_days >= 2 makes the intent visible rather than
+    incidental.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n_events")))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"))
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n_events") * F.col("n_days") - F.col("s")
+    var_num = (F.col("n_days") * F.col("q")
+               - F.col("s") * F.col("s"))
+    return j.select(
+        "event_type", "day", "n_events",
+        ((F.col("n_days") >= 2)
+         & (dev * dev > 4 * var_num)).alias("is_anomaly"))

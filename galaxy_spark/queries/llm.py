@@ -949,3 +949,68 @@ def dedup_editdistance_pairs(spark: SparkSession,
                         .cast("int"))
             .filter(F.col("dist") <= 1)
             .select("key_a", "key_b", "dist"))
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(tk)-4,0)+1),
+                   i -> array_to_string(tk[i:i+4], ' '))) AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+        FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+               a.n_sh AS n_sub, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT id_sub, id_super, CAST(n_sub AS BIGINT) AS n_sub,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared * 1.0 / n_sub, 4) AS containment
+    FROM pairs
+    WHERE n_shared * 1.0 / n_sub >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup detection by n-gram CONTAINMENT
+    C(sub -> super) = |sh(sub) ∩ sh(super)| / |sh(sub)| — the
+    asymmetric companion to Jaccard that catches what Jaccard
+    structurally cannot: a short document quoted inside a much
+    longer one has tiny Jaccard (union is dominated by the long
+    side) but containment ~1.0 from the short side. This is the
+    subset/quotation axis of corpus dedup (the RefinedWeb/Gopher
+    pipelines run both measures for exactly this reason).
+
+    Implementation shares the exact shingle machinery with the
+    Jaccard tier (``operators/dedup.py:shingle_pairs_jaccard``):
+    ONE ordered-pair shingle self-join (id_a < id_b — half the
+    candidate work), then both directed containments derive from
+    the same (n_shared, n_a, n_b) row and a union emits the
+    directions that clear the threshold. Scale inherits the tier's
+    properties (spread() fan-out, checkpointed shingle frame,
+    max_df hot-shingle guard available); the division is the repo's
+    *1.0/ convention rounded at 1e-4.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.shingle_pairs_jaccard(docs, n=5)
+    d1 = pairs.select(F.col("id_a").alias("id_sub"),
+                      F.col("id_b").alias("id_super"),
+                      F.col("n_a").alias("n_sub"), "n_shared")
+    d2 = pairs.select(F.col("id_b").alias("id_sub"),
+                      F.col("id_a").alias("id_super"),
+                      F.col("n_b").alias("n_sub"), "n_shared")
+    both = d1.unionByName(d2)
+    cont = F.col("n_shared") * F.lit(1.0) / F.col("n_sub")
+    return (both.filter(cont >= 0.6)
+            .select("id_sub", "id_super",
+                    F.col("n_sub").cast("long").alias("n_sub"),
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.round(cont, 4).alias("containment")))

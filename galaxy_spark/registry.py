@@ -190,6 +190,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "agg_hll_sliding_distinct_users",
     "split_train_valid_test",
     "dedup_editdistance_pairs",
+    "events_anomaly_daily_counts",
+    "dedup_containment_pairs",
 )
 
 
