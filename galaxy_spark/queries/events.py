@@ -571,3 +571,191 @@ def events_anomaly_daily_counts(spark: SparkSession,
         "event_type", "day", "n_events",
         ((F.col("n_days") >= 2)
          & (dev * dev > 4 * var_num)).alias("is_anomaly"))
+
+
+# -- sliding-window quantiles from mergeable fixed-bin histograms ----
+
+_SWQ_B = 512                   # bins (shared rationale with
+                               # agg_histogram_quantile_value_bound)
+_SWQ_DAYS = 7
+
+
+@register(
+    "agg_histogram_sliding_quantiles",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), dd AS (
+        SELECT DISTINCT day FROM cents
+    ), mm AS (
+        SELECT CAST(MIN(vc) AS BIGINT) AS mn,
+               CAST(MAX(vc) - MIN(vc) AS BIGINT) AS span
+        FROM cents
+    ), daily AS (
+        SELECT day,
+               LEAST(CAST(FLOOR(CAST((vc - mn) * {_SWQ_B} AS DOUBLE)
+                                / span) AS INTEGER),
+                     {_SWQ_B - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cents, mm GROUP BY 1, 2
+    ), merged AS (
+        SELECT daily.day + off.off AS tday, bin,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM daily
+        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) off
+        JOIN dd ON daily.day + off.off = dd.day
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT tday, bin, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY tday ORDER BY bin)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY tday)
+                    AS BIGINT) AS n_w
+        FROM merged
+    ), cross_bins AS (
+        SELECT tday, n_w,
+               CAST(MIN(CASE WHEN cum >= (n_w + 1) // 2
+                             THEN bin END) AS INTEGER) AS k50,
+               CAST(MIN(CASE WHEN cum >= (19 * n_w + 19) // 20
+                             THEN bin END) AS INTEGER) AS k95
+        FROM cum GROUP BY 1, 2
+    ), vals AS (
+        SELECT cents.day + off.off AS tday, vc,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM cents
+        CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS off) off
+        JOIN dd ON cents.day + off.off = dd.day
+        GROUP BY 1, 2
+    ), vcum AS (
+        SELECT tday, vc,
+               CAST(SUM(c) OVER (PARTITION BY tday ORDER BY vc)
+                    AS BIGINT) AS vcum,
+               CAST(SUM(c) OVER (PARTITION BY tday)
+                    AS BIGINT) AS n_w
+        FROM vals
+    ), exacts AS (
+        SELECT tday,
+               CAST(MIN(CASE WHEN vcum >= (n_w + 1) // 2
+                             THEN vc END) AS BIGINT) AS exact_p50,
+               CAST(MIN(CASE WHEN vcum >= (19 * n_w + 19) // 20
+                             THEN vc END) AS BIGINT) AS exact_p95
+        FROM vcum GROUP BY 1
+    )
+    SELECT c.tday AS day, n_w,
+           mn + CAST(FLOOR(CAST((k50 + 1) * span AS DOUBLE)
+                           / {_SWQ_B}) AS BIGINT) AS est_p50_cents,
+           exact_p50,
+           mn + CAST(FLOOR(CAST((k95 + 1) * span AS DOUBLE)
+                           / {_SWQ_B}) AS BIGINT) AS est_p95_cents,
+           exact_p95,
+           ((mn + CAST(FLOOR(CAST((k50 + 1) * span AS DOUBLE)
+                             / {_SWQ_B}) AS BIGINT) - exact_p50
+             BETWEEN -1 AND span // {_SWQ_B} + 2)
+            AND (mn + CAST(FLOOR(CAST((k95 + 1) * span AS DOUBLE)
+                                 / {_SWQ_B}) AS BIGINT) - exact_p95
+                 BETWEEN -1 AND span // {_SWQ_B} + 2)) AS within_bin
+    FROM cross_bins c JOIN exacts x ON c.tday = x.tday, mm
+    """,
+)
+def agg_histogram_sliding_quantiles(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Trailing-7-day p50/p95 of event values per day from MERGEABLE
+    fixed-bin histograms — the quantile twin of the sliding-WAU row,
+    closing the sliding-sketch pair: per-day (bin -> count) maps
+    (<= 512 rows per day regardless of event volume) SUM-merge
+    across the 7 target days exactly as the WAU registers MAX-merge,
+    so window quantiles never re-scan raw events and the per-day
+    state streams incrementally on the durable store (the
+    ``ParquetCmsStore`` family — same cell-wise SUM monoid,
+    ``test_streaming_histogram_quantile_on_durable_store`` pins the
+    single-window build).
+
+    Certification is the VALUE-error contract of
+    ``agg_histogram_quantile_value_bound`` applied per window: the
+    true order statistic lies inside the crossing bin, so
+    |est - exact| <= one bin width (± rounding slack), checked for
+    BOTH quantiles on EVERY window against the exact per-window
+    crossing instrument. Arithmetic discipline: integer cents
+    (ROUND-then-cast — bare CAST truncates doubles in Spark but
+    rounds in DuckDB), integer ceil targets via floor-division,
+    bin index/edge as the one identically-ordered double expression
+    the batch histogram row already pinned cross-engine.
+
+    Shape at scale: daily histograms partial-aggregate onto the
+    O(calendar x B) key; the fan-out explodes the HISTOGRAM frame
+    (never raw events); the per-window cum runs over <= B rows per
+    window. The exact instrument is the only corpus-cardinality
+    consumer and samples at scale — same contract as every sketch
+    certification row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = (ev.filter(F.col("value").isNotNull())
+             .select(F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                     F.round(F.col("value") * 100, 0).cast("long")
+                     .alias("vc")))
+    mm = cents.agg(F.min("vc").alias("mn"),
+                   (F.max("vc") - F.min("vc")).alias("span")).collect()[0]
+    mn, span = mm["mn"], mm["span"]
+
+    daily = (cents.select(
+        "day",
+        F.least(F.floor(((F.col("vc") - F.lit(mn)) * _SWQ_B)
+                        .cast("double") / F.lit(span)).cast("int"),
+                F.lit(_SWQ_B - 1)).alias("bin"))
+        .groupBy("day", "bin").agg(F.count("*").alias("cnt")))
+    days = cents.select("day").distinct().withColumnRenamed("day", "tday")
+    offs = F.explode(F.sequence(F.lit(0), F.lit(_SWQ_DAYS - 1))).alias("off")
+
+    merged = (daily.select("day", "bin", "cnt", offs)
+              .select(F.date_add("day", F.col("off")).alias("tday"),
+                      "bin", "cnt")
+              .join(F.broadcast(days), "tday")
+              .groupBy("tday", "bin").agg(F.sum("cnt").alias("cnt")))
+    wb = (Window.partitionBy("tday").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("tday")
+    cum = (merged.withColumn("cum", F.sum("cnt").over(wb))
+           .withColumn("n_w", F.sum("cnt").over(wt)))
+
+    def crossing(num: int, den: int, src, out: str):
+        k = F.floor((num * F.col("n_w") + den - 1) / den)
+        return F.min(F.when(F.col("cum" if src == "bin" else "vcum") >= k,
+                            F.col(src))).alias(out)
+
+    ks = (cum.groupBy("tday", "n_w")
+          .agg(crossing(1, 2, "bin", "k50"),
+               crossing(19, 20, "bin", "k95")))
+
+    vals = (cents.groupBy("day", "vc").agg(F.count("*").alias("c"))
+            .select("day", "vc", "c", offs)
+            .select(F.date_add("day", F.col("off")).alias("tday"),
+                    "vc", "c")
+            .join(F.broadcast(days), "tday")
+            .groupBy("tday", "vc").agg(F.sum("c").alias("c")))
+    wv = (Window.partitionBy("tday").orderBy("vc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vcum = (vals.withColumn("vcum", F.sum("c").over(wv))
+            .withColumn("n_w", F.sum("c").over(wt)))
+    exacts = (vcum.groupBy("tday")
+              .agg(crossing(1, 2, "vc", "exact_p50").cast("long")
+                   .alias("exact_p50"),
+                   crossing(19, 20, "vc", "exact_p95").cast("long")
+                   .alias("exact_p95")))
+
+    def edge(k):
+        return (F.lit(mn) + F.floor(((k + 1) * F.lit(span))
+                                    .cast("double") / F.lit(_SWQ_B))
+                .cast("long"))
+
+    bw = span // _SWQ_B
+    j = ks.join(exacts, "tday")
+    e50, e95 = edge(F.col("k50")), edge(F.col("k95"))
+    return j.select(
+        F.col("tday").alias("day"), "n_w",
+        e50.alias("est_p50_cents"), "exact_p50",
+        e95.alias("est_p95_cents"), "exact_p95",
+        ((e50 - F.col("exact_p50")).between(-1, bw + 2)
+         & (e95 - F.col("exact_p95")).between(-1, bw + 2))
+        .alias("within_bin"))

@@ -192,6 +192,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "dedup_editdistance_pairs",
     "events_anomaly_daily_counts",
     "dedup_containment_pairs",
+    "agg_histogram_sliding_quantiles",
 )
 
 

@@ -119,3 +119,22 @@ def test_approx_distinct_within_rsd(spark):
     expects hll_within_bound=TRUE on every row)."""
     rows = QUERIES["agg_approx_distinct"](spark, SF_ORACLE).collect()
     assert rows and all(r.hll_within_bound for r in rows)
+
+
+def test_sliding_quantiles_within_bound(spark):
+    """The histogram's value-error guarantee must actually HOLD on
+    every window and both quantiles (the oracle only proves both
+    engines agree on the flag; this pins the flag itself)."""
+    rows = QUERIES["agg_histogram_sliding_quantiles"](
+        spark, SF_ORACLE).collect()
+    assert rows and all(r.within_bin for r in rows)
+
+
+def test_sliding_wau_bound_holds_and_raw_at_driver_scale(spark):
+    """Same for the sliding WAU: hll_ok everywhere, and at sf0.01
+    every window must be in the RAW regime (the bound is genuinely
+    exercised there, not vacuously true)."""
+    rows = QUERIES["agg_hll_sliding_distinct_users"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(r.hll_ok for r in rows)
+    assert all(r.regime == "raw" for r in rows)
