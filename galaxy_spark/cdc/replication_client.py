@@ -358,6 +358,22 @@ class GtidSet:
             for s, e in ivs:
                 self._insert(sid, s, e)
 
+    def covers_set(self, other: "GtidSet") -> bool:
+        """True iff every transaction in ``other`` is covered by
+        this set (``other`` ⊆ ``self``). Intervals are coalesced and
+        disjoint, so an interval of ``other`` is covered iff it fits
+        inside a single interval of ``self``. This is the check
+        MySQL's server runs against a PREVIOUS_GTIDS header before
+        serving an auto-position dump (error 1236 'master has
+        purged binary logs containing GTIDs that the slave
+        requires' when it fails)."""
+        for sid, ivs in other._sids.items():
+            mine = self._sids.get(sid, ())
+            for s, e in ivs:
+                if not any(ms <= s and e <= me for ms, me in mine):
+                    return False
+        return True
+
     def __bool__(self) -> bool:
         return bool(self._sids)
 

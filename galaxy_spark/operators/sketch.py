@@ -97,3 +97,19 @@ def sliding_hll_estimates(regs: DataFrame, days: DataFrame,
                   * F.lit(float(HLL_2P50)) / F.col("harmonic_num"), 6)
     return t.select("day", "occupied", "harmonic_num",
                     est.alias("est"))
+
+
+def global_hll_estimate(harmonic_col):
+    """The global-cardinality estimate expression at the default
+    p=8 precision: alpha_256 * m^2 * 2^50 / T in ONE fixed IEEE
+    operation order — shared by the batch certification query
+    (``queries/indexing.py:agg_hll_cardinality_bound``) and the
+    streaming reader (``streaming/state_store.py:
+    streaming_cardinality_estimate``) so the documented
+    'streaming equals batch to the last IEEE bit' contract cannot
+    drift (the sliding pair already shares
+    ``sliding_hll_estimates`` for the same reason)."""
+    return F.round((F.lit(0.7213) / (F.lit(1.0)
+                                     + F.lit(1.079) / F.lit(256.0)))
+                   * F.lit(65536.0) * F.lit(1125899906842624.0)
+                   / harmonic_col, 6)

@@ -157,7 +157,15 @@ def hash_split(df: DataFrame, key_col: str, splits, seed: int = 13):
     bounds = []
     for name, frac in splits[:-1]:
         cum += frac
-        bounds.append((name, format(int(cum * 16**8), "08x")))
+        # a cumulative bound at (or float-accumulated past) 1.0
+        # would format as 9 hex chars and break the lexicographic
+        # band compare ('100000000' < any hash starting f..1) —
+        # clamp to the keep-all sentinel exactly like
+        # stratified_hash_sample ('g' sorts above every hex digit)
+        hex_thr = ("g" if cum >= 1.0 - 1e-12
+                   else format(min(int(cum * 16**8), 16**8 - 1),
+                               "08x"))
+        bounds.append((name, hex_thr))
     for name, hex_thr in reversed(bounds):
         expr = F.when(h < F.lit(hex_thr), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)

@@ -953,10 +953,9 @@ def agg_hll_cardinality_bound(spark: SparkSession,
                   * F.lit(_HLL_2P50)).cast("long")
                  .alias("harmonic_num"),
                  "exact_distinct"))
-    est = F.round((F.lit(0.7213) / (F.lit(1.0)
-                                    + F.lit(1.079) / F.lit(256.0)))
-                  * F.lit(65536.0) * F.lit(1125899906842624.0)
-                  / F.col("harmonic_num"), 6)
+    from galaxy_spark.operators.sketch import global_hll_estimate
+
+    est = global_hll_estimate(F.col("harmonic_num"))
     return t.select(
         F.lit(_HLL_M).alias("m"), "occupied", "harmonic_num",
         est.alias("est"), "exact_distinct",

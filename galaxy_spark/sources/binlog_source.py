@@ -115,7 +115,7 @@ def _segments(path: str) -> list[str]:
         key=_seg_key)
 
 
-def _walk_event_headers(f, size: int):
+def _walk_event_headers(f, size: int, start: int | None = None):
     """Iterate COMPLETE event headers in an open segment file:
     yields ``(pos, etype, esize, log_pos, ts)`` per event and stops
     at the last whole-event boundary — a torn trailing event (the
@@ -124,8 +124,17 @@ def _walk_event_headers(f, size: int):
     ONE implementation of the torn-tail boundary rule, shared by
     ``_aligned_end``, the GTID auto-position scan, the continuous
     GTID tracker, and the timestamp seek (divergent copies were an
-    r8 review finding)."""
-    pos = 4 if f.read(4) == b"\xfebin" else 0
+    r8 review finding).
+
+    ``start``: resume the walk at a KNOWN event boundary (>= 4,
+    past the magic) instead of the file head — the incremental
+    GTID tracker's steady-state path (r9 review: restarting at
+    byte 0 every micro-batch made the growing tail segment's walk
+    quadratic over its lifetime)."""
+    if start is not None:
+        pos = start
+    else:
+        pos = 4 if f.read(4) == b"\xfebin" else 0
     while pos + 19 <= size:
         f.seek(pos)
         head = f.read(19)
@@ -233,6 +242,11 @@ class BinlogStreamReader(DataSourceStreamReader):
         # every offset carries the executed set from the very first
         # one — a failover before the first latestOffset is covered
         off["gtids"] = self._gtids_at(off["file"], off["pos"])
+        # this instance just derived the offset from the directory
+        # itself: the restart-time history check has nothing new to
+        # verify (it only matters when offsets arrive from a
+        # CHECKPOINT into a fresh instance)
+        self._start_verified = True
         return off
 
     def _offset_after_gtids(self, gtid_text: str) -> dict:
@@ -259,17 +273,39 @@ class BinlogStreamReader(DataSourceStreamReader):
         sends anonymous transactions). Skipping them silently
         dropped those transactions (r8 review finding)."""
         from galaxy_spark.cdc.binlog import (ANONYMOUS_GTID_EVENT,
-                                             GTID_EVENT)
+                                             GTID_EVENT,
+                                             PREVIOUS_GTIDS_EVENT)
         from galaxy_spark.cdc.replication_client import GtidSet
 
         gset = GtidSet.parse(gtid_text)
-        for s in _segments(self.path):
+        segs = _segments(self.path)
+        for i, s in enumerate(segs):
             fpath = os.path.join(self.path, s)
             size = os.path.getsize(fpath)
             with open(fpath, "rb") as f:
                 prev_end = 0
                 for pos, etype, esize, log_pos, _ts in \
                         _walk_event_headers(f, size):
+                    if i == 0 and etype == PREVIOUS_GTIDS_EVENT:
+                        # MySQL's own purged-gap gate (error 1236):
+                        # the first retained segment declares the
+                        # executed set of everything BEFORE it; any
+                        # transaction there that our set has not
+                        # executed lives only in purged files —
+                        # resuming would silently skip it
+                        f.seek(pos + 19)
+                        prev = GtidSet.decode(f.read(esize - 19))
+                        if not gset.covers_set(prev):
+                            raise ValueError(
+                                f"cannot auto-position: the first "
+                                f"retained segment {s!r} declares "
+                                f"PREVIOUS_GTIDS {prev} not covered "
+                                f"by the executed set {gset} — the "
+                                "gap was purged with the earlier "
+                                "segments (MySQL error 1236 "
+                                "analog); recover with a fresh "
+                                "checkpoint (recovery_v2) or "
+                                "restore the segments")
                     if etype == ANONYMOUS_GTID_EVENT:
                         return {"file": s, "pos": prev_end}
                     if etype == GTID_EVENT:
@@ -312,12 +348,17 @@ class BinlogStreamReader(DataSourceStreamReader):
                 break
             fpath = os.path.join(self.path, s)
             size = os.path.getsize(fpath)
+            # resume the watermark segment's walk AT the watermark
+            # (an event boundary by construction — offsets are
+            # aligned ends) instead of re-walking from byte 0 every
+            # micro-batch (r9 review: that made the growing tail's
+            # per-trigger cost quadratic over the segment lifetime)
+            start_at = (self._scan_pos
+                        if s == self._scan_file and self._scan_pos >= 4
+                        else None)
             with open(fpath, "rb") as f:
                 for p, etype, esize, _lp, _ts in \
-                        _walk_event_headers(f, size):
-                    if s == self._scan_file \
-                            and p + esize <= self._scan_pos:
-                        continue        # below the watermark
+                        _walk_event_headers(f, size, start=start_at):
                     if s == file and p + esize > pos:
                         break           # beyond the offset
                     if etype == GTID_EVENT:
@@ -347,7 +388,8 @@ class BinlogStreamReader(DataSourceStreamReader):
         match, so a clock wobble across concurrent sessions errs
         toward replaying slightly more, never skipping."""
         from galaxy_spark.cdc.binlog import (ANONYMOUS_GTID_EVENT,
-                                             GTID_EVENT, XID_EVENT)
+                                             GTID_EVENT, QUERY_EVENT,
+                                             XID_EVENT)
 
         for s in _segments(self.path):
             fpath = os.path.join(self.path, s)
@@ -367,6 +409,26 @@ class BinlogStreamReader(DataSourceStreamReader):
                     if etype == XID_EVENT:
                         anchor = None  # transaction closed: a later
                                        # match must not replay it
+                    elif etype == QUERY_EVENT and anchor is not None:
+                        # a Query that is not BEGIN also CLOSES the
+                        # GTID transaction (auto-commit DDL, MyISAM
+                        # COMMIT — the tail-buffer rule); leaving
+                        # the anchor set replays a committed DDL
+                        # transaction when the first at/past-instant
+                        # event is GTID-less (r9 review). BEGIN is
+                        # recognized by its query-text suffix (the
+                        # last bytes before an optional CRC32
+                        # trailer); a DDL that ENDS in 'BEGIN'
+                        # (CREATE PROCEDURE ... BEGIN) is
+                        # misclassified as an opener — which errs
+                        # toward replaying MORE, the function's
+                        # documented safe direction, never toward a
+                        # torn resume.
+                        f.seek(pos + max(esize - 9, 19))
+                        tail = f.read(min(9, esize - 19))
+                        if not (tail.endswith(b"BEGIN")
+                                or tail[:-4].endswith(b"BEGIN")):
+                            anchor = None
                     prev_end = log_pos
         return self._end_of_dir()      # instant is past the stream
 
@@ -382,7 +444,26 @@ class BinlogStreamReader(DataSourceStreamReader):
         floor = getattr(self, "_max_offset", None)
         if floor is not None and (_seg_key(cur["file"]), cur["pos"]) < \
                 (_seg_key(floor["file"]), floor["pos"]):
-            return floor
+            if (floor["file"] and floor["file"] not in
+                    _segments(self.path)
+                    and bool(getattr(self, "_gtids", None))):
+                # LIVE failover to segment names that sort below the
+                # dead primary's: the pinned segment is GONE (not a
+                # transient shrink of an existing file — that is what
+                # the floor guards) and the tracked executed set can
+                # re-locate the boundary, so accept the new directory
+                # instead of pinning the stream to a dead name
+                # forever (r9 review). The tracker's watermark is
+                # name-based and meaningless across the rename —
+                # reset it and re-merge from scratch (GtidSet.add is
+                # a union: re-adding covered transactions is
+                # idempotent, so one full walk re-establishes it).
+                self._scan_file, self._scan_pos = "", 0
+            else:
+                # no executed set to re-locate with (anonymous
+                # stream) or the file still exists (transient
+                # shrink): keep the monotonic floor
+                return floor
         cur["gtids"] = self._gtids_at(cur["file"], cur["pos"])
         self._max_offset = cur
         return cur
@@ -395,17 +476,75 @@ class BinlogStreamReader(DataSourceStreamReader):
         transactions, new names/positions). Without the set the
         refuse-loudly paths below still apply."""
         if (off.get("file") and off["file"] not in segs_now
-                and off.get("gtids") is not None):
+                and off.get("gtids")):
+            # NON-EMPTY executed set only: the empty string every
+            # anonymous-GTID stream carries has no information to
+            # re-locate with — resolving through it would restart
+            # at the first retained transaction and re-deliver
+            # everything (r9 review); such offsets fall through to
+            # the refuse-loudly purge checks in partitions()
             new = self._offset_after_gtids(off["gtids"])
             new["gtids"] = off["gtids"]
             return new
         return off
+
+    def _verify_start_history(self, start: dict) -> None:
+        """Same-NAME failover gate (r9 review): a new primary that
+        reuses the checkpointed segment names defeats the
+        file-absence failover detection, and byte positions into
+        different file contents silently corrupt the stream. The
+        carried executed set contains exactly the information to
+        catch it: every GTID observed at or below the committed
+        boundary in the CURRENT directory must already be covered
+        by the carried set (retention may have purged covered
+        history — a smaller observed set is fine; an UNCOVERED
+        observed transaction below our own committed position is a
+        contradiction only content replacement can produce). One
+        header walk per reader instance, restart-time only.
+
+        Residual limit (documented, not silent): a replacement
+        whose GTIDs below the boundary are all covered but sit at
+        different byte offsets passes this gate; full detection
+        needs per-event content digests the binlog format does not
+        carry."""
+        from galaxy_spark.cdc.binlog import GTID_EVENT
+        from galaxy_spark.cdc.replication_client import GtidSet
+
+        carried = GtidSet.parse(start["gtids"])
+        observed = GtidSet()
+        for s in _segments(self.path):
+            if _seg_key(s) > _seg_key(start["file"]):
+                break
+            fpath = os.path.join(self.path, s)
+            size = os.path.getsize(fpath)
+            with open(fpath, "rb") as f:
+                for p, etype, esize, _lp, _ts in \
+                        _walk_event_headers(f, size):
+                    if s == start["file"] and p + esize > start["pos"]:
+                        break
+                    if etype == GTID_EVENT:
+                        observed.add(_read_gtid(f, p, esize,
+                                                f"{s}:{p}"))
+        if not carried.covers_set(observed):
+            raise ValueError(
+                f"binlog history mismatch at committed offset "
+                f"{start['file']}:{start['pos']}: the directory now "
+                f"contains transactions ({observed}) not covered by "
+                f"the checkpointed executed set ({carried}) — the "
+                "segment names were reused by a different history "
+                "(same-name failover/rebuild). Resume with "
+                "startingGtids on a fresh checkpoint (recovery_v2) "
+                "instead of trusting file/pos")
 
     def partitions(self, start: dict, end: dict) \
             -> Sequence[InputPartition]:
         segs_now = _segments(self.path)
         start = self._resolve_offset(start, segs_now)
         end = self._resolve_offset(end, segs_now)
+        if (start.get("gtids") and start.get("file") in segs_now
+                and not getattr(self, "_start_verified", False)):
+            self._verify_start_history(start)
+            self._start_verified = True
         if (_seg_key(end["file"]), end["pos"]) < \
                 (_seg_key(start["file"]), start["pos"]):
             # cross-restart shrink: the committed offset points past

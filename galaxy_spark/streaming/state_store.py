@@ -765,7 +765,8 @@ def streaming_cardinality_estimate(hll_store: ParquetHllStore) -> DataFrame:
     (``agg_hll_cardinality_bound``), so over the same rows the
     streaming estimate EQUALS the batch estimate to the last IEEE
     bit. Raw-regime estimator only — same documented limit."""
-    from galaxy_spark.operators.sketch import HLL_2P50, HLL_M
+    from galaxy_spark.operators.sketch import (HLL_2P50, HLL_M,
+                                               global_hll_estimate)
 
     agg = hll_store.state().agg(
         F.count("*").cast("long").alias("occupied"),
@@ -775,12 +776,10 @@ def streaming_cardinality_estimate(hll_store: ParquetHllStore) -> DataFrame:
         "occupied",
         (F.col("t_occ") + (F.lit(HLL_M) - F.col("occupied"))
          * F.lit(HLL_2P50)).cast("long").alias("harmonic_num"))
-    est = F.round((F.lit(0.7213) / (F.lit(1.0)
-                                    + F.lit(1.079) / F.lit(256.0)))
-                  * F.lit(65536.0) * F.lit(1125899906842624.0)
-                  / F.col("harmonic_num"), 6)
     return t.select(F.lit(HLL_M).alias("m"), "occupied",
-                    "harmonic_num", est.alias("est"))
+                    "harmonic_num",
+                    global_hll_estimate(F.col("harmonic_num"))
+                    .alias("est"))
 
 
 class ParquetDailyHllStore(KeyedParquetStore):

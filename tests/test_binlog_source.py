@@ -965,3 +965,228 @@ def test_starting_gtids_resumes_at_anonymous_transactions(spark,
     rows = spark.sql("SELECT * FROM gt_anon").collect()
     assert [(r.action, r.org_row[0]) for r in rows] == \
         [("insert", ["2", "anon-2"])]
+
+
+def _mk_reader(d, **opts):
+    from galaxy_spark.sources.binlog_source import BinlogStreamReader
+
+    return BinlogStreamReader({"path": d, **opts})
+
+
+def test_previous_gtids_purged_gap_refused(tmp_path):
+    """MySQL's error-1236 analog (r9 review): when the first
+    retained segment's PREVIOUS_GTIDS declares transactions the
+    executed set has NOT covered, those transactions lived only in
+    purged files — auto-position must refuse loudly, never resume
+    past a silent gap. A covering set still resumes normally."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter()
+    w.format_description()
+    w.previous_gtids(sid, 4)          # declares 1-3 live in purged files
+    for g in (4, 5):
+        w.gtid(sid, g)
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", cols)
+        w.write_rows(7, cols, [[g, f"o-{g}"]])
+        w.xid(900 + g)
+    d = str(tmp_path / "purged_relay")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000009.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    u = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+        f"{sid[16:20]}-{sid[20:32]}"
+    rd = _mk_reader(d, startingGtids=f"{u}:1-2")   # 3 is the gap
+    with _pytest.raises(ValueError, match="PREVIOUS_GTIDS"):
+        rd.initialOffset()
+    ok = _mk_reader(d, startingGtids=f"{u}:1-3")   # covering: fine
+    off = ok.initialOffset()
+    assert off["file"] == "binlog.000009.bin"
+
+
+def test_anonymous_offsets_refuse_resolution_through_empty_set(
+        tmp_path):
+    """An anonymous-GTID stream's offsets carry gtids='' — that
+    empty string must NOT trigger GTID re-resolution when the
+    committed segment is purged (r9 review: it restarted at the
+    first retained transaction and re-delivered everything);
+    the refuse-loudly purge check must fire instead."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(vals):
+        w = BinlogWriter()
+        w.format_description()
+        for v in vals:
+            w.gtid(sid, 0, anonymous=True)
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[v, f"o-{v}"]])
+            w.xid(900 + v)
+        return w.bytes()
+
+    d = str(tmp_path / "anon_purge")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(seg([1, 2]))
+    rd = _mk_reader(d)
+    committed = rd.initialOffset()
+    committed = {"file": "binlog.000001.bin",
+                 "pos": rd._end_of_dir()["pos"],
+                 "gtids": committed["gtids"]}
+    assert committed["gtids"] == ""   # anonymous stream: empty set
+
+    # purge the committed segment, retain a later one
+    os.remove(os.path.join(d, "binlog.000001.bin"))
+    with open(os.path.join(d, "binlog.000002.bin"), "wb") as f:
+        f.write(seg([3]))
+    rd2 = _mk_reader(d)
+    with _pytest.raises(ValueError, match="purged"):
+        rd2.partitions(committed, rd2._end_of_dir())
+
+
+def test_same_name_history_mismatch_refused(tmp_path):
+    """Same-NAME failover (r9 review): a rebuilt primary that
+    reuses the checkpointed segment name defeats file-absence
+    detection — the restart-time history check must catch the
+    foreign GTIDs below the committed boundary and refuse."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(sid, gnos):
+        w = BinlogWriter()
+        w.format_description()
+        for g in gnos:
+            w.gtid(sid, g)
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[g, f"o-{g}"]])
+            w.xid(900 + g)
+        return w.bytes()
+
+    sid_a = "0f81a2b3c4d5e6f7081922aabbccddee"
+    sid_b = "ffffa2b3c4d5e6f7081922aabbccddee"
+    d = str(tmp_path / "samename")
+    os.makedirs(d)
+    fpath = os.path.join(d, "binlog.000001.bin")
+    with open(fpath, "wb") as f:
+        f.write(seg(sid_a, [1, 2, 3]))
+    rd = _mk_reader(d)
+    off = rd.initialOffset()
+    committed = {"file": "binlog.000001.bin",
+                 "pos": rd._end_of_dir()["pos"],
+                 "gtids": rd._gtids_at("binlog.000001.bin",
+                                       rd._end_of_dir()["pos"])}
+    assert committed["gtids"]
+
+    # a DIFFERENT history under the SAME name, at least as long
+    with open(fpath, "wb") as f:
+        f.write(seg(sid_b, [1, 2, 3, 4]))
+    rd2 = _mk_reader(d)               # fresh instance = restart
+    with _pytest.raises(ValueError, match="history mismatch"):
+        rd2.partitions(committed, rd2._end_of_dir())
+    assert off["file"] == "binlog.000001.bin"
+
+
+def test_live_failover_releases_monotonic_floor(tmp_path):
+    """LIVE failover (same reader instance) to segment names that
+    sort BELOW the dead primary's (r9 review): the monotonic floor
+    must release when the pinned segment is gone and the executed
+    set can re-locate — pinning forever stalls the stream with no
+    error. Resume must deliver exactly the new transaction."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def txn(w, g):
+        w.gtid(sid, g)
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", cols)
+        w.write_rows(7, cols, [[g, f"o-{g}"]])
+        w.xid(900 + g)
+
+    d = str(tmp_path / "live_failover")
+    os.makedirs(d)
+    w1 = BinlogWriter()
+    w1.format_description()
+    for g in (1, 2, 3):
+        txn(w1, g)
+    old = os.path.join(d, "old-primary.000007.bin")
+    with open(old, "wb") as f:
+        f.write(w1.bytes())
+
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    committed = rd.latestOffset()     # floor pinned here
+    assert committed["file"] == "old-primary.000007.bin"
+
+    # failover: same history 1-3 regrouped + NEW txn 4, names sort
+    # BELOW the old primary's
+    os.remove(old)
+    w2 = BinlogWriter()
+    w2.format_description()
+    for g in (1, 2):
+        txn(w2, g)
+    with open(os.path.join(d, "new-primary.000001.bin"), "wb") as f:
+        f.write(w2.bytes())
+    w3 = BinlogWriter()
+    w3.format_description()
+    for g in (3, 4):
+        txn(w3, g)
+    with open(os.path.join(d, "new-primary.000002.bin"), "wb") as f:
+        f.write(w3.bytes())
+
+    new_end = rd.latestOffset()
+    assert new_end["file"] == "new-primary.000002.bin", \
+        "floor must release on live failover, not pin a dead name"
+    parts = rd.partitions(committed, new_end)
+    vals = []
+    for p in parts:
+        for row in rd.read(p):
+            vals.append(int(row[3][0][0]))
+    assert vals == [4], "no duplicate, no gap across live failover"
+
+
+def test_starting_timestamp_skips_query_committed_transaction(
+        tmp_path):
+    """A GTID transaction committed by a Query (auto-commit DDL —
+    no XID) must NOT be replayed when the first at/past-instant
+    event is GTID-less (r9 review: the anchor was only cleared on
+    XID, so the seek snapped back before the already-committed
+    DDL)."""
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    w = BinlogWriter(base_ts=100)
+    w.format_description()
+    w.gtid(sid, 1)
+    w.query("shop", "CREATE TABLE t1 (id INT)")   # commits at ts=100
+    end_after_ddl = w.pos
+    w.ts = 200
+    w.stop()                                      # GTID-less, ts=200
+    d = str(tmp_path / "ts_ddl")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    rd = _mk_reader(d, startingTimestamp="150")
+    off = rd._offset_at_timestamp(150)
+    assert off["pos"] == end_after_ddl, \
+        "committed DDL transaction must not be replayed"

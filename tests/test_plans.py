@@ -751,3 +751,21 @@ def test_editdistance_blocking_is_equi_join(q):
     p = physical_plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hash_split_zero_fraction_and_unit_bounds(spark):
+    """A trailing zero-fraction split (cumulative bound hits 1.0)
+    must receive ZERO rows — the r9 review caught the bound
+    formatting as 9 hex chars ('100000000'), which breaks the
+    lexicographic band compare and leaked ~15/16 of the prior band
+    into the zero split."""
+    from galaxy_spark.operators.util import hash_split
+    from galaxy_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counts = dict(hash_split(
+        docs, "doc_id",
+        [("train", 0.9), ("valid", 0.1), ("test", 0.0)],
+        seed=13).groupBy("split").count().collect())
+    assert counts.get("test", 0) == 0
+    assert counts["train"] + counts.get("valid", 0) == docs.count()
