@@ -571,10 +571,9 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("t_occ") + (F.lit(_HLL_M) - F.col("occupied"))
                   * F.lit(_HLL_2P50)).cast("long").alias("harmonic_num"),
                  "exact_ball2"))
-    est = F.round((F.lit(0.7213) / (F.lit(1.0)
-                                    + F.lit(1.079) / F.lit(256.0)))
-                  * F.lit(65536.0) * F.lit(1125899906842624.0)
-                  / F.col("harmonic_num"), 6)
+    from galaxy_spark.operators.sketch import global_hll_estimate
+
+    est = global_hll_estimate(F.col("harmonic_num"))
     regime = F.when(F.col("exact_ball2") >= (_HLL_M * 5) // 2,
                     F.lit("raw")).otherwise(F.lit("small"))
     return (t.select(F.col("node").alias("part"), "occupied",

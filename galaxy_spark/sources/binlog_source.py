@@ -183,6 +183,39 @@ def _read_gtid(f, pos: int, esize: int, where: str) -> str:
             f"{sid[16:20]}-{sid[20:32]}:{gno}")
 
 
+#: Query prefixes that leave the enclosing transaction OPEN — BEGIN
+#: and XA START open one; SAVEPOINT / ROLLBACK TO / XA END occur
+#: inside one (row format logs them as Query). Everything else
+#: (COMMIT, plain ROLLBACK, XA COMMIT/ROLLBACK, auto-commit DDL —
+#: DDL cannot run inside an open transaction: implicit commit)
+#: closes it.
+_TXN_OPEN_PREFIXES = ("BEGIN", "SAVEPOINT", "ROLLBACK TO",
+                      "XA START", "XA BEGIN", "XA END")
+
+
+def _query_keeps_txn_open(f, pos: int, esize: int) -> bool:
+    """Classify a QUERY event during a header walk: does it leave
+    the enclosing transaction open? Reads this one event's body and
+    extracts the statement through the documented layout
+    (post-header 13 bytes, status vars, schema, NUL, query) — the
+    prefix is unaffected by the optional CRC32 trailer. Unparseable
+    bodies classify as KEEP-open: that errs toward replaying more,
+    never toward a torn resume."""
+    f.seek(pos + 19)
+    body = f.read(esize - 19)
+    if len(body) < 13:
+        return True
+    db_len = body[8]
+    status_len = int.from_bytes(body[11:13], "little")
+    qstart = 13 + status_len + db_len + 1
+    if qstart >= len(body):
+        return True
+    stmt = " ".join(
+        body[qstart:qstart + 24].decode("latin-1", "replace")
+        .upper().split())
+    return stmt.startswith(_TXN_OPEN_PREFIXES)
+
+
 class _SegmentSlice(InputPartition):
     def __init__(self, path: str, fname: str, start_pos: int,
                  end_pos: int) -> None:
@@ -316,6 +349,55 @@ class BinlogStreamReader(DataSourceStreamReader):
                     prev_end = log_pos
         return self._end_of_dir()       # whole directory covered
 
+    def _tracker(self):
+        """The lazily-initialized executed-GTID tracker (set +
+        name-based walk watermark)."""
+        from galaxy_spark.cdc.replication_client import GtidSet
+
+        if not hasattr(self, "_gtids"):
+            #: the consumer-executed seed (startingGtids) is kept
+            #: separately: those transactions were delivered BEFORE
+            #: this stream, so their absence from a post-failover
+            #: directory is not data loss (the deletion gate must
+            #: not demand them)
+            self._seed = (GtidSet.parse(self.starting_gtids)
+                          if self.starting_gtids else GtidSet())
+            self._gtids = GtidSet()
+            self._gtids.merge(self._seed)
+            self._scan_file, self._scan_pos = "", 0
+        return self._gtids
+
+    def _scan_gtids(self, file: str | None = None,
+                    pos: int | None = None):
+        """STATELESS executed-set scan of the directory up to
+        (file, pos) — the whole directory when omitted. Includes
+        PREVIOUS_GTIDS declarations (the gtid_purged seeding a real
+        replica gets at provisioning): history purged before these
+        segments is still EXECUTED history, and omitting it made
+        the error-1236 gate fire on healthy streams (r9 review
+        wave 2)."""
+        from galaxy_spark.cdc.binlog import (GTID_EVENT,
+                                             PREVIOUS_GTIDS_EVENT)
+        from galaxy_spark.cdc.replication_client import GtidSet
+
+        out = GtidSet()
+        for s in _segments(self.path):
+            if file and _seg_key(s) > _seg_key(file):
+                break
+            fpath = os.path.join(self.path, s)
+            size = os.path.getsize(fpath)
+            with open(fpath, "rb") as f:
+                for p, etype, esize, _lp, _ts in \
+                        _walk_event_headers(f, size):
+                    if file and s == file and p + esize > pos:
+                        break
+                    if etype == PREVIOUS_GTIDS_EVENT:
+                        f.seek(p + 19)
+                        out.merge(GtidSet.decode(f.read(esize - 19)))
+                    elif etype == GTID_EVENT:
+                        out.add(_read_gtid(f, p, esize, f"{s}:{p}"))
+        return out
+
     def _gtids_at(self, file: str, pos: int) -> str:
         """Executed-GTID text at offset (file, pos): the starting
         set plus every GTID event at or before it, maintained
@@ -330,13 +412,11 @@ class BinlogStreamReader(DataSourceStreamReader):
         first start (r8 carried GTIDs at ``startingGtids``
         resolution time and went back to bare (file, pos)
         afterward)."""
-        from galaxy_spark.cdc.binlog import GTID_EVENT
+        from galaxy_spark.cdc.binlog import (GTID_EVENT,
+                                             PREVIOUS_GTIDS_EVENT)
         from galaxy_spark.cdc.replication_client import GtidSet
 
-        if not hasattr(self, "_gtids"):
-            self._gtids = (GtidSet.parse(self.starting_gtids)
-                           if self.starting_gtids else GtidSet())
-            self._scan_file, self._scan_pos = "", 0
+        self._tracker()
         target = (_seg_key(file), pos)
         if target < (_seg_key(self._scan_file), self._scan_pos):
             return str(self._gtids)     # watermark is already past
@@ -361,7 +441,16 @@ class BinlogStreamReader(DataSourceStreamReader):
                         _walk_event_headers(f, size, start=start_at):
                     if s == file and p + esize > pos:
                         break           # beyond the offset
-                    if etype == GTID_EVENT:
+                    if etype == PREVIOUS_GTIDS_EVENT:
+                        # gtid_purged seeding: history purged before
+                        # these segments is still EXECUTED history —
+                        # without it the carried sets regress on
+                        # restart and the purged-gap gate misfires
+                        # on healthy streams (r9 review wave 2)
+                        f.seek(p + 19)
+                        self._gtids.merge(
+                            GtidSet.decode(f.read(esize - 19)))
+                    elif etype == GTID_EVENT:
                         self._gtids.add(
                             _read_gtid(f, p, esize, f"{s}:{p}"))
         self._scan_file, self._scan_pos = file, pos
@@ -410,24 +499,19 @@ class BinlogStreamReader(DataSourceStreamReader):
                         anchor = None  # transaction closed: a later
                                        # match must not replay it
                     elif etype == QUERY_EVENT and anchor is not None:
-                        # a Query that is not BEGIN also CLOSES the
-                        # GTID transaction (auto-commit DDL, MyISAM
-                        # COMMIT — the tail-buffer rule); leaving
-                        # the anchor set replays a committed DDL
-                        # transaction when the first at/past-instant
-                        # event is GTID-less (r9 review). BEGIN is
-                        # recognized by its query-text suffix (the
-                        # last bytes before an optional CRC32
-                        # trailer); a DDL that ENDS in 'BEGIN'
-                        # (CREATE PROCEDURE ... BEGIN) is
-                        # misclassified as an opener — which errs
-                        # toward replaying MORE, the function's
-                        # documented safe direction, never toward a
-                        # torn resume.
-                        f.seek(pos + max(esize - 9, 19))
-                        tail = f.read(min(9, esize - 19))
-                        if not (tail.endswith(b"BEGIN")
-                                or tail[:-4].endswith(b"BEGIN")):
+                        # a COMMITTING Query also CLOSES the GTID
+                        # transaction (auto-commit DDL, MyISAM
+                        # COMMIT); leaving the anchor set replays a
+                        # committed transaction when the first
+                        # at/past-instant event is GTID-less (r9
+                        # review). Queries that legitimately occur
+                        # INSIDE an open row-format transaction
+                        # (BEGIN, SAVEPOINT, ROLLBACK TO, XA
+                        # START/END) must KEEP it — clearing on them
+                        # produced the torn mid-transaction resume
+                        # the suffix heuristic's first cut allowed
+                        # (review wave 2).
+                        if not _query_keeps_txn_open(f, pos, esize):
                             anchor = None
                     prev_end = log_pos
         return self._end_of_dir()      # instant is past the stream
@@ -453,12 +537,30 @@ class BinlogStreamReader(DataSourceStreamReader):
                 # the floor guards) and the tracked executed set can
                 # re-locate the boundary, so accept the new directory
                 # instead of pinning the stream to a dead name
-                # forever (r9 review). The tracker's watermark is
-                # name-based and meaningless across the rename —
-                # reset it and re-merge from scratch (GtidSet.add is
-                # a union: re-adding covered transactions is
-                # idempotent, so one full walk re-establishes it).
-                self._scan_file, self._scan_pos = "", 0
+                # forever (r9 review). Failover vs DELETION gate
+                # (review wave 2): every transaction this instance
+                # has already OBSERVED (tracker, up to the old end)
+                # must still exist in the new history — renamed
+                # segments carry them, a deleted tail does not, and
+                # skipping a deleted tail silently is the data loss
+                # the purge checks refuse loudly elsewhere.
+                fresh = self._scan_gtids()
+                fresh.merge(getattr(self, "_seed", None)
+                            or type(fresh)())
+                if not fresh.covers_set(self._gtids):
+                    raise ValueError(
+                        f"segment {floor['file']!r} vanished and the "
+                        f"remaining directory does not contain "
+                        f"transactions already observed up to "
+                        f"{floor['pos']} (observed {self._gtids}, "
+                        f"directory has {fresh}) — this is a deleted "
+                        "tail, not a failover rename; recover with a "
+                        "fresh checkpoint (recovery_v2) or restore "
+                        "the segment")
+                # adopt the new history: tracker = full fresh scan
+                # (⊇ observed), watermark = the new directory's end
+                self._gtids = fresh
+                self._scan_file, self._scan_pos = cur["file"], cur["pos"]
             else:
                 # no executed set to re-locate with (anonymous
                 # stream) or the file still exists (transient
@@ -485,6 +587,12 @@ class BinlogStreamReader(DataSourceStreamReader):
             # the refuse-loudly purge checks in partitions()
             new = self._offset_after_gtids(off["gtids"])
             new["gtids"] = off["gtids"]
+            # the relocated offset was just derived from the current
+            # directory — the restart-time history check has nothing
+            # to verify against it (and would re-walk the directory
+            # for a tautology: _offset_after_gtids returns the point
+            # just before the first UNCOVERED transaction)
+            self._start_verified = True
             return new
         return off
 
@@ -507,24 +615,10 @@ class BinlogStreamReader(DataSourceStreamReader):
         different byte offsets passes this gate; full detection
         needs per-event content digests the binlog format does not
         carry."""
-        from galaxy_spark.cdc.binlog import GTID_EVENT
         from galaxy_spark.cdc.replication_client import GtidSet
 
         carried = GtidSet.parse(start["gtids"])
-        observed = GtidSet()
-        for s in _segments(self.path):
-            if _seg_key(s) > _seg_key(start["file"]):
-                break
-            fpath = os.path.join(self.path, s)
-            size = os.path.getsize(fpath)
-            with open(fpath, "rb") as f:
-                for p, etype, esize, _lp, _ts in \
-                        _walk_event_headers(f, size):
-                    if s == start["file"] and p + esize > start["pos"]:
-                        break
-                    if etype == GTID_EVENT:
-                        observed.add(_read_gtid(f, p, esize,
-                                                f"{s}:{p}"))
+        observed = self._scan_gtids(start["file"], start["pos"])
         if not carried.covers_set(observed):
             raise ValueError(
                 f"binlog history mismatch at committed offset "

@@ -1190,3 +1190,133 @@ def test_starting_timestamp_skips_query_committed_transaction(
     off = rd._offset_at_timestamp(150)
     assert off["pos"] == end_after_ddl, \
         "committed DDL transaction must not be replayed"
+
+
+def test_previous_gtids_seed_into_carried_sets(tmp_path):
+    """gtid_purged seeding (r9 review wave 2): history declared by
+    PREVIOUS_GTIDS is EXECUTED history — carried offset sets must
+    include it, or the purged-gap gate fires on perfectly healthy
+    failovers (the new primary redeclares the same aged history)."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    u = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+        f"{sid[16:20]}-{sid[20:32]}"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(gnos):
+        w = BinlogWriter()
+        w.format_description()
+        w.previous_gtids(sid, 11)          # 1-10 purged long ago
+        for g in gnos:
+            w.gtid(sid, g)
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[g, f"o-{g}"]])
+            w.xid(900 + g)
+        return w.bytes()
+
+    d = str(tmp_path / "seeded")
+    os.makedirs(d)
+    old = os.path.join(d, "old-primary.000005.bin")
+    with open(old, "wb") as f:
+        f.write(seg([11, 12]))
+    rd = _mk_reader(d)
+    off = rd.initialOffset()
+    end = rd._end_of_dir()
+    carried = rd._gtids_at(end["file"], end["pos"])
+    got = GtidSet.parse(carried)
+    assert got.covers(f"{u}:5") and got.covers(f"{u}:12"), \
+        "carried set must include the PREVIOUS_GTIDS-declared history"
+    committed = {"file": end["file"], "pos": end["pos"],
+                 "gtids": carried}
+
+    # healthy failover: new primary, same aged PREVIOUS_GTIDS, one
+    # new transaction — must resume at 13, not raise error-1236
+    os.remove(old)
+    with open(os.path.join(d, "new-primary.000001.bin"), "wb") as f:
+        f.write(seg([11, 12, 13]))
+    rd2 = _mk_reader(d)
+    parts = rd2.partitions(committed, rd2._end_of_dir())
+    vals = [int(row[3][0][0]) for p in parts for row in rd2.read(p)]
+    assert vals == [13]
+    assert off["file"] == "old-primary.000005.bin"
+
+
+def test_live_floor_release_refuses_deleted_tail(tmp_path):
+    """Deletion vs failover gate (r9 review wave 2): when the pinned
+    newest segment vanishes and the remaining history does NOT
+    contain transactions this instance already observed, that is a
+    deleted tail — refuse loudly instead of silently skipping the
+    unread events."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(gnos):
+        w = BinlogWriter()
+        w.format_description()
+        for g in gnos:
+            w.gtid(sid, g)
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[g, f"o-{g}"]])
+            w.xid(900 + g)
+        return w.bytes()
+
+    d = str(tmp_path / "deltail")
+    os.makedirs(d)
+    old = os.path.join(d, "zz-primary.000009.bin")
+    with open(old, "wb") as f:
+        f.write(seg([1, 2, 3]))
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    rd.latestOffset()                  # observes 1-3, pins floor
+
+    os.remove(old)                     # tail with 3 DELETED
+    with open(os.path.join(d, "aa-primary.000001.bin"), "wb") as f:
+        f.write(seg([1, 2]))           # 3 exists nowhere
+    with _pytest.raises(ValueError, match="deleted tail"):
+        rd.latestOffset()
+
+
+def test_starting_timestamp_keeps_anchor_through_savepoint(tmp_path):
+    """SAVEPOINT (and friends) occur INSIDE open row-format
+    transactions — the timestamp seek must keep the transaction
+    anchor through them (r9 review wave 2: clearing produced a torn
+    mid-transaction resume, the exact failure the anchor exists to
+    prevent)."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter(base_ts=100)
+    w.format_description()
+    anchor_pos = w.pos                 # boundary before the GTID
+    w.gtid(sid, 1)
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[1, "early"]])
+    w.query("shop", "SAVEPOINT s1")    # in-txn Query
+    w.ts = 200                         # the txn continues past the
+    w.table_map(7, "shop", "orders", cols)   # requested instant
+    w.write_rows(7, cols, [[2, "late"]])
+    w.xid(901)
+    d = str(tmp_path / "ts_savepoint")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    rd = _mk_reader(d, startingTimestamp="150")
+    off = rd._offset_at_timestamp(150)
+    assert off["pos"] == anchor_pos, \
+        "resume must snap to the transaction's GTID boundary, not " \
+        "tear the open transaction at the SAVEPOINT"
