@@ -148,3 +148,61 @@ def test_delta_rule_invariant_under_any_batch_split(spark, changes, seed):
     want_dn = sum(1 for (p, a, v) in snap.values() if a != "delete")
     got_dv, got_dn = view.get(("d", "t"), (0, 0))
     assert (got_dv, got_dn) == (want_dv, want_dn)
+
+
+@given(st.lists(st.tuples(st.integers(1, 60), st.integers(1, 40)),
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(1, 60), st.integers(1, 40)),
+                min_size=0, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_gtidset_covers_set_matches_pointwise(a_ivs, b_ivs):
+    """covers_set == pointwise coverage of every transaction in the
+    other set (the error-1236 gate's semantics): for random interval
+    unions A and B, A.covers_set(B) iff every gno in B is covered
+    by A."""
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    sid = "0f81a2b3-c4d5-e6f7-0819-22aabbccddee"
+
+    def mk(ivs):
+        s = GtidSet()
+        for start, width in ivs:
+            s._insert(s._norm(sid), start, start + width)
+        return s
+
+    a, b = mk(a_ivs), mk(b_ivs)
+    pointwise = all(a.covers(f"{sid}:{g}")
+                    for start, width in b_ivs
+                    for g in range(start, start + width))
+    assert a.covers_set(b) == pointwise
+    assert a.covers_set(a)                 # reflexive
+    merged = mk(a_ivs)
+    merged.merge(b)
+    assert merged.covers_set(a) and merged.covers_set(b)
+
+
+@given(st.lists(st.floats(0.01, 1.0), min_size=1, max_size=5)
+       .map(lambda fs: [f / sum(fs) for f in fs]),
+       st.integers(0, 2**31))
+@settings(max_examples=100, deadline=None)
+def test_hash_split_bands_partition_hash_space(fracs, seed):
+    """For ANY normalized fraction vector, the generated hex bands
+    must be non-decreasing 8-char-or-sentinel bounds — the pure-
+    Python core of the disjoint+exhaustive guarantee (the Spark-side
+    identity is pinned in test_plans.py)."""
+    names = [f"s{i}" for i in range(len(fracs))]
+    cum, bounds = 0.0, []
+    for f in fracs[:-1]:
+        cum += f
+        hex_thr = ("g" if cum >= 1.0 - 1e-12
+                   else format(min(int(cum * 16**8), 16**8 - 1),
+                               "08x"))
+        bounds.append(hex_thr)
+    # mirrors operators/util.py:hash_split exactly; every bound is 8
+    # hex chars or the keep-all sentinel, and the sequence is
+    # lexicographically non-decreasing so bands cannot invert
+    for t in bounds:
+        assert t == "g" or (len(t) == 8
+                            and all(c in "0123456789abcdef" for c in t))
+    assert bounds == sorted(bounds)
+    assert names  # fractions normalized upstream; vector non-empty

@@ -2054,3 +2054,44 @@ def test_streaming_sliding_wau_on_durable_store(spark, events_dir,
         (str(r.day), r.occupied, r.harmonic_num, r.est)
         for r in streaming_sliding_wau(store).collect())
     assert got2 == got
+
+
+def test_streaming_sliding_wau_restart_resumes(spark, tmp_path):
+    """Kill/restart mid-stream: the per-day register merges replay
+    idempotently and the final sliding estimates equal the batch
+    query's sketch columns over ALL rows."""
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetDailyHllStore, start_streaming_sliding_wau,
+        streaming_sliding_wau)
+
+    src = str(tmp_path / "wau_src")
+    ev = load_table(spark, SF, "events").select("ts", "user_id")
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half2 = ev.filter(F.col("user_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    store = ParquetDailyHllStore(spark, str(tmp_path / "wau2"))
+    ck = str(tmp_path / "wau_ck2")
+
+    def start():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        return start_streaming_sliding_wau(stream, store, ck,
+                                           ts_col="ts",
+                                           key_col="user_id")
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()                                   # the "kill"
+    half2.write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((str(r.day), r.occupied, r.harmonic_num, r.est)
+                 for r in streaming_sliding_wau(store).collect())
+    want = sorted((str(r.day), r.occupied, r.harmonic_num, r.est)
+                  for r in all_queries()["agg_hll_sliding_distinct_users"](
+                      spark, SF).collect())
+    assert got == want and len(got) > 10
