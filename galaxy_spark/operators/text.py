@@ -99,23 +99,28 @@ def rolling_fingerprint(text: Column | str, base: int = 257,
                         mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the whole text -> bigint.
 
-    Deterministic document fingerprint: h = fold(h*base + code) mod p
-    over the char codes (fully JVM-side via ``F.aggregate``). Same
-    construction as public Rabin-Karp fingerprinting. ``mod`` must
-    satisfy mod*base + 255 < 2^63 (no int64 overflow in the fold).
-    """
+    Deterministic document fingerprint: h = fold(h*base + byte) mod p
+    over the text's UTF-8 BYTES (fully JVM-side via ``F.aggregate``).
+    Same construction as public Rabin-Karp fingerprinting. ``mod``
+    must satisfy mod*base + 255 < 2^63 (no int64 overflow).
+
+    Why bytes, not characters (r9 review): the O(n) per-char walk
+    (``split(text, '')``) is a UTF-16 code-unit walk in Spark —
+    non-BMP characters split into surrogate halves, the exact bug
+    class the r8 review fixed in quality_char_entropy — while the
+    codepoint-exact ``substr(i, 1)`` walk is O(len^2) per document
+    (each substr re-scans the UTF-8 bytes; measured 1.8 s vs 0.5 s
+    at sf0.1). Folding UTF-8 bytes gets BOTH: one O(n) pass over
+    the hex expansion (ASCII-safe by construction — no surrogate
+    semantics anywhere), identical values on ASCII corpora, and an
+    oracle any engine reproduces from hex(encode(text)). The hex
+    pair split uses Java regex's ``\\G`` anchor (fixed-width
+    2-char groups in one pass)."""
     col = F.col(text) if isinstance(text, str) else text
-    # split-to-chars, not substr(i, 1) per index: each substr call
-    # scans the UTF8 bytes to offset i, so the per-index form is
-    # O(len²) per document (measured 1.8 s exec at sf0.1 vs ~0.5 s);
-    # split("") yields the same per-char codepoints in one pass.
-    # Empty text: split -> [""] -> filtered -> fold over [] = 0,
-    # the same value the old form produced (ascii('') = 0 folds to
-    # 0) and the SQL oracle's empty range yields.
-    codes = F.transform(
-        F.filter(F.split(col, ""), lambda c: c != ""),
-        lambda c: F.ascii(c).cast("long"),
-    )
+    hx = F.hex(F.encode(col, "UTF-8"))
+    pairs = F.filter(F.split(hx, r"(?<=\G..)"), lambda c: c != "")
+    codes = F.transform(pairs,
+                        lambda c: F.conv(c, 16, 10).cast("long"))
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),

@@ -320,8 +320,6 @@ def mixture_resample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial), one broadcast join, one scan-local filter — no
     shuffle of document data at all.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
     # scalar min via a single-partition window over the TINY counts

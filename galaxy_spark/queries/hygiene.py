@@ -465,16 +465,20 @@ def mixture_temperature_sampling(spark: SparkSession,
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
-    m = counts.agg(F.min("cnt").alias("m"))
+    # scalar min via an empty-partition window over the |langs|-row
+    # frame, NOT counts.agg + crossJoin: the crossJoin form plans
+    # the counts subtree under BOTH consumers and re-scans the
+    # corpus (the re-planning trap mixture_resample_balanced
+    # documents and avoids the same way — r9 review)
+    m = F.min("cnt").over(Window.partitionBy())
     thr = F.when(
-        F.col("cnt") == F.col("m"), F.lit("g")
+        F.col("cnt") == m, F.lit("g")
     ).otherwise(F.format_string(
         "%08x",
-        F.floor(F.pow(F.col("m") * F.lit(1.0) / F.col("cnt"),
+        F.floor(F.pow(m * F.lit(1.0) / F.col("cnt"),
                       F.lit(1 - _ALPHA))
                 * F.lit(4294967296.0)).cast("long")))
-    rates = counts.crossJoin(F.broadcast(m)).select(
-        "lang", thr.alias("thr"))
+    rates = counts.select("lang", thr.alias("thr"))
     h = F.substring(
         F.md5(F.concat_ws(":", F.lit("temp42"),
                           F.col("doc_id").cast("string"))), 1, 8)

@@ -49,9 +49,15 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
 
 
-def _jaccard_pairs_oracle(n: int, threshold: float) -> str:
+def _jaccard_pairs_oracle(n: int, threshold: float,
+                          with_shared: bool = False) -> str:
     """Exact all-pairs word-n-gram Jaccard >= threshold, as SQL —
-    the contracted output of every verified near-dup tier."""
+    the contracted output of every verified near-dup tier
+    (``with_shared`` adds the n_shared column the exact tier also
+    emits; one helper so the shingle convention cannot
+    desynchronize across the four tiers that share it — r9
+    review)."""
+    shared = "n_shared," if with_shared else ""
     return f"""
     WITH toks AS (
         SELECT doc_id, {_TOKS} AS tk FROM documents
@@ -68,7 +74,7 @@ def _jaccard_pairs_oracle(n: int, threshold: float) -> str:
         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
     )
-    SELECT id_a, id_b,
+    SELECT id_a, id_b, {shared}
            ROUND(n_shared * 1.0 / (n_a + n_b - n_shared), 4) AS jaccard
     FROM pairs
     WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= {threshold}
@@ -177,27 +183,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {_TOKS} AS tk FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, greatest(len(tk)-4,0)+1),
-                   i -> array_to_string(tk[i:i+4], ' '))) AS shingles
-        FROM toks
-    ), ex AS (
-        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_shared
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-    )
-    SELECT id_a, id_b, n_shared,
-           ROUND(n_shared * 1.0 / (n_a + n_b - n_shared), 4) AS jaccard
-    FROM pairs
-    WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= 0.5
-    """,
+    oracle=_jaccard_pairs_oracle(5, 0.5, with_shared=True),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 5-gram Jaccard >= 0.5.
@@ -342,21 +328,29 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_fingerprint",
     oracle="""
+    WITH h AS (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    )
     SELECT doc_id,
            list_reduce(
                list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(text)+1),
-                       i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+                   list_transform(range(1, length(hx)//2 + 1),
+                       i -> CAST(('0x' || substr(hx,
+                                 CAST(2*i-1 AS INTEGER), 2))
                                  AS BIGINT))),
                (acc, c) -> (acc * 257 + c) % 1000000007) AS fingerprint
-    FROM documents
+    FROM h
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rabin-Karp rolling-hash fingerprint per document. The hash is
-    plain integer polynomial arithmetic (h = h*257 + code mod p), so
-    DuckDB reproduces it exactly with a list_reduce fold — a full
-    value oracle for a hash function."""
+    """Rabin-Karp rolling-hash fingerprint per document, folded over
+    the text's UTF-8 BYTES (h = h*257 + byte mod p) — plain integer
+    polynomial arithmetic, so DuckDB reproduces it exactly with a
+    list_reduce over hex(encode(text)) byte pairs: a full value
+    oracle for a hash function, with no character-semantics seam
+    between engines (r9 review: the previous per-character contract
+    walked UTF-16 code units in Spark but codepoints in the oracle —
+    latent on ASCII corpora, wrong on any non-BMP text)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", text.rolling_fingerprint("text").alias("fingerprint"))
@@ -529,13 +523,21 @@ def udf_grouped_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL oracle. The JVM-side twin of this query is a plain
     groupBy-agg; this one exists to pin the applyInPandas plumbing
     (grouped Arrow exchange, schema mapping) with a full oracle.
+
+    Tokenizer parity (r9 review): the pandas side mirrors the
+    oracle's exact semantics — DuckDB ``trim`` strips SPACES only
+    (Python ``str.strip()`` strips all Unicode whitespace) and RE2's
+    ``\\s`` is the ASCII class ``[\\t\\n\\f\\r ]`` (Python ``re``'s
+    is Unicode-aware) — so the two agree on tabs, NBSP, and every
+    other non-space separator, not just on space-only corpora.
     """
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("lang", "text")
 
     def totals(pdf: pd.DataFrame) -> pd.DataFrame:
-        toks = pdf["text"].str.strip().str.split(r"\s+", regex=True)
+        toks = (pdf["text"].str.strip(" ")
+                .str.split(r"[\t\n\f\r ]+", regex=True))
         return pd.DataFrame({
             "lang": [pdf["lang"].iloc[0]],
             "n_docs": [len(pdf)],
@@ -595,8 +597,13 @@ def text_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
     ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
+        -- score quantized at 1e-6 BEFORE the ranking window: ln()
+        -- is not cross-engine-stable (repo determinism rule), and
+        -- ordering on the raw double lets a last-ulp difference
+        -- flip which term wins rk=1
         SELECT tf.doc_id, tf.token,
-               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+               ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0))
+                              + 1.0), 6) AS score
         FROM tf JOIN df USING (token) CROSS JOIN n
     )
     SELECT doc_id, token AS top_term, ROUND(score, 4) AS tfidf
@@ -613,7 +620,12 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two token-keyed aggregations + one broadcast-able
     df join; no ml.Pipeline fitting state, so the same plan runs
     streaming-incremental with the df table maintained as a
-    side table."""
+    side table. The N_docs scalar rides a 1-row broadcast in-plan
+    (the quality_unigram_logprob pattern) instead of an eager
+    driver-side count at plan-build time, and the score quantizes
+    at 1e-6 before the ranking window (ln() is not cross-engine-
+    stable; a raw-double ordering can flip rk=1 on a last-ulp
+    difference — r9 review)."""
     from galaxy_spark.operators.util import spread
 
     docs = spread(load_table(spark, sf_dir, "documents")
@@ -623,11 +635,14 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").alias("n_docs"))
     scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n))
               .select("doc_id", "token",
-                      (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0))
-                                      + 1.0)).alias("score")))
+                      F.round(F.col("tf")
+                              * (F.log((F.col("n_docs") + 1.0)
+                                       / (F.col("df") + 1.0))
+                                 + 1.0), 6).alias("score")))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)

@@ -197,3 +197,27 @@ def test_bpe_encode_consistent_with_training_merges(spark):
         want[r.doc_id] = (len(words),
                           sum(n_units(w) for w in words))
     assert got == want
+
+
+def test_rolling_fingerprint_utf8_bytes_non_bmp(spark):
+    """The fingerprint folds UTF-8 BYTES — identical on ASCII, and
+    WELL-DEFINED on non-BMP text (the per-character contract walked
+    UTF-16 code units in Spark but codepoints in the oracle; latent
+    on ASCII corpora — r9 review). Truth here is a pure-Python byte
+    fold, engine-independent."""
+    from galaxy_spark.operators.text import rolling_fingerprint
+
+    texts = ["hello", "", "café", "ab\U0001D11E",
+             "\U0001F600\U0001F600 mixed ß text"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+
+    def fold(s):
+        h = 0
+        for b in s.encode("utf-8"):
+            h = (h * 257 + b) % 1_000_000_007
+        return h
+
+    assert got == {i: fold(t) for i, t in enumerate(texts)}
