@@ -243,3 +243,21 @@ def chunk_windows(df, window: int, stride: int,
         F.array_join(F.slice(F.col("__tk"), start, end - start + 1), " ")
         .alias("chunk_text"),
         (end - start + 1).cast("int").alias("n_tokens"))
+
+
+def codepoint_chars(col: Column | str) -> Column:
+    """Codepoint-true character array — NOT ``F.split(col, '')``,
+    which walks Java UTF-16 code units and halves non-BMP
+    characters into lone surrogates (the r8/r9 review bug class:
+    latent on ASCII corpora, wrong on real text, and divergent from
+    any oracle that walks codepoints). The substr-per-index walk is
+    O(len^2) in the string length — fine for WORD-length inputs
+    (the BPE symbolizers); document-length inputs should use the
+    explode form quality_char_entropy documents. Empty string ->
+    empty array (split('') would yield [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    return F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.substr(c, i, F.lit(1)))
+    ).otherwise(F.array().cast("array<string>"))

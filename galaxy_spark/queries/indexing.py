@@ -749,7 +749,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
     wf = words.groupBy("word").agg(F.count("*").alias("freq"))
-    chars = F.split(F.col("word"), "")
+    # codepoint-true symbolization, NOT split('') (UTF-16 surrogate
+    # halves on non-BMP words — the r8/r9 review bug class; words
+    # are short, so the substr walk's O(len^2) is immaterial here)
+    chars = text.codepoint_chars(F.col("word"))
     m = F.size(chars) - 1
     pairs = F.zip_with(F.slice(chars, 1, m), F.slice(chars, 2, m),
                        lambda a, b: F.concat(a, b))
@@ -1267,7 +1270,8 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("word").agg(F.count("*").alias("freq")))
     s = wf.select(
         "freq",
-        F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("sym")
+        F.array_join(text.codepoint_chars(F.col("word")), _BPE_SEP)
+        .alias("sym")
     ).localCheckpoint(eager=False)
 
     rows, _ = _bpe_train(s)
@@ -1364,7 +1368,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = toks.groupBy("word").agg(F.count("*").alias("freq"))
     s = wf.select(
         "word", "freq",
-        F.array_join(F.split(F.col("word"), ""), _BPE_SEP).alias("sym")
+        F.array_join(text.codepoint_chars(F.col("word")), _BPE_SEP)
+        .alias("sym")
     ).localCheckpoint(eager=False)
 
     _, s = _bpe_train(s)

@@ -712,11 +712,17 @@ def agg_having_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers with high average spend. Catalyst folds the HAVING
     into the aggregate's output filter — no second pass."""
     orders = load_table(spark, sf_dir, "orders")
+    # the HAVING predicate applies to the RAW average exactly as the
+    # oracle's does — filtering the rounded output column instead
+    # diverges in the (100000, 100000.005) window (r9 review; the
+    # rounding is presentation, not predicate)
     return (orders.groupBy("o_custkey")
             .agg(F.count("*").alias("n_orders"),
-                 F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+                 F.avg("o_totalprice").alias("raw_avg"))
             .filter((F.col("n_orders") >= 20)
-                    & (F.col("avg_price") > 100000)))
+                    & (F.col("raw_avg") > 100000))
+            .select("o_custkey", "n_orders",
+                    F.round("raw_avg", 2).alias("avg_price")))
 
 
 @register(
@@ -827,9 +833,15 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
     li = load_table(spark, sf_dir, "lineitem")
+    # timestamp-preserving interval add, NOT F.date_add (which
+    # truncates the timestamp-typed o_orderdate to a midnight DATE
+    # while the oracle adds INTERVAL 60 DAY at full precision —
+    # divergent on any non-midnight order timestamp, r9 review;
+    # current data is all-midnight so values are unchanged)
     slow = orders.join(
         li, (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") >= F.date_add("o_orderdate", 60)),
+        & (F.col("l_shipdate")
+           >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         "left_semi")
     return slow.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"))
@@ -1083,12 +1095,17 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders") \
         .select("o_totalprice", "o_orderkey")
-    ranked = util.with_global_row_index(
-        orders, ["o_totalprice", "o_orderkey"], index_col="rn")
-    n = orders.agg(F.count("*").alias("n"))
+    # return_total reuses the per-partition counts the indexer
+    # already collected — the separate orders.agg(count) +
+    # crossJoin ran a whole extra corpus scan for a number the
+    # operator had in hand (r9 review; the operator's own
+    # docstring advertises exactly this)
+    ranked, n = util.with_global_row_index(
+        orders, ["o_totalprice", "o_orderkey"], index_col="rn",
+        return_total=True)
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn("bin", (F.floor((F.col("rn") - 1) * 10 / F.col("n")) + 1)
+        ranked
+        .withColumn("bin", (F.floor((F.col("rn") - 1) * 10 / F.lit(n)) + 1)
                     .cast("int"))
         .groupBy("bin")
         .agg(F.count("*").alias("n_orders"),
@@ -1102,7 +1119,7 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
            TRUE AS median_within_bound
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
 )
 def agg_quantile_sketch_bound(spark: SparkSession,
@@ -1122,7 +1139,12 @@ def agg_quantile_sketch_bound(spark: SparkSession,
     medians back onto the scan for the exact rank count. The exact
     count is the certification instrument, not the production path.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values are invisible to percentile_approx, so they must
+    # be invisible to the rank-fraction denominator too (r9 review:
+    # counting them deflates the fraction and flips the flag on a
+    # NULL-bearing regen even when the sketch is correct)
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
     ap = ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("ap"))
     ranked = (ev.join(F.broadcast(ap), "event_type")

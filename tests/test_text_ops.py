@@ -221,3 +221,30 @@ def test_rolling_fingerprint_utf8_bytes_non_bmp(spark):
         return h
 
     assert got == {i: fold(t) for i, t in enumerate(texts)}
+
+
+def test_bpe_symbolization_codepoint_true_non_bmp(spark):
+    """BPE pair counting must walk CODEPOINTS: a non-BMP word like
+    an emoji pair must produce whole-character pairs, not UTF-16
+    surrogate halves (r9 review — same bug class as the fingerprint
+    and entropy fixes). Truth is a pure-Python pair count."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.operators.text import codepoint_chars
+
+    words = ["\U0001F600ab", "héllo", "xy"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    chars = codepoint_chars(F.col("word"))
+    m = F.size(chars) - 1
+    pairs = F.zip_with(F.slice(chars, 1, m), F.slice(chars, 2, m),
+                       lambda a, b: F.concat(a, b))
+    got = Counter(r.pair for r in
+                  df.select(F.explode(pairs).alias("pair")).collect())
+    want = Counter(w[i:i + 2] for w in words for i in range(len(w) - 1))
+    assert got == want
+    # and the empty/1-char guards
+    one = spark.createDataFrame([("",), ("a",)], "word string")
+    assert one.select(F.size(codepoint_chars(F.col("word")))
+                      .alias("n")).collect()[0].n in (0, 1)
