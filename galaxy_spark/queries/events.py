@@ -540,10 +540,17 @@ def events_anomaly_daily_counts(spark: SparkSession,
     ((x - S/n)^2 > 4 * (nQ - S^2)/n^2) cross-multiplies to
     (x*n - S)^2 > 4*(nQ - S^2) — no float mean, no float stddev, no
     sqrt, so the flag cannot drift on libm rounding anywhere (the
-    same discipline as the OLS sufficient-statistics rows; counts
-    are bounded by |corpus|, so the int64 squares hold to ~3e9 rows
-    PER DAY PER TYPE before needing the DECIMAL(38,0) promotion
-    ml_ols_price_on_quantity documents).
+    same discipline as the OLS sufficient-statistics rows).
+
+    int64 headroom (r9 ADVICE corrected the math): the binding terms
+    are Q = Σx² and (x·n - S)², both bounded by n_days · x_max², so
+    the wrap point is x_max ≈ sqrt(2^63 / n_days) per day per type —
+    ~1.6e8 rows/day/type over a 365-day calendar (the naive ~3e9
+    figure holds only at n_days = 1). Past that, promote the
+    products to DECIMAL(38,0) exactly as ml_ols_price_on_quantity
+    documents; Spark's non-ANSI long sum wraps SILENTLY, flipping
+    is_anomaly with no error, so the promotion threshold is
+    |n_days| × per-day-count², not the per-day count alone.
 
     Shape at scale: the daily rollup partial-aggregates onto the
     tiny (type, day) key; the per-type moments partial-aggregate
@@ -683,29 +690,46 @@ def agg_histogram_sliding_quantiles(spark: SparkSession,
     bin index/edge as the one identically-ordered double expression
     the batch histogram row already pinned cross-engine.
 
-    Shape at scale: daily histograms partial-aggregate onto the
+    Shape at scale: raw events are scanned ONCE (r10 fused the
+    former separate min/max pass) into the checkpointed
+    (day, distinct-cent) frame; bin edges, daily histograms, the day
+    universe and the exact instrument all derive from that compact
+    frame. Daily histograms partial-aggregate onto the
     O(calendar x B) key; the fan-out explodes the HISTOGRAM frame
     (never raw events); the per-window cum runs over <= B rows per
-    window. The exact instrument is the only corpus-cardinality
-    consumer and samples at scale — same contract as every sketch
-    certification row.
+    window. The exact instrument is the only
+    distinct-value-cardinality consumer and samples at scale — same
+    contract as every sketch certification row.
     """
     ev = load_table(spark, sf_dir, "events")
     cents = (ev.filter(F.col("value").isNotNull())
              .select(F.to_date(F.date_trunc("day", "ts")).alias("day"),
                      F.round(F.col("value") * 100, 0).cast("long")
                      .alias("vc")))
-    mm = cents.agg(F.min("vc").alias("mn"),
-                   (F.max("vc") - F.min("vc")).alias("span")).collect()[0]
+    # ONE raw-event scan (r9 verdict #6 fused the separate min/max
+    # pass): collapse to the compacted (day, distinct-cent) frame the
+    # exact instrument needs anyway — partial-aggregated map-side —
+    # and derive the bin edges, the daily histograms, the day
+    # universe AND the exact crossing instrument all from it.
+    # localCheckpointed because it is expensive (the only corpus
+    # scan) and consumed four times; O(calendar × distinct cents)
+    # rows. At 100 TB the streaming twin's per-day store supplies
+    # edges instead and the exact instrument samples (the sketch
+    # certification contract).
+    dv = (cents.groupBy("day", "vc").agg(F.count("*").alias("c"))
+          .localCheckpoint())
+    mm = dv.agg(F.min("vc").alias("mn"),
+                (F.max("vc") - F.min("vc")).alias("span")).collect()[0]
     mn, span = mm["mn"], mm["span"]
 
-    daily = (cents.select(
+    daily = (dv.select(
         "day",
         F.least(F.floor(((F.col("vc") - F.lit(mn)) * _SWQ_B)
                         .cast("double") / F.lit(span)).cast("int"),
-                F.lit(_SWQ_B - 1)).alias("bin"))
-        .groupBy("day", "bin").agg(F.count("*").alias("cnt")))
-    days = cents.select("day").distinct().withColumnRenamed("day", "tday")
+                F.lit(_SWQ_B - 1)).alias("bin"),
+        "c")
+        .groupBy("day", "bin").agg(F.sum("c").alias("cnt")))
+    days = dv.select("day").distinct().withColumnRenamed("day", "tday")
     offs = F.explode(F.sequence(F.lit(0), F.lit(_SWQ_DAYS - 1))).alias("off")
 
     merged = (daily.select("day", "bin", "cnt", offs)
@@ -720,7 +744,10 @@ def agg_histogram_sliding_quantiles(spark: SparkSession,
            .withColumn("n_w", F.sum("cnt").over(wt)))
 
     def crossing(num: int, den: int, src, out: str):
-        k = F.floor((num * F.col("n_w") + den - 1) / den)
+        # ceil(num*n_w/den) via Spark's `div` (true integer division
+        # on longs) — F.floor over `/` routes through a DOUBLE and
+        # diverges from the oracle's // past 2^53 (r9 ADVICE)
+        k = F.expr(f"({num} * n_w + {den - 1}) div {den}")
         return F.min(F.when(F.col("cum" if src == "bin" else "vcum") >= k,
                             F.col(src))).alias(out)
 
@@ -728,8 +755,7 @@ def agg_histogram_sliding_quantiles(spark: SparkSession,
           .agg(crossing(1, 2, "bin", "k50"),
                crossing(19, 20, "bin", "k95")))
 
-    vals = (cents.groupBy("day", "vc").agg(F.count("*").alias("c"))
-            .select("day", "vc", "c", offs)
+    vals = (dv.select("day", "vc", "c", offs)
             .select(F.date_add("day", F.col("off")).alias("tday"),
                     "vc", "c")
             .join(F.broadcast(days), "tday")

@@ -1289,9 +1289,12 @@ def agg_exact_quantiles_scalable(spark: SparkSession,
            .join(F.broadcast(n_per), "event_type"))
 
     def q_at(num: int, den: int, out: str):
-        # ceil(num*n/den) crossing = (num*n + den - 1) // den;
-        # F.floor because Spark's integer / is FLOAT division
-        k = F.floor((num * F.col("n") + den - 1) / den)
+        # ceil(num*n/den) crossing = (num*n + den - 1) // den — as
+        # Spark's `div` operator (true INTEGER division on longs):
+        # F.floor over `/` routes the dividend through a DOUBLE and
+        # loses exactness once num*n + den - 1 exceeds 2^53, while
+        # the oracle's // never does (r9 ADVICE)
+        k = F.expr(f"({num} * n + {den - 1}) div {den}")
         return F.min(F.when(F.col("cum") >= k, F.col("vc"))) \
             .cast("long").alias(out)
 

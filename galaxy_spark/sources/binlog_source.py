@@ -419,7 +419,18 @@ class BinlogStreamReader(DataSourceStreamReader):
         self._tracker()
         target = (_seg_key(file), pos)
         if target < (_seg_key(self._scan_file), self._scan_pos):
-            return str(self._gtids)     # watermark is already past
+            # the watermark is already PAST the target: the
+            # incremental tracker's set was computed for a LATER
+            # boundary, so returning it would overstate this
+            # offset's executed set — GTIDs between the target and
+            # the watermark would be stamped as executed on an
+            # offset that precedes them, and a relocation through
+            # that offset would skip them (r9 ADVICE, low). Rare
+            # path (latestOffset is monotone); recompute statelessly
+            # for exactly this boundary instead.
+            out = self._scan_gtids(file, pos)
+            out.merge(self._seed)
+            return str(out)
         for s in _segments(self.path):
             k = _seg_key(s)
             if self._scan_file and k < _seg_key(self._scan_file):
@@ -543,8 +554,16 @@ class BinlogStreamReader(DataSourceStreamReader):
                 # must still exist in the new history — renamed
                 # segments carry them, a deleted tail does not, and
                 # skipping a deleted tail silently is the data loss
-                # the purge checks refuse loudly elsewhere.
-                fresh = self._scan_gtids()
+                # the purge checks refuse loudly elsewhere. The scan
+                # is BOUNDED at the offset being returned: an
+                # unbounded directory scan raced against concurrent
+                # appends would fold GTIDs PAST (cur.file, cur.pos)
+                # into this offset's carried set even though they
+                # were never delivered, and a later checkpoint
+                # relocation through that offset would treat them as
+                # executed and silently skip those transactions
+                # (r9 ADVICE, medium).
+                fresh = self._scan_gtids(cur["file"], cur["pos"])
                 fresh.merge(getattr(self, "_seed", None)
                             or type(fresh)())
                 if not fresh.covers_set(self._gtids):
@@ -570,7 +589,8 @@ class BinlogStreamReader(DataSourceStreamReader):
         self._max_offset = cur
         return cur
 
-    def _resolve_offset(self, off: dict, segs_now: list[str]) -> dict:
+    def _resolve_offset(self, off: dict, segs_now: list[str],
+                        is_start: bool = False) -> dict:
         """Failover re-resolution: a checkpointed offset whose
         segment no longer exists names a dead primary's file — but
         if it carries the executed-GTID set, the set re-locates the
@@ -587,12 +607,17 @@ class BinlogStreamReader(DataSourceStreamReader):
             # the refuse-loudly purge checks in partitions()
             new = self._offset_after_gtids(off["gtids"])
             new["gtids"] = off["gtids"]
-            # the relocated offset was just derived from the current
-            # directory — the restart-time history check has nothing
-            # to verify against it (and would re-walk the directory
-            # for a tautology: _offset_after_gtids returns the point
-            # just before the first UNCOVERED transaction)
-            self._start_verified = True
+            if is_start:
+                # the relocated START was just derived from the
+                # current directory — the restart-time history check
+                # has nothing to verify against it (it would re-walk
+                # the directory for a tautology). Resolving only the
+                # END must NOT suppress the start check: if end's
+                # segment vanished but start's NAME survived a
+                # same-name rebuild, the start's bytes are exactly
+                # what _verify_start_history exists to vet (r9
+                # ADVICE, low).
+                self._start_verified = True
             return new
         return off
 
@@ -633,7 +658,7 @@ class BinlogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) \
             -> Sequence[InputPartition]:
         segs_now = _segments(self.path)
-        start = self._resolve_offset(start, segs_now)
+        start = self._resolve_offset(start, segs_now, is_start=True)
         end = self._resolve_offset(end, segs_now)
         if (start.get("gtids") and start.get("file") in segs_now
                 and not getattr(self, "_start_verified", False)):

@@ -1320,3 +1320,170 @@ def test_starting_timestamp_keeps_anchor_through_savepoint(tmp_path):
     assert off["pos"] == anchor_pos, \
         "resume must snap to the transaction's GTID boundary, not " \
         "tear the open transaction at the SAVEPOINT"
+
+
+def test_live_failover_adoption_scan_bounded_at_offset(tmp_path):
+    """r9 ADVICE (medium): on live floor-release failover, the
+    adoption scan must be BOUNDED at the offset being returned —
+    GTIDs appended between the _end_of_dir() sample and the scan
+    would otherwise fold into the committed offset's carried set
+    despite lying past its boundary, and a later relocation through
+    that offset would treat them as executed and skip them."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    uuid = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+           f"{sid[16:20]}-{sid[20:32]}"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(gnos):
+        w = BinlogWriter()
+        w.format_description()
+        for g in gnos:
+            w.gtid(sid, g)
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[g, f"o-{g}"]])
+            w.xid(900 + g)
+        return w.bytes()
+
+    d = str(tmp_path / "adoption_bound")
+    os.makedirs(d)
+    old = os.path.join(d, "old-primary.000007.bin")
+    with open(old, "wb") as f:
+        f.write(seg([1, 2]))
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    rd.latestOffset()                  # observes 1-2, pins floor
+
+    # failover to a BELOW-sorting name carrying 1-3 plus txn 4
+    os.remove(old)
+    with open(os.path.join(d, "new-primary.000001.bin"), "wb") as f:
+        f.write(seg([1, 2, 3, 4]))
+
+    # simulate the race: the end-of-dir sample landed BEFORE txn 4
+    # was appended (the directory then grew behind the sample)
+    probe = _mk_reader(d)
+    boundary = probe._offset_after_gtids(f"{uuid}:1-3")
+    assert boundary["file"] == "new-primary.000001.bin"
+    real_end = rd._end_of_dir
+    rd._end_of_dir = lambda: dict(boundary)
+    try:
+        off = rd.latestOffset()
+    finally:
+        rd._end_of_dir = real_end
+    carried = GtidSet.parse(off["gtids"])
+    assert carried.covers(f"{uuid}:3")
+    assert not carried.covers(f"{uuid}:4"), \
+        "carried set must not claim GTIDs past the offset boundary"
+
+
+def test_end_resolution_must_not_suppress_start_history_check(
+        tmp_path):
+    """r9 ADVICE (low): resolving the END offset through its carried
+    GTID set must NOT mark the START verified — when end's segment
+    vanished but start's NAME survived a same-name rebuild, start's
+    byte position points into different content and only
+    _verify_start_history can catch it."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid_a = "0f81a2b3c4d5e6f7081922aabbccddee"
+    sid_b = "ffffa2b3c4d5e6f7081922aabbccddee"
+    ua = f"{sid_a[0:8]}-{sid_a[8:12]}-{sid_a[12:16]}-" \
+         f"{sid_a[16:20]}-{sid_a[20:32]}"
+    ub = f"{sid_b[0:8]}-{sid_b[8:12]}-{sid_b[12:16]}-" \
+         f"{sid_b[16:20]}-{sid_b[20:32]}"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(txns):
+        w = BinlogWriter()
+        w.format_description()
+        for sid, g in txns:
+            w.gtid(sid, g)
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[g, "x"]])
+            w.xid(900 + g)
+        return w.bytes()
+
+    d = str(tmp_path / "end_resolve_gate")
+    os.makedirs(d)
+    f1 = os.path.join(d, "binlog.000001.bin")
+    f2 = os.path.join(d, "binlog.000002.bin")
+    with open(f1, "wb") as f:
+        f.write(seg([(sid_a, 1), (sid_a, 2), (sid_a, 3)]))
+    with open(f2, "wb") as f:
+        f.write(seg([(sid_a, 4)]))
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    start_pos = os.path.getsize(f1)
+    start = {"file": "binlog.000001.bin", "pos": start_pos,
+             "gtids": f"{ua}:1-3"}
+    end = {"file": "binlog.000002.bin",
+           "pos": os.path.getsize(f2),
+           "gtids": f"{ua}:1-4,{ub}:1"}
+
+    # same-NAME rebuild: 000002 gone, 000001 replaced by a history
+    # that interleaves a FOREIGN transaction below start's boundary
+    # yet is fully covered by end's carried set (so end resolves)
+    os.remove(f2)
+    with open(f1, "wb") as f:
+        f.write(seg([(sid_a, 1), (sid_b, 1), (sid_a, 2),
+                     (sid_a, 3), (sid_a, 4)]))
+
+    rd2 = _mk_reader(d)                # fresh instance = restart
+    with _pytest.raises(ValueError, match="history mismatch"):
+        rd2.partitions(start, rd2._resolve_offset(
+            end, ["binlog.000001.bin"]) | {})
+    # and via the public path too: a fresh instance resolving BOTH
+    rd3 = _mk_reader(d)
+    with _pytest.raises(ValueError, match="history mismatch"):
+        rd3.partitions(start, end)
+
+
+def test_gtids_at_below_watermark_recomputes_statelessly(tmp_path):
+    """r9 ADVICE (low): asking _gtids_at for a boundary BELOW the
+    incremental watermark must not hand back the watermark's (later)
+    set — the offset would claim GTIDs it precedes. It must
+    recompute for exactly the requested boundary."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    uuid = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+           f"{sid[16:20]}-{sid[20:32]}"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter()
+    w.format_description()
+    for g in (1, 2, 3, 4):
+        w.gtid(sid, g)
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", cols)
+        w.write_rows(7, cols, [[g, f"o-{g}"]])
+        w.xid(900 + g)
+    d = str(tmp_path / "below_wm")
+    os.makedirs(d)
+    fp = os.path.join(d, "binlog.000001.bin")
+    with open(fp, "wb") as f:
+        f.write(w.bytes())
+
+    rd = _mk_reader(d)
+    end = rd._end_of_dir()
+    assert GtidSet.parse(
+        rd._gtids_at(end["file"], end["pos"])).covers(f"{uuid}:4")
+
+    boundary = rd._offset_after_gtids(f"{uuid}:1-2")
+    below = GtidSet.parse(rd._gtids_at(boundary["file"],
+                                       boundary["pos"]))
+    assert below.covers(f"{uuid}:2")
+    assert not below.covers(f"{uuid}:3"), \
+        "below-watermark set must be computed for the requested " \
+        "boundary, not echoed from the later watermark"

@@ -769,3 +769,23 @@ def test_hash_split_zero_fraction_and_unit_bounds(spark):
         seed=13).groupBy("split").count().collect())
     assert counts.get("test", 0) == 0
     assert counts["train"] + counts.get("valid", 0) == docs.count()
+
+
+def test_sliding_quantiles_single_raw_scan(q):
+    """r10 fused the sliding-quantile row's separate min/max pass:
+    bin edges, daily histograms, the day universe AND the exact
+    instrument all derive from ONE checkpointed (day, distinct-cent)
+    frame — the final plan must consume the checkpoint only (zero
+    FileScan), keep the fan-out generator above aggregated state,
+    and never go cartesian."""
+    df = q("agg_histogram_sliding_quantiles")
+    from galaxy_spark.plans import physical_plan
+
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") == 0, \
+        "raw events must be scanned once into the checkpointed " \
+        "(day, vc) frame; every downstream consumer reads that"
+    assert "partial_sum" in p, \
+        "histogram merge must partial-aggregate map-side"
+    assert broadcast_join_count(df) >= 2
