@@ -2095,3 +2095,143 @@ def test_streaming_sliding_wau_restart_resumes(spark, tmp_path):
                   for r in all_queries()["agg_hll_sliding_distinct_users"](
                       spark, SF).collect())
     assert got == want and len(got) > 10
+
+
+# ------------------------------------------------------------------
+# Streaming incremental near-dup index (durable MinHash-LSH)
+# ------------------------------------------------------------------
+
+def _near_dup_stores(spark, tmp_path, tag):
+    from galaxy_spark.streaming.state_store import (ParquetDocStore,
+                                                    ParquetLshStore,
+                                                    ParquetPairStore)
+
+    return (ParquetLshStore(spark, str(tmp_path / f"{tag}_lsh")),
+            ParquetDocStore(spark, str(tmp_path / f"{tag}_docs")),
+            ParquetPairStore(spark, str(tmp_path / f"{tag}_pairs")))
+
+
+def test_streaming_near_dup_index_matches_batch(spark, tmp_path):
+    """The r9 verdict's top item: near-dup-check every micro-batch
+    against ALL previously streamed documents on a durable growing
+    LSH index. Union of per-batch pair emissions over the replayed
+    corpus == the batch ``dedup_minhash_lsh`` answer pair-for-pair
+    and jaccard-for-jaccard — and the match is NOT vacuous: pairs
+    must span arrival slices (cross-batch matches through the
+    index), not just co-arrive."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        lsh_probe_pairs, start_streaming_near_dup_index,
+        streaming_near_dup_pairs)
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "nd_src")
+    for k in range(3):                 # three mtime-separated slices
+        (docs.filter(F.col("doc_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    lsh, dstore, pairs = _near_dup_stores(spark, tmp_path, "nd")
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_streaming_near_dup_index(
+        stream, lsh, dstore, pairs, str(tmp_path / "nd_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    commits = os.listdir(os.path.join(str(tmp_path / "nd_ck"),
+                                      "commits"))
+    assert len([c for c in commits if c.isdigit()]) >= 3
+
+    got = sorted((r.id_a, r.id_b, r.jaccard)
+                 for r in streaming_near_dup_pairs(pairs).collect())
+    want = sorted((r.id_a, r.id_b, r.jaccard)
+                  for r in all_queries()["dedup_minhash_lsh"](
+                      spark, SF).collect())
+    assert got == want and len(want) >= 3
+    assert any(a % 3 != b % 3 for a, b, _ in got), \
+        "no cross-slice pair: the growing-index probe went untested"
+
+    # replay insensitivity: after all inserts, re-probing a slice
+    # under a FRESH epoch key (claim-skip can't help) emits a
+    # subset of already-known pairs at identical jaccard — MAX
+    # folds it away
+    replay = lsh_probe_pairs(docs.filter(F.col("doc_id") % 3 == 0),
+                             lsh, dstore)
+    lin = sorted(pairs.lineages())[0]
+    pairs.merge(replay, f"zz{lin}.000000000099")
+    got2 = sorted((r.id_a, r.id_b, r.jaccard)
+                  for r in streaming_near_dup_pairs(pairs).collect())
+    assert got2 == got
+
+
+def test_streaming_near_dup_index_restart_resumes(spark, tmp_path):
+    """Kill/restart mid-stream: stop after the first half commits,
+    append the rest, resume from the SAME checkpoint against the
+    SAME stores — emissions still equal the batch answer (epoch
+    claims + idempotent MAX folds make the replay window safe)."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        start_streaming_near_dup_index, streaming_near_dup_pairs)
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "ndr_src")
+    (docs.filter(F.col("doc_id") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    lsh, dstore, pairs = _near_dup_stores(spark, tmp_path, "ndr")
+    ck = str(tmp_path / "ndr_ck")
+
+    def start():
+        stream = spark.readStream.schema(docs.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_near_dup_index(stream, lsh, dstore,
+                                              pairs, ck)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()                           # the "kill"
+    mid = streaming_near_dup_pairs(pairs).count()
+
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.id_a, r.id_b, r.jaccard)
+                 for r in streaming_near_dup_pairs(pairs).collect())
+    want = sorted((r.id_a, r.id_b, r.jaccard)
+                  for r in all_queries()["dedup_minhash_lsh"](
+                      spark, SF).collect())
+    assert got == want and len(want) > mid >= 0
+
+
+def test_lsh_probe_plans_as_equi_join(spark, tmp_path):
+    """The probe against the grown index must plan as an EQUI-join
+    on (band, bucket) — hash/sort-merge/broadcast-HASH — never a
+    cartesian or nested-loop product; same only-wide-operation
+    contract the batch tier pins."""
+    from galaxy_spark.plans import physical_plan
+    from galaxy_spark.streaming.state_store import (
+        lsh_probe_pairs, partial_lsh_index)
+
+    docs = load_table(spark, SF, "documents")
+    lsh, dstore, _ = _near_dup_stores(spark, tmp_path, "ndp")
+    lsh.merge(partial_lsh_index(docs.filter(F.col("doc_id") % 2 == 0)),
+              "lin.000000000000")
+    dstore.merge(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id"), "text"),
+        "lin.000000000000")
+    probe = lsh_probe_pairs(docs.filter(F.col("doc_id") % 2 == 1),
+                            lsh, dstore)
+    p = physical_plan(probe)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert probe.count() >= 0          # the plan executes
