@@ -1473,6 +1473,15 @@ _KMV_K = 256
 _KMV_2P48 = float(1 << 48)
 
 
+def _kmv_hv(col):
+    """The KMV hash: 48-bit md5-slice BIGINT (the repo's
+    engine-portable hash discipline). Shared with the streaming
+    twin (``state_store.partial_kmv``) so batch and stream cannot
+    drift — the ``_cms_positions`` pattern."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12),
+                  16, 10).cast("long")
+
+
 @register(
     "agg_kmv_set_intersection",
     oracle=f"""
@@ -1563,8 +1572,7 @@ def agg_kmv_set_intersection(spark: SparkSession,
     exact integers (the HLL est pattern).
     """
     od = load_table(spark, sf_dir, "orders")
-    hv = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")),
-                            1, 12), 16, 10).cast("long").alias("hv")
+    hv = _kmv_hv(F.col("o_custkey")).alias("hv")
     a = (od.filter(F.col("o_orderstatus") == "F").select(hv).distinct()
          .localCheckpoint(eager=False))
     b = (od.filter(F.col("o_orderstatus") == "O").select(hv).distinct()

@@ -1051,3 +1051,107 @@ def streaming_near_dup_pairs(pair_store: ParquetPairStore) -> DataFrame:
     value-for-value (pinned in tests/test_streaming.py)."""
     return pair_store.state().select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# ------------------------------------------------------------------
+# Streaming KMV (k-minimum-values) sketches on the durable store
+# ------------------------------------------------------------------
+
+class ParquetKmvStore(KeyedParquetStore):
+    """Streaming KMV sketch per SET (side): the k smallest distinct
+    48-bit hashes as ONE bounded array row per side. Min-k
+    truncation is a true monoid — trunc_k(A ∪ B) =
+    trunc_k(trunc_k(A) ∪ trunc_k(B)) (dropping anything above the
+    k-th smallest can never evict a global top-k member) — and the
+    fold is IDEMPOTENT (set union), so like the HLL registers a
+    replayed partial cannot move the sketch even without the epoch
+    claim. This was the one mergeable sketch in the batch axis
+    (``agg_kmv_set_intersection``) without a streaming counterpart
+    (r9 verdict #4). State is O(sides × k) — fixed-size regardless
+    of key cardinality."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 k: int = 256, n_buckets: int = 2) -> None:
+        self.k = k
+        super().__init__(
+            spark, path, ["side"],
+            [F.slice(F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("hvs")))), 1, k).alias("hvs")],
+            n_buckets,
+            state_schema="side string, hvs array<bigint>")
+
+
+def partial_kmv(batch_df: DataFrame, side_col: str, key_col: str,
+                k: int = 256) -> DataFrame:
+    """One micro-batch's per-side min-k distinct hashes (the batch
+    query's exact md5-slice arithmetic, shared import). The
+    row_number pre-truncation bounds each side's collect at k rows
+    — per-batch driver-free, one exchange on the side key; the
+    per-side sort is over the BATCH's distinct hashes only (the
+    TakeOrderedAndProject analog with an explicit key)."""
+    from pyspark.sql import Window
+
+    from galaxy_spark.queries.indexing import _kmv_hv
+
+    w = Window.partitionBy("side").orderBy("hv")
+    return (batch_df
+            .select(F.col(side_col).alias("side"),
+                    _kmv_hv(F.col(key_col)).alias("hv"))
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("side")
+            .agg(F.array_sort(F.collect_set("hv")).alias("hvs")))
+
+
+def start_streaming_kmv(stream: DataFrame, store: ParquetKmvStore,
+                        checkpoint_dir: str, side_col: str,
+                        key_col: str) -> StreamingQuery:
+    """Maintain per-side KMV sketches from one stream."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(checkpoint_dir, (store,), lineage)
+        store.merge(partial_kmv(batch_df, side_col, key_col,
+                                store.k),
+                    f"{lin}.{epoch_id:012d}")
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_kmv_sketch(store: ParquetKmvStore) -> DataFrame:
+    """The accumulated sketches as (side, hv) element rows — over
+    the same data this equals the batch tier's per-side min-k frame
+    ELEMENT-FOR-ELEMENT (pinned in tests/test_streaming.py)."""
+    return (store.state()
+            .select("side", F.explode("hvs").alias("hv")))
+
+
+def streaming_kmv_union_stats(store: ParquetKmvStore,
+                              side_a: str,
+                              side_b: str) -> DataFrame:
+    """The set-algebra instrument off two stored sketches: union
+    sketch = min-k of the two arrays' union, cnt/hk as its
+    size/max, j = union members present in BOTH sides — identical
+    integers to the batch query's (cnt, hk, j), from pure array ops
+    over two bounded rows (no shuffle at all)."""
+    k = store.k
+    sides = (store.state()
+             .filter(F.col("side").isin(side_a, side_b))
+             .groupBy()
+             .agg(F.max(F.when(F.col("side") == side_a,
+                               F.col("hvs"))).alias("a"),
+                  F.max(F.when(F.col("side") == side_b,
+                               F.col("hvs"))).alias("b")))
+    u = F.slice(F.array_sort(F.array_distinct(
+        F.concat(F.coalesce(F.col("a"), F.array()),
+                 F.coalesce(F.col("b"), F.array())))), 1, k)
+    return (sides.select(F.col("a"), F.col("b"), u.alias("u"))
+            .select(
+                F.size("u").cast("long").alias("cnt"),
+                F.array_max("u").alias("hk"),
+                F.size(F.array_intersect(
+                    F.array_intersect("u", "a"), "b"))
+                .cast("long").alias("j")))

@@ -2235,3 +2235,112 @@ def test_lsh_probe_plans_as_equi_join(spark, tmp_path):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert probe.count() >= 0          # the plan executes
+
+
+# ------------------------------------------------------------------
+# Streaming KMV sketches on the durable store
+# ------------------------------------------------------------------
+
+def _orders_fo(spark):
+    return (load_table(spark, SF, "orders")
+            .filter(F.col("o_orderstatus").isin("F", "O"))
+            .select("o_orderkey", "o_orderstatus", "o_custkey"))
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """The accumulated per-side KMV sketches equal the batch tier's
+    min-k frames ELEMENT-FOR-ELEMENT, and the union-sketch
+    instrument reproduces the registered query's (cnt, hk, j)
+    integers exactly. Plus the monoid's replay story: a re-merged
+    full partial under a fresh epoch key cannot move a sketch."""
+    import time as _time
+
+    from galaxy_spark.queries.indexing import _KMV_K, _kmv_hv
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetKmvStore, partial_kmv, start_streaming_kmv,
+        streaming_kmv_sketch, streaming_kmv_union_stats)
+
+    od = _orders_fo(spark)
+    src = str(tmp_path / "kmv_src")
+    for k in range(3):
+        (od.filter(F.col("o_orderkey") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetKmvStore(spark, str(tmp_path / "kmv_store"))
+    stream = spark.readStream.schema(od.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_streaming_kmv(stream, store, str(tmp_path / "kmv_ck"),
+                            side_col="o_orderstatus",
+                            key_col="o_custkey")
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.side, r.hv)
+                 for r in streaming_kmv_sketch(store).collect())
+    want = []
+    for side in ("F", "O"):
+        rows = (od.filter(F.col("o_orderstatus") == side)
+                .select(_kmv_hv(F.col("o_custkey")).alias("hv"))
+                .distinct().orderBy("hv").limit(_KMV_K).collect())
+        want += [(side, r.hv) for r in rows]
+    assert got == sorted(want) and len(want) > 10
+
+    got_u = streaming_kmv_union_stats(store, "F", "O").collect()[0]
+    want_u = all_queries()["agg_kmv_set_intersection"](
+        spark, SF).collect()[0]
+    assert (got_u.cnt, got_u.hk, got_u.j) == \
+        (want_u.cnt, want_u.hk, want_u.j)
+
+    # idempotence without the claim: full-corpus partial, new epoch
+    store.merge(partial_kmv(od, "o_orderstatus", "o_custkey",
+                            store.k), "zzreplay.000000000099")
+    assert sorted((r.side, r.hv)
+                  for r in streaming_kmv_sketch(store).collect()) == got
+
+
+def test_streaming_kmv_restart_and_truncation(spark, tmp_path):
+    """Kill/restart mid-stream at a small k (so every merge runs in
+    the TRUNCATING regime — the monoid claim under stress): the
+    resumed store still equals the batch min-k over everything."""
+    import time as _time
+
+    from galaxy_spark.queries.indexing import _kmv_hv
+    from galaxy_spark.streaming.state_store import (
+        ParquetKmvStore, start_streaming_kmv, streaming_kmv_sketch)
+
+    od = _orders_fo(spark)
+    src = str(tmp_path / "kmvr_src")
+    (od.filter(F.col("o_orderkey") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    store = ParquetKmvStore(spark, str(tmp_path / "kmvr_store"), k=16)
+    ck = str(tmp_path / "kmvr_ck")
+
+    def start():
+        stream = spark.readStream.schema(od.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_kmv(stream, store, ck,
+                                   side_col="o_orderstatus",
+                                   key_col="o_custkey")
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()                           # the "kill"
+    _time.sleep(1.1)
+    (od.filter(F.col("o_orderkey") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.side, r.hv)
+                 for r in streaming_kmv_sketch(store).collect())
+    want = []
+    for side in ("F", "O"):
+        rows = (od.filter(F.col("o_orderstatus") == side)
+                .select(_kmv_hv(F.col("o_custkey")).alias("hv"))
+                .distinct().orderBy("hv").limit(16).collect())
+        want += [(side, r.hv) for r in rows]
+    assert got == sorted(want) and len(got) == 32
