@@ -100,6 +100,13 @@ GTID_EVENT = 33
 ANONYMOUS_GTID_EVENT = 34
 PREVIOUS_GTIDS_EVENT = 35
 TRANSACTION_PAYLOAD_EVENT = 40
+#: MariaDB's replication event range (>= 160, flavor-specific —
+#: the reference supports the flavor as a one-string go-mysql
+#: config, ``internal/sync_server/sync.go:47``)
+MARIADB_ANNOTATE_ROWS_EVENT = 160
+MARIADB_BINLOG_CHECKPOINT_EVENT = 161
+MARIADB_GTID_EVENT = 162
+MARIADB_GTID_LIST_EVENT = 163
 
 _ACTIONS = {WRITE_ROWS_EVENT_V2: "insert",
             UPDATE_ROWS_EVENT_V2: "update",
@@ -879,6 +886,50 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             events.append(DecodedEvent("stop", ts, log_pos))
         elif etype == HEARTBEAT_EVENT:
             events.append(DecodedEvent("heartbeat", ts, log_pos))
+        elif etype == MARIADB_GTID_EVENT:
+            # MariaDB GTID (type 162): u64 sequence, u32 domain, u8
+            # flags2 (+ optional commit-id/XA fields the flags gate
+            # — positional bookkeeping, skipped). The GTID's
+            # server_id is the event HEADER's server_id; text form
+            # is domain-server-sequence. An event WITHOUT
+            # FL_STANDALONE (0x01) also opens the transaction group
+            # (MariaDB replaces the BEGIN Query with it).
+            seq = r.u64()
+            domain = r.u32()
+            flags2 = r.u8()
+            events.append(DecodedEvent(
+                "gtid", ts, log_pos,
+                gtid=f"{domain}-{_server_id}-{seq}",
+                query=("standalone" if flags2 & 0x01 else None)))
+        elif etype == MARIADB_GTID_LIST_EVENT:
+            # MariaDB GTID_LIST (type 163): the flavor's
+            # PREVIOUS_GTIDS analog — u32 with the count in the low
+            # 28 bits, then count x (u32 domain, u32 server_id,
+            # u64 seq). Carried as text so resume logic can seed
+            # from it (MySQL's PREVIOUS_GTIDS stays opaque for
+            # compatibility with the documented file/pos scope).
+            cnt = r.u32() & 0x0FFFFFFF
+            gtids = []
+            for _ in range(cnt):
+                d = r.u32()
+                s = r.u32()
+                q = r.u64()
+                gtids.append(f"{d}-{s}-{q}")
+            events.append(DecodedEvent("gtid_list", ts, log_pos,
+                                       gtid=",".join(gtids)))
+        elif etype == MARIADB_ANNOTATE_ROWS_EVENT:
+            # MariaDB's ROWS_QUERY analog: the body IS the SQL text
+            # (no length byte) — surfaced under the same kind so
+            # downstream treats both flavors' annotations uniformly
+            events.append(DecodedEvent(
+                "rows_query", ts, log_pos,
+                query=r.rest().decode("utf-8", "replace")))
+        elif etype == MARIADB_BINLOG_CHECKPOINT_EVENT:
+            # crash-recovery watermark: u32 len + binlog file name;
+            # informational for a replica
+            events.append(DecodedEvent(
+                "binlog_checkpoint", ts, log_pos,
+                next_file=r.take(r.u32()).decode()))
         else:
             raise ValueError(f"unsupported binlog event type {etype}")
     return events

@@ -301,11 +301,14 @@ class GtidSet:
             if cls._MARIADB_GTID.match(part):
                 raise ValueError(
                     f"{part!r} is a MariaDB GTID (domain-server-"
-                    f"sequence); this client implements MySQL's "
-                    f"COM_BINLOG_DUMP_GTID auto-position, not the "
-                    f"MariaDB handshake (@slave_connect_state over "
-                    f"COM_BINLOG_DUMP) — against MariaDB, resume by "
-                    f"file/pos offsets instead of startingGtids")
+                    f"sequence) — this is the MySQL-flavor set "
+                    f"(COM_BINLOG_DUMP_GTID auto-position). Against "
+                    f"MariaDB pass flavor=mariadb: the client then "
+                    f"speaks the MariaDB handshake "
+                    f"(@slave_connect_state + "
+                    f"@mariadb_slave_capability over "
+                    f"COM_BINLOG_DUMP) and parses this set as a "
+                    f"MariaDbGtidSet")
             uuid, *ranges = part.split(":")
             if not ranges:
                 raise ValueError(f"malformed gtid set entry {part!r}")
@@ -413,6 +416,78 @@ class GtidSet:
                 p += 16
                 out._insert(sid, s, e)
         return out
+
+
+class MariaDbGtidSet:
+    """MariaDB's replication position: ONE GTID per DOMAIN
+    (``domain-server_id-sequence``; sequences are totally ordered
+    within a domain), so the set is ``{domain: (server_id, seq)}``
+    keeping the greatest sequence seen — not interval algebra.
+    Text form is the comma-joined per-domain list MariaDB's
+    ``@@gtid_slave_pos`` / ``@slave_connect_state`` carry.
+
+    Coverage semantics mirror the server's: ``D-S-N`` is covered
+    iff the set's domain-D position is at sequence >= N (the
+    server_id is provenance, not ordering — a failover changes it
+    while sequences continue). The same operations GtidSet exposes
+    (parse/add/covers/merge/covers_set/str) make this a drop-in
+    flavor variant behind the source's recognition seam.
+
+    The reference reaches MariaDB with go-mysql's one-string
+    ``Flavor: "mariadb"`` config (``internal/sync_server/
+    sync.go:47``); this class plus the ``flavor`` parameters on
+    ``_start_dump``/``tail_binlog``/``relay_to_segments`` are that
+    switch re-expressed over raw bytes."""
+
+    _FORM = re.compile(r"^(\d+)-(\d+)-(\d+)$")
+
+    def __init__(self) -> None:
+        self._domains: dict[int, tuple[int, int]] = {}
+
+    @classmethod
+    def parse(cls, text: str) -> "MariaDbGtidSet":
+        out = cls()
+        for part in filter(None,
+                           (p.strip() for p in text.split(","))):
+            m = cls._FORM.match(part)
+            if not m:
+                raise ValueError(
+                    f"{part!r} is not a MariaDB GTID (expected "
+                    "domain-server_id-sequence, three decimal "
+                    "fields); MySQL uuid:interval sets belong to "
+                    "flavor=mysql")
+            out.add(part)
+        return out
+
+    def add(self, gtid: str) -> None:
+        d, s, n = (int(x) for x in gtid.split("-"))
+        cur = self._domains.get(d)
+        if cur is None or n > cur[1]:
+            self._domains[d] = (s, n)
+
+    def covers(self, gtid: str) -> bool:
+        d, _s, n = (int(x) for x in gtid.split("-"))
+        cur = self._domains.get(d)
+        return cur is not None and n <= cur[1]
+
+    def merge(self, other: "MariaDbGtidSet") -> None:
+        for d, (s, n) in other._domains.items():
+            self.add(f"{d}-{s}-{n}")
+
+    def covers_set(self, other: "MariaDbGtidSet") -> bool:
+        """Every domain position in ``other`` at or below this
+        set's — the purge/failover gate predicate (MariaDB's own
+        error-1236 analog compares @slave_connect_state against
+        gtid_binlog_state the same way)."""
+        return all(d in self._domains and n <= self._domains[d][1]
+                   for d, (_s, n) in other._domains.items())
+
+    def __bool__(self) -> bool:
+        return bool(self._domains)
+
+    def __str__(self) -> str:
+        return ",".join(f"{d}-{s}-{n}"
+                        for d, (s, n) in sorted(self._domains.items()))
 
 
 def build_binlog_dump_gtid(server_id: int, gtid_set: GtidSet,
@@ -553,33 +628,73 @@ def build_query(sql: str) -> bytes:
     return bytes([COM_QUERY]) + sql.encode()
 
 
+def _set_var(conn: PacketConn, sql: str) -> None:
+    conn.write_payload(build_query(sql), seq=0)
+    kind, info = classify_response(conn.read_packet())
+    if kind != "ok":
+        raise ConnectionError(f"{sql.split('=')[0].strip()} "
+                              f"refused: {info}")
+
+
 def _start_dump(conn: PacketConn, server_id: int, file: str,
-                pos: int, gtid_set: GtidSet | None = None) -> None:
+                pos: int, gtid_set: GtidSet | None = None,
+                flavor: str = "mysql") -> None:
     """The pre-dump command phase a real 5.6+ master REQUIRES:
     ``SET @master_binlog_checksum = @@global.binlog_checksum``
     (without it a default-configured server refuses the dump with
     'Slave can not handle replication events with the checksum...'
     — the statement returns a plain OK, no resultset needed), then
     COM_REGISTER_SLAVE, then COM_BINLOG_DUMP — or, when a
-    ``gtid_set`` is given, COM_BINLOG_DUMP_GTID (auto-position:
-    ``file``/``pos`` are ignored; the server resumes at the first
-    transaction not in the set)."""
-    conn.write_payload(build_query(
-        "SET @master_binlog_checksum = @@global.binlog_checksum"),
-        seq=0)
-    kind, info = classify_response(conn.read_packet())
-    if kind != "ok":
-        raise ConnectionError(
-            f"SET @master_binlog_checksum refused: {info}")
+    ``gtid_set`` is given, the flavor's auto-position:
+
+    - ``flavor="mysql"``: COM_BINLOG_DUMP_GTID (``file``/``pos``
+      ignored; the server resumes at the first transaction not in
+      the set);
+    - ``flavor="mariadb"``: MariaDB has NO separate dump command —
+      GTID resume is carried in SESSION VARIABLES before a plain
+      COM_BINLOG_DUMP with an empty file name:
+      ``@slave_connect_state`` (the per-domain position list) and
+      ``@mariadb_slave_capability=4`` (DML-in-GTID-groups tier,
+      what current go-mysql/mariadb replicas announce). The server
+      then streams from the first event past the connect state —
+      exactly go-mysql's ``Flavor: "mariadb"`` behavior
+      (``sync.go:47``)."""
+    if flavor not in ("mysql", "mariadb"):
+        raise ValueError(f"unknown flavor {flavor!r}: expected "
+                         "'mysql' or 'mariadb'")
+    if gtid_set is not None:
+        want = MariaDbGtidSet if flavor == "mariadb" else GtidSet
+        if not isinstance(gtid_set, want):
+            raise ValueError(
+                f"gtid_set is {type(gtid_set).__name__} but "
+                f"flavor={flavor!r} needs {want.__name__} — the "
+                "two flavors' GTID models are not convertible")
+    _set_var(conn,
+             "SET @master_binlog_checksum = @@global.binlog_checksum")
+    if flavor == "mariadb" and gtid_set is not None:
+        # order matters on a real server: the connect state must be
+        # present before the dump command, and capability >= 4
+        # tells the server this replica understands GTID event
+        # groups (it strips nothing)
+        _set_var(conn,
+                 f"SET @slave_connect_state = '{gtid_set}'")
+        _set_var(conn, "SET @mariadb_slave_capability = 4")
     conn.write_payload(build_register_slave(server_id), seq=0)
     kind, info = classify_response(conn.read_packet())
     if kind != "ok":
         raise ConnectionError(f"COM_REGISTER_SLAVE refused: {info}")
-    if gtid_set is not None:
+    if flavor == "mysql" and gtid_set is not None:
         conn.write_payload(build_binlog_dump_gtid(
             server_id, gtid_set, non_blocking=True), seq=0)
     else:
-        conn.write_payload(build_binlog_dump(server_id, file, pos,
+        # MariaDB GTID resume: empty file name + pos 4 (the connect
+        # state owns the position); file/pos mode passes through
+        dump_file = "" if (flavor == "mariadb"
+                           and gtid_set is not None) else file
+        dump_pos = 4 if (flavor == "mariadb"
+                         and gtid_set is not None) else pos
+        conn.write_payload(build_binlog_dump(server_id, dump_file,
+                                             dump_pos,
                                              non_blocking=True), seq=0)
 
 
@@ -604,9 +719,10 @@ def _rotate_next_name(ev: bytes) -> tuple[str, bool]:
 def relay_to_segments(sock, user: str, password: str, server_id: int,
                       file: str, pos: int, out_dir: str,
                       max_events: int | None = None,
-                      gtid_set: GtidSet | None = None,
+                      gtid_set: "GtidSet | MariaDbGtidSet | None" = None,
                       ssl_context=None,
-                      server_hostname: str | None = None) -> int:
+                      server_hostname: str | None = None,
+                      flavor: str = "mysql") -> int:
     """The wire -> Spark bridge, shaped like MySQL's own relay log:
     this function is the RELAY WRITER — it speaks the replication
     protocol (authenticate, register, dump) and appends the raw
@@ -634,7 +750,8 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
     conn = PacketConn(sock)
     authenticate(conn, user, password, ssl_context=ssl_context,
                  server_hostname=server_hostname)
-    _start_dump(conn, server_id, file, pos, gtid_set=gtid_set)
+    _start_dump(conn, server_id, file, pos, gtid_set=gtid_set,
+                flavor=flavor)
 
     os.makedirs(out_dir, exist_ok=True)
     crc32_mode = False
@@ -742,9 +859,10 @@ def relay_to_segments(sock, user: str, password: str, server_id: int,
 
 def tail_binlog(sock, user: str, password: str, server_id: int,
                 file: str, pos: int, max_events: int | None = None,
-                gtid_set: GtidSet | None = None,
+                gtid_set: "GtidSet | MariaDbGtidSet | None" = None,
                 ssl_context=None,
-                server_hostname: str | None = None):
+                server_hostname: str | None = None,
+                flavor: str = "mysql"):
     """Generator over DecodedEvents from a live replication stream:
     authenticate, COM_REGISTER_SLAVE, COM_BINLOG_DUMP(file, pos) —
     or COM_BINLOG_DUMP_GTID auto-position when ``gtid_set`` is
@@ -765,7 +883,8 @@ def tail_binlog(sock, user: str, password: str, server_id: int,
     conn = PacketConn(sock)
     authenticate(conn, user, password, ssl_context=ssl_context,
                  server_hostname=server_hostname)
-    _start_dump(conn, server_id, file, pos, gtid_set=gtid_set)
+    _start_dump(conn, server_id, file, pos, gtid_set=gtid_set,
+                flavor=flavor)
 
     # incremental decode: accumulate event bytes; decode_binlog is
     # re-run over the buffer so TABLE_MAP state is always in scope.

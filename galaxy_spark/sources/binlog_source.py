@@ -253,6 +253,81 @@ class BinlogStreamReader(DataSourceStreamReader):
                 f"include={self.include!r}: expected 'rows' (row "
                 "changes) or 'ddl' (QUERY events for the schema-"
                 "evolution path)")
+        #: GTID flavor: MySQL uuid:interval sets over
+        #: GTID/PREVIOUS_GTIDS events (33/34/35) vs MariaDB
+        #: domain-server-seq positions over GTID/GTID_LIST events
+        #: (162/163). The reference flips go-mysql's one-string
+        #: Flavor config (sync.go:47); here every GTID-bearing
+        #: code path (auto-position scan, continuous tracker,
+        #: failover gates, purge checks) resolves its event types,
+        #: set class and event reader through this seam.
+        self.flavor = options.get("flavor", "mysql")
+        if self.flavor not in ("mysql", "mariadb"):
+            raise ValueError(
+                f"flavor={self.flavor!r}: expected 'mysql' or "
+                "'mariadb'")
+
+    # -- flavor seam (event types, set class, event readers) -------
+    def _gset_cls(self):
+        from galaxy_spark.cdc.replication_client import (GtidSet,
+                                                         MariaDbGtidSet)
+
+        return MariaDbGtidSet if self.flavor == "mariadb" else GtidSet
+
+    def _etypes(self) -> tuple[int, int | None, int]:
+        """(gtid_etype, anonymous_etype | None, previous_etype) for
+        the flavor. MariaDB has no anonymous-GTID mode (GTIDs are
+        always on since 10.0), and GTID_LIST plays PREVIOUS_GTIDS'
+        purge-gate/seed role."""
+        from galaxy_spark.cdc.binlog import (ANONYMOUS_GTID_EVENT,
+                                             GTID_EVENT,
+                                             MARIADB_GTID_EVENT,
+                                             MARIADB_GTID_LIST_EVENT,
+                                             PREVIOUS_GTIDS_EVENT)
+
+        if self.flavor == "mariadb":
+            return (MARIADB_GTID_EVENT, None, MARIADB_GTID_LIST_EVENT)
+        return (GTID_EVENT, ANONYMOUS_GTID_EVENT, PREVIOUS_GTIDS_EVENT)
+
+    def _read_gtid_at(self, f, pos: int, esize: int,
+                      where: str) -> str:
+        """Flavor-aware GTID text from a GTID event during a header
+        walk. MariaDB: the GTID's server_id lives in the event
+        HEADER (bytes 5..9); the body leads with u64 sequence + u32
+        domain."""
+        if self.flavor == "mysql":
+            return _read_gtid(f, pos, esize, where)
+        if esize < 19 + 13:
+            raise ValueError(
+                f"corrupt MariaDB GTID event at {where}: size "
+                f"{esize} < 32 (header + seq/domain/flags)")
+        f.seek(pos + 5)
+        server_id = int.from_bytes(f.read(4), "little")
+        f.seek(pos + 19)
+        body = f.read(12)
+        seq = int.from_bytes(body[0:8], "little")
+        domain = int.from_bytes(body[8:12], "little")
+        return f"{domain}-{server_id}-{seq}"
+
+    def _decode_prev_at(self, f, pos: int, esize: int):
+        """Flavor-aware executed-set decode of a PREVIOUS_GTIDS /
+        GTID_LIST event body during a header walk."""
+        from galaxy_spark.cdc.replication_client import GtidSet
+
+        f.seek(pos + 19)
+        body = f.read(esize - 19)
+        if self.flavor == "mysql":
+            return GtidSet.decode(body)
+        out = self._gset_cls()()
+        cnt = int.from_bytes(body[0:4], "little") & 0x0FFFFFFF
+        p = 4
+        for _ in range(cnt):
+            d = int.from_bytes(body[p:p + 4], "little")
+            s = int.from_bytes(body[p + 4:p + 8], "little")
+            q = int.from_bytes(body[p + 8:p + 16], "little")
+            out.add(f"{d}-{s}-{q}")
+            p += 16
+        return out
 
     def _end_of_dir(self) -> dict:
         segs = _segments(self.path)
@@ -304,13 +379,12 @@ class BinlogStreamReader(DataSourceStreamReader):
         set names them — so the scan resumes at the first one it
         meets, matching MySQL's own auto-position (which always
         sends anonymous transactions). Skipping them silently
-        dropped those transactions (r8 review finding)."""
-        from galaxy_spark.cdc.binlog import (ANONYMOUS_GTID_EVENT,
-                                             GTID_EVENT,
-                                             PREVIOUS_GTIDS_EVENT)
-        from galaxy_spark.cdc.replication_client import GtidSet
-
-        gset = GtidSet.parse(gtid_text)
+        dropped those transactions (r8 review finding). MariaDB
+        flavor: GTID events are type 162, GTID_LIST (163) plays
+        the PREVIOUS_GTIDS purge-gate role, and no anonymous mode
+        exists."""
+        gtid_et, anon_et, prev_et = self._etypes()
+        gset = self._gset_cls().parse(gtid_text)
         segs = _segments(self.path)
         for i, s in enumerate(segs):
             fpath = os.path.join(self.path, s)
@@ -319,31 +393,35 @@ class BinlogStreamReader(DataSourceStreamReader):
                 prev_end = 0
                 for pos, etype, esize, log_pos, _ts in \
                         _walk_event_headers(f, size):
-                    if i == 0 and etype == PREVIOUS_GTIDS_EVENT:
+                    if i == 0 and etype == prev_et:
                         # MySQL's own purged-gap gate (error 1236):
                         # the first retained segment declares the
                         # executed set of everything BEFORE it; any
                         # transaction there that our set has not
                         # executed lives only in purged files —
-                        # resuming would silently skip it
-                        f.seek(pos + 19)
-                        prev = GtidSet.decode(f.read(esize - 19))
+                        # resuming would silently skip it.
+                        # (MariaDB's GTID_LIST declares the binlog
+                        # state at segment start — same gate.)
+                        prev = self._decode_prev_at(f, pos, esize)
                         if not gset.covers_set(prev):
+                            noun = ("GTID_LIST"
+                                    if self.flavor == "mariadb"
+                                    else "PREVIOUS_GTIDS")
                             raise ValueError(
                                 f"cannot auto-position: the first "
                                 f"retained segment {s!r} declares "
-                                f"PREVIOUS_GTIDS {prev} not covered "
+                                f"{noun} {prev} not covered "
                                 f"by the executed set {gset} — the "
                                 "gap was purged with the earlier "
-                                "segments (MySQL error 1236 "
-                                "analog); recover with a fresh "
-                                "checkpoint (recovery_v2) or "
-                                "restore the segments")
-                    if etype == ANONYMOUS_GTID_EVENT:
+                                "segments (error 1236 analog); "
+                                "recover with a fresh checkpoint "
+                                "(recovery_v2) or restore the "
+                                "segments")
+                    if anon_et is not None and etype == anon_et:
                         return {"file": s, "pos": prev_end}
-                    if etype == GTID_EVENT:
-                        gtid = _read_gtid(f, pos, esize,
-                                          f"{s}:{pos}")
+                    if etype == gtid_et:
+                        gtid = self._read_gtid_at(f, pos, esize,
+                                                  f"{s}:{pos}")
                         if not gset.covers(gtid):
                             return {"file": s, "pos": prev_end}
                     prev_end = log_pos
@@ -351,18 +429,17 @@ class BinlogStreamReader(DataSourceStreamReader):
 
     def _tracker(self):
         """The lazily-initialized executed-GTID tracker (set +
-        name-based walk watermark)."""
-        from galaxy_spark.cdc.replication_client import GtidSet
-
+        name-based walk watermark), flavor-typed."""
+        cls = self._gset_cls()
         if not hasattr(self, "_gtids"):
             #: the consumer-executed seed (startingGtids) is kept
             #: separately: those transactions were delivered BEFORE
             #: this stream, so their absence from a post-failover
             #: directory is not data loss (the deletion gate must
             #: not demand them)
-            self._seed = (GtidSet.parse(self.starting_gtids)
-                          if self.starting_gtids else GtidSet())
-            self._gtids = GtidSet()
+            self._seed = (cls.parse(self.starting_gtids)
+                          if self.starting_gtids else cls())
+            self._gtids = cls()
             self._gtids.merge(self._seed)
             self._scan_file, self._scan_pos = "", 0
         return self._gtids
@@ -376,11 +453,8 @@ class BinlogStreamReader(DataSourceStreamReader):
         segments is still EXECUTED history, and omitting it made
         the error-1236 gate fire on healthy streams (r9 review
         wave 2)."""
-        from galaxy_spark.cdc.binlog import (GTID_EVENT,
-                                             PREVIOUS_GTIDS_EVENT)
-        from galaxy_spark.cdc.replication_client import GtidSet
-
-        out = GtidSet()
+        gtid_et, _anon_et, prev_et = self._etypes()
+        out = self._gset_cls()()
         for s in _segments(self.path):
             if file and _seg_key(s) > _seg_key(file):
                 break
@@ -391,11 +465,11 @@ class BinlogStreamReader(DataSourceStreamReader):
                         _walk_event_headers(f, size):
                     if file and s == file and p + esize > pos:
                         break
-                    if etype == PREVIOUS_GTIDS_EVENT:
-                        f.seek(p + 19)
-                        out.merge(GtidSet.decode(f.read(esize - 19)))
-                    elif etype == GTID_EVENT:
-                        out.add(_read_gtid(f, p, esize, f"{s}:{p}"))
+                    if etype == prev_et:
+                        out.merge(self._decode_prev_at(f, p, esize))
+                    elif etype == gtid_et:
+                        out.add(self._read_gtid_at(f, p, esize,
+                                                   f"{s}:{p}"))
         return out
 
     def _gtids_at(self, file: str, pos: int) -> str:
@@ -412,10 +486,7 @@ class BinlogStreamReader(DataSourceStreamReader):
         first start (r8 carried GTIDs at ``startingGtids``
         resolution time and went back to bare (file, pos)
         afterward)."""
-        from galaxy_spark.cdc.binlog import (GTID_EVENT,
-                                             PREVIOUS_GTIDS_EVENT)
-        from galaxy_spark.cdc.replication_client import GtidSet
-
+        gtid_et, _anon_et, prev_et = self._etypes()
         self._tracker()
         target = (_seg_key(file), pos)
         if target < (_seg_key(self._scan_file), self._scan_pos):
@@ -452,18 +523,18 @@ class BinlogStreamReader(DataSourceStreamReader):
                         _walk_event_headers(f, size, start=start_at):
                     if s == file and p + esize > pos:
                         break           # beyond the offset
-                    if etype == PREVIOUS_GTIDS_EVENT:
+                    if etype == prev_et:
                         # gtid_purged seeding: history purged before
                         # these segments is still EXECUTED history —
                         # without it the carried sets regress on
                         # restart and the purged-gap gate misfires
                         # on healthy streams (r9 review wave 2)
-                        f.seek(p + 19)
                         self._gtids.merge(
-                            GtidSet.decode(f.read(esize - 19)))
-                    elif etype == GTID_EVENT:
+                            self._decode_prev_at(f, p, esize))
+                    elif etype == gtid_et:
                         self._gtids.add(
-                            _read_gtid(f, p, esize, f"{s}:{p}"))
+                            self._read_gtid_at(f, p, esize,
+                                               f"{s}:{p}"))
         self._scan_file, self._scan_pos = file, pos
         return str(self._gtids)
 
@@ -487,10 +558,11 @@ class BinlogStreamReader(DataSourceStreamReader):
         only per-transaction monotone; the scan takes the first
         match, so a clock wobble across concurrent sessions errs
         toward replaying slightly more, never skipping."""
-        from galaxy_spark.cdc.binlog import (ANONYMOUS_GTID_EVENT,
-                                             GTID_EVENT, QUERY_EVENT,
-                                             XID_EVENT)
+        from galaxy_spark.cdc.binlog import QUERY_EVENT, XID_EVENT
 
+        gtid_et, anon_et, _prev_et = self._etypes()
+        anchor_types = ((gtid_et,) if anon_et is None
+                        else (gtid_et, anon_et))
         for s in _segments(self.path):
             fpath = os.path.join(self.path, s)
             size = os.path.getsize(fpath)
@@ -500,7 +572,7 @@ class BinlogStreamReader(DataSourceStreamReader):
                                        # transaction's GTID event
                 for pos, etype, esize, log_pos, ev_ts in \
                         _walk_event_headers(f, size):
-                    if etype in (GTID_EVENT, ANONYMOUS_GTID_EVENT):
+                    if etype in anchor_types:
                         anchor = prev_end
                     if ev_ts >= ts:
                         return {"file": s,
@@ -640,9 +712,7 @@ class BinlogStreamReader(DataSourceStreamReader):
         different byte offsets passes this gate; full detection
         needs per-event content digests the binlog format does not
         carry."""
-        from galaxy_spark.cdc.replication_client import GtidSet
-
-        carried = GtidSet.parse(start["gtids"])
+        carried = self._gset_cls().parse(start["gtids"])
         observed = self._scan_gtids(start["file"], start["pos"])
         if not carried.covers_set(observed):
             raise ValueError(

@@ -406,10 +406,12 @@ class BinlogWriter:
         self.pos = len(self.MAGIC)
         self.crc32 = checksum == "crc32"
 
-    def _emit(self, etype: int, body: bytes) -> None:
+    def _emit(self, etype: int, body: bytes,
+              server_id: int | None = None) -> None:
         size = 19 + len(body) + (4 if self.crc32 else 0)
         self.pos += size
-        header = (le(self.ts, 4) + bytes([etype]) + le(self.server_id, 4)
+        sid = self.server_id if server_id is None else server_id
+        header = (le(self.ts, 4) + bytes([etype]) + le(sid, 4)
                   + le(size, 4) + le(self.pos, 4) + le(0, 2))
         ev = header + body
         self.out += ev + (le(zlib.crc32(ev), 4) if self.crc32 else b"")
@@ -519,6 +521,37 @@ class BinlogWriter:
     def rows_query(self, sql: str) -> None:
         q = sql.encode()
         self._emit(29, bytes([min(len(q), 255)]) + q)
+
+    # -- MariaDB flavor events (types 160-163) ----------------------
+    def mariadb_gtid(self, domain: int, seq: int,
+                     server_id: int | None = None,
+                     standalone: bool = False) -> None:
+        """MariaDB GTID (162): u64 seq, u32 domain, u8 flags2. The
+        GTID's server_id rides the event HEADER. FL_STANDALONE
+        (0x01) marks DDL/non-transactional statements; without it
+        the event opens a transaction group (implicit BEGIN)."""
+        body = le(seq, 8) + le(domain, 4) + bytes(
+            [0x01 if standalone else 0x00])
+        self._emit(162, body, server_id=server_id)
+
+    def mariadb_gtid_list(self, gtids: list) -> None:
+        """MariaDB GTID_LIST (163): u32 count (low 28 bits), then
+        count x (u32 domain, u32 server_id, u64 seq) — the
+        PREVIOUS_GTIDS analog declaring binlog state at segment
+        start. ``gtids``: [(domain, server_id, seq), ...]."""
+        body = bytearray(le(len(gtids) & 0x0FFFFFFF, 4))
+        for d, s, q in gtids:
+            body += le(d, 4) + le(s, 4) + le(q, 8)
+        self._emit(163, bytes(body))
+
+    def mariadb_annotate_rows(self, sql: str) -> None:
+        """MariaDB ANNOTATE_ROWS (160): the body IS the SQL."""
+        self._emit(160, sql.encode())
+
+    def mariadb_binlog_checkpoint(self, fname: str) -> None:
+        """MariaDB BINLOG_CHECKPOINT (161): u32 len + name."""
+        f = fname.encode()
+        self._emit(161, le(len(f), 4) + f)
 
     def heartbeat(self, fname: str) -> None:
         self._emit(27, fname.encode())

@@ -910,16 +910,16 @@ def test_gtidset_rejects_reversed_and_malformed_ranges():
 
 def test_gtidset_names_mariadb_format_in_refusal():
     """A MariaDB ``domain-server-sequence`` GTID must be RECOGNIZED
-    and refused with the operational fix (file/pos offsets), not a
-    generic 'malformed' — the MariaDB handshake is a different wire
-    protocol, so the config is where the failure belongs."""
+    and refused with the operational fix (flavor=mariadb — the
+    MariaDB handshake is now implemented behind that switch), not a
+    generic 'malformed'; the config is where the failure belongs."""
     import pytest as _pytest
 
     from galaxy_spark.cdc.replication_client import GtidSet
 
     with _pytest.raises(ValueError, match="MariaDB GTID"):
         GtidSet.parse("0-1-100")
-    with _pytest.raises(ValueError, match="file/pos offsets"):
+    with _pytest.raises(ValueError, match="flavor=mariadb"):
         GtidSet.parse("0f81a2b3-c4d5-e6f7-0819-22aabbccddee:1-5, "
                       "1-2-300")
     # a MySQL uuid set must still parse — the dashes inside the
