@@ -337,6 +337,31 @@ class BinlogStreamReader(DataSourceStreamReader):
         return {"file": last,
                 "pos": _aligned_end(os.path.join(self.path, last))}
 
+    def _segment_fingerprint(self, fname: str) -> list | None:
+        """The segment's FIRST complete event header as
+        [timestamp, server_id, esize] — an identity stamp for the
+        same-NAME rebuild gate that works even where the GTID check
+        cannot: anonymous streams carry no set at all, and a
+        rebuild whose GTIDs below the boundary are all covered but
+        RELOCATED passes the coverage check (its documented
+        residual limit, r9 verdict #8). A segment is append-only,
+        so its first event NEVER changes on the same history —
+        zero false positives — while a rebuilt file's first event
+        (the FDE, stamped at ITS creation time by ITS server)
+        matches only if the same server id rebuilt within the same
+        second into an identical-length FDE. One 19-byte read."""
+        fpath = os.path.join(self.path, fname)
+        if not os.path.exists(fpath):
+            return None
+        size = os.path.getsize(fpath)
+        with open(fpath, "rb") as f:
+            for _pos, etype, esize, _lp, ts in \
+                    _walk_event_headers(f, size):
+                f.seek(_pos + 5)
+                sid = int.from_bytes(f.read(4), "little")
+                return [ts, sid, esize]
+        return None
+
     def initialOffset(self) -> dict:
         if self.starting_gtids:
             off = self._offset_after_gtids(self.starting_gtids)
@@ -350,6 +375,8 @@ class BinlogStreamReader(DataSourceStreamReader):
         # every offset carries the executed set from the very first
         # one — a failover before the first latestOffset is covered
         off["gtids"] = self._gtids_at(off["file"], off["pos"])
+        if off["file"]:
+            off["fp"] = self._segment_fingerprint(off["file"])
         # this instance just derived the offset from the directory
         # itself: the restart-time history check has nothing new to
         # verify (it only matters when offsets arrive from a
@@ -658,6 +685,8 @@ class BinlogStreamReader(DataSourceStreamReader):
                 # shrink): keep the monotonic floor
                 return floor
         cur["gtids"] = self._gtids_at(cur["file"], cur["pos"])
+        if cur["file"]:
+            cur["fp"] = self._segment_fingerprint(cur["file"])
         self._max_offset = cur
         return cur
 
@@ -679,6 +708,8 @@ class BinlogStreamReader(DataSourceStreamReader):
             # the refuse-loudly purge checks in partitions()
             new = self._offset_after_gtids(off["gtids"])
             new["gtids"] = off["gtids"]
+            if new.get("file"):
+                new["fp"] = self._segment_fingerprint(new["file"])
             if is_start:
                 # the relocated START was just derived from the
                 # current directory — the restart-time history check
@@ -730,6 +761,26 @@ class BinlogStreamReader(DataSourceStreamReader):
         segs_now = _segments(self.path)
         start = self._resolve_offset(start, segs_now, is_start=True)
         end = self._resolve_offset(end, segs_now)
+        if start.get("fp") and start.get("file") in segs_now:
+            # first-event fingerprint gate (r9 verdict #8): catches
+            # same-name rebuilds the GTID coverage check cannot —
+            # anonymous streams (no set to compare) and rebuilds
+            # whose covered GTIDs merely RELOCATED. Append-only
+            # segments never change their first event, so a
+            # mismatch is always content replacement. One 19-byte
+            # read per micro-batch.
+            now_fp = self._segment_fingerprint(start["file"])
+            if now_fp is not None and now_fp != start["fp"]:
+                raise ValueError(
+                    f"binlog history mismatch at committed offset "
+                    f"{start['file']}:{start['pos']}: the segment's "
+                    f"first event fingerprint (ts, server_id, size) "
+                    f"is now {now_fp}, the checkpoint recorded "
+                    f"{start['fp']} — the name was reused by a "
+                    "different history (same-name failover/"
+                    "rebuild). Resume with startingGtids on a fresh "
+                    "checkpoint (recovery_v2) instead of trusting "
+                    "file/pos")
         if (start.get("gtids") and start.get("file") in segs_now
                 and not getattr(self, "_start_verified", False)):
             self._verify_start_history(start)

@@ -1487,3 +1487,101 @@ def test_gtids_at_below_watermark_recomputes_statelessly(tmp_path):
     assert not below.covers(f"{uuid}:3"), \
         "below-watermark set must be computed for the requested " \
         "boundary, not echoed from the later watermark"
+
+
+def test_fingerprint_gate_catches_anonymous_same_name_rebuild(
+        tmp_path):
+    """r9 verdict #8: an ANONYMOUS stream carries gtids='' — the
+    GTID same-name-rebuild gate has nothing to compare, so content
+    replacement under a reused name went undetected. The committed
+    offset's first-event fingerprint (ts, server_id, size) catches
+    it: append-only segments never change their first event."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(base_ts, server_id, vals):
+        w = BinlogWriter(server_id=server_id, base_ts=base_ts)
+        w.format_description()
+        for v in vals:
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[v, f"o-{v}"]])
+            w.xid(900 + v)
+        return w.bytes()
+
+    d = str(tmp_path / "fp_anon")
+    os.makedirs(d)
+    fpath = os.path.join(d, "binlog.000001.bin")
+    with open(fpath, "wb") as f:
+        f.write(seg(100, 7, [1, 2]))
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    committed = rd.latestOffset()
+    assert committed["gtids"] == "" and committed["fp"]
+
+    # same name, different history (new creation time/server)
+    with open(fpath, "wb") as f:
+        f.write(seg(999, 8, [1, 2, 3]))
+    rd2 = _mk_reader(d)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        rd2.partitions(committed, rd2._end_of_dir())
+
+    # control: the SAME history grown by appends passes the gate
+    with open(fpath, "wb") as f:
+        f.write(seg(100, 7, [1, 2]))
+    with open(fpath, "ab") as f:
+        tail = seg(100, 7, [1, 2, 3])
+        f.write(tail[len(seg(100, 7, [1, 2])):])
+    rd3 = _mk_reader(d)
+    parts = rd3.partitions(committed, rd3._end_of_dir())
+    vals = [int(row[3][0][0]) for p in parts for row in rd3.read(p)]
+    assert vals == [3]
+
+
+def test_fingerprint_gate_catches_covered_but_relocated_rebuild(
+        tmp_path):
+    """The GTID gate's documented residual limit: a rebuild whose
+    GTIDs below the boundary are all COVERED but sit at different
+    byte offsets passes coverage — the fingerprint closes it."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(base_ts, gnos, pad=False):
+        w = BinlogWriter(base_ts=base_ts)
+        w.format_description()
+        for g in gnos:
+            w.gtid(sid, g)
+            w.query("shop", "BEGIN")
+            if pad:                      # relocate later events
+                w.rows_query(f"/* padding for gno {g} */")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[g, f"o-{g}"]])
+            w.xid(900 + g)
+        return w.bytes()
+
+    d = str(tmp_path / "fp_reloc")
+    os.makedirs(d)
+    fpath = os.path.join(d, "binlog.000001.bin")
+    with open(fpath, "wb") as f:
+        f.write(seg(100, [1, 2, 3]))
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    committed = rd.latestOffset()
+    assert committed["gtids"] and committed["fp"]
+
+    # SAME gtids (coverage check passes), later creation stamp,
+    # different byte layout
+    with open(fpath, "wb") as f:
+        f.write(seg(500, [1, 2, 3], pad=True))
+    rd2 = _mk_reader(d)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        rd2.partitions(committed, rd2._end_of_dir())

@@ -68,9 +68,10 @@ def test_post_freeze_at_driver_scale(spark, name):
 #: per-ROUND artifact (r8+): each round's rows land in that round's
 #: file, leaving the previous round's judged artifact byte-frozen
 #: exactly as certified (the r8 review caught new rows being
-#: upserted into the already-judged r07 file).
+#: upserted into the already-judged r07 file). r10: bumped from
+#: r09 after the r9 judgment.
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r09.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r10.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:
