@@ -715,3 +715,154 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "total_tokens",
         F.round(F.col("n_docs") * F.lit(1.0)
                 / F.sum("n_docs").over(w_all), 4).alias("share"))
+
+
+# -- lexical diversity (TTR + Yule's K) -------------------------------
+
+@register(
+    "quality_lexical_diversity",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), f AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2
+    ), s AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM f GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens, v AS n_types,
+           ROUND(v * 1.0 / n, 6) AS ttr,
+           ROUND(10000.0 * (s2 - n) / (n * n), 6) AS yule_k
+    FROM s
+    """,
+)
+def quality_lexical_diversity(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Lexical-diversity scoring per document: type-token ratio and
+    Yule's K = 10^4 · (Σ_m m²·V_m − N) / N² — the classic
+    repetitiveness characteristic (low K = diverse vocabulary, high
+    K = repetitive), a standard corpus-quality signal alongside the
+    Gopher rules and the repetition-ratio row. The identity
+    Σ_m m²·V_m = Σ_tokens freq(token)² lets BOTH statistics read
+    off one (doc, token)-frequency frame: N = Σc, V = count, S2 =
+    Σc² — ALL integer sufficient statistics (the OLS/z-test
+    discipline), so the only float ops are the two final divisions,
+    each a single identically-ordered IEEE expression rounded at
+    1e-6.
+
+    Shape at scale: the token explode partial-aggregates onto
+    (doc, token) map-side (vocabulary-per-doc absorbs the corpus
+    fan-out before the exchange — the char-entropy plan shape), and
+    the per-doc rollup reuses the doc key. No window, no join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    f = (docs.select("doc_id",
+                     F.explode(text.tokens("text")).alias("tok"))
+         .groupBy("doc_id", "tok").agg(F.count("*").alias("c")))
+    s = f.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"))
+    return s.select(
+        "doc_id", F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.round(F.col("v") * F.lit(1.0) / F.col("n"), 6)
+        .alias("ttr"),
+        F.round(F.lit(10000.0) * (F.col("s2") - F.col("n"))
+                / (F.col("n") * F.col("n")), 6).alias("yule_k"))
+
+
+# -- PMI bigram collocations ------------------------------------------
+
+_PMI_MIN_COUNT = 3
+_PMI_TOP_K = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), uni AS (
+        SELECT unnest(tk) AS tok FROM toks
+    ), ucnt AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1
+    ), n_tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni
+    ), bi AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(tk) - 1, 0) + 1),
+                   i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+        FROM toks
+    ), bcnt AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM bi GROUP BY 1
+        HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+    ), scored AS (
+        SELECT bigram, c_xy, a.c AS c_x, b.c AS c_y,
+               ROUND(c_xy * n * 1.0 / (a.c * b.c), 6) AS pmi_ratio
+        FROM bcnt
+        JOIN ucnt a ON a.tok = split_part(bigram, ' ', 1)
+        JOIN ucnt b ON b.tok = split_part(bigram, ' ', 2)
+        CROSS JOIN n_tot
+    )
+    SELECT bigram, c_xy, c_x, c_y, pmi_ratio
+    FROM scored ORDER BY pmi_ratio DESC, bigram LIMIT {_PMI_TOP_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top
+    bigrams whose corpus-wide co-occurrence beats the independence
+    expectation — ranked by the PMI RATIO p(xy)/(p(x)p(y)) =
+    c_xy·N / (c_x·c_y) rather than its logarithm, because ln() is
+    NOT cross-engine-stable (the tfidf row's hard-learned lesson)
+    while log is monotone, so the ratio ranks identically and the
+    score itself stays ONE identically-ordered IEEE division over
+    exact integers, rounded at 1e-6. A min-count floor
+    ({_PMI_MIN_COUNT}) is the standard guard against PMI's
+    rare-pair bias; ties break on the bigram text (unique per row),
+    so the top-{_PMI_TOP_K} cut is fully deterministic.
+
+    Shape at scale: bigram occurrences come from ONE zip of two
+    shifted token-array views (scan-local, no per-element
+    re-tokenization — the word_ngrams lesson) and partial-aggregate
+    onto the bigram key; unigram counts are a vocabulary-scale
+    frame joined BROADCAST on each bigram's two words; the final
+    rank is a TakeOrderedAndProject (per-partition top-k heaps),
+    never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens("text")
+    m = F.greatest(F.size(tk) - 1, F.lit(0))
+    # NON-distinct adjacent pairs (word_ngrams dedups per doc —
+    # PMI needs raw occurrence counts)
+    bigrams = F.zip_with(F.slice(tk, 1, m), F.slice(tk, 2, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    uni = (docs.select(F.explode(tk).alias("tok"))
+           .localCheckpoint(eager=False))
+    ucnt = uni.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    n_tot = uni.agg(F.count("*").cast("long").alias("n"))
+    bcnt = (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").cast("long").alias("c_xy"))
+            .filter(F.col("c_xy") >= _PMI_MIN_COUNT))
+    a = ucnt.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    b = ucnt.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    scored = (bcnt
+              .withColumn("w1", F.split_part(F.col("bigram"),
+                                             F.lit(" "), F.lit(1)))
+              .withColumn("w2", F.split_part(F.col("bigram"),
+                                             F.lit(" "), F.lit(2)))
+              .join(F.broadcast(a), "w1")
+              .join(F.broadcast(b), "w2")
+              .crossJoin(F.broadcast(n_tot))
+              .select("bigram", "c_xy", "c_x", "c_y",
+                      F.round(F.col("c_xy") * F.col("n") * F.lit(1.0)
+                              / (F.col("c_x") * F.col("c_y")), 6)
+                      .alias("pmi_ratio")))
+    return (scored.orderBy(F.desc("pmi_ratio"), "bigram")
+            .limit(_PMI_TOP_K))

@@ -785,3 +785,4 @@ def agg_histogram_sliding_quantiles(spark: SparkSession,
         ((e50 - F.col("exact_p50")).between(-1, bw + 2)
          & (e95 - F.col("exact_p95")).between(-1, bw + 2))
         .alias("within_bin"))
+

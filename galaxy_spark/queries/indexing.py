@@ -1627,3 +1627,140 @@ def agg_kmv_set_intersection(spark: SparkSession,
         ((F.col("regime") == "exact") | (F.col("exact_inter") < 50)
          | (F.abs(F.col("inter_est") - F.col("exact_inter"))
             <= F.lit(0.35) * F.col("exact_inter"))).alias("ok_inter"))
+
+
+@register(
+    "agg_kmv_set_difference",
+    oracle=f"""
+    WITH a AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                             1, 12)) AS BIGINT) AS hv
+        FROM orders WHERE o_orderstatus = 'F'
+    ), b AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                             1, 12)) AS BIGINT) AS hv
+        FROM orders WHERE o_orderstatus = 'O'
+    ), u AS (
+        SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+        ORDER BY hv LIMIT {_KMV_K}
+    ), m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(MAX(hv) AS BIGINT) AS hk,
+               CAST(SUM(CASE WHEN u.hv IN (SELECT hv FROM a)
+                              AND u.hv NOT IN (SELECT hv FROM b)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS j_ab,
+               CAST(SUM(CASE WHEN u.hv IN (SELECT hv FROM b)
+                              AND u.hv NOT IN (SELECT hv FROM a)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS j_ba
+        FROM u
+    ), x AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderstatus = 'F'
+                    EXCEPT
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderstatus = 'O')) AS exact_ab,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderstatus = 'O'
+                    EXCEPT
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderstatus = 'F')) AS exact_ba
+    )
+    SELECT cnt, hk, j_ab, j_ba,
+           CASE WHEN cnt < {_KMV_K} THEN 'exact' ELSE 'raw' END
+               AS regime,
+           CASE WHEN cnt < {_KMV_K} THEN CAST(j_ab AS DOUBLE)
+                ELSE ROUND(j_ab * {_KMV_K - 1}.0 * {_KMV_2P48}
+                           / ({_KMV_K}.0 * hk), 6) END AS diff_ab_est,
+           exact_ab,
+           CASE WHEN cnt < {_KMV_K} THEN CAST(j_ba AS DOUBLE)
+                ELSE ROUND(j_ba * {_KMV_K - 1}.0 * {_KMV_2P48}
+                           / ({_KMV_K}.0 * hk), 6) END AS diff_ba_est,
+           exact_ba,
+           (cnt < {_KMV_K} OR exact_ab < 50
+            OR ABS(CASE WHEN cnt < {_KMV_K} THEN CAST(j_ab AS DOUBLE)
+                        ELSE ROUND(j_ab * {_KMV_K - 1}.0 * {_KMV_2P48}
+                                   / ({_KMV_K}.0 * hk), 6) END
+                   - exact_ab) <= 0.35 * exact_ab) AS ok_ab,
+           (cnt < {_KMV_K} OR exact_ba < 50
+            OR ABS(CASE WHEN cnt < {_KMV_K} THEN CAST(j_ba AS DOUBLE)
+                        ELSE ROUND(j_ba * {_KMV_K - 1}.0 * {_KMV_2P48}
+                                   / ({_KMV_K}.0 * hk), 6) END
+                   - exact_ba) <= 0.35 * exact_ba) AS ok_ba
+    FROM m, x
+    """,
+)
+def agg_kmv_set_difference(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """SET DIFFERENCE estimates from the SAME KMV machinery as the
+    intersection row — |A \\ B| ≈ (j_only_a / k) · union_est, where
+    j_only_a counts union-sketch members present in A's sketch but
+    not B's — completing the distinct-set algebra (union,
+    intersection, Jaccard, now both directed differences). This is
+    the "how much NEW data does corpus A bring over corpus B"
+    question at 100 TB, answered from two k-row sketches instead of
+    an EXCEPT over both key universes (the exact instrument, kept
+    for certification and sampled at scale).
+
+    Arithmetic discipline is the intersection row's: md5-slice
+    48-bit BIGINT hashes, below-k regime is EXACT (the sketch IS
+    the union), and the raw-regime estimate is ONE identically-
+    ordered IEEE expression over exact integers rounded at 1e-6.
+    The two directions read off one probed union frame — no second
+    probe pass. Certification: ±35 % of exact (the intersection
+    row's bound — same estimator class, same 3/sqrt(k) scale),
+    auto-pass when exact < 50 (relative bounds are meaningless on
+    tiny differences) or in the exact regime.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    hv = _kmv_hv(F.col("o_custkey")).alias("hv")
+    a = (od.filter(F.col("o_orderstatus") == "F").select(hv).distinct()
+         .localCheckpoint(eager=False))
+    b = (od.filter(F.col("o_orderstatus") == "O").select(hv).distinct()
+         .localCheckpoint(eager=False))
+    u = a.union(b).distinct().orderBy("hv").limit(_KMV_K)
+    probed = (u.join(a.withColumn("in_a", F.lit(1)), "hv", "left")
+              .join(b.withColumn("in_b", F.lit(1)), "hv", "left"))
+    m = probed.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.max("hv").alias("hk"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNull(), 1).otherwise(0))
+        .cast("long").alias("j_ab"),
+        F.sum(F.when(F.col("in_b").isNotNull()
+                     & F.col("in_a").isNull(), 1).otherwise(0))
+        .cast("long").alias("j_ba"))
+    ck = lambda st: (od.filter(F.col("o_orderstatus") == st)  # noqa: E731
+                     .select("o_custkey").distinct())
+    x = (ck("F").exceptAll(ck("O"))
+         .agg(F.count("*").cast("long").alias("exact_ab"))
+         .crossJoin(ck("O").exceptAll(ck("F"))
+                    .agg(F.count("*").cast("long").alias("exact_ba"))))
+    k, p48 = _KMV_K, _KMV_2P48
+
+    def est(j_col: str):
+        return (F.when(F.col("cnt") < k,
+                       F.col(j_col).cast("double"))
+                .otherwise(F.round(F.col(j_col) * F.lit(float(k - 1))
+                                   * F.lit(p48)
+                                   / (F.lit(float(k)) * F.col("hk")),
+                                   6)))
+
+    t = (m.crossJoin(F.broadcast(x))
+         .select("cnt", "hk", "j_ab", "j_ba", "exact_ab", "exact_ba",
+                 F.when(F.col("cnt") < k, F.lit("exact"))
+                 .otherwise(F.lit("raw")).alias("regime"),
+                 est("j_ab").alias("diff_ab_est"),
+                 est("j_ba").alias("diff_ba_est")))
+
+    def ok(est_col: str, exact_col: str):
+        return ((F.col("cnt") < k) | (F.col(exact_col) < 50)
+                | (F.abs(F.col(est_col) - F.col(exact_col))
+                   <= F.lit(0.35) * F.col(exact_col)))
+
+    return t.select(
+        "cnt", "hk", "j_ab", "j_ba", "regime",
+        "diff_ab_est", "exact_ab", "diff_ba_est", "exact_ba",
+        ok("diff_ab_est", "exact_ab").alias("ok_ab"),
+        ok("diff_ba_est", "exact_ba").alias("ok_ba"))

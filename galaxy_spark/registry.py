@@ -193,6 +193,9 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "events_anomaly_daily_counts",
     "dedup_containment_pairs",
     "agg_histogram_sliding_quantiles",
+    "quality_lexical_diversity",
+    "agg_kmv_set_difference",
+    "text_pmi_collocations",
 )
 
 

@@ -789,3 +789,48 @@ def test_sliding_quantiles_single_raw_scan(q):
     assert "partial_sum" in p, \
         "histogram merge must partial-aggregate map-side"
     assert broadcast_join_count(df) >= 2
+
+
+def test_kmv_difference_top_k_and_one_probe(q):
+    """The set-difference row shares the intersection row's plan
+    contract: the union sketch is a TakeOrderedAndProject (min-k
+    monoid, no global sort) and BOTH directed differences read off
+    ONE probed frame (one pair of membership joins — a second probe
+    pass would scan the sketch sides twice)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("agg_kmv_set_difference")
+    p = physical_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lexical_diversity_partial_agg_no_join(q):
+    """TTR + Yule's K must read off one (doc, token)-frequency
+    frame: map-side partial aggregation absorbs the token explode
+    before the exchange, the per-doc rollup reuses the doc key, and
+    the plan has NO join or window at all (integer sufficient
+    statistics, the OLS discipline)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("quality_lexical_diversity")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Join" not in p and "Window" not in p
+    assert exchange_count(df) <= 2
+
+
+def test_pmi_collocations_broadcast_rank(q):
+    """PMI collocations: bigram counts partial-aggregate map-side,
+    the vocabulary-scale unigram frame joins BROADCAST on each
+    bigram word, and the final cut is a TakeOrderedAndProject —
+    never a global sort or a shuffled join against the vocabulary."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("text_pmi_collocations")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    assert broadcast_join_count(df) >= 2
+    assert "TakeOrderedAndProject" in p
