@@ -184,6 +184,13 @@ class DecodedEvent:
     #: carried for BOTH kinds (an anonymous event's SID/GNO fields
     #: are whatever the writer put on the wire, usually zeros)
     gtid: str | None = None
+    #: MariaDB GTID (162) FL_STANDALONE: True = a standalone
+    #: statement (DDL), False = the event OPENS a transaction
+    #: group (it replaces the BEGIN Query), None = not a MariaDB
+    #: GTID event. A dedicated field — overloading ``query`` with a
+    #: marker string collided with its SQL-text contract (r10
+    #: review).
+    standalone: bool | None = None
 
 
 class _Reader:
@@ -900,7 +907,7 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             events.append(DecodedEvent(
                 "gtid", ts, log_pos,
                 gtid=f"{domain}-{_server_id}-{seq}",
-                query=("standalone" if flags2 & 0x01 else None)))
+                standalone=bool(flags2 & 0x01)))
         elif etype == MARIADB_GTID_LIST_EVENT:
             # MariaDB GTID_LIST (type 163): the flavor's
             # PREVIOUS_GTIDS analog — u32 with the count in the low

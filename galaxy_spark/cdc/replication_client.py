@@ -792,14 +792,20 @@ def _start_dump(conn: PacketConn, server_id: int, file: str,
                 "two flavors' GTID models are not convertible")
     _set_var(conn,
              "SET @master_binlog_checksum = @@global.binlog_checksum")
-    if flavor == "mariadb" and gtid_set is not None:
-        # order matters on a real server: the connect state must be
-        # present before the dump command, and capability >= 4
-        # tells the server this replica understands GTID event
-        # groups (it strips nothing)
-        _set_var(conn,
-                 f"SET @slave_connect_state = '{gtid_set}'")
+    if flavor == "mariadb":
+        # capability >= 4 is UNCONDITIONAL for the flavor (r10
+        # review): a real mariadbd substitutes GTID (162) events
+        # with BEGIN Queries and GTID_LIST/BINLOG_CHECKPOINT with
+        # dummies for capability < 4 — a file/pos-resumed stream
+        # would then carry no flavor GTIDs at all and every
+        # downstream failover/purge gate would be silently
+        # disabled. go-mysql sets it for the flavor, not for the
+        # resume mode. The connect state (when resuming by GTID)
+        # must also be present BEFORE the dump command.
         _set_var(conn, "SET @mariadb_slave_capability = 4")
+        if gtid_set is not None:
+            _set_var(conn,
+                     f"SET @slave_connect_state = '{gtid_set}'")
     conn.write_payload(build_register_slave(server_id), seq=0)
     kind, info = classify_response(conn.read_packet())
     if kind != "ok":

@@ -319,7 +319,19 @@ class BinlogStreamReader(DataSourceStreamReader):
         if self.flavor == "mysql":
             return GtidSet.decode(body)
         out = self._gset_cls()()
+        if len(body) < 4:
+            raise ValueError(
+                f"corrupt MariaDB GTID_LIST event: body {len(body)} "
+                "bytes < 4 (count field)")
         cnt = int.from_bytes(body[0:4], "little") & 0x0FFFFFFF
+        if 4 + 16 * cnt > len(body):
+            # refuse-don't-guess (the _read_gtid discipline):
+            # out-of-range reads would int.from_bytes(b'') == 0 and
+            # silently fabricate 0-0-0 entries into the executed
+            # set the purge/history gates compare against
+            raise ValueError(
+                f"corrupt MariaDB GTID_LIST event: count {cnt} "
+                f"needs {4 + 16 * cnt} body bytes, have {len(body)}")
         p = 4
         for _ in range(cnt):
             d = int.from_bytes(body[p:p + 4], "little")
@@ -338,18 +350,28 @@ class BinlogStreamReader(DataSourceStreamReader):
                 "pos": _aligned_end(os.path.join(self.path, last))}
 
     def _segment_fingerprint(self, fname: str) -> list | None:
-        """The segment's FIRST complete event header as
+        """The segment's first complete NON-FDE event header as
         [timestamp, server_id, esize] — an identity stamp for the
         same-NAME rebuild gate that works even where the GTID check
         cannot: anonymous streams carry no set at all, and a
         rebuild whose GTIDs below the boundary are all covered but
         RELOCATED passes the coverage check (its documented
         residual limit, r9 verdict #8). A segment is append-only,
-        so its first event NEVER changes on the same history —
-        zero false positives — while a rebuilt file's first event
-        (the FDE, stamped at ITS creation time by ITS server)
-        matches only if the same server id rebuilt within the same
-        second into an identical-length FDE. One 19-byte read."""
+        so its first events never change on the same history —
+        with ONE exception: the relay writer legally REWRITES a
+        virgin segment's seeded FDE when a checksum-config rotation
+        makes the carried seed mis-declare the mode
+        (replication_client.py's _fde_sig rewrite). Fingerprinting
+        the FDE would turn that healthy rewrite into a permanent
+        bogus 'history mismatch' poisoning the checkpoint (r10
+        review) — so the stamp is the first event PAST the FDE
+        (PREVIOUS_GTIDS on a real server, the first transaction's
+        opener on a relay), which only appends can place and
+        appends never move. A virgin magic+FDE-only segment
+        fingerprints as None and the gate simply skips that offset.
+        A few 19-byte reads."""
+        from galaxy_spark.cdc.binlog import FORMAT_DESCRIPTION_EVENT
+
         fpath = os.path.join(self.path, fname)
         if not os.path.exists(fpath):
             return None
@@ -357,6 +379,8 @@ class BinlogStreamReader(DataSourceStreamReader):
         with open(fpath, "rb") as f:
             for _pos, etype, esize, _lp, ts in \
                     _walk_event_headers(f, size):
+                if etype == FORMAT_DESCRIPTION_EVENT:
+                    continue
                 f.seek(_pos + 5)
                 sid = int.from_bytes(f.read(4), "little")
                 return [ts, sid, esize]

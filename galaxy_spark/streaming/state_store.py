@@ -966,9 +966,11 @@ def lsh_probe_pairs(batch_df: DataFrame, lsh_store: ParquetLshStore,
     keyed equi-joins whose probe side is the BATCH (bounded);
     verification pays O(|shingles|) on candidates only — the tiny
     fraction the LSH bands admit, never the corpus product. The
-    text attach scans the doc store's current state; at 100 TB that
-    read prunes to candidate ids through the warehouse table's own
-    layout (this store stands in for it)."""
+    text attach SEMI-JOINS the doc store to the candidate id set
+    before any exchange or shingle compute, so per-trigger cost
+    tracks candidates, not accumulated history; at 100 TB the
+    store read itself prunes further through the warehouse table's
+    own layout (this store stands in for it)."""
     from galaxy_spark.operators.dedup import minhash_band_buckets
     from galaxy_spark.operators.text import word_ngrams
 
@@ -984,11 +986,22 @@ def lsh_probe_pairs(batch_df: DataFrame, lsh_store: ParquetLshStore,
         & (F.col("a.id") != F.col("b.id")))
         .select(F.least("a.id", "b.id").alias("id_a"),
                 F.greatest("a.id", "b.id").alias("id_b"))
-        .distinct())
+        .distinct()
+        .localCheckpoint(eager=False))  # ids + both verify joins
+    # verification inputs prune to CANDIDATE ids BEFORE the
+    # dedup-exchange and the shingle compute — without the
+    # semi-join, every micro-batch re-shuffled and re-shingled the
+    # ENTIRE accumulated corpus, so per-trigger cost grew with
+    # history instead of with the candidates the bands admit
+    # (r10 review)
+    cand_ids = (cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct())
     texts = (doc_store.state()
              .unionByName(batch_df.select(
                  F.col(id_col).alias("id"), F.col(text_col)
                  .alias("text")))
+             .join(cand_ids, "id", "left_semi")
              .groupBy("id").agg(F.max("text").alias("text")))
     sh = texts.select("id", word_ngrams("text", n).alias("shingles"))
     sa = sh.select(F.col("id").alias("id_a"),
@@ -1138,16 +1151,21 @@ def streaming_kmv_union_stats(store: ParquetKmvStore,
     integers to the batch query's (cnt, hk, j), from pure array ops
     over two bounded rows (no shuffle at all)."""
     k = store.k
+    empty = F.array().cast("array<bigint>")
     sides = (store.state()
              .filter(F.col("side").isin(side_a, side_b))
              .groupBy()
-             .agg(F.max(F.when(F.col("side") == side_a,
-                               F.col("hvs"))).alias("a"),
-                  F.max(F.when(F.col("side") == side_b,
-                               F.col("hvs"))).alias("b")))
+             .agg(F.coalesce(F.max(F.when(F.col("side") == side_a,
+                                          F.col("hvs"))), empty)
+                  .alias("a"),
+                  F.coalesce(F.max(F.when(F.col("side") == side_b,
+                                          F.col("hvs"))), empty)
+                  .alias("b")))
+    # a side with no stored sketch yet is the EMPTY set — without
+    # the coalesce, array_intersect(u, NULL) is NULL and j comes
+    # back NULL instead of 0 (r10 review)
     u = F.slice(F.array_sort(F.array_distinct(
-        F.concat(F.coalesce(F.col("a"), F.array()),
-                 F.coalesce(F.col("b"), F.array())))), 1, k)
+        F.concat(F.col("a"), F.col("b")))), 1, k)
     return (sides.select(F.col("a"), F.col("b"), u.alias("u"))
             .select(
                 F.size("u").cast("long").alias("cnt"),

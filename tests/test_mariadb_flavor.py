@@ -99,9 +99,10 @@ def test_mariadb_stream_decodes():
     assert evs[1].next_file == "mariadb-bin.000001"
     assert evs[2].gtid == "0-41-3,1-7-9"
     assert "INSERT INTO shop.orders" in evs[3].query
-    assert evs[4].gtid == "0-41-4" and evs[4].query is None
+    assert evs[4].gtid == "0-41-4" and evs[4].standalone is False
     assert evs[5].rows[0][0] == ["4", "order-4"]
-    assert evs[7].gtid == "0-41-5" and evs[7].query == "standalone"
+    assert evs[7].gtid == "0-41-5" and evs[7].standalone is True
+    assert evs[4].query is None and evs[7].query is None
 
 
 def test_mariadb_gtid_server_id_from_header():
@@ -206,9 +207,11 @@ class FakeMariaDbMaster(threading.Thread):
         pos, flags, sid = struct.unpack("<IHI", cmd[1:11])
         self.seen["dump"] = (pos, flags, sid, cmd[11:].decode())
 
-        # resume from the connect state: only groups PAST it
+        # resume from the connect state: only groups PAST it (a
+        # file/pos resume carries no state -> empty set, serve all)
         state = rc.MariaDbGtidSet.parse(
-            self.seen["vars"]["slave_connect_state"].strip("'"))
+            self.seen["vars"].get("slave_connect_state", "''")
+            .strip("'"))
         seq = 1
         self._send(b"\x00" + self.fde, seq)
         seq += 1
@@ -407,3 +410,45 @@ def test_source_mariadb_carried_offsets_relocate_on_failover(
     parts = rd2.partitions(start, new_end)
     vals = [int(row[3][0][0]) for p in parts for row in rd2.read(p)]
     assert vals == [5], "exactly the new transaction, no replay"
+
+
+def test_mariadb_capability_sent_without_gtid_resume():
+    """r10 review: @mariadb_slave_capability=4 must be sent for the
+    FLAVOR, not only for GTID resume — a real mariadbd substitutes
+    GTID/GTID_LIST events with MySQL-compat dummies for
+    capability < 4, silently disabling every downstream GTID gate
+    on a file/pos-resumed stream."""
+    txns, fde = _mariadb_stream_fixture()
+    client_sock, server_sock = socket.socketpair()
+    master = FakeMariaDbMaster(server_sock, txns, fde)
+    master.start()
+    got = list(rc.tail_binlog(client_sock, USER, PASSWORD,
+                              server_id=5, file="mariadb-bin.000001",
+                              pos=4, flavor="mariadb"))
+    master.join(timeout=10)
+    assert master.error is None
+    assert master.seen["vars"]["mariadb_slave_capability"] == "4"
+    assert "slave_connect_state" not in master.seen["vars"]
+    assert [e.gtid for e in got if e.kind == "gtid"] == \
+        ["0-41-1", "0-41-2", "1-41-1"]
+
+
+def test_mariadb_corrupt_gtid_list_refused(tmp_path):
+    """r10 review: a GTID_LIST whose count field claims more
+    entries than the body holds must refuse loudly —
+    int.from_bytes(b'') == 0 would otherwise fabricate 0-0-0
+    entries into the executed set the purge/history gates compare
+    against."""
+    from tests.fixtures.binlog_wire_encoder import le
+
+    d = str(tmp_path / "bad_list")
+    os.makedirs(d)
+    w = BinlogWriter(server_id=41)
+    w.format_description()
+    w._emit(163, le(100, 4) + le(0, 4) + le(41, 4) + le(7, 8))
+    _mariadb_txn(w, 0, 8, 8)
+    with open(os.path.join(d, "mariadb-bin.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+    rd = _mk_reader(d)
+    with pytest.raises(ValueError, match="corrupt MariaDB GTID_LIST"):
+        rd._scan_gtids()

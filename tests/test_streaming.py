@@ -2344,3 +2344,23 @@ def test_streaming_kmv_restart_and_truncation(spark, tmp_path):
                 .distinct().orderBy("hv").limit(16).collect())
         want += [(side, r.hv) for r in rows]
     assert got == sorted(want) and len(got) == 32
+
+
+def test_streaming_kmv_union_stats_with_one_empty_side(spark,
+                                                       tmp_path):
+    """r10 review: before the second side's first row arrives, the
+    union stats must treat it as the EMPTY set — j = 0, not NULL
+    (array_intersect against NULL nulled the whole column)."""
+    from galaxy_spark.queries.indexing import _kmv_hv
+    from galaxy_spark.streaming.state_store import (
+        ParquetKmvStore, partial_kmv, streaming_kmv_union_stats)
+
+    od = _orders_fo(spark).filter(F.col("o_orderstatus") == "F")
+    store = ParquetKmvStore(spark, str(tmp_path / "kmv_one"), k=16)
+    store.merge(partial_kmv(od, "o_orderstatus", "o_custkey", 16),
+                "lin.000000000000")
+    row = streaming_kmv_union_stats(store, "F", "O").collect()[0]
+    want_cnt = (od.select(_kmv_hv(F.col("o_custkey")).alias("hv"))
+                .distinct().count())
+    assert row.j == 0 and row.cnt == min(want_cnt, 16)
+    assert row.hk is not None
