@@ -349,42 +349,60 @@ class BinlogStreamReader(DataSourceStreamReader):
         return {"file": last,
                 "pos": _aligned_end(os.path.join(self.path, last))}
 
+    #: fingerprint recipe version — stamped INTO every stored fp so
+    #: a future recipe change skips (never falsely flags) offsets
+    #: checkpointed under an older recipe (r10 review wave 2: an
+    #: unversioned semantics change would brick healthy checkpoints
+    #: with a permanent bogus history-mismatch)
+    _FP_VER = 2
+
     def _segment_fingerprint(self, fname: str) -> list | None:
-        """The segment's first complete NON-FDE event header as
-        [timestamp, server_id, esize] — an identity stamp for the
-        same-NAME rebuild gate that works even where the GTID check
-        cannot: anonymous streams carry no set at all, and a
-        rebuild whose GTIDs below the boundary are all covered but
-        RELOCATED passes the coverage check (its documented
-        residual limit, r9 verdict #8). A segment is append-only,
-        so its first events never change on the same history —
-        with ONE exception: the relay writer legally REWRITES a
-        virgin segment's seeded FDE when a checksum-config rotation
-        makes the carried seed mis-declare the mode
-        (replication_client.py's _fde_sig rewrite). Fingerprinting
-        the FDE would turn that healthy rewrite into a permanent
-        bogus 'history mismatch' poisoning the checkpoint (r10
-        review) — so the stamp is the first event PAST the FDE
-        (PREVIOUS_GTIDS on a real server, the first transaction's
-        opener on a relay), which only appends can place and
-        appends never move. A virgin magic+FDE-only segment
-        fingerprints as None and the gate simply skips that offset.
-        A few 19-byte reads."""
+        """Identity stamp for the same-NAME rebuild gate:
+        ``[ver, fde_ts, fde_sid, fde_esize, ev_ts, ev_sid,
+        ev_esize]`` — the FDE's header AND the first non-FDE
+        event's header. Works where the GTID check cannot:
+        anonymous streams carry no set at all, and a rebuild whose
+        GTIDs below the boundary are all covered but RELOCATED
+        passes the coverage check (its documented residual limit,
+        r9 verdict #8).
+
+        Why BOTH parts (r10 review, two waves): the relay writer
+        legally REWRITES a virgin segment's seeded FDE when a
+        checksum-config rotation makes the seed mis-declare the
+        mode — an FDE-only stamp taken in that window poisons the
+        checkpoint with a permanent false positive. But the first
+        non-FDE event alone is an origin-stamped header a diverged
+        history sharing its first transaction can REPRODUCE, losing
+        the detection the gate exists for. The resolution: the FDE
+        rewrite only ever touches VIRGIN segments (nothing past the
+        seed), so once a non-FDE event exists the FDE is frozen
+        forever — stamping both parts ONLY when the segment is
+        non-virgin is simultaneously rewrite-proof (no stamp exists
+        in the rewrite window; such offsets skip the gate and the
+        next offset re-stamps) and divergence-sensitive (a rebuilt
+        file's FDE carries ITS creation time/server). Append-only
+        means neither part can change on the same history: zero
+        false positives. A few 19-byte reads."""
         from galaxy_spark.cdc.binlog import FORMAT_DESCRIPTION_EVENT
 
         fpath = os.path.join(self.path, fname)
         if not os.path.exists(fpath):
             return None
         size = os.path.getsize(fpath)
+        fde_part = None
         with open(fpath, "rb") as f:
             for _pos, etype, esize, _lp, ts in \
                     _walk_event_headers(f, size):
-                if etype == FORMAT_DESCRIPTION_EVENT:
-                    continue
                 f.seek(_pos + 5)
                 sid = int.from_bytes(f.read(4), "little")
-                return [ts, sid, esize]
-        return None
+                if etype == FORMAT_DESCRIPTION_EVENT:
+                    if fde_part is None:
+                        fde_part = [ts, sid, esize]
+                    continue
+                if fde_part is None:
+                    return None     # no FDE: not a decodable segment
+                return [self._FP_VER, *fde_part, ts, sid, esize]
+        return None                 # virgin (magic + FDE only)
 
     def initialOffset(self) -> dict:
         if self.starting_gtids:
@@ -785,14 +803,16 @@ class BinlogStreamReader(DataSourceStreamReader):
         segs_now = _segments(self.path)
         start = self._resolve_offset(start, segs_now, is_start=True)
         end = self._resolve_offset(end, segs_now)
-        if start.get("fp") and start.get("file") in segs_now:
-            # first-event fingerprint gate (r9 verdict #8): catches
-            # same-name rebuilds the GTID coverage check cannot —
-            # anonymous streams (no set to compare) and rebuilds
-            # whose covered GTIDs merely RELOCATED. Append-only
-            # segments never change their first event, so a
-            # mismatch is always content replacement. One 19-byte
-            # read per micro-batch.
+        if (start.get("fp") and start.get("file") in segs_now
+                and start["fp"][0] == self._FP_VER):
+            # fingerprint gate (r9 verdict #8): catches same-name
+            # rebuilds the GTID coverage check cannot — anonymous
+            # streams (no set to compare) and rebuilds whose
+            # covered GTIDs merely RELOCATED. Append-only segments
+            # never change their stamped events, so a mismatch is
+            # always content replacement. A recipe-version mismatch
+            # SKIPS (older-checkpoint offsets must never falsely
+            # flag). A few 19-byte reads per micro-batch.
             now_fp = self._segment_fingerprint(start["file"])
             if now_fp is not None and now_fp != start["fp"]:
                 raise ValueError(

@@ -1585,3 +1585,113 @@ def test_fingerprint_gate_catches_covered_but_relocated_rebuild(
     rd2 = _mk_reader(d)
     with _pytest.raises(ValueError, match="fingerprint"):
         rd2.partitions(committed, rd2._end_of_dir())
+
+
+def test_fingerprint_skips_virgin_segment_and_fde_rewrite(tmp_path):
+    """r10 review wave 2, the rewrite window: an offset stamped on a
+    VIRGIN segment (magic + seeded FDE only) carries fp=None — the
+    relay may still legally rewrite that FDE on a checksum-config
+    rotation, and the gate must not fire on the healthy stream."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    d = str(tmp_path / "fp_virgin")
+    os.makedirs(d)
+    fpath = os.path.join(d, "binlog.000001.bin")
+    w = BinlogWriter(base_ts=100)
+    w.format_description()
+    with open(fpath, "wb") as f:
+        f.write(w.bytes())              # virgin: magic + FDE only
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    committed = rd.latestOffset()
+    assert committed.get("fp") is None  # no stamp in the window
+
+    # the re-seed: same-shape FDE, different creation stamp, then
+    # real events land
+    w2 = BinlogWriter(base_ts=500)
+    w2.format_description()
+    w2.query("shop", "BEGIN")
+    w2.table_map(7, "shop", "orders", cols)
+    w2.write_rows(7, cols, [[1, "o-1"]])
+    w2.xid(901)
+    with open(fpath, "wb") as f:
+        f.write(w2.bytes())
+    rd2 = _mk_reader(d)
+    parts = rd2.partitions(committed, rd2._end_of_dir())
+    vals = [int(row[3][0][0]) for p in parts for row in rd2.read(p)]
+    assert vals == [1], "gate must not fire across the FDE rewrite"
+
+
+def test_fingerprint_catches_diverged_prefix_same_first_txn(
+        tmp_path):
+    """r10 review wave 2, the lost-detection case: an anonymous
+    rebuild whose FIRST transaction is byte-identical to the old
+    history (shared prefix, divergence later) reproduces the first
+    non-FDE header — the FDE part of the stamp (frozen once the
+    segment is non-virgin) still catches it."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    cols = [(LONG, 0), (VARCHAR, 64)]
+
+    def seg(fde_ts, vals):
+        w = BinlogWriter(base_ts=fde_ts)
+        w.format_description()
+        w.ts = 100                      # events share the old stamps
+        for v in vals:
+            w.query("shop", "BEGIN")
+            w.table_map(7, "shop", "orders", cols)
+            w.write_rows(7, cols, [[v, f"o-{v}"]])
+            w.xid(900 + v)
+        return w.bytes()
+
+    d = str(tmp_path / "fp_prefix")
+    os.makedirs(d)
+    fpath = os.path.join(d, "binlog.000001.bin")
+    with open(fpath, "wb") as f:
+        f.write(seg(100, [1, 2]))
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    committed = rd.latestOffset()
+    assert committed["fp"] and committed["fp"][0] == 2
+
+    # rebuild: FDE created later, first transaction identical bytes,
+    # history diverges at txn 2
+    with open(fpath, "wb") as f:
+        f.write(seg(777, [1, 9]))
+    rd2 = _mk_reader(d)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        rd2.partitions(committed, rd2._end_of_dir())
+
+
+def test_fingerprint_version_mismatch_skips_not_flags(tmp_path):
+    """r10 review wave 2: an offset checkpointed under an OLDER
+    fingerprint recipe must SKIP the gate, never falsely flag a
+    healthy directory."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    d = str(tmp_path / "fp_ver")
+    os.makedirs(d)
+    w = BinlogWriter(base_ts=100)
+    w.format_description()
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[1, "o-1"]])
+    w.xid(901)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+    rd = _mk_reader(d)
+    rd.initialOffset()
+    committed = rd.latestOffset()
+    committed["fp"] = [1, 100, 7007, 123]   # an older recipe's shape
+    rd2 = _mk_reader(d)
+    parts = rd2.partitions(
+        {**committed, "pos": 4}, rd2._end_of_dir())
+    vals = [int(row[3][0][0]) for p in parts for row in rd2.read(p)]
+    assert vals == [1], "version mismatch must skip, not flag"

@@ -2234,6 +2234,10 @@ def test_lsh_probe_plans_as_equi_join(spark, tmp_path):
     p = physical_plan(probe)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the verification inputs must prune to candidate ids BEFORE
+    # the shingle compute (r10 review: without the semi-join, every
+    # trigger re-shuffled and re-shingled the whole corpus)
+    assert "LeftSemi" in p
     assert probe.count() >= 0          # the plan executes
 
 
