@@ -206,3 +206,61 @@ def test_hash_split_bands_partition_hash_space(fracs, seed):
                             and all(c in "0123456789abcdef" for c in t))
     assert bounds == sorted(bounds)
     assert names  # fractions normalized upstream; vector non-empty
+
+
+# ------------------------------------------------------------------
+# MariaDbGtidSet algebra properties (r10)
+# ------------------------------------------------------------------
+
+_mdb_gtid = st.tuples(st.integers(0, 3), st.integers(1, 99),
+                      st.integers(1, 50)).map(
+    lambda t: f"{t[0]}-{t[1]}-{t[2]}")
+
+
+@given(st.lists(_mdb_gtid, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_mariadb_gtidset_parse_str_roundtrip(gtids):
+    """str(parse(text)) is a fixed point, and the set covers
+    exactly the per-domain sequences at or below its max."""
+    from galaxy_spark.cdc.replication_client import MariaDbGtidSet
+
+    s = MariaDbGtidSet()
+    for g in gtids:
+        s.add(g)
+    t = MariaDbGtidSet.parse(str(s))
+    assert str(t) == str(s)
+    maxes: dict = {}
+    for g in gtids:
+        d, _sv, n = (int(x) for x in g.split("-"))
+        maxes[d] = max(maxes.get(d, 0), n)
+    for d, n in maxes.items():
+        assert s.covers(f"{d}-7-{n}")
+        assert not s.covers(f"{d}-7-{n + 1}")
+
+
+@given(st.lists(_mdb_gtid, min_size=1, max_size=15),
+       st.lists(_mdb_gtid, min_size=1, max_size=15))
+@settings(max_examples=200, deadline=None)
+def test_mariadb_gtidset_merge_covers_both_and_monotone(a_gtids,
+                                                        b_gtids):
+    """merge is an upper bound: the merged set covers_set both
+    inputs, and covers_set is reflexive + antisymmetric-up-to-str."""
+    from galaxy_spark.cdc.replication_client import MariaDbGtidSet
+
+    a, b = MariaDbGtidSet(), MariaDbGtidSet()
+    for g in a_gtids:
+        a.add(g)
+    for g in b_gtids:
+        b.add(g)
+    assert a.covers_set(a) and b.covers_set(b)
+    m = MariaDbGtidSet.parse(str(a))
+    m.merge(b)
+    assert m.covers_set(a) and m.covers_set(b)
+    if a.covers_set(b) and b.covers_set(a):
+        # mutual coverage means identical domain maxima (server ids
+        # may differ — provenance, not ordering)
+        am = {p.rsplit("-", 1)[0].split("-")[0]: p.rsplit("-", 1)[1]
+              for p in str(a).split(",")}
+        bm = {p.rsplit("-", 1)[0].split("-")[0]: p.rsplit("-", 1)[1]
+              for p in str(b).split(",")}
+        assert am == bm

@@ -2368,3 +2368,41 @@ def test_streaming_kmv_union_stats_with_one_empty_side(spark,
                 .distinct().count())
     assert row.j == 0 and row.cnt == min(want_cnt, 16)
     assert row.hk is not None
+
+
+def test_near_dup_emissions_invariant_under_batch_splits(spark,
+                                                         tmp_path):
+    """The replay/ordering property behind the growing index: the
+    UNION of per-batch emissions equals the batch answer under ANY
+    partition of the corpus into arrival batches — including
+    arrival orders where the 'later' half of a pair streams FIRST.
+    Drives the store merges directly (no streaming query) so three
+    split shapes stay cheap."""
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        lsh_probe_pairs, partial_lsh_index, streaming_near_dup_pairs)
+
+    docs = load_table(spark, SF, "documents")
+    want = sorted((r.id_a, r.id_b, r.jaccard)
+                  for r in all_queries()["dedup_minhash_lsh"](
+                      spark, SF).collect())
+    shapes = {
+        "asc": [docs.filter(F.col("doc_id") % 4 == k)
+                for k in range(4)],
+        "desc": [docs.filter(F.col("doc_id") % 4 == k)
+                 for k in (3, 2, 1, 0)],
+        "one": [docs],
+    }
+    for tag, batches in shapes.items():
+        lsh, dstore, pairs = _near_dup_stores(spark, tmp_path,
+                                              f"split_{tag}")
+        for i, batch in enumerate(batches):
+            key = f"lin.{i:012d}"
+            pairs.merge(lsh_probe_pairs(batch, lsh, dstore), key)
+            lsh.merge(partial_lsh_index(batch), key)
+            dstore.merge(batch.select(F.col("doc_id").alias("id"),
+                                      "text"), key)
+        got = sorted((r.id_a, r.id_b, r.jaccard)
+                     for r in streaming_near_dup_pairs(pairs)
+                     .collect())
+        assert got == want, f"split shape {tag!r} diverged"
