@@ -1147,9 +1147,12 @@ def streaming_kmv_union_stats(store: ParquetKmvStore,
                               side_b: str) -> DataFrame:
     """The set-algebra instrument off two stored sketches: union
     sketch = min-k of the two arrays' union, cnt/hk as its
-    size/max, j = union members present in BOTH sides — identical
-    integers to the batch query's (cnt, hk, j), from pure array ops
-    over two bounded rows (no shuffle at all)."""
+    size/max, j = union members present in BOTH sides, and the
+    directed one-side-only counts j_ab/j_ba — identical integers
+    to BOTH batch queries' (``agg_kmv_set_intersection``'s
+    (cnt, hk, j) and ``agg_kmv_set_difference``'s (j_ab, j_ba)),
+    from pure array ops over two bounded rows (no shuffle at
+    all)."""
     k = store.k
     empty = F.array().cast("array<bigint>")
     sides = (store.state()
@@ -1172,4 +1175,10 @@ def streaming_kmv_union_stats(store: ParquetKmvStore,
                 F.array_max("u").alias("hk"),
                 F.size(F.array_intersect(
                     F.array_intersect("u", "a"), "b"))
-                .cast("long").alias("j")))
+                .cast("long").alias("j"),
+                F.size(F.array_except(
+                    F.array_intersect("u", "a"), "b"))
+                .cast("long").alias("j_ab"),
+                F.size(F.array_except(
+                    F.array_intersect("u", "b"), "a"))
+                .cast("long").alias("j_ba")))

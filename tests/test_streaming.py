@@ -2296,6 +2296,9 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
         spark, SF).collect()[0]
     assert (got_u.cnt, got_u.hk, got_u.j) == \
         (want_u.cnt, want_u.hk, want_u.j)
+    want_d = all_queries()["agg_kmv_set_difference"](
+        spark, SF).collect()[0]
+    assert (got_u.j_ab, got_u.j_ba) == (want_d.j_ab, want_d.j_ba)
 
     # idempotence without the claim: full-corpus partial, new epoch
     store.merge(partial_kmv(od, "o_orderstatus", "o_custkey",
