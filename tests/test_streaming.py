@@ -2409,3 +2409,44 @@ def test_near_dup_emissions_invariant_under_batch_splits(spark,
                      for r in streaming_near_dup_pairs(pairs)
                      .collect())
         assert got == want, f"split shape {tag!r} diverged"
+
+
+def test_near_dup_stores_survive_rebucket(spark, tmp_path):
+    """The new stores inherit the generic rebucket() migration —
+    pin it for the pair store (results) and the LSH index
+    (membership): state is identical element-for-element after
+    moving to a different bucket count."""
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetLshStore, ParquetPairStore, lsh_probe_pairs,
+        partial_lsh_index, rebucket, streaming_near_dup_pairs)
+
+    docs = load_table(spark, SF, "documents")
+    lsh, dstore, pairs = _near_dup_stores(spark, tmp_path, "rb")
+    key = "lin.000000000000"
+    pairs.merge(lsh_probe_pairs(docs, lsh, dstore), key)
+    lsh.merge(partial_lsh_index(docs), key)
+    dstore.merge(docs.select(F.col("doc_id").alias("id"), "text"),
+                 key)
+    want = sorted((r.id_a, r.id_b, r.jaccard)
+                  for r in streaming_near_dup_pairs(pairs).collect())
+    assert want == sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in all_queries()["dedup_minhash_lsh"](
+            spark, SF).collect())
+
+    pairs2 = rebucket(pairs, str(tmp_path / "rb_pairs7"),
+                      n_buckets=7)
+    assert isinstance(pairs2, ParquetPairStore)
+    assert sorted((r.id_a, r.id_b, r.jaccard)
+                  for r in streaming_near_dup_pairs(pairs2)
+                  .collect()) == want
+
+    lsh2 = rebucket(lsh, str(tmp_path / "rb_lsh5"), n_buckets=5)
+    assert isinstance(lsh2, ParquetLshStore)
+    assert lsh2.state().count() == lsh.state().count()
+    a = sorted(map(tuple, lsh.state()
+                   .select("band", "bucket", "id").collect()))
+    b = sorted(map(tuple, lsh2.state()
+                   .select("band", "bucket", "id").collect()))
+    assert a == b
