@@ -998,3 +998,24 @@ def test_gtidset_roundtrip_properties():
             prev_stop = e_
 
     check()
+
+
+def test_oaep_hypothesis_roundtrip():
+    """Property: any message within the envelope bound round-trips
+    through client-encrypt -> independent-decrypt for any seed —
+    the OAEP masks are self-inverting XORs, so this exercises the
+    full MGF1/padding geometry, not one lucky shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    d = _rsa_d()
+
+    @given(st.binary(min_size=0, max_size=86),
+           st.binary(min_size=20, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def check(msg, seed):
+        c = rc.rsa_oaep_sha1_encrypt(_rsa_pem(), msg,
+                                     rand=lambda n: seed[:n])
+        assert _oaep_sha1_decrypt(c, _RSA_N, d) == msg
+
+    check()
