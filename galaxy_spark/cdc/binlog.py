@@ -100,6 +100,13 @@ GTID_EVENT = 33
 ANONYMOUS_GTID_EVENT = 34
 PREVIOUS_GTIDS_EVENT = 35
 TRANSACTION_PAYLOAD_EVENT = 40
+#: MySQL >= 8.3 tagged-GTID transaction header (WL#15294). Its
+#: body uses the mysql::serialization self-describing format, which
+#: this build does not decode — the source's walkers treat it as an
+#: UNDECODABLE transaction boundary (resume-at, never skip-past;
+#: the ANONYMOUS_GTID discipline), and the GtidSet class handles
+#: tagged sets in text/wire form (replication_client.py)
+GTID_TAGGED_EVENT = 42
 #: MariaDB's replication event range (>= 160, flavor-specific —
 #: the reference supports the flavor as a one-string go-mysql
 #: config, ``internal/sync_server/sync.go:47``)
@@ -816,6 +823,18 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             # opaque marker — resume positions here are (file, pos),
             # not GTID sets (documented scope)
             events.append(DecodedEvent("previous_gtids", ts, log_pos))
+        elif etype == GTID_TAGGED_EVENT:
+            # MySQL >= 8.3 tagged-GTID transaction header
+            # (WL#15294). Body is mysql::serialization-encoded
+            # (self-describing field/type stream) — NOT decoded by
+            # this build, so the gtid text (uuid:tag:gno) is not
+            # surfaced; the transaction's row events still decode
+            # and flow normally, and the source's walkers treat
+            # the event as an undecodable resume boundary
+            # (binlog_source._tagged_et). SCALE.md records the
+            # residual: executed-set TRACKING of tagged
+            # transactions needs the body decode.
+            events.append(DecodedEvent("gtid_tagged", ts, log_pos))
         elif etype == ROWS_QUERY_EVENT:
             r.u8()                          # length byte (truncated)
             events.append(DecodedEvent(

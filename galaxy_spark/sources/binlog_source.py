@@ -289,6 +289,19 @@ class BinlogStreamReader(DataSourceStreamReader):
             return (MARIADB_GTID_EVENT, None, MARIADB_GTID_LIST_EVENT)
         return (GTID_EVENT, ANONYMOUS_GTID_EVENT, PREVIOUS_GTIDS_EVENT)
 
+    def _tagged_et(self) -> int | None:
+        """MySQL >= 8.3 GTID_TAGGED_EVENT (42) for the mysql
+        flavor, else None. Its mysql::serialization body is not
+        decoded here, so walkers must treat it as an UNDECODABLE
+        transaction boundary: the auto-position scan resumes AT the
+        first one (coverage unprovable -> conservative re-delivery,
+        never a silent skip — the ANONYMOUS_GTID discipline, r8
+        review class), and the timestamp seek anchors on it like
+        any transaction opener. Residual recorded in SCALE.md."""
+        from galaxy_spark.cdc.binlog import GTID_TAGGED_EVENT
+
+        return GTID_TAGGED_EVENT if self.flavor != "mariadb" else None
+
     def _read_gtid_at(self, f, pos: int, esize: int,
                       where: str) -> str:
         """Flavor-aware GTID text from a GTID event during a header
@@ -453,6 +466,7 @@ class BinlogStreamReader(DataSourceStreamReader):
         the PREVIOUS_GTIDS purge-gate role, and no anonymous mode
         exists."""
         gtid_et, anon_et, prev_et = self._etypes()
+        tagged_et = self._tagged_et()
         gset = self._gset_cls().parse(gtid_text)
         segs = _segments(self.path)
         for i, s in enumerate(segs):
@@ -487,6 +501,13 @@ class BinlogStreamReader(DataSourceStreamReader):
                                 "(recovery_v2) or restore the "
                                 "segments")
                     if anon_et is not None and etype == anon_et:
+                        return {"file": s, "pos": prev_end}
+                    if tagged_et is not None and etype == tagged_et:
+                        # tagged transaction (8.3+): the event body
+                        # is undecodable here, so coverage cannot be
+                        # proven — resume AT it (re-delivery of a
+                        # covered transaction is recoverable;
+                        # skipping an uncovered one is data loss)
                         return {"file": s, "pos": prev_end}
                     if etype == gtid_et:
                         gtid = self._read_gtid_at(f, pos, esize,
@@ -632,6 +653,10 @@ class BinlogStreamReader(DataSourceStreamReader):
         gtid_et, anon_et, _prev_et = self._etypes()
         anchor_types = ((gtid_et,) if anon_et is None
                         else (gtid_et, anon_et))
+        if self._tagged_et() is not None:
+            # a tagged GTID opens a transaction like any other —
+            # anchoring needs only the header type, not the body
+            anchor_types += (self._tagged_et(),)
         for s in _segments(self.path):
             fpath = os.path.join(self.path, s)
             size = os.path.getsize(fpath)

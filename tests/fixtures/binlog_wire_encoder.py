@@ -512,6 +512,14 @@ class BinlogWriter:
                 + bytes([2]) + le(0, 8) + le(0, 8))  # lt-type + ts
         self._emit(34 if anonymous else 33, body)
 
+    def tagged_gtid(self, payload: bytes = b"\x02\x01\x00") -> None:
+        """MySQL >= 8.3 GTID_TAGGED_EVENT (42, WL#15294). The real
+        body is mysql::serialization-encoded; every reader in this
+        repo treats the event as an OPAQUE transaction boundary
+        (header-only handling), so the fixture writes an opaque
+        stand-in body."""
+        self._emit(42, payload)
+
     def previous_gtids(self, sid_hex: str, upto: int) -> None:
         # gtid-set: n_sids u64, sid 16, n_intervals u64, [start, stop)
         body = (le(1, 8) + bytes.fromhex(sid_hex) + le(1, 8)

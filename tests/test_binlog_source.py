@@ -967,6 +967,56 @@ def test_starting_gtids_resumes_at_anonymous_transactions(spark,
         [("insert", ["2", "anon-2"])]
 
 
+def test_starting_gtids_resumes_at_tagged_transactions(spark,
+                                                       tmp_path):
+    """MySQL >= 8.3 GTID_TAGGED_EVENT (42) transactions: the body
+    is mysql::serialization-encoded and not decoded here, so the
+    auto-position scan cannot prove coverage — it must resume AT
+    the first tagged event (conservative re-delivery), never skip
+    past it (which silently drops the transaction if it was NOT
+    covered — the r8 ANONYMOUS_GTID bug class). Downstream, the
+    tagged transaction's row events decode and flow normally."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter()
+    w.format_description()
+    w.gtid(sid, 1)
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[1, "plain-1"]])
+    w.xid(901)
+    w.tagged_gtid()                              # 8.3+ tagged txn
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[2, "tagged-2"]])
+    w.xid(902)
+    w.gtid(sid, 2)
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[3, "plain-3"]])
+    w.xid(903)
+    d = str(tmp_path / "tagged_relay")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    uuid = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+           f"{sid[16:20]}-{sid[20:32]}"
+    # the whole untagged history {1,2} is covered — but the tagged
+    # transaction between them is unprovable, so the scan resumes
+    # there and re-delivers everything from it on
+    q = _start_gtids(spark, d, "gt_tagged", str(tmp_path / "ck"),
+                     f"{uuid}:1-2")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM gt_tagged").collect()
+    assert [(r.action, r.org_row[0]) for r in rows] == \
+        [("insert", ["2", "tagged-2"]), ("insert", ["3", "plain-3"])]
+
+
 def _mk_reader(d, **opts):
     from galaxy_spark.sources.binlog_source import BinlogStreamReader
 

@@ -167,7 +167,7 @@ def test_gtidset_covers_set_matches_pointwise(a_ivs, b_ivs):
     def mk(ivs):
         s = GtidSet()
         for start, width in ivs:
-            s._insert(s._norm(sid), start, start + width)
+            s._insert((s._norm(sid), ""), start, start + width)
         return s
 
     a, b = mk(a_ivs), mk(b_ivs)
@@ -177,6 +177,74 @@ def test_gtidset_covers_set_matches_pointwise(a_ivs, b_ivs):
     assert a.covers_set(b) == pointwise
     assert a.covers_set(a)                 # reflexive
     merged = mk(a_ivs)
+    merged.merge(b)
+    assert merged.covers_set(a) and merged.covers_set(b)
+
+
+# ------------------------------------------------------------------
+# Tagged GTIDs (MySQL >= 8.3, WL#15294) — r11
+# ------------------------------------------------------------------
+
+_tags = st.sampled_from(["", "x", "patch", "maint_2026", "a_b_c"])
+_tagged_entries = st.lists(
+    st.tuples(st.sampled_from(["0f81a2b3-c4d5-e6f7-0819-22aabbccddee",
+                               "11112222-3333-4444-5555-666677778888"]),
+              _tags,
+              st.integers(1, 60), st.integers(1, 30)),
+    min_size=1, max_size=12)
+
+
+def _mk_tagged(entries):
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    s = GtidSet()
+    for uuid, tag, start, width in entries:
+        s._insert((s._norm(uuid), tag), start, start + width)
+    return s
+
+
+@given(_tagged_entries)
+@settings(max_examples=200, deadline=None)
+def test_gtidset_tagged_text_and_wire_roundtrip(entries):
+    """For ANY mix of tagged and untagged intervals over multiple
+    sources: text form parses back to the same set, the wire
+    encoding decodes back to the same set (tagged format iff a tag
+    is present — untagged sets must keep the pre-8.3 bytes), and
+    canonicalization is idempotent."""
+    from galaxy_spark.cdc.replication_client import GtidSet
+
+    s = _mk_tagged(entries)
+    assert str(GtidSet.parse(str(s))) == str(s)
+    dec = GtidSet.decode(s.encode())
+    assert str(dec) == str(s)
+    assert dec.encode() == s.encode()
+    if all(tag == "" for _, tag, _, _ in entries):
+        # pre-8.3 byte layout pinned: n_sids is the plain count
+        import struct as _st
+        (head,) = _st.unpack_from("<Q", s.encode(), 0)
+        assert head == len(s._sids)
+
+
+@given(_tagged_entries, _tagged_entries)
+@settings(max_examples=200, deadline=None)
+def test_gtidset_tagged_covers_is_per_tag(a_entries, b_entries):
+    """The tag is part of the source identity: coverage never leaks
+    across tags (uuid:x:5 covered says nothing about uuid:5 or
+    uuid:y:5), covers_set == pointwise coverage, and merge is an
+    upper bound — all on random MIXED tagged/untagged sets."""
+    a, b = _mk_tagged(a_entries), _mk_tagged(b_entries)
+
+    def gtid(uuid, tag, g):
+        return f"{uuid}:{tag}:{g}" if tag else f"{uuid}:{g}"
+
+    pointwise = all(a.covers(gtid(u, t, g))
+                    for u, t, start, width in b_entries
+                    for g in range(start, start + width))
+    assert a.covers_set(b) == pointwise
+    for u, t, start, _w in a_entries:
+        other = "y" if t != "y" else "z"
+        assert not a.covers(gtid(u, other, start))
+    merged = _mk_tagged(a_entries)
     merged.merge(b)
     assert merged.covers_set(a) and merged.covers_set(b)
 

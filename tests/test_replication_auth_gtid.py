@@ -241,24 +241,46 @@ class Master(threading.Thread):
             (data_len,) = struct.unpack_from("<I", cmd, p)
             p += 4
             data = cmd[p:p + data_len]
-            # INDEPENDENT wire parse of the client's gtid set
-            (n_sids,) = struct.unpack_from("<Q", data, 0)
+            # INDEPENDENT wire parse of the client's gtid set,
+            # both layouts: tagged (8.3+, n_sids field = n*8+1,
+            # per-tsid 1-byte-length tag block) and pre-8.3
+            # untagged — entries keyed (sid, tag, gno), tag ""
+            # for untagged
+            (head,) = struct.unpack_from("<Q", data, 0)
             q = 8
-            for _ in range(n_sids):
-                sid = data[q:q + 16].hex()
-                (n_ivs,) = struct.unpack_from("<Q", data, q + 16)
-                q += 24
-                for _ in range(n_ivs):
-                    s, e = struct.unpack_from("<QQ", data, q)
-                    q += 16
-                    covered.update((sid, g) for g in range(s, e))
+            if head % 8 == 1 and head > 1:
+                for _ in range(head // 8):
+                    sid = data[q:q + 16].hex()
+                    tlen = data[q + 16]
+                    q += 17
+                    tag = data[q:q + tlen].decode()
+                    q += tlen
+                    (n_ivs,) = struct.unpack_from("<Q", data, q)
+                    q += 8
+                    for _ in range(n_ivs):
+                        s, e = struct.unpack_from("<QQ", data, q)
+                        q += 16
+                        covered.update(
+                            (sid, tag, g) for g in range(s, e))
+                assert q == len(data)
+            else:
+                for _ in range(head):
+                    sid = data[q:q + 16].hex()
+                    (n_ivs,) = struct.unpack_from("<Q", data, q + 16)
+                    q += 24
+                    for _ in range(n_ivs):
+                        s, e = struct.unpack_from("<QQ", data, q)
+                        q += 16
+                        covered.update(
+                            (sid, "", g) for g in range(s, e))
             self.seen["gtid_raw"] = data
+            self.seen["covered"] = set(covered)
         seq = 1
         if self.fde is not None:
             self._send(b"\x00" + self.fde, seq)
             seq += 1
         for gno, events in self.transactions:
-            if (SID_HEX, gno) in covered:
+            if (SID_HEX, "", gno) in covered:
                 continue                         # auto-position skip
             for ev in events:
                 self._send(b"\x00" + ev, seq)
@@ -721,6 +743,48 @@ def test_gtid_dump_all_covered_streams_nothing():
     m.join(timeout=10)
     assert m.error is None
     assert [e.kind for e in got] == ["format_description"]
+
+
+def test_gtid_dump_resumes_with_tagged_executed_set():
+    """Auto-position resume when the executed set carries MySQL
+    8.3+ TAGGED GTIDs (WL#15294): the client encodes the mixed set
+    in the tagged wire layout; the master INDEPENDENTLY parses that
+    layout (n_sids field = n*8+1, per-tsid length-prefixed tag
+    block), sees the untagged interval {1,2} covered, and serves
+    only transaction 3 — tag entries ride along without poisoning
+    untagged coverage. Byte-checks the encoding end-to-end."""
+    _, events = _txn_stream([1, 2, 3])
+    fde, txns = _txns_from_stream(events)
+    c, s = _pair()
+    m = Master(s, transactions=txns, fde=fde)
+    m.start()
+    gset = rc.GtidSet.parse(
+        f"{SID_UUID}:1-2:patch:1-9,{SID_UUID.replace('0f', '1f')}"
+        f":maint_x:4")
+    got = list(rc.tail_binlog(c, USER, PASSWORD, server_id=9,
+                              file="", pos=4, gtid_set=gset))
+    m.join(timeout=10)
+    assert m.error is None
+    assert m.seen["dump_cmd"] == rc.COM_BINLOG_DUMP_GTID
+    # independent byte check: 3 tsids (sorted by (sid, tag):
+    # SID untagged, SID:patch, 1f-sid:maint_x), head = 3*8+1
+    sid2 = SID_HEX.replace("0f", "1f", 1)
+    assert m.seen["gtid_raw"] == (
+        struct.pack("<Q", 25)
+        + bytes.fromhex(SID_HEX) + b"\x00"
+        + struct.pack("<QQQ", 1, 1, 3)
+        + bytes.fromhex(SID_HEX) + b"\x05patch"
+        + struct.pack("<QQQ", 1, 1, 10)
+        + bytes.fromhex(sid2) + b"\x07maint_x"
+        + struct.pack("<QQQ", 1, 4, 5))
+    # the master's independent parse saw every tagged entry
+    assert (SID_HEX, "patch", 9) in m.seen["covered"]
+    assert (sid2, "maint_x", 4) in m.seen["covered"]
+    assert (SID_HEX, "", 2) in m.seen["covered"]
+    ins = [e for e in got if e.kind == "insert"]
+    assert [r for e in ins for r in e.rows] == [[["3", "order-3"]]]
+    gtids = [e.gtid for e in got if e.kind == "gtid"]
+    assert gtids == [f"{SID_UUID}:3"]
 
 
 # ---- bounded tail buffer without XID ---------------------------------
