@@ -1185,6 +1185,427 @@ def streaming_near_dup_pairs(pair_store: ParquetPairStore) -> DataFrame:
 
 
 # ------------------------------------------------------------------
+# Streaming incremental near-dup CLUSTERING (union-find on stores)
+# ------------------------------------------------------------------
+
+class ParquetClusterStore(KeyedParquetStore):
+    """Per-document cluster assignment: id -> label (the smallest
+    reachable doc id at last touch). New pairs can only MERGE
+    clusters, so labels are monotone non-increasing over time and
+    the MIN fold is both the correct accumulator and idempotent
+    (the HLL-register replay story). Rows exist only for ids that
+    ever appeared in a near-dup pair — singletons resolve to
+    themselves at read time — so state is O(near-dup docs), not
+    O(corpus)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["id"],
+            [F.min("label").cast("long").alias("label")],
+            n_buckets,
+            state_schema="id long, label long")
+
+
+class ParquetRedirectStore(KeyedParquetStore):
+    """Label forwarding (the union-find parent map over LABELS):
+    when a batch merges the cluster labeled L into a smaller min m,
+    untouched members still pointing at L re-resolve through
+    (L -> m) at read time instead of being rewritten — per-batch
+    write cost stays bounded by the batch's pairs, never by the
+    losing cluster's size. Targets are monotone non-increasing for
+    a fixed label (same monotonicity argument), so MIN folds
+    correctly; chains stay short because every batch path-
+    compresses the labels it visits (each visited node > min gets
+    a direct redirect to the new min)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["label"],
+            [F.min("target").cast("long").alias("target")],
+            n_buckets,
+            state_schema="label long, target long")
+
+
+def _cluster_partials(pairs: DataFrame,
+                      cluster_store: ParquetClusterStore,
+                      redirect_store: ParquetRedirectStore,
+                      max_hops: int = 25
+                      ) -> tuple[DataFrame, DataFrame]:
+    """One batch's (redirect_partial, id_partial) from its near-dup
+    pair emissions: resolve the endpoints' stored labels through
+    the redirect chains (layout-pruned ``state_for_keys`` reads,
+    one bounded read per hop), run min-label connected components
+    over the BOUNDED batch graph (pairs + every chain edge
+    visited), and emit (id -> component min) rows for the
+    endpoints plus (label -> component min) redirects for every
+    visited label node above its min. All reads happen eagerly
+    here — before the caller's merges can vacuum the versions the
+    plans pin.
+
+    Replay contract (see start_streaming_near_dup_clustering for
+    the merge order this relies on): endpoint chains are walked
+    through the id rows FIRST (untouched until the last merge of
+    an epoch) and the redirect store second, so a replay after a
+    partial redirect merge still VISITS every original root —
+    either via its not-yet-updated chain or via the committed
+    redirect — and recomputes an identical fold for every
+    unclaimed bucket."""
+    from galaxy_spark.operators.graph import connected_components
+
+    pairs = pairs.localCheckpoint(eager=False)
+    eps = (pairs.select(F.col("id_a").alias("id"))
+           .unionByName(pairs.select(F.col("id_b").alias("id")))
+           .distinct().localCheckpoint(eager=False))
+    lab = (cluster_store.state_for_keys(eps)
+           .join(eps, "id", "right_outer")
+           .select("id", F.coalesce("label", F.col("id"))
+                   .alias("label"))
+           .localCheckpoint(eager=False))
+    chain = lab.select(F.col("id").alias("src"),
+                       F.col("label").alias("dst"))
+    frontier = (lab.select("label").distinct()
+                .localCheckpoint(eager=False))
+    visited = frontier
+    for _ in range(max_hops):
+        hops = (redirect_store.state_for_keys(frontier)
+                .join(frontier, "label", "left_semi")
+                .localCheckpoint(eager=False))
+        if hops.isEmpty():
+            break
+        chain = chain.unionByName(
+            hops.select(F.col("label").alias("src"),
+                        F.col("target").alias("dst")))
+        frontier = (hops.select(F.col("target").alias("label"))
+                    .distinct()
+                    .join(visited, "label", "left_anti")
+                    .localCheckpoint(eager=False))
+        visited = visited.unionByName(frontier) \
+            .localCheckpoint(eager=False)
+        if frontier.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"redirect chains deeper than {max_hops} hops — the "
+            "per-batch path compression should keep chains short; "
+            "the store is not in a state this walker understands")
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(chain.filter(F.col("src") != F.col("dst"))))
+    verts = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct())
+    comp = connected_components(verts, edges) \
+        .localCheckpoint(eager=False)
+    id_partial = (comp.join(eps, "id", "left_semi")
+                  .select("id", F.col("component").alias("label")))
+    redirect_partial = (comp.withColumnRenamed("id", "label")
+                        .join(visited, "label", "left_semi")
+                        .filter(F.col("component") < F.col("label"))
+                        .select("label", F.col("component")
+                                .alias("target")))
+    return redirect_partial, id_partial
+
+
+def start_streaming_near_dup_clustering(
+        stream: DataFrame, lsh_store: ParquetLshStore,
+        doc_store: ParquetDocStore, pair_store: ParquetPairStore,
+        cluster_store: ParquetClusterStore,
+        redirect_store: ParquetRedirectStore,
+        checkpoint_dir: str, n: int = 5, n_hashes: int = 32,
+        bands: int = 8, threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id") -> StreamingQuery:
+    """The near-dup index pipeline PLUS incremental transitive
+    clustering (r10 verdict #4): per micro-batch, probe-then-insert
+    as before, and fold the batch's pair emissions into the
+    union-find stores so the canonical-document assignment is
+    maintained continuously instead of recomputed from the pair
+    backlog.
+
+    Merge ORDER is load-bearing for replay (each store claims the
+    same epoch key): pairs -> redirects -> id assignments -> index
+    inserts. Redirects before id rows: a replay that lost the id
+    merge still walks each endpoint's OLD chain (id rows untouched)
+    through the committed redirects and recomputes the identical
+    min; the reverse order has a window where an endpoint's id row
+    already points at the new min, its old root is never revisited,
+    and the root's lost redirect is never regenerated — a permanent
+    cluster split. Same derivation-order discipline as the IVM
+    starter's view-before-snapshot."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(
+            checkpoint_dir, (lsh_store, doc_store, pair_store,
+                             cluster_store, redirect_store), lineage)
+        key = f"{lin}.{epoch_id:012d}"
+        batch = batch_df.localCheckpoint()
+        emitted = lsh_probe_pairs(batch, lsh_store, doc_store, n,
+                                  n_hashes, bands, threshold,
+                                  text_col, id_col) \
+            .localCheckpoint(eager=False)
+        pair_store.merge(emitted, key)
+        red_p, id_p = _cluster_partials(emitted, cluster_store,
+                                        redirect_store)
+        redirect_store.merge(red_p, key)
+        cluster_store.merge(id_p, key)
+        lsh_store.merge(
+            partial_lsh_index(batch, n, n_hashes, bands, text_col,
+                              id_col), key)
+        doc_store.merge(
+            batch.select(F.col(id_col).alias("id"),
+                         F.col(text_col).alias("text")), key)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_cluster_assignments(
+        docs: DataFrame, cluster_store: ParquetClusterStore,
+        redirect_store: ParquetRedirectStore,
+        id_col: str = "doc_id", max_hops: int = 25) -> DataFrame:
+    """Cluster assignments for a document universe off the stores,
+    in the batch query's shape (``dedup_cluster_canonical``:
+    doc_id, cluster_id, cluster_size, is_canonical) — equality with
+    the batch answer over a replayed corpus is pinned in
+    tests/test_streaming.py. Resolution joins the (small — one row
+    per ever-merged label) redirect map broadcast, looping only
+    while some label still forwards; per-batch path compression
+    keeps that loop to a hop or two."""
+    a = (docs.select(F.col(id_col).alias("doc_id"))
+         .join(cluster_store.state()
+               .withColumnRenamed("id", "doc_id"), "doc_id", "left")
+         .select("doc_id", F.coalesce("label", F.col("doc_id"))
+                 .alias("label")))
+    reds = redirect_store.state().localCheckpoint(eager=False)
+    for _ in range(max_hops):
+        if a.join(F.broadcast(reds), "label", "left_semi").isEmpty():
+            break
+        a = (a.join(F.broadcast(reds), "label", "left")
+             .select("doc_id", F.coalesce("target", F.col("label"))
+                     .alias("label"))
+             .localCheckpoint(eager=False))
+    else:
+        raise RuntimeError(
+            f"redirect chains deeper than {max_hops} hops at read "
+            "time — per-batch path compression should prevent this")
+    comp = a.select("doc_id", F.col("label").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id",
+                    F.col("cluster_size").cast("integer")
+                    .alias("cluster_size"),
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_canonical")))
+
+
+# ------------------------------------------------------------------
+# Streaming incremental EMBEDDING near-dup index (hyperplane LSH)
+# ------------------------------------------------------------------
+
+class ParquetEmbLshStore(KeyedParquetStore):
+    """Durable growing hyperplane-LSH index over embeddings: the
+    MinHash index's twin for the vector modality (r10 verdict #5).
+    Rows are (bucket, id) set members where ``bucket`` is the batch
+    tier's composite ``(table << n_planes) | signature`` key
+    (operators/similarity.py:lsh_near_dup_pairs), so the per-batch
+    probe is ONE equi-join on bucket. Laid out by ``bucket`` alone
+    — the probe knows only the incoming batch's (masked) signatures
+    and prunes its read to their buckets."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["bucket", "id"],
+            [F.max("seen").cast("int").alias("seen")],
+            n_buckets,
+            state_schema="bucket long, id long, seen int",
+            layout_cols=["bucket"])
+
+
+class ParquetVecStore(KeyedParquetStore):
+    """The verification corpus behind the embedding index:
+    id -> vector (ids unique in the pipeline contract, MAX is the
+    deterministic tie-break — arrays order lexicographically).
+    Exact-cosine verification reads ONLY candidate ids' buckets
+    (``state_for_keys``)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["id"],
+            [F.max("vec").alias("vec")],
+            n_buckets,
+            state_schema="id long, vec array<float>")
+
+
+class ParquetCosinePairStore(KeyedParquetStore):
+    """Accumulated embedding near-dup emissions: (id_a, id_b) ->
+    exact cosine; MAX over identical recomputed values is
+    idempotent (the text tier's ParquetPairStore, for the cosine
+    column)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["id_a", "id_b"],
+            [F.max("cos_sim").alias("cos_sim")],
+            n_buckets,
+            state_schema="id_a long, id_b long, cos_sim double")
+
+
+def _emb_sigs(batch_df: DataFrame, n_planes: int, dim: int,
+              n_tables: int, vec_col: str,
+              id_col: str) -> DataFrame:
+    """(id, vec, sigarr) for one batch — the batch tier's own
+    signature arithmetic (one Arrow GEMM pass), shared import."""
+    from galaxy_spark.operators.similarity import \
+        hyperplane_signatures
+    from galaxy_spark.operators.util import spread
+
+    return spread(batch_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))) \
+        .withColumn("sigarr", hyperplane_signatures(
+            F.col("vec"), n_planes, dim, n_tables))
+
+
+def partial_emb_lsh_index(batch_df: DataFrame, n_planes: int = 8,
+                          dim: int = 64, n_tables: int = 8,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """One micro-batch's index rows: the UNPROBED composite buckets
+    (the batch tier's b-side expression, exactly)."""
+    sigs = _emb_sigs(batch_df, n_planes, dim, n_tables, vec_col,
+                     id_col)
+    return sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.col("sigarr")[t] + F.lit(t << n_planes)
+            for t in range(n_tables)])).alias("bucket"),
+        F.lit(1).alias("seen")).select("bucket", "id", "seen")
+
+
+def emb_lsh_probe_pairs(batch_df: DataFrame,
+                        emb_store: ParquetEmbLshStore,
+                        vec_store: ParquetVecStore,
+                        threshold: float = 0.4, n_planes: int = 8,
+                        dim: int = 64, n_tables: int = 8,
+                        n_probe_bits: int = 1,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding near-dup pairs for ONE incoming micro-batch
+    against all previously streamed vectors AND the batch itself —
+    the ``lsh_probe_pairs`` discipline on the vector modality:
+    multi-probe (XOR-mask) the INCOMING side only, equi-join on the
+    composite bucket against (index state UNION incoming unprobed
+    rows), normalize pair orientation, verify with the EXACT cosine
+    expression the batch tier emits (``_dot/(norm*norm)``, shared
+    import — bit-identical values), keep >= threshold.
+
+    XOR symmetry makes the probe arrival-order-insensitive
+    (sig_x ^ m == sig_y iff sig_y ^ m == sig_x), so the union of
+    per-batch emissions over a replayed corpus equals the batch
+    ``dedup_embedding_cosine_lsh`` pair set regardless of slicing —
+    and the state-union trick makes it insert-replay-insensitive,
+    like the text probe. Reads are layout-pruned on both stores."""
+    from galaxy_spark.operators.similarity import (_dot, _norm,
+                                                   probe_masks)
+
+    masks = probe_masks(n_planes, n_probe_bits)
+    sigs = _emb_sigs(batch_df, n_planes, dim, n_tables, vec_col,
+                     id_col).localCheckpoint(eager=False)
+    probe = sigs.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.array(*[
+            F.col("sigarr")[t].bitwiseXOR(F.lit(m))
+            + F.lit(t << n_planes)
+            for t in range(n_tables) for m in masks]))
+        .alias("bucket")).localCheckpoint(eager=False)
+    unprobed = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.col("sigarr")[t] + F.lit(t << n_planes)
+            for t in range(n_tables)])).alias("bucket"))
+    index = (emb_store.state_for_keys(probe.select("bucket"))
+             .select("bucket", "id")
+             .unionByName(unprobed.select("bucket", "id")))
+    cands = (probe.join(index, "bucket")
+             .filter(F.col("id_a") != F.col("id"))
+             .select(F.least("id_a", "id").alias("id_a"),
+                     F.greatest("id_a", "id").alias("id_b"))
+             .distinct()
+             .localCheckpoint(eager=False))
+    cand_ids = (cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct()
+                .localCheckpoint(eager=False))
+    vecs = (vec_store.state_for_keys(cand_ids)
+            .unionByName(sigs.select("id", "vec"))
+            .join(cand_ids, "id", "left_semi")
+            .groupBy("id").agg(F.max("vec").alias("vec"))
+            .withColumn("nrm", _norm(F.col("vec"))))
+    va = vecs.select(F.col("id").alias("id_a"),
+                     F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("id").alias("id_b"),
+                     F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    return (cands.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b",
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def start_streaming_emb_near_dup_index(
+        stream: DataFrame, emb_store: ParquetEmbLshStore,
+        vec_store: ParquetVecStore,
+        pair_store: ParquetCosinePairStore, checkpoint_dir: str,
+        threshold: float = 0.4, n_planes: int = 8, dim: int = 64,
+        n_tables: int = 8, n_probe_bits: int = 1,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id") -> StreamingQuery:
+    """Probe-then-insert per micro-batch, embedding modality — same
+    commutation story as the text starter (the probe's state-union
+    makes all three same-epoch merges replay-order-free)."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(
+            checkpoint_dir, (emb_store, vec_store, pair_store),
+            lineage)
+        key = f"{lin}.{epoch_id:012d}"
+        batch = batch_df.localCheckpoint()
+        pair_store.merge(
+            emb_lsh_probe_pairs(batch, emb_store, vec_store,
+                                threshold, n_planes, dim, n_tables,
+                                n_probe_bits, vec_col, id_col), key)
+        emb_store.merge(
+            partial_emb_lsh_index(batch, n_planes, dim, n_tables,
+                                  vec_col, id_col), key)
+        vec_store.merge(
+            batch.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("vec")), key)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_emb_near_dup_pairs(
+        pair_store: ParquetCosinePairStore) -> DataFrame:
+    """All embedding near-dup pairs emitted so far, in the batch
+    query's output shape (``dedup_embedding_cosine_lsh``: id_a <
+    id_b, cos_sim rounded at 1e-4)."""
+    return pair_store.state().select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# ------------------------------------------------------------------
 # Streaming KMV (k-minimum-values) sketches on the durable store
 # ------------------------------------------------------------------
 

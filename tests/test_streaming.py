@@ -2241,6 +2241,190 @@ def test_lsh_probe_plans_as_equi_join(spark, tmp_path):
     assert probe.count() >= 0          # the plan executes
 
 
+def _cluster_stores(spark, tmp_path, tag):
+    from galaxy_spark.streaming.state_store import (
+        ParquetClusterStore, ParquetDocStore, ParquetLshStore,
+        ParquetPairStore, ParquetRedirectStore)
+
+    return (ParquetLshStore(spark, str(tmp_path / f"{tag}_lsh")),
+            ParquetDocStore(spark, str(tmp_path / f"{tag}_doc")),
+            ParquetPairStore(spark, str(tmp_path / f"{tag}_pair")),
+            ParquetClusterStore(spark, str(tmp_path / f"{tag}_cl")),
+            ParquetRedirectStore(spark, str(tmp_path / f"{tag}_rd")))
+
+
+def test_streaming_clustering_matches_batch(spark, tmp_path):
+    """r10 verdict #4: the canonical-document assignment maintained
+    INCREMENTALLY on the union-find stores equals the batch
+    ``dedup_cluster_canonical`` answer over the replayed corpus —
+    doc-for-doc across cluster_id, cluster_size and is_canonical —
+    including clusters whose members arrived in different
+    micro-batches."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        start_streaming_near_dup_clustering,
+        streaming_cluster_assignments, streaming_near_dup_pairs)
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "cl_src")
+    for k in range(3):
+        (docs.filter(F.col("doc_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    lsh, dstore, pairs, cstore, rstore = _cluster_stores(
+        spark, tmp_path, "clm")
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_streaming_near_dup_clustering(
+        stream, lsh, dstore, pairs, cstore, rstore,
+        str(tmp_path / "cl_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in streaming_cluster_assignments(
+        docs, cstore, rstore).collect())
+    want = sorted(tuple(r) for r in all_queries()
+                  ["dedup_cluster_canonical"](spark, SF).collect())
+    assert got == want
+    # non-vacuous: some cluster spans arrival slices, so a MERGE of
+    # previously-separate state actually happened
+    emitted = [(r.id_a, r.id_b) for r in
+               streaming_near_dup_pairs(pairs).collect()]
+    assert any(a % 3 != b % 3 for a, b in emitted)
+
+
+def test_streaming_clustering_chain_merge_and_restart(spark,
+                                                      tmp_path):
+    """Chain-shaped merges across batches + kill/restart: docs
+    30~20 and 20~10 (never 30~10) arrive LARGEST-FIRST, so the
+    final batch must re-resolve 30's stale label through the
+    redirect store (the untouched-member case eager relabeling
+    would have missed), a fourth doc then walks a batch-time chain,
+    and a replayed partial under a fresh epoch key cannot move
+    anything (MIN folds)."""
+    import time as _time
+
+    from galaxy_spark.streaming.state_store import (
+        _cluster_partials, start_streaming_near_dup_clustering,
+        streaming_cluster_assignments, streaming_near_dup_pairs)
+
+    W = [f"tok3x{i}" for i in range(16)]
+
+    def txt(lo):
+        return " ".join(W[lo:lo + 12])
+
+    # chain shape verified against the batch tier: pairs are
+    # exactly (10,20) and (20,30); 40 duplicates 30's text
+    slices = [[(30, txt(0))], [(20, txt(2))], [(10, txt(4))],
+              [(40, txt(0))]]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "ch_src")
+    ck = str(tmp_path / "ch_ck")
+    lsh, dstore, pairs, cstore, rstore = _cluster_stores(
+        spark, tmp_path, "chn")
+
+    def start():
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_near_dup_clustering(
+            stream, lsh, dstore, pairs, cstore, rstore, ck)
+
+    for k, rows in enumerate(slices):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+        if k == 1:                     # kill after two slices...
+            q = start()
+            q.processAllAvailable()
+            q.stop()                   # ...and resume below
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    docs = spark.createDataFrame(
+        [r for s in slices for r in s], schema)
+    got = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+           for r in streaming_cluster_assignments(
+               docs, cstore, rstore).collect()}
+    assert got == {10: (10, 4, True), 20: (10, 4, False),
+                   30: (10, 4, False), 40: (10, 4, False)}
+    # the redirect store did the work: 30 was never an endpoint of
+    # a pair naming 10, so only chain resolution can have moved it
+    assert (30, 10) not in [(a, b) for a, b in
+                            ((r.id_a, r.id_b) for r in
+                             streaming_near_dup_pairs(pairs)
+                             .collect())]
+    # replay insensitivity: re-fold the full pair backlog under a
+    # fresh epoch key — MIN folds cannot move any assignment
+    red_p, id_p = _cluster_partials(
+        streaming_near_dup_pairs(pairs), cstore, rstore)
+    lin = sorted(pairs.lineages())[0]
+    rstore.merge(red_p, f"zz{lin}.000000000099")
+    cstore.merge(id_p, f"zz{lin}.000000000099")
+    got2 = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+            for r in streaming_cluster_assignments(
+                docs, cstore, rstore).collect()}
+    assert got2 == got
+
+
+def test_streaming_emb_near_dup_index_matches_batch(spark, tmp_path):
+    """r10 verdict #5: the embedding modality gets the same growing
+    streaming index as text — union of per-batch emissions over the
+    replayed corpus (WITH a kill/restart mid-stream) equals the
+    batch ``dedup_embedding_cosine_lsh`` answer pair-for-pair and
+    cosine-for-cosine, with cross-batch pairs proving the index
+    probe (not just co-arrival) found them."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetCosinePairStore, ParquetEmbLshStore, ParquetVecStore,
+        start_streaming_emb_near_dup_index,
+        streaming_emb_near_dup_pairs)
+
+    emb = load_table(spark, SF, "embeddings")
+    src = str(tmp_path / "el_src")
+    ck = str(tmp_path / "el_ck")
+    estore = ParquetEmbLshStore(spark, str(tmp_path / "el_idx"))
+    vstore = ParquetVecStore(spark, str(tmp_path / "el_vec"))
+    pstore = ParquetCosinePairStore(spark, str(tmp_path / "el_pair"))
+
+    def start():
+        stream = spark.readStream.schema(emb.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_emb_near_dup_index(
+            stream, estore, vstore, pstore, ck, threshold=0.4)
+
+    for k in range(2):
+        (emb.filter(F.col("vec_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()                           # the "kill"
+    mid = streaming_emb_near_dup_pairs(pstore).count()
+    _time.sleep(1.1)
+    (emb.filter(F.col("vec_id") % 3 == 2)
+     .coalesce(1).write.mode("append").parquet(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.id_a, r.id_b, r.cos_sim)
+                 for r in streaming_emb_near_dup_pairs(pstore)
+                 .collect())
+    want = sorted((r.id_a, r.id_b, r.cos_sim)
+                  for r in all_queries()
+                  ["dedup_embedding_cosine_lsh"](spark, SF)
+                  .collect())
+    assert got == want and len(want) > max(mid, 2)
+    assert any(a % 3 != b % 3 for a, b, _ in got), \
+        "no cross-slice pair: the growing-index probe went untested"
+
+
 def test_state_for_keys_opens_only_touched_buckets(spark, tmp_path,
                                                    monkeypatch):
     """``state_for_keys`` is the probe-side twin of merge's
