@@ -786,3 +786,65 @@ def agg_histogram_sliding_quantiles(spark: SparkSession,
          & (e95 - F.col("exact_p95")).between(-1, bw + 2))
         .alias("within_bin"))
 
+
+
+@register(
+    "events_decay_score",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+    ages AS (
+        SELECT user_id, event_type,
+               date_diff('day', CAST(ts AS DATE), d0) AS age
+        FROM events, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN age <= 40
+                         THEN (CAST(1 AS BIGINT) << (40 - age))
+                         ELSE 0 END) AS BIGINT) AS decay_score,
+           CAST(SUM(CASE WHEN age <= 40 AND event_type = 'purchase'
+                         THEN (CAST(1 AS BIGINT) << (40 - age))
+                         ELSE 0 END) AS BIGINT) AS purchase_score,
+           CAST(SUM(CASE WHEN age <= 40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recent
+    FROM ages GROUP BY user_id
+    """,
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (the
+    recency feature every ranking/training pipeline derives from an
+    event log): each event weighs 2^-(days old), i.e. a one-day
+    half-life, summed per user over a 40-day horizon — plus the
+    same score restricted to purchases and the raw recent count.
+
+    Exactness trick: floats make decayed sums engine-unstable
+    (pow + order-dependent fp addition), so the weight is scaled by
+    2^40 and kept INTEGER — ``1 << (40 - age)`` — making every
+    score an exact BIGINT both engines agree on bit-for-bit
+    (headroom: 2^40 x recent events per user << 2^63). The anchor
+    (newest event day) is computed IN-PLAN as a 1-row broadcast —
+    no collect, no wall-clock dependence, deterministic on any
+    snapshot of the table.
+
+    Scale shape: scan-local arithmetic (date_trunc, datediff,
+    shiftleft inside whole-stage codegen) + ONE partial-aggregated
+    groupBy(user_id); the anchor join is a broadcast of one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    aged = (ev.crossJoin(F.broadcast(anchor))
+            .select("user_id", "event_type",
+                    F.datediff(F.col("d0"), F.to_date("ts"))
+                    .alias("age")))
+    # shiftleft's bit count must be a COLUMN here (pyspark's
+    # function form takes a literal only)
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), 40 - age)")
+    recent = F.col("age") <= 40
+    return (aged.groupBy("user_id")
+            .agg(F.sum(F.when(recent, w).otherwise(F.lit(0)))
+                 .cast("long").alias("decay_score"),
+                 F.sum(F.when(recent & (F.col("event_type")
+                                        == "purchase"), w)
+                       .otherwise(F.lit(0)))
+                 .cast("long").alias("purchase_score"),
+                 F.sum(F.when(recent, F.lit(1)).otherwise(F.lit(0)))
+                 .cast("long").alias("n_recent")))

@@ -582,3 +582,97 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ok", (F.col("regime") == "small")
                         | (F.abs(F.col("est") - F.col("exact_ball2"))
                            <= F.lit(0.195) * F.col("exact_ball2"))))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling: s_i = nodes of s_{i-1} whose degree WITHIN
+    s_{i-1} is >= k. Each level is referenced twice (both join
+    sides), so every CTE is MATERIALIZED — DuckDB's default
+    inlining re-evaluates a twice-referenced CTE per reference,
+    which goes exponential over 20 levels (measured: it exhausted
+    file handles re-opening the scan before it exhausted time).
+    ``rounds`` must be >= the true peel depth; the Spark side
+    converges exactly and a short oracle budget would surface as a
+    value mismatch (the connected_components budget argument)."""
+    head = """
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), half AS (
+        SELECT DISTINCT a.p AS src, b.p AS dst
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+    ), edges AS MATERIALIZED (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ), s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)"""
+    for i in range(1, rounds + 1):
+        head += f""", s{i} AS MATERIALIZED (
+        SELECT e.src AS node FROM edges e
+        JOIN s{i - 1} a ON a.node = e.src
+        JOIN s{i - 1} b ON b.node = e.dst
+        GROUP BY e.src HAVING COUNT(*) >= {k})"""
+    return head + f"""
+    SELECT e.src AS node, CAST(COUNT(*) AS INTEGER) AS core_degree
+    FROM edges e JOIN s{rounds} a ON a.node = e.src
+                 JOIN s{rounds} b ON b.node = e.dst
+    GROUP BY e.src"""
+
+
+_KCORE_K = 64
+
+
+@register("graph_kcore", oracle=_kcore_oracle(_KCORE_K, 20))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the co-purchase graph (k=64): the
+    maximal subgraph where every node keeps >= k neighbors INSIDE
+    the subgraph — the classic density filter for mining cohesive
+    part communities (and, in the LLM-pipeline reading, for
+    pruning weakly-connected near-dup clusters before manual
+    review). Output: surviving nodes + their within-core degree.
+
+    Algorithm: iterative peeling — drop nodes under degree k,
+    recompute degrees among survivors, repeat to fixpoint. Each
+    round is ONE semi-join-shaped reduction (edges x survivors on
+    both endpoints, then a partial-agg count per src): one shuffle
+    per round, rounds = peel depth (2-3 on this graph; the
+    convergence count is a driver-side int, never row data). The
+    eager localCheckpoint per round is the connected_components
+    discipline — without it round r re-evaluates every earlier
+    round twice (the survivor frame feeds BOTH join sides).
+
+    k sits above the graph's minimum degree (~42-49 across SFs) so
+    peeling genuinely iterates; the oracle unrolls 20 rounds, a
+    budget the measured depth (<= 7 across SFs and k sweeps) clears
+    with cushion — a regenerated-testdata graph that peels deeper
+    would surface as a loud mismatch, not silence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li)
+    survivors = (edges.select(F.col("src").alias("node")).distinct()
+                 .localCheckpoint(eager=True))
+    for _ in range(25):
+        deg = (edges
+               .join(survivors.withColumnRenamed("node", "src"),
+                     "src", "left_semi")
+               .join(survivors.withColumnRenamed("node", "dst"),
+                     "dst", "left_semi")
+               .groupBy("src")
+               .agg(F.count("*").alias("deg")))
+        nxt = (deg.filter(F.col("deg") >= _KCORE_K)
+               .select(F.col("src").alias("node"))
+               .localCheckpoint(eager=True))
+        n_prev, n_next = survivors.count(), nxt.count()
+        survivors = nxt
+        if n_next == n_prev or n_next == 0:
+            break
+    else:
+        raise RuntimeError(
+            "k-core peeling did not converge in 25 rounds; the "
+            "oracle's unrolled budget (20) would also be short — "
+            "raise both together")
+    return (edges
+            .join(survivors.withColumnRenamed("node", "src"),
+                  "src", "left_semi")
+            .join(survivors.withColumnRenamed("node", "dst"),
+                  "dst", "left_semi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").cast("integer").alias("core_degree")))

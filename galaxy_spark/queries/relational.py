@@ -1301,3 +1301,73 @@ def agg_exact_quantiles_scalable(spark: SparkSession,
     return (cum.groupBy("event_type", "n")
             .agg(q_at(1, 4, "p25_cents"), q_at(1, 2, "p50_cents"),
                  q_at(9, 10, "p90_cents"), q_at(19, 20, "p95_cents")))
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey AS c, o_orderkey AS k,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE)
+               + CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 14 + 1
+                      AS INTEGER) AS e
+        FROM orders
+    )
+    SELECT a.c AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(MAX(date_diff('day', GREATEST(a.s, b.s),
+                              LEAST(a.e, b.e)) + 1) AS INTEGER)
+               AS max_overlap_days
+    FROM iv a JOIN iv b
+      ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.c
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP self-join: per customer, pairs of orders
+    whose validity windows overlap (predicate ``s1 <= e2 AND s2 <=
+    e1``) — the third member of the temporal-join family next to
+    as-of (join_asof_latest_order) and range-band
+    (join_range_followup_events); the general two-sided form
+    neither of those expresses. Output is aggregated per customer
+    (overlap count + widest overlap in days) so result size tracks
+    customers, not pairs.
+
+    The interval END is derived (o_orderdate + 1..14 days keyed on
+    floor(o_totalprice) % 14): this testdata carries no natural
+    end-date column, and a VARIED deterministic width is what makes
+    the predicate a genuine interval test rather than a fixed-band
+    |d1-d2| <= c join. floor-before-cast on both sides — Spark's
+    double->BIGINT cast truncates while DuckDB's rounds, the
+    one-ulp trap that flips every derived width.
+
+    Scale shape: the quadratic predicate is confined by EQUI-KEY
+    BLOCKING — the join shuffles once on the customer key and
+    evaluates intervals only within a customer's orders (bounded
+    groups), the same discipline as every dedup blocking tier. An
+    interval join with no key would instead block by overlapping
+    date buckets (explode each interval to its covering buckets,
+    equi-join on bucket, dedup pairs) — noted here because THAT is
+    the 100 TB fallback; at this schema the key exists."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.floor("o_totalprice").cast("long") % 14 + 1)
+            .cast("int")).alias("e"))
+    a, b = iv.alias("a"), iv.alias("b")
+    overlap_days = (F.datediff(F.least(F.col("a.e"), F.col("b.e")),
+                               F.greatest(F.col("a.s"), F.col("b.s")))
+                    + F.lit(1))
+    return (a.join(b, (F.col("a.c") == F.col("b.c"))
+                   & (F.col("a.k") < F.col("b.k"))
+                   & (F.col("a.s") <= F.col("b.e"))
+                   & (F.col("b.s") <= F.col("a.e")))
+            .groupBy(F.col("a.c").alias("custkey"))
+            .agg(F.count("*").cast("long").alias("n_overlaps"),
+                 F.max(overlap_days).cast("integer")
+                 .alias("max_overlap_days")))

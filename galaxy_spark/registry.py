@@ -196,6 +196,10 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "quality_lexical_diversity",
     "agg_kmv_set_difference",
     "text_pmi_collocations",
+    # r11 additions
+    "graph_kcore",
+    "events_decay_score",
+    "join_interval_overlap",
 )
 
 

@@ -71,7 +71,7 @@ def test_post_freeze_at_driver_scale(spark, name):
 #: upserted into the already-judged r07 file). r10: bumped from
 #: r09 after the r9 judgment.
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r10.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r11.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:

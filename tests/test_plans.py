@@ -834,3 +834,55 @@ def test_pmi_collocations_broadcast_rank(q):
     assert "partial_count" in p
     assert broadcast_join_count(df) >= 2
     assert "TakeOrderedAndProject" in p
+
+
+def test_kcore_rounds_are_semi_joins(q):
+    """k-core peeling (r11): each survivor round must reduce
+    through LeftSemi joins + a partial-aggregated count — never
+    a cartesian or a window — and the final plan consumes the
+    checkpointed survivor/edge frames (no re-scan of raw lineitem
+    in the last round: the iterative rounds materialized them)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_kcore")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    assert "partial_count" in p
+    assert p.count("FileScan") == 0, \
+        "the output plan must read the checkpointed edge/survivor " \
+        "frames, not rebuild the co-purchase graph from the scan"
+
+
+def test_decay_score_scan_local_single_agg(q):
+    """The decayed-engagement scores must be pure scan-local
+    arithmetic into ONE partial-aggregated groupBy(user): the
+    anchor day joins as a 1-row broadcast, there is no window, no
+    second scan, and exactly one data exchange (the user key)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("events_decay_score")
+    p = physical_plan(df)
+    assert "Window" not in p
+    assert "partial_sum" in p
+    assert broadcast_join_count(df) >= 1
+    assert p.count("FileScan") <= 2, \
+        "events must scan once for the anchor and once for the " \
+        "scores — anything more re-reads the table"
+
+
+def test_interval_overlap_is_equi_key_blocked(q):
+    """The interval-overlap join must plan as an EQUI join on the
+    customer key with the interval predicate as a post-join filter
+    (SortMergeJoin/ShuffledHashJoin with join condition) — never a
+    BroadcastNestedLoopJoin or cartesian evaluating the temporal
+    predicate against all pairs."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("join_interval_overlap")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
+    assert "partial_count" in p
