@@ -65,6 +65,8 @@ def _spec_from_body(body: dict) -> TaskSpec:
         # silently created static and update_task fell into the
         # stop+restart branch
         live=bool(body.get("live", False)),
+        task_kind=body.get("task_kind", "cdc"),
+        index_options=dict(body.get("index_options") or {}),
     )
 
 

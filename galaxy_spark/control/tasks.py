@@ -68,6 +68,20 @@ class TaskSpec:
     #: query restart (reference parity: update_task.go's RWMutex
     #: swap; see streaming.pipeline.LiveFilterRef)
     live: bool = False
+    #: what the task RUNS: "cdc" = the reference's replication
+    #: pipeline (source -> filter -> project -> keyed sink);
+    #: "near_dup_index" = the LLM-pipeline growing near-dup index +
+    #: incremental clustering over a document stream
+    #: (streaming.state_store.start_streaming_near_dup_clustering) —
+    #: this closes the loop between the reference's T1 control plane
+    #: and the driver-mandated dedup stores: index maintenance gets
+    #: the same create/stop/resume/delete lifecycle, durability and
+    #: boot recovery as a replication task (r10 verdict #8)
+    task_kind: str = "cdc"
+    #: near_dup_index tuning (n, n_hashes, bands, threshold,
+    #: text_col, id_col) — persisted with the spec so boot recovery
+    #: restarts the index with identical signature arithmetic
+    index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:
         return TaskFilter(self.databases, self.tables, self.exclude_tables)
@@ -157,7 +171,79 @@ class TaskManager:
         self._persist()
         return spec.task_id
 
+    def store_root(self, spec: TaskSpec) -> str:
+        """Durable-store root for stateful task kinds — scoped to
+        the checkpoint epoch like the checkpoint dir itself:
+        recovery_v2 means "jump to latest, fresh state", and a
+        fresh checkpoint's lineage would (correctly) be refused by
+        stores still holding the old lineage's state."""
+        return os.path.join(self.state_dir, "stores",
+                            f"{spec.task_id}-e{spec.checkpoint_epoch}")
+
+    def near_dup_stores(self, spec_or_id) -> tuple:
+        """(lsh, doc, pair, cluster, redirect) store handles for a
+        near_dup_index task — same paths whether the query is
+        running or stopped, so readers work across the lifecycle."""
+        from galaxy_spark.streaming.state_store import (
+            ParquetClusterStore, ParquetDocStore, ParquetLshStore,
+            ParquetPairStore, ParquetRedirectStore)
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        root = self.store_root(spec)
+        return (ParquetLshStore(self.spark, os.path.join(root, "lsh")),
+                ParquetDocStore(self.spark, os.path.join(root, "doc")),
+                ParquetPairStore(self.spark, os.path.join(root, "pair")),
+                ParquetClusterStore(self.spark,
+                                    os.path.join(root, "cluster")),
+                ParquetRedirectStore(self.spark,
+                                     os.path.join(root, "redirect")))
+
+    def near_dup_pairs(self, task_id: str) -> DataFrame:
+        """All near-dup pairs the task has emitted so far (the
+        batch `dedup_minhash_lsh` output shape)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_near_dup_pairs
+
+        return streaming_near_dup_pairs(
+            self.near_dup_stores(task_id)[2])
+
+    def near_dup_assignments(self, task_id: str) -> DataFrame:
+        """Cluster assignments over every document the task has
+        ingested (the batch `dedup_cluster_canonical` shape); the
+        doc store IS the streamed universe."""
+        from pyspark.sql import functions as F
+
+        from galaxy_spark.streaming.state_store import \
+            streaming_cluster_assignments
+
+        _lsh, doc, _pair, cstore, rstore = self.near_dup_stores(
+            task_id)
+        docs = doc.state().select(F.col("id").alias("doc_id"))
+        return streaming_cluster_assignments(docs, cstore, rstore)
+
+    def _start_near_dup(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_streaming_near_dup_clustering
+
+        env = self.source_factory(self.spark, spec)
+        lsh, doc, pair, cstore, rstore = self.near_dup_stores(spec)
+        opts = dict(spec.index_options)
+        return start_streaming_near_dup_clustering(
+            env, lsh, doc, pair, cstore, rstore,
+            self.checkpoint_dir(spec),
+            n=int(opts.get("n", 5)),
+            n_hashes=int(opts.get("n_hashes", 32)),
+            bands=int(opts.get("bands", 8)),
+            threshold=float(opts.get("threshold", 0.5)),
+            text_col=opts.get("text_col", "text"),
+            id_col=opts.get("id_col", "doc_id"))
+
     def _start(self, spec: TaskSpec) -> None:
+        if spec.task_kind == "near_dup_index":
+            self.queries[spec.task_id] = self._start_near_dup(spec)
+            spec.stopped = False
+            return
         env = self.source_factory(self.spark, spec)
         if spec.live:
             ref = LiveFilterRef(spec.task_filter())
@@ -245,13 +331,14 @@ class TaskManager:
             # EXACTLY (task ids are caller-supplied, so a prefix
             # glob on "foo-e*" would also hit task "foo-extra"'s
             # "foo-extra-e0" dir).
-            ckpt_root = os.path.join(self.state_dir, "checkpoints")
-            if os.path.isdir(ckpt_root):
-                pat = re.compile(rf"{re.escape(task_id)}-e\d+\Z")
-                for name in os.listdir(ckpt_root):
-                    if pat.fullmatch(name):
-                        shutil.rmtree(os.path.join(ckpt_root, name),
-                                      ignore_errors=True)
+            pat = re.compile(rf"{re.escape(task_id)}-e\d+\Z")
+            for root in (os.path.join(self.state_dir, "checkpoints"),
+                         os.path.join(self.state_dir, "stores")):
+                if os.path.isdir(root):
+                    for name in os.listdir(root):
+                        if pat.fullmatch(name):
+                            shutil.rmtree(os.path.join(root, name),
+                                          ignore_errors=True)
         self._persist()
 
     # -- boot recovery (T2) -----------------------------------------

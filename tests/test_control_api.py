@@ -284,3 +284,74 @@ def test_unknown_route_404(plane):
     assert status == 404
     status, _ = _call(plane, "POST", "/v1/nope")
     assert status == 404
+
+
+def test_near_dup_index_task_lifecycle(spark, tmp_path):
+    """r10 verdict #8: the growing near-dup index runs as a TASK
+    KIND under the reference's T1 lifecycle — create, stop,
+    recovery_v1 (resume same checkpoint + same stores), boot
+    recovery after a manager restart, delete (drops checkpoints AND
+    stores). Across all of that, the accumulated pair emissions and
+    cluster assignments equal the batch answers over the replayed
+    corpus."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "nd_docs")
+
+    def doc_factory(spark_, spec):
+        return (spark_.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "nd_state")
+    mgr = TaskManager(spark, state, doc_factory)
+    (docs.filter(F.col("doc_id") % 3 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    spec = TaskSpec(task_id="ndx1", task_kind="near_dup_index",
+                    index_options={"threshold": 0.5})
+    mgr.create_task(spec)
+    mgr.await_all()
+    mgr.stop_task("ndx1")                       # T1 stop
+    assert mgr.status()["ndx1"]["stopped"]
+
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 3 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("ndx1")                      # resume saved position
+    mgr.await_all()
+    mgr.stop_task("ndx1")
+
+    # boot recovery: a FRESH manager must re-launch the non-stopped
+    # task from persisted metadata — flip stopped back first (the
+    # reference only relaunches non-stopped tasks)
+    mgr.tasks["ndx1"].stopped = False
+    mgr._persist()
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 3 == 2)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr2 = TaskManager(spark, state, doc_factory)
+    assert mgr2.recover_all() == ["ndx1"]
+    mgr2.await_all()
+
+    got_pairs = sorted((r.id_a, r.id_b, r.jaccard)
+                       for r in mgr2.near_dup_pairs("ndx1").collect())
+    want_pairs = sorted((r.id_a, r.id_b, r.jaccard)
+                        for r in all_queries()["dedup_minhash_lsh"](
+                            spark, SF).collect())
+    assert got_pairs == want_pairs and len(want_pairs) >= 3
+    got_cl = sorted(tuple(r) for r in
+                    mgr2.near_dup_assignments("ndx1").collect())
+    want_cl = sorted(tuple(r) for r in all_queries()
+                     ["dedup_cluster_canonical"](spark, SF).collect())
+    assert got_cl == want_cl
+
+    root = mgr2.store_root(mgr2.tasks["ndx1"])
+    assert os.path.isdir(os.path.join(root, "pair"))
+    mgr2.delete_task("ndx1")
+    assert not os.path.isdir(root), "delete must drop the stores"
+    assert not os.path.isdir(mgr2.checkpoint_dir(spec))
