@@ -608,6 +608,13 @@ class GtidSet:
             for _ in range(n_ivs):
                 s, e = struct.unpack_from("<QQ", blob, p)
                 p += 16
+                if not 1 <= s < e:
+                    # same strictness as the text parser — and it
+                    # narrows the disambiguation window: an untagged
+                    # blob misrouted here must now also produce
+                    # well-ordered intervals to be wrongly accepted
+                    raise ValueError(
+                        f"invalid tagged interval [{s}, {e})")
                 out._insert((sid, tag.lower()), s, e)
         if p != len(blob):
             raise ValueError("trailing bytes after tagged set")

@@ -166,6 +166,21 @@ class TaskManager:
             raise ValueError(
                 f"task {spec.task_id} already exists ({state}); "
                 "delete it before reusing the id")
+        if spec.task_kind not in ("cdc", "near_dup_index"):
+            # a typo'd kind would silently fall into the CDC branch
+            # and run the replication pipeline over whatever stream
+            # the factory returns — fail at creation, like the
+            # task_id validation above (r11 review)
+            raise ValueError(
+                f"task_kind {spec.task_kind!r} unknown: use 'cdc' "
+                "or 'near_dup_index'")
+        if spec.task_kind != "cdc" and spec.live:
+            # live filter swapping is a CDC-pipeline feature; the
+            # near-dup handler has no filter cell, and accepting
+            # live=True left update_filters with a KeyError path
+            raise ValueError(
+                f"live=True applies to cdc tasks only (task_kind="
+                f"{spec.task_kind!r})")
         self.tasks[spec.task_id] = spec
         self._start(spec)
         self._persist()
@@ -305,6 +320,10 @@ class TaskManager:
         offsets preserved, no events lost, but in-memory state
         rebuilds; use live=True when hours of state matter."""
         spec = self.tasks[task_id]
+        if spec.task_kind != "cdc":
+            raise ValueError(
+                f"task {task_id} is a {spec.task_kind!r} task; "
+                "db/table filters apply to cdc tasks only")
         running = task_id in self.queries
         if databases is not None:
             spec.databases = tuple(databases)

@@ -112,9 +112,6 @@ class KeyedParquetStore:
         #: the first micro-batch committed
         self.state_schema = state_schema
         os.makedirs(path, exist_ok=True)
-        for d in os.listdir(path):  # crash-orphaned staging dirs
-            if d.startswith(".stage-"):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     def _bucket_expr(self) -> Column:
         """The layout function: one expression shared by the merge
@@ -161,6 +158,18 @@ class KeyedParquetStore:
         """Fold one micro-batch's partial into the store. The fold
         and both I/O sides run as Spark jobs; the driver sees only
         the touched bucket ids (<= n_buckets ints)."""
+        # sweep crash-orphaned staging dirs HERE, on the writer's
+        # path, not in __init__: read-side handles (a monitoring
+        # poll constructing a store object over a RUNNING task's
+        # path) must never delete a live merge's in-flight stage —
+        # that turned any concurrent reader into a query-killer
+        # (r11 review). merge() has a single-writer contract per
+        # store, so sweeping at merge entry only races a ZOMBIE
+        # writer, which the claim check below fences anyway.
+        for d in os.listdir(self.path):
+            if d.startswith(".stage-"):
+                shutil.rmtree(os.path.join(self.path, d),
+                              ignore_errors=True)
         version = f"v-{epoch_key}"
         # the partial is consumed twice (touched-bucket probe +
         # staged write) — cut lineage so its upstream fold runs
@@ -1050,7 +1059,8 @@ def partial_lsh_index(batch_df: DataFrame, n: int = 5,
 
     return (minhash_band_buckets(batch_df, n, n_hashes, bands,
                                  text_col, id_col)
-            .select("band", "bucket", "id",
+            .select("band", "bucket",
+                    F.col("id").cast("long").alias("id"),
                     F.lit(1).alias("seen")))
 
 
@@ -1101,8 +1111,9 @@ def lsh_probe_pairs(batch_df: DataFrame, lsh_store: ParquetLshStore,
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.id") != F.col("b.id")))
-        .select(F.least("a.id", "b.id").alias("id_a"),
-                F.greatest("a.id", "b.id").alias("id_b"))
+        .select(F.least("a.id", "b.id").cast("long").alias("id_a"),
+                F.greatest("a.id", "b.id").cast("long")
+                .alias("id_b"))
         .distinct()
         .localCheckpoint(eager=False))  # ids + both verify joins
     # verification inputs prune to CANDIDATE ids BEFORE the
@@ -1117,8 +1128,8 @@ def lsh_probe_pairs(batch_df: DataFrame, lsh_store: ParquetLshStore,
                 .localCheckpoint(eager=False))  # bucket probe + semi-join
     texts = (doc_store.state_for_keys(cand_ids)
              .unionByName(batch_df.select(
-                 F.col(id_col).alias("id"), F.col(text_col)
-                 .alias("text")))
+                 F.col(id_col).cast("long").alias("id"),
+                 F.col(text_col).alias("text")))
              .join(cand_ids, "id", "left_semi")
              .groupBy("id").agg(F.max("text").alias("text")))
     sh = texts.select("id", word_ngrams("text", n).alias("shingles"))
@@ -1166,7 +1177,7 @@ def start_streaming_near_dup_index(
             partial_lsh_index(batch, n, n_hashes, bands, text_col,
                               id_col), key)
         doc_store.merge(
-            batch.select(F.col(id_col).alias("id"),
+            batch.select(F.col(id_col).cast("long").alias("id"),
                          F.col(text_col).alias("text")), key)
 
     return (stream.writeStream
@@ -1213,19 +1224,32 @@ class ParquetRedirectStore(KeyedParquetStore):
     untouched members still pointing at L re-resolve through
     (L -> m) at read time instead of being rewritten — per-batch
     write cost stays bounded by the batch's pairs, never by the
-    losing cluster's size. Targets are monotone non-increasing for
-    a fixed label (same monotonicity argument), so MIN folds
-    correctly; chains stay short because every batch path-
-    compresses the labels it visits (each visited node > min gets
-    a direct redirect to the new min)."""
+    losing cluster's size.
+
+    Rows are SET MEMBERS keyed by the full (label, target) edge —
+    NOT a per-label MIN fold — and that is load-bearing for replay
+    (r11 review): with MIN, a partially-committed epoch could fold
+    (L -> m) over an older (L -> m1) in a committed bucket while
+    the (m1 -> m) row's bucket was lost; the replay walk then
+    short-circuited L -> m, never revisited m1, and the lost
+    redirect was never regenerated — a PERMANENT cluster split.
+    Keeping every edge makes the walk rediscover all historical
+    intermediates, so a replay regenerates exactly the missing
+    rows. Read-side resolution takes the per-label MIN target
+    (targets are monotone non-increasing for a fixed label, so min
+    = latest); state stays O(cluster-merge events), each label
+    carrying one row per merge it was on the losing side of —
+    chains and fan-outs stay short because every batch
+    path-compresses the labels it visits."""
 
     def __init__(self, spark: SparkSession, path: str,
                  n_buckets: int = 2) -> None:
         super().__init__(
-            spark, path, ["label"],
-            [F.min("target").cast("long").alias("target")],
+            spark, path, ["label", "target"],
+            [F.max("seen").cast("int").alias("seen")],
             n_buckets,
-            state_schema="label long, target long")
+            state_schema="label long, target long, seen int",
+            layout_cols=["label"])
 
 
 def _cluster_partials(pairs: DataFrame,
@@ -1254,7 +1278,14 @@ def _cluster_partials(pairs: DataFrame,
     unclaimed bucket."""
     from galaxy_spark.operators.graph import connected_components
 
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = (pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                          F.col("id_b").cast("long").alias("id_b"))
+             .localCheckpoint(eager=False))
+    # ids are normalized to BIGINT before anything touches a store:
+    # the cluster partials below are long (comp labels widen through
+    # the union/coalesce), so a probe hashing the source's narrower
+    # id type would open the WRONG buckets — xxhash64 is
+    # type-sensitive (r11 review)
     eps = (pairs.select(F.col("id_a").alias("id"))
            .unionByName(pairs.select(F.col("id_b").alias("id")))
            .distinct().localCheckpoint(eager=False))
@@ -1269,7 +1300,12 @@ def _cluster_partials(pairs: DataFrame,
                 .localCheckpoint(eager=False))
     visited = frontier
     for _ in range(max_hops):
+        # every (label -> target) edge of the frontier labels, not
+        # a folded single target: historical intermediates must be
+        # rediscovered for the replay-regeneration guarantee (see
+        # ParquetRedirectStore)
         hops = (redirect_store.state_for_keys(frontier)
+                .select("label", "target")
                 .join(frontier, "label", "left_semi")
                 .localCheckpoint(eager=False))
         if hops.isEmpty():
@@ -1304,7 +1340,8 @@ def _cluster_partials(pairs: DataFrame,
                         .join(visited, "label", "left_semi")
                         .filter(F.col("component") < F.col("label"))
                         .select("label", F.col("component")
-                                .alias("target")))
+                                .alias("target"),
+                                F.lit(1).alias("seen")))
     return redirect_partial, id_partial
 
 
@@ -1355,7 +1392,7 @@ def start_streaming_near_dup_clustering(
             partial_lsh_index(batch, n, n_hashes, bands, text_col,
                               id_col), key)
         doc_store.merge(
-            batch.select(F.col(id_col).alias("id"),
+            batch.select(F.col(id_col).cast("long").alias("id"),
                          F.col(text_col).alias("text")), key)
 
     return (stream.writeStream
@@ -1375,19 +1412,31 @@ def streaming_cluster_assignments(
     per ever-merged label) redirect map broadcast, looping only
     while some label still forwards; per-batch path compression
     keeps that loop to a hop or two."""
-    a = (docs.select(F.col(id_col).alias("doc_id"))
+    a = (docs.select(F.col(id_col).cast("long").alias("doc_id"))
          .join(cluster_store.state()
                .withColumnRenamed("id", "doc_id"), "doc_id", "left")
          .select("doc_id", F.coalesce("label", F.col("doc_id"))
-                 .alias("label")))
-    reds = redirect_store.state().localCheckpoint(eager=False)
+                 .alias("label"))
+         .localCheckpoint(eager=False))
+    # per-label MIN over the redirect EDGE SET: targets are
+    # monotone non-increasing for a fixed label, so min = latest
+    reds = (redirect_store.state()
+            .groupBy("label").agg(F.min("target").alias("target"))
+            .localCheckpoint(eager=False))
     for _ in range(max_hops):
-        if a.join(F.broadcast(reds), "label", "left_semi").isEmpty():
+        # one resolve pass per hop, checkpointed, with the movement
+        # flag riding along — probing emptiness separately re-ran
+        # the full-universe join once per hop (r11 review)
+        step = (a.join(F.broadcast(reds), "label", "left")
+                .select("doc_id",
+                        F.coalesce("target", F.col("label"))
+                        .alias("label"),
+                        F.col("target").isNotNull().alias("__moved"))
+                .localCheckpoint(eager=False))
+        moved = not step.filter(F.col("__moved")).isEmpty()
+        a = step.drop("__moved")
+        if not moved:
             break
-        a = (a.join(F.broadcast(reds), "label", "left")
-             .select("doc_id", F.coalesce("target", F.col("label"))
-                     .alias("label"))
-             .localCheckpoint(eager=False))
     else:
         raise RuntimeError(
             f"redirect chains deeper than {max_hops} hops at read "
@@ -1468,7 +1517,8 @@ def _emb_sigs(batch_df: DataFrame, n_planes: int, dim: int,
     from galaxy_spark.operators.util import spread
 
     return spread(batch_df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))) \
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"))) \
         .withColumn("sigarr", hyperplane_signatures(
             F.col("vec"), n_planes, dim, n_tables))
 
@@ -1588,7 +1638,7 @@ def start_streaming_emb_near_dup_index(
             partial_emb_lsh_index(batch, n_planes, dim, n_tables,
                                   vec_col, id_col), key)
         vec_store.merge(
-            batch.select(F.col(id_col).alias("id"),
+            batch.select(F.col(id_col).cast("long").alias("id"),
                          F.col(vec_col).alias("vec")), key)
 
     return (stream.writeStream

@@ -355,3 +355,28 @@ def test_near_dup_index_task_lifecycle(spark, tmp_path):
     mgr2.delete_task("ndx1")
     assert not os.path.isdir(root), "delete must drop the stores"
     assert not os.path.isdir(mgr2.checkpoint_dir(spec))
+
+
+def test_task_kind_and_live_validation(spark, tmp_path):
+    """r11 review: a typo'd task_kind must fail at creation (not
+    silently run the CDC pipeline over a document stream), and
+    live=True / filter updates are rejected for non-cdc kinds
+    instead of KeyError'ing later."""
+    import pytest as _pytest
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+
+    mgr = TaskManager(spark, str(tmp_path / "vk_state"),
+                      lambda s, spec: None)
+    with _pytest.raises(ValueError, match="task_kind"):
+        mgr.create_task(TaskSpec(task_id="t1",
+                                 task_kind="near-dup-index"))
+    with _pytest.raises(ValueError, match="live"):
+        mgr.create_task(TaskSpec(task_id="t2",
+                                 task_kind="near_dup_index",
+                                 live=True))
+    assert mgr.tasks == {}
+    mgr.tasks["t3"] = TaskSpec(task_id="t3",
+                               task_kind="near_dup_index")
+    with _pytest.raises(ValueError, match="cdc tasks only"):
+        mgr.update_filters("t3", databases=["shop"])

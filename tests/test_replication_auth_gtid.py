@@ -1083,3 +1083,24 @@ def test_oaep_hypothesis_roundtrip():
         assert _oaep_sha1_decrypt(c, _RSA_N, d) == msg
 
     check()
+
+
+def test_tagged_decode_rejects_malformed_and_falls_back():
+    """r11 review: the tagged/untagged wire disambiguation must
+    validate tagged intervals (1 <= start < stop) so a misrouted
+    untagged blob has to thread tag charset AND interval order AND
+    exact consumption to be wrongly accepted — and a 9-sid untagged
+    set (head % 8 == 1, the overlap case) decodes correctly via the
+    fallback."""
+    g = rc.GtidSet()
+    for i in range(9):
+        g._insert((f"{i:02x}" + "ab" * 15, ""), 1, 4)
+    assert str(rc.GtidSet.decode(g.encode())) == str(g)
+    # a tagged blob with a reversed interval is rejected loudly
+    # (it cannot be a valid untagged set either)
+    bad = (struct.pack("<Q", 9)                 # 1 tsid, tagged mark
+           + bytes.fromhex(SID_HEX) + b"\x01x"
+           + struct.pack("<QQQ", 1, 5, 3))
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        rc.GtidSet.decode(bad)

@@ -2425,6 +2425,72 @@ def test_streaming_emb_near_dup_index_matches_batch(spark, tmp_path):
         "no cross-slice pair: the growing-index probe went untested"
 
 
+def test_cluster_redirect_replay_regenerates_lost_edges(spark,
+                                                        tmp_path):
+    """r11 review finding on the clustering twin: the redirect
+    store must keep EVERY (label -> target) edge, not a per-label
+    MIN — with MIN, a crash that committed (30 -> 10) but lost
+    (20 -> 10) made the replay walk short-circuit 30 -> 10 without
+    revisiting 20, so the lost redirect was never regenerated and
+    docs labeled 20 split off permanently. With the edge set, the
+    replay rediscovers 20 through the retained (30 -> 20) edge and
+    regenerates the lost row."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetClusterStore, ParquetRedirectStore, _cluster_partials,
+        streaming_cluster_assignments)
+
+    cstore = ParquetClusterStore(spark, str(tmp_path / "rp_c"))
+    rstore = ParquetRedirectStore(spark, str(tmp_path / "rp_r"),
+                                  n_buckets=8)
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    def apply(rows, key):
+        red, idp = _cluster_partials(pairs_df(rows), cstore, rstore)
+        rstore.merge(red, key)
+        cstore.merge(idp, key)
+
+    apply([(30, 40)], "lin.000000000000")   # cluster {30,40} -> 30
+    apply([(20, 40)], "lin.000000000001")   # merges to min 20;
+    #                                         doc 30's id row still
+    #                                         says 30 (untouched)
+    # epoch 2 merges everything to min 10: redirect partial =
+    # {(30 -> 10), (20 -> 10)} in DIFFERENT store buckets (labels
+    # 30 -> bucket 0, 20 -> bucket 4 at n_buckets=8 — asserted, the
+    # crash window below needs per-bucket claims to differ)
+    red, idp = _cluster_partials(pairs_df([(10, 30)]), cstore,
+                                 rstore)
+    red = red.localCheckpoint()
+    assert (rstore._buckets_for_keys(
+        red.filter(F.col("label") == 30).select("label"))
+        != rstore._buckets_for_keys(
+            red.filter(F.col("label") == 20).select("label")))
+    # the "crash": only label 30's bucket commits at this epoch;
+    # (20 -> 10) and the id merge are lost
+    rstore.merge(red.filter(F.col("label") == 30),
+                 "lin.000000000002")
+    # the replay: recompute partials from the post-crash stores and
+    # merge fully under the SAME epoch key (claimed buckets skip)
+    red2, idp2 = _cluster_partials(pairs_df([(10, 30)]), cstore,
+                                   rstore)
+    rstore.merge(red2, "lin.000000000002")
+    cstore.merge(idp2, "lin.000000000002")
+
+    # the historical edge (30 -> 20) must still exist next to the
+    # newer (30 -> 10) — that retention is what made the replay
+    # rediscover 20
+    edges = {(r.label, r.target) for r in rstore.state().collect()}
+    assert {(30, 20), (30, 10), (20, 10)} <= edges
+    docs = spark.createDataFrame([(i,) for i in (10, 20, 30, 40)],
+                                 "doc_id long")
+    got = {r.doc_id: r.cluster_id
+           for r in streaming_cluster_assignments(docs, cstore,
+                                                  rstore).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10}, \
+        f"cluster split after replay: {got}"
+
+
 def test_state_for_keys_opens_only_touched_buckets(spark, tmp_path,
                                                    monkeypatch):
     """``state_for_keys`` is the probe-side twin of merge's
