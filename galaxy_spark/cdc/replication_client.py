@@ -616,7 +616,14 @@ class GtidSet:
                     raise ValueError(
                         f"invalid tagged interval [{s}, {e})")
                 out._insert((sid, tag.lower()), s, e)
-        if p != len(blob):
+        if p not in (len(blob), len(blob) - 4):
+            # exact consumption, OR exactly a 4-byte tail: a
+            # PREVIOUS_GTIDS body read off a CRC32-checksummed
+            # stream carries the event checksum after the set
+            # (binlog_source._decode_prev_at passes the full
+            # esize-19 body) — requiring exact consumption there
+            # rejected every REAL tagged declaration (r11 review
+            # wave 2 fallout)
             raise ValueError("trailing bytes after tagged set")
         return out
 
@@ -642,6 +649,16 @@ class GtidSet:
             for _ in range(n_ivs):
                 s, e = struct.unpack_from("<QQ", blob, p)
                 p += 16
+                if not 1 <= s < e:
+                    # silent acceptance of a reversed interval made
+                    # covers() False while str()/parse round-tripped
+                    # to a DIFFERENT set — coverage decisions off a
+                    # corrupt blob must fail loudly, matching the
+                    # text parser and the tagged branch (r11 review
+                    # wave 2, reproduced)
+                    raise ValueError(
+                        f"invalid interval [{s}, {e}) in encoded "
+                        "gtid set")
                 out._insert((sid, ""), s, e)
         return out
 

@@ -181,6 +181,16 @@ class TaskManager:
             raise ValueError(
                 f"live=True applies to cdc tasks only (task_kind="
                 f"{spec.task_kind!r})")
+        if spec.task_kind != "cdc" and (
+                spec.databases or spec.tables or spec.exclude_tables
+                or spec.columns):
+            # consistent with update_filters' rejection: accepting
+            # silently-dead filter config at creation and rejecting
+            # the same fields on update told the user the truth
+            # only on update (r11 review wave 2)
+            raise ValueError(
+                f"db/table/column filters apply to cdc tasks only "
+                f"(task_kind={spec.task_kind!r})")
         self.tasks[spec.task_id] = spec
         self._start(spec)
         self._persist()

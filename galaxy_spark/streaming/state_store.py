@@ -163,13 +163,24 @@ class KeyedParquetStore:
         # poll constructing a store object over a RUNNING task's
         # path) must never delete a live merge's in-flight stage —
         # that turned any concurrent reader into a query-killer
-        # (r11 review). merge() has a single-writer contract per
-        # store, so sweeping at merge entry only races a ZOMBIE
-        # writer, which the claim check below fences anyway.
+        # (r11 review wave 1). Only STALE stages are swept (wave
+        # 2): a zombie writer entering merge() concurrently with
+        # the live one must not rmtree the live merge's
+        # seconds-old stage either — a crash orphan is, by the
+        # time any later merge runs against the same checkpoint,
+        # minutes old.
+        import time as _time
+
         for d in os.listdir(self.path):
-            if d.startswith(".stage-"):
-                shutil.rmtree(os.path.join(self.path, d),
-                              ignore_errors=True)
+            if not d.startswith(".stage-"):
+                continue
+            sp = os.path.join(self.path, d)
+            try:
+                age = _time.time() - os.path.getmtime(sp)
+            except OSError:
+                continue              # concurrently removed
+            if age > 600:
+                shutil.rmtree(sp, ignore_errors=True)
         version = f"v-{epoch_key}"
         # the partial is consumed twice (touched-bucket probe +
         # staged write) — cut lineage so its upstream fold runs
@@ -1240,7 +1251,12 @@ class ParquetRedirectStore(KeyedParquetStore):
     = latest); state stays O(cluster-merge events), each label
     carrying one row per merge it was on the losing side of —
     chains and fan-outs stay short because every batch
-    path-compresses the labels it visits."""
+    path-compresses the labels it visits.
+
+    Schema note: this edge-set layout is the store's FIRST released
+    schema (the per-label MIN variant existed only in unreleased
+    intra-round commits); there is deliberately no migration shim
+    for it."""
 
     def __init__(self, spark: SparkSession, path: str,
                  n_buckets: int = 2) -> None:

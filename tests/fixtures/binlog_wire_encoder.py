@@ -572,3 +572,14 @@ class BinlogWriter:
 
     def bytes(self) -> bytes:
         return bytes(self.out)
+
+    def previous_gtids_tagged(self, sid_hex: str, tag: str,
+                              upto: int) -> None:
+        """PREVIOUS_GTIDS carrying one TAGGED interval (MySQL >=
+        8.3, WL#15294 layout): n_sids field = n*8+1, per-tsid
+        1-byte-length tag block — written independently of
+        GtidSet.encode so decode is tested against fixture bytes."""
+        body = (le(9, 8) + bytes.fromhex(sid_hex)
+                + bytes([len(tag)]) + tag.encode()
+                + le(1, 8) + le(1, 8) + le(upto, 8))
+        self._emit(35, body)

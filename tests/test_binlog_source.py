@@ -1745,3 +1745,41 @@ def test_fingerprint_version_mismatch_skips_not_flags(tmp_path):
         {**committed, "pos": 4}, rd2._end_of_dir())
     vals = [int(row[3][0][0]) for p in parts for row in rd2.read(p)]
     assert vals == [1], "version mismatch must skip, not flag"
+
+
+def test_previous_gtids_tagged_purge_gate(tmp_path):
+    """A checksummed segment whose PREVIOUS_GTIDS declares a TAGGED
+    range (8.3+): the purge gate must decode it — including the
+    CRC32 tail the body read carries — and compare coverage PER TAG
+    IDENTITY: an executed set covering only the untagged range is
+    refused (the tagged history lived in purged files), a set
+    covering the tagged range too resumes normally."""
+    import pytest as _pytest
+
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter()                    # crc32 checksum default
+    w.format_description()
+    w.previous_gtids_tagged(sid, "patch", 3)   # patch:1-3 purged
+    for g in (4, 5):
+        w.gtid(sid, g)
+        w.query("shop", "BEGIN")
+        w.table_map(7, "shop", "orders", cols)
+        w.write_rows(7, cols, [[g, f"o-{g}"]])
+        w.xid(900 + g)
+    d = str(tmp_path / "tagged_prev_relay")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000003.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    u = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+        f"{sid[16:20]}-{sid[20:32]}"
+    rd = _mk_reader(d, startingGtids=f"{u}:1-3")   # untagged 1-3
+    with _pytest.raises(ValueError, match="PREVIOUS_GTIDS"):
+        rd.initialOffset()                # tag is part of identity
+    ok = _mk_reader(d, startingGtids=f"{u}:patch:1-3")
+    off = ok.initialOffset()
+    assert off["file"] == "binlog.000003.bin"

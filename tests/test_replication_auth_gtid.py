@@ -1104,3 +1104,26 @@ def test_tagged_decode_rejects_malformed_and_falls_back():
     import pytest as _pytest
     with _pytest.raises(Exception):
         rc.GtidSet.decode(bad)
+
+
+def test_tagged_decode_tolerates_checksum_tail_untagged_rejects_garbage():
+    """r11 review wave 2: (a) PREVIOUS_GTIDS bodies read off a
+    CRC32-checksummed stream carry a 4-byte checksum after the set
+    — the tagged decode must accept exactly that tail (exact
+    consumption alone rejected every REAL tagged declaration); (b)
+    the untagged branch must reject reversed intervals loudly
+    instead of building a set whose covers() disagrees with its
+    own text form (reproduced corruption)."""
+    g = rc.GtidSet.parse(f"{SID_UUID}:patch:1-5")
+    blob = g.encode()
+    assert str(rc.GtidSet.decode(blob + b"\x12\x34\x56\x78")) \
+        == str(g)
+    # a 7-byte tail is neither a valid tagged set (not a crc tail)
+    # nor a plausible untagged one (head = 9 sids needs far more
+    # bytes) — refused loudly either way
+    with pytest.raises((ValueError, struct.error)):
+        rc.GtidSet.decode(blob + b"\x00" * 7)
+    bad = (struct.pack("<Q", 1) + bytes.fromhex(SID_HEX)
+           + struct.pack("<QQQ", 1, 5, 3))       # untagged, 5 > 3
+    with pytest.raises(ValueError, match="interval"):
+        rc.GtidSet.decode(bad)

@@ -1431,11 +1431,17 @@ def test_topic_files_sink_routes_like_kafka(spark, events_dir, tmp_path):
 def test_parquet_store_recovers_from_crash_debris(spark, tmp_path):
     """Pin the documented crash windows of the keyed parquet store:
     (a) an orphaned .stage- dir (crash before any rename) is swept
-    on construction; (b) a TORN version dir (renamed but no
-    _COMMITTED marker — crash between rename and marker) is never
-    read as current and is replaced when its epoch replays; (c) a
-    crash mid-vacuum (stale older version left behind) is ignored
-    by the max-committed-version rule and swept by the next merge."""
+    by the next merge once STALE — never by construction (a reader
+    handle over a running store must not delete a live merge's
+    stage, r11 review wave 1) and never while fresh (a zombie
+    writer must not delete the LIVE writer's seconds-old stage,
+    wave 2); (b) a TORN version dir (renamed but no _COMMITTED
+    marker — crash between rename and marker) is never read as
+    current and is replaced when its epoch replays; (c) a crash
+    mid-vacuum (stale older version left behind) is ignored by the
+    max-committed-version rule and swept by the next merge."""
+    import time as _time
+
     from galaxy_spark.streaming.state_store import ParquetSnapshotStore
 
     path = str(tmp_path / "st")
@@ -1451,8 +1457,14 @@ def test_parquet_store_recovers_from_crash_debris(spark, tmp_path):
     store.merge(partial(1, 10, 1.0), "lin.000000000000")
     base = store.snapshot()
 
-    # (a) orphaned staging dir
-    os.makedirs(os.path.join(path, ".stage-deadbeef/x"))
+    # (a) orphaned staging dirs: one stale (crash debris), one
+    # fresh (a concurrent writer's live stage)
+    stale = os.path.join(path, ".stage-deadbeef")
+    fresh = os.path.join(path, ".stage-11v3aaaa")
+    os.makedirs(os.path.join(stale, "x"))
+    os.makedirs(fresh)
+    old = _time.time() - 3600
+    os.utime(stale, (old, old))
     # (b) torn next-epoch version: dir present, no _COMMITTED
     torn = os.path.join(path, "bucket-0", "v-lin.000000000001")
     os.makedirs(torn)
@@ -1460,13 +1472,17 @@ def test_parquet_store_recovers_from_crash_debris(spark, tmp_path):
         f.write("not parquet")
 
     store2 = ParquetSnapshotStore(spark, path, n_buckets=1)
-    assert not os.path.exists(os.path.join(path, ".stage-deadbeef"))
+    assert os.path.exists(stale), \
+        "construction must not sweep (readers share the path)"
     assert store2.snapshot() == base          # torn version invisible
 
     # replaying the torn epoch recomputes it from the committed base
     store2.merge(partial(2, 20, 2.0), "lin.000000000001")
     assert store2.snapshot() == [("d", "t", 1, 1.0, 10, 1),
                                  ("d", "t", 2, 2.0, 20, 1)]
+    # the merge swept the STALE stage and spared the FRESH one
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
     # (c) mid-vacuum debris: fake an old version surviving next to
     # the current one; the next merge of the bucket sweeps it
     stale = os.path.join(path, "bucket-0", "v-lin.000000000000x")
