@@ -85,12 +85,30 @@ class KeyedParquetStore:
                  key_cols: list[str], aggs: list[Column],
                  n_buckets: int = 8,
                  state_schema: str | None = None,
-                 layout_cols: list[str] | None = None) -> None:
+                 layout_cols: list[str] | None = None,
+                 delta_threshold: int | None = None) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.aggs = list(aggs)
         self.n_buckets = n_buckets
+        #: None -> copy-on-write merges (every touched bucket is
+        #: rewritten per epoch — per-batch write cost ∝ touched
+        #: bucket BYTES). An int T >= 1 -> LSM-style delta tier:
+        #: merge APPENDS the batch's pre-folded partial as a
+        #: ``d-<epoch>`` version (O(batch) I/O, ZERO state reads)
+        #: and folds base+deltas into a fresh ``v-<epoch>`` base
+        #: only once a bucket accumulates T deltas — write
+        #: amplification per trigger drops to O(batch) + O(bucket)/T
+        #: amortized, the difference between a per-trigger bucket
+        #: rewrite and a Delta/Iceberg-style compaction schedule at
+        #: 100 TB state. Readers fold base+deltas through ``aggs``
+        #: (a monoid fold by the store contract, so read-fold ==
+        #: merge-fold); with no deltas present the read plan is
+        #: byte-identical to CoW mode.
+        if delta_threshold is not None and delta_threshold < 1:
+            raise ValueError("delta_threshold must be >= 1 or None")
+        self.delta_threshold = delta_threshold
         #: columns the bucket layout hashes — a subset of the key,
         #: so readers that know only these columns (an LSH probe's
         #: (band, bucket) signatures) can compute the touched bucket
@@ -130,6 +148,20 @@ class KeyedParquetStore:
             return []
         return sorted(v for v in os.listdir(bd) if v.startswith("v-"))
 
+    def _delta_versions(self, b: int) -> list[str]:
+        """Committed delta versions of bucket ``b`` with an epoch
+        key STRICTLY greater than the current base's (a delta at or
+        below the base epoch is a crash-mid-compaction leftover the
+        base already folded — applying it would double-count)."""
+        bd = self._bucket_dir(b)
+        if not os.path.isdir(bd):
+            return []
+        base = self._current(b)
+        floor = base[2:] if base is not None else ""
+        return sorted(v for v in os.listdir(bd)
+                      if v.startswith("d-") and v[2:] > floor
+                      and self._committed(b, v))
+
     def _committed(self, b: int, version: str) -> bool:
         return os.path.exists(
             os.path.join(self._bucket_dir(b), version, "_COMMITTED"))
@@ -149,8 +181,16 @@ class KeyedParquetStore:
         out = set()
         for d in os.listdir(self.path):
             if d.startswith("bucket-"):
-                for v in self._versions(int(d.split("-", 1)[1])):
-                    out.add(v[2:].rsplit(".", 1)[0])
+                b = int(d.split("-", 1)[1])
+                bd = self._bucket_dir(b)
+                # base AND delta versions both carry lineage — a
+                # delta-tier store that has never compacted has no
+                # v- dirs at all, and missing its lineage here
+                # would let _require_lineage wave a foreign
+                # checkpoint through
+                for v in os.listdir(bd):
+                    if v.startswith(("v-", "d-")):
+                        out.add(v[2:].rsplit(".", 1)[0])
         return out
 
     # -- the MERGE -------------------------------------------------
@@ -191,29 +231,104 @@ class KeyedParquetStore:
         part = partial.withColumn(_BUCKET, self._bucket_expr())
         touched = sorted(r[_BUCKET] for r in
                          part.select(_BUCKET).distinct().collect())
-        todo = [b for b in touched if not self._committed(b, version)]
+
+        if self.delta_threshold is None:
+            # --- copy-on-write tier: rewrite each touched bucket --
+            todo = [b for b in touched
+                    if not self._applied(b, epoch_key)]
+            if not todo:
+                return
+            part = part.filter(
+                F.col(_BUCKET).isin([int(b) for b in todo]))
+            cur_paths = []
+            for b in todo:
+                cur = self._current(b, below=version)
+                if cur is not None:
+                    cur_paths.append(
+                        os.path.join(self._bucket_dir(b), cur))
+                # committed deltas STRICTLY below this epoch are
+                # prior state too (a store flipped from the delta
+                # tier back to CoW must absorb them, and the new
+                # base's vacuum then sweeps them); a delta AT this
+                # epoch is a replayed attempt's own output — the
+                # _applied skip above already returned for those
+                cur_paths.extend(
+                    os.path.join(self._bucket_dir(b), dv)
+                    for dv in self._delta_versions(b)
+                    if dv[2:] < epoch_key)
+            merged = part
+            if cur_paths:
+                cur_df = self.spark.read.parquet(*cur_paths) \
+                    .select(*part.columns)
+                merged = part.unionByName(cur_df)
+            merged = merged.groupBy(
+                _BUCKET, *self.key_cols).agg(*self.aggs)
+            self._commit_version(merged, version, todo)
+            for b in todo:
+                self._vacuum(b)
+            return
+
+        # --- delta tier: append O(batch), compact every T deltas --
+        todo = [b for b in touched if not self._applied(b, epoch_key)]
         if not todo:
             return
         part = part.filter(F.col(_BUCKET).isin([int(b) for b in todo]))
-        cur_paths = []
+        # pre-fold the batch per key: the CoW path folds duplicate
+        # partial keys implicitly through its state union; a delta
+        # file must carry ONE folded row per key itself so the
+        # read-side fold sees monoid elements, not raw fragments
+        folded = part.groupBy(_BUCKET, *self.key_cols).agg(*self.aggs)
+        self._commit_version(folded, f"d-{epoch_key}", todo)
+        # compaction: a bucket that reached T committed deltas folds
+        # base + deltas into a fresh base at THIS epoch. Only the
+        # batch's own buckets are candidates (amortized: every T-th
+        # touch pays one bucket rewrite), and only deltas <= this
+        # epoch fold — the new base's key must cover everything it
+        # absorbed so _delta_versions' strictly-above rule stays
+        # exact across crash windows.
+        ripe = [b for b in todo
+                if len([d for d in self._delta_versions(b)
+                        if d[2:] <= epoch_key])
+                >= self.delta_threshold]
+        if ripe:
+            paths = []
+            for b in ripe:
+                bd = self._bucket_dir(b)
+                cur = self._current(b)
+                if cur is not None:
+                    paths.append(os.path.join(bd, cur))
+                paths.extend(os.path.join(bd, d)
+                             for d in self._delta_versions(b)
+                             if d[2:] <= epoch_key)
+            compacted = (self.spark.read.parquet(*paths)
+                         .groupBy(_BUCKET, *self.key_cols)
+                         .agg(*self.aggs))
+            self._commit_version(compacted, version, ripe)
         for b in todo:
-            cur = self._current(b, below=version)
-            if cur is not None:
-                cur_paths.append(os.path.join(self._bucket_dir(b), cur))
-        merged = part
-        if cur_paths:
-            cur_df = self.spark.read.parquet(*cur_paths) \
-                .select(*part.columns)
-            merged = part.unionByName(cur_df)
-        merged = merged.groupBy(_BUCKET, *self.key_cols).agg(*self.aggs)
+            self._vacuum(b)
 
-        # partitionBy strips its column from the data files, and the
-        # per-bucket leaf dirs are renamed out of the partition
-        # layout; duplicate the bucket so it survives as a DATA
-        # column for the next merge's read side.
+    def _applied(self, b: int, epoch_key: str) -> bool:
+        """Replay-skip test for the delta tier: this epoch's
+        contribution to bucket ``b`` is durable if its delta
+        committed OR a base at-or-above the epoch exists (a
+        compaction at epoch E vacuums the d-E it absorbed — the
+        base IS that epoch's durability witness)."""
+        if self._committed(b, f"d-{epoch_key}"):
+            return True
+        cur = self._current(b)
+        return cur is not None and cur[2:] >= epoch_key
+
+    def _commit_version(self, df: DataFrame, version: str,
+                        todo: list[int]) -> None:
+        """Stage -> fsync -> rename -> ``_COMMITTED`` for one
+        version (base or delta) of the given buckets. partitionBy
+        strips its column from the data files, and the per-bucket
+        leaf dirs are renamed out of the partition layout;
+        duplicate the bucket so it survives as a DATA column for
+        the next read side."""
         stage = os.path.join(self.path,
                              f".stage-{uuid.uuid4().hex[:8]}")
-        merged.withColumn("__pb", F.col(_BUCKET)) \
+        df.withColumn("__pb", F.col(_BUCKET)) \
             .write.mode("overwrite").partitionBy("__pb").parquet(stage)
         for b in todo:
             src = os.path.join(stage, f"__pb={b}")
@@ -248,15 +363,33 @@ class KeyedParquetStore:
                 pass
             _fsync_path(dest)
             _fsync_path(bd)
-            for old in self._versions(b):  # vacuum superseded versions
-                if old != version:
-                    shutil.rmtree(os.path.join(bd, old),
-                                  ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
+    def _vacuum(self, b: int) -> None:
+        """Drop superseded state of bucket ``b``: every base that
+        is not the current committed one, and every delta at or
+        below the current base's epoch (compaction absorbed those —
+        their epochs' replay-skip witness is the base itself, so a
+        torn or committed leftover below the base can never be
+        read or rewritten again). Torn deltas ABOVE the base stay:
+        their epoch was never Spark-committed and its replay clears
+        them in _commit_version."""
+        bd = self._bucket_dir(b)
+        if not os.path.isdir(bd):
+            return
+        base = self._current(b)
+        floor = base[2:] if base is not None else ""
+        for v in os.listdir(bd):
+            if v.startswith("v-") and base is not None and v != base:
+                shutil.rmtree(os.path.join(bd, v), ignore_errors=True)
+            elif v.startswith("d-") and v[2:] <= floor:
+                shutil.rmtree(os.path.join(bd, v), ignore_errors=True)
+
     def _current_paths(self, buckets: set[int] | None = None) -> list[str]:
-        """Current-version dirs for the given buckets (None = all).
-        Names only — the caller decides what to read."""
+        """Current-state dirs for the given buckets (None = all):
+        each bucket's greatest committed base plus any committed
+        deltas above it. Names only — the caller decides what to
+        read (and folds iff a delta is among them)."""
         paths = []
         for d in sorted(os.listdir(self.path)):
             if d.startswith("bucket-"):
@@ -266,7 +399,20 @@ class KeyedParquetStore:
                 cur = self._current(b)
                 if cur is not None:
                     paths.append(os.path.join(self.path, d, cur))
+                paths.extend(os.path.join(self.path, d, dv)
+                             for dv in self._delta_versions(b))
         return paths
+
+    def _read_state(self, paths: list[str]) -> DataFrame:
+        """Read version dirs into state rows. Base rows are already
+        folded; when any DELTA dir is in the read set, fold
+        base+deltas through ``aggs`` — the same monoid the merge
+        applies, so read-fold(state) == merge-fold(state). With no
+        deltas the plan is the plain pruned scan (no exchange)."""
+        df = self.spark.read.parquet(*paths)
+        if any(os.path.basename(p).startswith("d-") for p in paths):
+            return df.groupBy(*self.key_cols).agg(*self.aggs)
+        return df.drop(_BUCKET)
 
     def _empty_state(self) -> DataFrame:
         schema = self.state_schema or "x int"
@@ -280,7 +426,7 @@ class KeyedParquetStore:
         paths = self._current_paths()
         if not paths:
             return self._empty_state()
-        return self.spark.read.parquet(*paths).drop(_BUCKET)
+        return self._read_state(paths)
 
     def _buckets_for_keys(self, keys: DataFrame) -> list[int]:
         """Touched store buckets for a key frame — the same layout
@@ -306,7 +452,7 @@ class KeyedParquetStore:
         paths = self._current_paths(tb)
         if not paths:
             return self._empty_state()
-        return self.spark.read.parquet(*paths).drop(_BUCKET)
+        return self._read_state(paths)
 
     def _clone(self, new_path: str, n_buckets: int) -> "KeyedParquetStore":
         """Same-configuration store at a new path / bucket count —
@@ -324,7 +470,8 @@ class KeyedParquetStore:
             return KeyedParquetStore(
                 self.spark, new_path, self.key_cols, self.aggs,
                 n_buckets=n_buckets, state_schema=self.state_schema,
-                layout_cols=self.layout_cols)
+                layout_cols=self.layout_cols,
+                delta_threshold=self.delta_threshold)
         try:
             return self.__class__(self.spark, new_path,
                                   n_buckets=n_buckets)
@@ -428,6 +575,10 @@ def rebucket(store: KeyedParquetStore, new_path: str,
             "in the docstring; pass checkpoint_dir to have it "
             "checked", stacklevel=2)
     new_store = store._clone(new_path, n_buckets)
+    # delta_threshold shapes only the WRITE strategy (never the
+    # folded state), so it is safe — and required, subclass ctors
+    # don't take it — to copy it across post-construction
+    new_store.delta_threshold = store.delta_threshold
     # belt for the _clone suspenders: a subclass override that
     # forgot a tunable shows up here as a key/schema drift before
     # any state is rewritten (tunables that shape only the FOLD,
@@ -445,12 +596,16 @@ def rebucket(store: KeyedParquetStore, new_path: str,
     currents = []
     for d in os.listdir(store.path):
         if d.startswith("bucket-"):
-            cur = store._current(int(d.split("-", 1)[1]))
+            b = int(d.split("-", 1)[1])
+            cur = store._current(b)
             if cur is not None:
-                currents.append(cur)
-    epoch_key = max(currents)[2:]              # strip "v-"; same
-    #                                          lineage -> lexical max
-    #                                          is the max epoch
+                currents.append(cur[2:])
+            dvs = store._delta_versions(b)     # a delta-tier store's
+            if dvs:                            # max claimed epoch may
+                currents.append(dvs[-1][2:])   # live in a delta
+    epoch_key = max(currents)                  # prefixes stripped;
+    #                                          same lineage -> lexical
+    #                                          max is the max epoch
     if checkpoint_dir is not None:
         lin = _checkpoint_lineage(checkpoint_dir)
         if lin != epoch_key.rsplit(".", 1)[0]:

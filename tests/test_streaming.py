@@ -2117,17 +2117,23 @@ def test_streaming_sliding_wau_restart_resumes(spark, tmp_path):
 # Streaming incremental near-dup index (durable MinHash-LSH)
 # ------------------------------------------------------------------
 
-def _near_dup_stores(spark, tmp_path, tag):
+def _near_dup_stores(spark, tmp_path, tag, delta=None):
     from galaxy_spark.streaming.state_store import (ParquetDocStore,
                                                     ParquetLshStore,
                                                     ParquetPairStore)
 
-    return (ParquetLshStore(spark, str(tmp_path / f"{tag}_lsh")),
-            ParquetDocStore(spark, str(tmp_path / f"{tag}_docs")),
-            ParquetPairStore(spark, str(tmp_path / f"{tag}_pairs")))
+    stores = (ParquetLshStore(spark, str(tmp_path / f"{tag}_lsh")),
+              ParquetDocStore(spark, str(tmp_path / f"{tag}_docs")),
+              ParquetPairStore(spark, str(tmp_path / f"{tag}_pairs")))
+    for s in stores:       # write-strategy knob: safe to set at any
+        s.delta_threshold = delta         # epoch boundary (r11)
+    return stores
 
 
-def test_streaming_near_dup_index_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("delta", [None, 2],
+                         ids=["cow", "delta2"])
+def test_streaming_near_dup_index_matches_batch(spark, tmp_path,
+                                                delta):
     """The r9 verdict's top item: near-dup-check every micro-batch
     against ALL previously streamed documents on a durable growing
     LSH index. Union of per-batch pair emissions over the replayed
@@ -2149,7 +2155,8 @@ def test_streaming_near_dup_index_matches_batch(spark, tmp_path):
          .coalesce(1).write.mode("append").parquet(src))
         _time.sleep(1.1)
 
-    lsh, dstore, pairs = _near_dup_stores(spark, tmp_path, "nd")
+    lsh, dstore, pairs = _near_dup_stores(spark, tmp_path, "nd",
+                                          delta=delta)
     stream = spark.readStream.schema(docs.schema) \
         .option("maxFilesPerTrigger", 1).parquet(src)
     q = start_streaming_near_dup_index(
@@ -2846,3 +2853,193 @@ def test_near_dup_stores_survive_rebucket(spark, tmp_path):
     b = sorted(map(tuple, lsh2.state()
                    .select("band", "bucket", "id").collect()))
     assert a == b
+
+
+# ------------------------------------------------------------------
+# Delta-tier merges (r11): O(batch) appends + amortized compaction
+# ------------------------------------------------------------------
+
+def _sum_store(spark, path, delta):
+    from galaxy_spark.streaming.state_store import KeyedParquetStore
+
+    return KeyedParquetStore(
+        spark, path, ["k"],
+        [F.sum("v").cast("long").alias("v"),
+         F.max("last").alias("last")],
+        n_buckets=4, state_schema="k long, v long, last string",
+        delta_threshold=delta)
+
+
+_DELTA_BATCHES = [
+    [(1, 10, "a"), (2, 5, "b"), (9, 1, "c")],
+    [(1, 3, "d"), (3, 7, "e")],
+    [(2, 2, "f"), (9, 4, "g"), (4, 1, "h")],
+    [(1, 1, "i")],
+    [(5, 5, "j"), (9, 9, "k"), (1, 2, "l")],
+    [(3, 3, "m"), (9, 1, "n")],
+]
+
+
+def _batch_df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, last string")
+
+
+@pytest.mark.parametrize("threshold", [1, 2, 4])
+def test_delta_tier_state_matches_cow(spark, tmp_path, threshold):
+    """The delta tier is a WRITE strategy, never a semantics change:
+    after every epoch (and after a replayed epoch) a delta-tier
+    store's folded state equals the copy-on-write twin's, row for
+    row. Thresholds cover compact-every-touch (1), mid-stream
+    compaction (2) and a never-compacted tail (4)."""
+    cow = _sum_store(spark, str(tmp_path / "cow"), None)
+    dlt = _sum_store(spark, str(tmp_path / f"d{threshold}"),
+                     threshold)
+    for i, rows in enumerate(_DELTA_BATCHES):
+        key = f"lin.{i:012d}"
+        cow.merge(_batch_df(spark, rows), key)
+        dlt.merge(_batch_df(spark, rows), key)
+        want = sorted(map(tuple, cow.state().collect()))
+        got = sorted(map(tuple, dlt.state().collect()))
+        assert got == want, f"divergence at epoch {i}"
+    # at-least-once replay of the last epoch: both skip
+    last = f"lin.{len(_DELTA_BATCHES) - 1:012d}"
+    dlt.merge(_batch_df(spark, _DELTA_BATCHES[-1]), last)
+    assert sorted(map(tuple, dlt.state().collect())) == want
+
+
+def test_delta_merge_reads_no_state(spark, tmp_path, monkeypatch):
+    """THE write-amplification pin: a non-compacting delta merge
+    performs ZERO reads of store state (its I/O is the batch,
+    full stop), and the compacting merge reads ONLY the ripe
+    buckets' own dirs. CoW pays a touched-bucket rewrite per epoch;
+    the delta tier pays O(batch) now and the bucket rewrite once
+    per `threshold` touches — the difference between per-trigger
+    and amortized bucket I/O at 100 TB state."""
+    import pyspark.sql.readwriter as rw
+
+    store = _sum_store(spark, str(tmp_path / "wa"), 3)
+    seen: list[str] = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        seen.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    rows = [(1, 1, "x"), (2, 1, "y")]          # one bucket pair,
+    for i in range(2):                         # touched every epoch
+        store.merge(_batch_df(spark, rows), f"lin.{i:012d}")
+    state_reads = [p for p in seen if p.startswith(store.path)]
+    assert state_reads == [], \
+        f"delta merge read store state: {state_reads}"
+    seen.clear()
+    store.merge(_batch_df(spark, rows), f"lin.{2:012d}")  # 3rd delta
+    opened = [p for p in seen if p.startswith(store.path)]
+    assert opened, "threshold hit but no compaction read"
+    touched = {int(p.split("bucket-")[1].split(os.sep)[0])
+               for p in opened}
+    assert touched <= set(store._buckets_for_keys(
+        _batch_df(spark, rows).select("k")))
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", orig)
+    # post-compaction layout: ripe buckets hold ONE base, no deltas
+    for b in touched:
+        bd = store._bucket_dir(b)
+        assert len([v for v in os.listdir(bd)
+                    if v.startswith("v-")]) == 1
+        assert not [v for v in os.listdir(bd) if v.startswith("d-")]
+
+
+def test_delta_crash_mid_compaction_no_double_count(spark, tmp_path):
+    """Crash window between the compacted base's commit and the
+    absorbed deltas' vacuum: the leftover delta sits at-or-below
+    the base epoch, so reads ignore it (strictly-above rule) and
+    the next merge sweeps it."""
+    import shutil as _sh
+
+    store = _sum_store(spark, str(tmp_path / "cr"), 2)
+    store.merge(_batch_df(spark, [(1, 10, "a")]), "lin.000000000000")
+    b = store._buckets_for_keys(
+        _batch_df(spark, [(1, 10, "a")]).select("k"))[0]
+    bd = store._bucket_dir(b)
+    saved = str(tmp_path / "saved_delta")
+    _sh.copytree(os.path.join(bd, "d-lin.000000000000"), saved)
+    store.merge(_batch_df(spark, [(1, 5, "b")]),
+                "lin.000000000001")               # compacts: v=15
+    # resurrect the absorbed delta = the un-vacuumed crash leftover
+    _sh.copytree(saved, os.path.join(bd, "d-lin.000000000000"))
+    got = {(r.k, r.v) for r in store.state().collect()}
+    assert got == {(1, 15)}, f"double-counted absorbed delta: {got}"
+    store.merge(_batch_df(spark, [(1, 1, "c")]), "lin.000000000002")
+    assert not os.path.isdir(os.path.join(bd, "d-lin.000000000000")), \
+        "next merge did not sweep the absorbed delta"
+    got = {(r.k, r.v) for r in store.state().collect()}
+    assert got == {(1, 16)}
+
+
+def test_delta_torn_write_cleared_on_replay(spark, tmp_path):
+    """A torn delta (crash between rename and _COMMITTED) is
+    invisible to reads and is cleared by the epoch's replay —
+    same contract the CoW tier has for torn bases."""
+    store = _sum_store(spark, str(tmp_path / "torn"), 4)
+    rows = [(7, 3, "t")]
+    b = store._buckets_for_keys(
+        _batch_df(spark, rows).select("k"))[0]
+    torn = os.path.join(store._bucket_dir(b), "d-lin.000000000000")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert store.state().count() == 0      # torn: never readable
+    store.merge(_batch_df(spark, rows), "lin.000000000000")
+    assert {(r.k, r.v) for r in store.state().collect()} == {(7, 3)}
+    assert os.path.exists(os.path.join(torn, "_COMMITTED"))
+
+
+def test_delta_threshold_flip_both_directions(spark, tmp_path):
+    """delta_threshold is a pure write-strategy knob: flipping a
+    live store CoW -> delta -> CoW between epochs never changes
+    state — the CoW merge absorbs committed deltas below its epoch
+    and its vacuum sweeps them."""
+    cow = _sum_store(spark, str(tmp_path / "flip_ref"), None)
+    st = _sum_store(spark, str(tmp_path / "flip"), None)
+    plan = [None, None, 3, 3, None, 2]
+    for i, (rows, mode) in enumerate(zip(_DELTA_BATCHES, plan)):
+        key = f"lin.{i:012d}"
+        st.delta_threshold = mode
+        st.merge(_batch_df(spark, rows), key)
+        cow.merge(_batch_df(spark, rows), key)
+        assert sorted(map(tuple, st.state().collect())) == \
+            sorted(map(tuple, cow.state().collect())), \
+            f"flip divergence at epoch {i} (mode={mode})"
+    # the CoW epoch at i=4 must have swept the i=2/3 deltas it
+    # absorbed for the buckets it touched
+    for b in st._buckets_for_keys(
+            _batch_df(spark, _DELTA_BATCHES[4]).select("k")):
+        bd = st._bucket_dir(b)
+        below = [v for v in os.listdir(bd) if v.startswith("d-")
+                 and v[2:] <= "lin.000000000004"]
+        assert not below, f"unswept absorbed deltas: {below}"
+
+
+def test_delta_store_rebucket_carries_mode_and_state(spark, tmp_path):
+    """rebucket() from a delta-tier store (max claimed epoch may
+    live in a delta, not a base) reproduces the folded state and
+    carries the write-strategy knob."""
+    from galaxy_spark.streaming.state_store import rebucket
+
+    st = _sum_store(spark, str(tmp_path / "rb_src"), 5)
+    for i, rows in enumerate(_DELTA_BATCHES[:3]):
+        st.merge(_batch_df(spark, rows), f"lin.{i:012d}")
+    assert any(v.startswith("d-")                 # precondition:
+               for b in range(st.n_buckets)       # uncompacted
+               if os.path.isdir(st._bucket_dir(b))
+               for v in os.listdir(st._bucket_dir(b)))
+    with pytest.warns(UserWarning):
+        nb = rebucket(st, str(tmp_path / "rb_dst"), 8)
+    assert nb.delta_threshold == 5
+    assert sorted(map(tuple, nb.state().collect())) == \
+        sorted(map(tuple, st.state().collect()))
+    # the carried epoch is the max CLAIMED epoch (a delta): a
+    # replay of that epoch against the new store must skip
+    nb.merge(_batch_df(spark, _DELTA_BATCHES[2]), "lin.000000000002")
+    assert sorted(map(tuple, nb.state().collect())) == \
+        sorted(map(tuple, st.state().collect()))
