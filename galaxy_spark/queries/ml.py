@@ -21,13 +21,14 @@ _OLS_NUM = ("(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)")
 _OLS_DEN = ("(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)")
 
 
-def _ols_stats(li: DataFrame, key, key_name: str) -> DataFrame:
-    """The six-statistic fold shared by EVERY OLS query in this
-    module (the Spark twin of the `_OLS_NUM`/`_OLS_DEN` SQL
-    sharing): cents-quantized x/y, exact int64 n/Σx/Σy,
-    DECIMAL(38,0)-folded product sums cast to double. ONE
-    implementation so a determinism fix (like the r7 DECIMAL
-    overflow fix) can never apply to one fit and miss another."""
+def ols_partial_stats(li: DataFrame, key, key_name: str) -> DataFrame:
+    """The six-statistic fold in its EXACT (pre-cast) form:
+    cents-quantized x/y, int64 n/Σx/Σy, DECIMAL(38,0) product sums.
+    Every statistic is an exact integer under a SUM monoid, so this
+    is simultaneously the batch fold and a streaming micro-batch
+    partial: summing per-batch partials in ``ParquetOlsStore``
+    reproduces the whole-corpus fold integer-for-integer, and the
+    double cast happens once, at solve time, on identical values."""
     q = li.select(
         key.alias(key_name),
         F.round(F.col("l_quantity") * 100, 0).cast("long").alias("xi"),
@@ -38,11 +39,34 @@ def _ols_stats(li: DataFrame, key, key_name: str) -> DataFrame:
         F.sum("xi").alias("sx"),
         F.sum("yi").alias("sy"),
         F.sum((F.col("xi") * F.col("xi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxx"),
+        .alias("sxx"),
         F.sum((F.col("xi") * F.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("sxy"),
+        .alias("sxy"),
         F.sum((F.col("yi") * F.col("yi")).cast("decimal(38,0)"))
-        .cast("double").alias("syy"))
+        .alias("syy"))
+
+
+def ols_cast_stats(s: DataFrame, key_name: str) -> DataFrame:
+    """Exact-integer statistics -> the solve's input layout (the
+    three product sums as correctly-rounded doubles). Shared by the
+    batch queries and the streaming reader so the one lossy step
+    cannot drift between them."""
+    return s.select(
+        key_name, "n", "sx", "sy",
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("syy").cast("double").alias("syy"))
+
+
+def _ols_stats(li: DataFrame, key, key_name: str) -> DataFrame:
+    """The six-statistic fold shared by EVERY OLS query in this
+    module (the Spark twin of the `_OLS_NUM`/`_OLS_DEN` SQL
+    sharing): cents-quantized x/y, exact int64 n/Σx/Σy,
+    DECIMAL(38,0)-folded product sums cast to double. ONE
+    implementation so a determinism fix (like the r7 DECIMAL
+    overflow fix) can never apply to one fit and miss another."""
+    return ols_cast_stats(ols_partial_stats(li, key, key_name),
+                          key_name)
 
 
 def _ols_solve():
@@ -111,9 +135,17 @@ def ml_ols_price_on_quantity(spark: SparkSession,
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = _ols_stats(li, F.col("l_returnflag"), "returnflag")
+    return ols_model_select(s, "returnflag")
+
+
+def ols_model_select(s: DataFrame, key_name: str) -> DataFrame:
+    """The flagship fit's output projection over a solved-input
+    statistics frame — shared with the streaming reader
+    (``streaming_ols_estimates``) so the IEEE solve tree and the
+    1e-6 rounding are imported, never re-typed."""
     num, den, ydev, intercept = _ols_solve()
     return s.select(
-        "returnflag", "n", "sx", "sy",
+        key_name, "n", "sx", "sy",
         F.round(num / den, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept_cents"),
         F.round((num * num) / (den * ydev), 6).alias("r2"))

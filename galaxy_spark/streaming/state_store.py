@@ -1958,3 +1958,74 @@ def streaming_kmv_union_stats(store: ParquetKmvStore,
                 F.size(F.array_except(
                     F.array_intersect("u", "b"), "a"))
                 .cast("long").alias("j_ba")))
+
+
+class ParquetOlsStore(KeyedParquetStore):
+    """Streaming twin of the sufficient-statistics OLS queries
+    (``queries/ml.py``): per-key (n, Σx, Σy, Σx², Σxy, Σy²) under a
+    pure SUM monoid — n/Σx/Σy as exact int64, the product sums as
+    exact DECIMAL(38,0) (the batch fold's own pre-cast form, so the
+    one lossy double cast happens once, at solve time, on identical
+    integers). State is O(keys); a micro-batch partial is O(batch
+    keys); every statistic is order-free, so streaming == batch
+    integer-for-integer however the corpus is sliced. The natural
+    delta-tier resident: partials are tiny, folds are cheap, and a
+    model refit reads O(keys) rows."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key_col: str = "gkey",
+                 n_buckets: int = 2) -> None:
+        self.key_col = key_col
+        dec = "decimal(38,0)"
+        super().__init__(
+            spark, path, [key_col],
+            [F.sum("n").cast("long").alias("n"),
+             F.sum("sx").cast("long").alias("sx"),
+             F.sum("sy").cast("long").alias("sy"),
+             F.sum("sxx").cast(dec).alias("sxx"),
+             F.sum("sxy").cast(dec).alias("sxy"),
+             F.sum("syy").cast(dec).alias("syy")],
+            n_buckets,
+            state_schema=f"{key_col} string, n long, sx long, "
+                         f"sy long, sxx {dec}, sxy {dec}, "
+                         f"syy {dec}")
+
+    def _clone(self, new_path: str,
+               n_buckets: int) -> "ParquetOlsStore":
+        # forward key_col (it names the key column in the schema —
+        # the bare signature would rebucket a custom-keyed store
+        # into the default name and trip the drift belt)
+        return ParquetOlsStore(self.spark, new_path,
+                               key_col=self.key_col,
+                               n_buckets=n_buckets)
+
+
+def start_streaming_ols(stream: DataFrame, store: ParquetOlsStore,
+                        checkpoint_dir: str, key) -> StreamingQuery:
+    """Maintain per-key OLS sufficient statistics from a
+    lineitem-shaped stream (the batch quantization + fold, imported
+    not copied: ``ols_partial_stats`` is the same function the
+    batch queries' ``_ols_stats`` wraps)."""
+    from galaxy_spark.queries.ml import ols_partial_stats
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir,
+                lambda df: ols_partial_stats(df, key,
+                                             store.key_col)))
+            .start())
+
+
+def streaming_ols_estimates(store: ParquetOlsStore) -> DataFrame:
+    """Solve the accumulated statistics: cast once to double
+    (``ols_cast_stats``) and run the SAME IEEE solve tree + 1e-6
+    rounding as the flagship batch fit (``ols_model_select``) —
+    over the same rows the result equals ``ml_ols_price_on_
+    quantity`` field-for-field (pinned in tests)."""
+    from galaxy_spark.queries.ml import (ols_cast_stats,
+                                         ols_model_select)
+
+    return ols_model_select(
+        ols_cast_stats(store.state(), store.key_col),
+        store.key_col)

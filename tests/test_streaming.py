@@ -3043,3 +3043,69 @@ def test_delta_store_rebucket_carries_mode_and_state(spark, tmp_path):
     nb.merge(_batch_df(spark, _DELTA_BATCHES[2]), "lin.000000000002")
     assert sorted(map(tuple, nb.state().collect())) == \
         sorted(map(tuple, st.state().collect()))
+
+
+# ------------------------------------------------------------------
+# Streaming OLS twin (r11): SUM-monoid sufficient statistics
+# ------------------------------------------------------------------
+
+def test_streaming_ols_matches_batch_fit(spark, tmp_path):
+    """Streaming per-key OLS on the durable store == the flagship
+    batch fit FIELD-FOR-FIELD: every sufficient statistic is an
+    exact integer under SUM (int64 + DECIMAL(38,0)), so slicing the
+    corpus into micro-batches cannot move the model. Runs the store
+    in DELTA-TIER mode (threshold 2) — a real pipeline exercising
+    O(batch) appends over DECIMAL state — with a kill/restart in
+    the middle of the replay corpus."""
+    import time as _time
+
+    from galaxy_spark.queries.ml import ols_partial_stats
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetOlsStore, start_streaming_ols,
+        streaming_ols_estimates)
+
+    li = load_table(spark, SF, "lineitem")
+    src = str(tmp_path / "ols_src")
+    for k in range(3):
+        (li.filter(F.col("l_orderkey") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetOlsStore(spark, str(tmp_path / "ols_store"),
+                            key_col="returnflag")
+    store.delta_threshold = 2
+    ck = str(tmp_path / "ols_ck")
+
+    def start():
+        stream = spark.readStream.schema(li.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_ols(stream, store, ck,
+                                   key=F.col("l_returnflag"))
+
+    q = start()                       # kill after the first batch:
+    while True:                       # resume must replay/continue
+        done = os.path.join(ck, "commits", "0")
+        if os.path.exists(done):
+            break
+        _time.sleep(0.1)
+    q.stop()
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(map(tuple, streaming_ols_estimates(store)
+                     .collect()))
+    want = sorted(map(tuple, all_queries()
+                      ["ml_ols_price_on_quantity"](spark, SF)
+                      .collect()))
+    assert got == want and len(want) == 3
+
+    # monoid sanity the solve hides: the stored statistics are the
+    # batch fold's exact integers (pre-cast), not approximations
+    exact = {r.returnflag: (r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy)
+             for r in ols_partial_stats(
+                 li, F.col("l_returnflag"), "returnflag").collect()}
+    stored = {r.returnflag: (r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy)
+              for r in store.state().collect()}
+    assert stored == exact
