@@ -676,3 +676,129 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "dst", "left_semi")
             .groupBy(F.col("src").alias("node"))
             .agg(F.count("*").cast("integer").alias("core_degree")))
+
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled hop-bounded Bellman-Ford: d_k(v) = min cost over
+    paths of <= k edges — each level is referenced twice (carry +
+    relax), so every CTE is MATERIALIZED (the k-core lesson:
+    DuckDB's default inlining re-evaluates per reference)."""
+    head = """
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), halfw AS MATERIALIZED (
+        SELECT a.p AS src, b.p AS dst, COUNT(*) AS cnt
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    ), edges AS MATERIALIZED (
+        SELECT src, dst, CAST(6 - LEAST(cnt, 5) AS BIGINT) AS w
+        FROM halfw
+        UNION ALL
+        SELECT dst AS src, src AS dst,
+               CAST(6 - LEAST(cnt, 5) AS BIGINT) AS w
+        FROM halfw
+    ), d0 AS MATERIALIZED (
+        SELECT DISTINCT e.src AS node, CAST(0 AS BIGINT) AS cost
+        FROM edges e JOIN part ON p_partkey = e.src
+        WHERE p_size = 1
+    )"""
+    for k in range(1, rounds + 1):
+        head += f""", d{k} AS MATERIALIZED (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.cost + e.w AS cost
+            FROM edges e JOIN d{k - 1} d ON e.src = d.node
+        ) GROUP BY node)"""
+    return head + f"""
+    SELECT node AS part, cost FROM d{rounds}
+    """
+
+
+@register("graph_sssp_weighted", oracle=_sssp_oracle(_SSSP_ROUNDS))
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths, hop-bounded at 4 edges:
+    min path cost from the seed set (size-1 parts) over co-purchase
+    edges whose weight falls with co-purchase multiplicity
+    (w = 6 - LEAST(cnt, 5) ∈ [1,5] — strongly co-bought parts are
+    "close"). The weighted upgrade of ``graph_bfs_levels``: hop
+    distance treats a once-co-bought pair like a thousand-times
+    pair; path COST is the recommendation/substitution radius that
+    actually ranks. Hop-bounding makes the answer well-defined on
+    both engines regardless of convergence — d_k is EXACTLY "min
+    cost over paths of <= k edges", a pure-integer quantity.
+
+    Plan: frontier Bellman-Ford — each round relaxes ONLY edges
+    out of nodes whose cost improved last round (a node that
+    improved in round j re-relaxes at j+1 with the improved value,
+    so every <= k-edge path is delivered by round k; a node never
+    improved stays out of the join). Per-round work is O(frontier
+    edges) + one anti-join refresh of the running map, the same
+    delta-frontier discipline as BFS/CC — at 100 TB the frontier
+    collapses while the settled map grows, exactly when the naive
+    full-relax (all edges x all dists per round, the textbook and
+    the oracle's form) stops scaling. Weights are small exact
+    integers (COUNT folds + LEAST), so no float discipline is
+    needed; costs fold under MIN, a true monoid, making the
+    per-round partial aggregation map-side-combinable. Rounds are
+    a fixed 4, matching the oracle's unroll level-for-level.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct())
+    halfw = (baskets.alias("a")
+             .join(baskets.alias("b"),
+                   (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("src"),
+                      F.col("b.p").alias("dst"))
+             .agg(F.count("*").alias("cnt")))
+    w = (F.lit(6) - F.least(F.col("cnt"), F.lit(5))).cast("long")
+    edges = (halfw.select("src", "dst", w.alias("w"))
+             .union(halfw.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"),
+                                 w.alias("w")))
+             .localCheckpoint(eager=False))
+    seeds = (edges.select("src").distinct()
+             .join(F.broadcast(part.filter(F.col("p_size") == 1)
+                               .select(F.col("p_partkey")
+                                       .alias("src"))), "src")
+             .select(F.col("src").alias("node"),
+                     F.lit(0).cast("long").alias("cost")))
+    dist = seeds.localCheckpoint(eager=False)
+    frontier = dist
+    for k in range(1, _SSSP_ROUNDS + 1):
+        cand = (edges
+                .join(frontier.select(F.col("node").alias("src"),
+                                      F.col("cost").alias("fcost")),
+                      "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("fcost") + F.col("w"))
+                     .alias("cost")))
+        improved = (cand
+                    .join(dist.withColumnRenamed("cost", "old"),
+                          "node", "left_outer")
+                    .filter(F.col("old").isNull()
+                            | (F.col("cost") < F.col("old")))
+                    .select("node", "cost"))
+        # both `improved` and the refreshed map are re-consumed next
+        # round — cut lineage on each (the BFS quadratic-rounds
+        # trap; dist is REWRITTEN here, not appended, so it needs
+        # its own). The LAST round stays unmaterialized: nothing
+        # re-consumes it, and the output plan then exposes the
+        # relax/refresh shape over checkpointed parents for the
+        # plan pin (tests/test_plans.py)
+        if k < _SSSP_ROUNDS:
+            improved = improved.localCheckpoint(eager=False)
+            dist = (dist.join(improved, "node", "left_anti")
+                    .union(improved)
+                    .localCheckpoint(eager=False))
+        else:
+            dist = (dist.join(improved, "node", "left_anti")
+                    .union(improved))
+        frontier = improved
+    return dist.select(F.col("node").alias("part"), "cost")

@@ -200,6 +200,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "graph_kcore",
     "events_decay_score",
     "join_interval_overlap",
+    "graph_sssp_weighted",
 )
 
 

@@ -886,3 +886,22 @@ def test_interval_overlap_is_equi_key_blocked(q):
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p)
     assert "partial_count" in p
+
+
+def test_sssp_relax_round_is_frontier_shaped(q):
+    """Weighted SSSP (r11): the relax/refresh round must plan as a
+    partial-aggregated MIN over the frontier⋈edges equi-join plus a
+    LeftAnti refresh of the running map — never a cartesian, never
+    a window — and the output plan consumes the checkpointed
+    edge/dist frames (zero FileScan: the graph builds once)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_sssp_weighted")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p
+    assert "LeftAnti" in p
+    assert "Window" not in p
+    assert p.count("FileScan") == 0, \
+        "rounds must read the checkpointed weighted-edge frame, " \
+        "not rebuild the co-purchase graph from the scan"
