@@ -2029,3 +2029,113 @@ def streaming_ols_estimates(store: ParquetOlsStore) -> DataFrame:
     return ols_model_select(
         ols_cast_stats(store.state(), store.key_col),
         store.key_col)
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_IV_DDL = ("array<struct<s: bigint, e: bigint, n: bigint, "
+           "v: bigint>>")
+
+
+def _gap_merge_ivs(col: Column) -> Column:
+    """Gap-merge a (possibly unsorted, possibly overlapping)
+    interval array: sort by start, fold left extending the
+    accumulator's LAST interval whenever the next starts within
+    the session gap of its end (classic sorted interval merge —
+    only the last element ever grows, and starts are sorted, so a
+    non-last interval can never bridge a later one). This closure
+    is associative, commutative and split-insensitive: pre-merging
+    any subset first contracts exactly the intervals the full
+    merge would contract (extra intervals only ADD bridges, never
+    split one), and a contracted interval carries its events' span
+    (s = first event, e = last event), which is precisely what the
+    bridge test measures. n/v SUM through a merge — not idempotent,
+    so replay safety is the store's epoch claim (the snapshot
+    store's n_changes contract), while SPLIT-placement of events
+    across batches is free."""
+    def step(acc, x):
+        l = F.element_at(acc, -1)
+        merged = F.struct(
+            l["s"].alias("s"),
+            F.greatest(l["e"], x["e"]).alias("e"),
+            (l["n"] + x["n"]).alias("n"),
+            (l["v"] + x["v"]).alias("v"))
+        return (F.when(F.size(acc) == 0, F.array(x))
+                .when(x["s"] <= l["e"] + F.lit(_SESSION_GAP_US),
+                      F.concat(F.slice(acc, F.lit(1),
+                                       F.size(acc) - 1),
+                               F.array(merged)))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(
+        F.array_sort(col),
+        F.expr(f"CAST(array() AS {_IV_DDL})"),
+        step)
+
+
+class ParquetSessionStore(KeyedParquetStore):
+    """Streaming sessionization on the durable store: per-user
+    gap-merged session intervals (start/end micros, event count,
+    cents-exact value sum). The fold is the gap-merge closure —
+    associative and split-insensitive — so a session SPANNING
+    micro-batches (even events arriving interleaved across
+    batches) reassembles exactly; no watermark is needed because
+    state is the merged intervals themselves, and late data simply
+    merges in. State is O(users x sessions-per-user); value folds
+    as exact int64 cents (events.value is 2-decimal by contract),
+    so the read-time ROUND(v/100, 2) equals the batch query's
+    ROUND(SUM(value), 2) deterministically — integer cents keep
+    the true sum >= 5e-3 away from every rounding boundary, where
+    float partial-sum order (~1e-13) cannot reach."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["user_id"],
+            [_gap_merge_ivs(F.flatten(F.collect_list("ivs")))
+             .alias("ivs")],
+            n_buckets,
+            state_schema=f"user_id long, ivs {_IV_DDL}")
+
+
+def partial_sessions(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-user pre-merged intervals: each event
+    is the singleton interval (ts, ts, 1, cents), gap-merged within
+    the batch by the SAME closure the store folds with (pre-merge
+    is sound because the closure is associative)."""
+    iv = F.struct(
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros("ts").alias("e"),
+        F.lit(1).cast("long").alias("n"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+    return (batch_df.select("user_id", iv.alias("iv"))
+            .groupBy("user_id")
+            .agg(_gap_merge_ivs(F.collect_list("iv")).alias("ivs")))
+
+
+def start_streaming_sessions(stream: DataFrame,
+                             store: ParquetSessionStore,
+                             checkpoint_dir: str) -> StreamingQuery:
+    """Maintain gap-merged sessions from an events-shaped stream."""
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_sessions))
+            .start())
+
+
+def streaming_session_rows(store: ParquetSessionStore) -> DataFrame:
+    """The accumulated sessions in the batch query's output shape —
+    over the same events this equals ``events_sessionization``
+    field-for-field (session_id is the per-user ordinal by start,
+    exactly the batch query's cumulative new-session counter)."""
+    from pyspark.sql import Window
+
+    iv = (store.state()
+          .select("user_id", F.explode("ivs").alias("iv")))
+    w = Window.partitionBy("user_id").orderBy(F.col("iv.s"))
+    return iv.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        F.col("iv.n").alias("n_events"),
+        F.round(F.col("iv.v") / 100, 2).alias("session_value"),
+        F.timestamp_micros(F.col("iv.s")).alias("session_start"))

@@ -3109,3 +3109,59 @@ def test_streaming_ols_matches_batch_fit(spark, tmp_path):
     stored = {r.returnflag: (r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy)
               for r in store.state().collect()}
     assert stored == exact
+
+
+# ------------------------------------------------------------------
+# Streaming sessionization twin (r11): gap-merge closure store
+# ------------------------------------------------------------------
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Streaming sessionization on the durable store ==
+    ``events_sessionization`` FIELD-FOR-FIELD over the replayed
+    corpus — with the nastiest possible slicing: events interleave
+    across micro-batches by event_id, so most sessions SPAN batches
+    and reassemble purely through the gap-merge closure's
+    associativity. Includes a kill/restart after the first
+    commit."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetSessionStore, start_streaming_sessions,
+        streaming_session_rows)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "sess_src")
+    for k in range(3):                # interleaved-in-time slices
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetSessionStore(spark, str(tmp_path / "sess_store"))
+    ck = str(tmp_path / "sess_ck")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_sessions(stream, store, ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.user_id, r.session_id, r.n_events,
+                  r.session_value, r.session_start)
+                 for r in streaming_session_rows(store).collect())
+    want = sorted((r.user_id, r.session_id, r.n_events,
+                   r.session_value, r.session_start)
+                  for r in all_queries()["events_sessionization"](
+                      spark, SF).collect())
+    assert len(got) == len(want) > 500
+    assert got == want
+    # non-vacuous: sessions must actually span arrival slices
+    assert any(n > 1 for _, _, n, _, _ in got), \
+        "all sessions are singletons: the merge went untested"
