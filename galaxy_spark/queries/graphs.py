@@ -788,10 +788,14 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both `improved` and the refreshed map are re-consumed next
         # round — cut lineage on each (the BFS quadratic-rounds
         # trap; dist is REWRITTEN here, not appended, so it needs
-        # its own). The LAST round stays unmaterialized: nothing
-        # re-consumes it, and the output plan then exposes the
-        # relax/refresh shape over checkpointed parents for the
-        # plan pin (tests/test_plans.py)
+        # its own). The LAST round stays unmaterialized so the
+        # output plan exposes the relax/refresh shape over
+        # checkpointed parents for the plan pin
+        # (tests/test_plans.py); the cost is that `improved` is
+        # planned twice (anti-join probe + union branch —
+        # ReuseExchange dedups the shuffle, the post-exchange
+        # filter/project runs twice), acceptable ONLY because the
+        # round-4 frontier has collapsed to near-empty by then
         if k < _SSSP_ROUNDS:
             improved = improved.localCheckpoint(eager=False)
             dist = (dist.join(improved, "node", "left_anti")

@@ -106,8 +106,6 @@ class KeyedParquetStore:
         #: (a monoid fold by the store contract, so read-fold ==
         #: merge-fold); with no deltas present the read plan is
         #: byte-identical to CoW mode.
-        if delta_threshold is not None and delta_threshold < 1:
-            raise ValueError("delta_threshold must be >= 1 or None")
         self.delta_threshold = delta_threshold
         #: columns the bucket layout hashes — a subset of the key,
         #: so readers that know only these columns (an LSH probe's
@@ -131,6 +129,22 @@ class KeyedParquetStore:
         self.state_schema = state_schema
         os.makedirs(path, exist_ok=True)
 
+    @property
+    def delta_threshold(self) -> int | None:
+        return self._delta_threshold
+
+    @delta_threshold.setter
+    def delta_threshold(self, value: int | None) -> None:
+        # the knob's BLESSED mutation path is attribute assignment
+        # (rebucket copies it post-construction; pipelines flip it
+        # at epoch boundaries), so the >= 1 guard must live on the
+        # setter, not just __init__ — a 0/negative value would
+        # silently degrade to compact-every-merge, which is WORSE
+        # than CoW (delta write + bucket rewrite per epoch)
+        if value is not None and value < 1:
+            raise ValueError("delta_threshold must be >= 1 or None")
+        self._delta_threshold = value
+
     def _bucket_expr(self) -> Column:
         """The layout function: one expression shared by the merge
         writer and every pruned reader, so they cannot disagree on
@@ -141,6 +155,22 @@ class KeyedParquetStore:
     # -- version bookkeeping (names only — never row data) --------
     def _bucket_dir(self, b: int) -> str:
         return os.path.join(self.path, f"bucket-{b}")
+
+    def _bucket_ids(self) -> list[int]:
+        """Bucket ids present on disk — every directory walker goes
+        through this one filter so a stray file (or a non-numeric
+        dir) named bucket-* stays ignorable noise instead of a
+        NotADirectoryError / int() ValueError inside lineage checks
+        and state reads (r11 review)."""
+        out = []
+        for d in os.listdir(self.path):
+            if not d.startswith("bucket-"):
+                continue
+            suffix = d.split("-", 1)[1]
+            if suffix.isdigit() and os.path.isdir(
+                    os.path.join(self.path, d)):
+                out.append(int(suffix))
+        return sorted(out)
 
     def _versions(self, b: int) -> list[str]:
         bd = self._bucket_dir(b)
@@ -179,18 +209,14 @@ class KeyedParquetStore:
 
     def lineages(self) -> set[str]:
         out = set()
-        for d in os.listdir(self.path):
-            if d.startswith("bucket-"):
-                b = int(d.split("-", 1)[1])
-                bd = self._bucket_dir(b)
-                # base AND delta versions both carry lineage — a
-                # delta-tier store that has never compacted has no
-                # v- dirs at all, and missing its lineage here
-                # would let _require_lineage wave a foreign
-                # checkpoint through
-                for v in os.listdir(bd):
-                    if v.startswith(("v-", "d-")):
-                        out.add(v[2:].rsplit(".", 1)[0])
+        for b in self._bucket_ids():
+            # base AND delta versions both carry lineage — a
+            # delta-tier store that has never compacted has no
+            # v- dirs at all, and missing its lineage here would
+            # let _require_lineage wave a foreign checkpoint through
+            for v in os.listdir(self._bucket_dir(b)):
+                if v.startswith(("v-", "d-")):
+                    out.add(v[2:].rsplit(".", 1)[0])
         return out
 
     # -- the MERGE -------------------------------------------------
@@ -391,28 +417,43 @@ class KeyedParquetStore:
         deltas above it. Names only — the caller decides what to
         read (and folds iff a delta is among them)."""
         paths = []
-        for d in sorted(os.listdir(self.path)):
-            if d.startswith("bucket-"):
-                b = int(d.split("-", 1)[1])
-                if buckets is not None and b not in buckets:
-                    continue
-                cur = self._current(b)
-                if cur is not None:
-                    paths.append(os.path.join(self.path, d, cur))
-                paths.extend(os.path.join(self.path, d, dv)
-                             for dv in self._delta_versions(b))
+        for b in self._bucket_ids():
+            if buckets is not None and b not in buckets:
+                continue
+            bd = self._bucket_dir(b)
+            cur = self._current(b)
+            if cur is not None:
+                paths.append(os.path.join(bd, cur))
+            paths.extend(os.path.join(bd, dv)
+                         for dv in self._delta_versions(b))
         return paths
 
     def _read_state(self, paths: list[str]) -> DataFrame:
         """Read version dirs into state rows. Base rows are already
-        folded; when any DELTA dir is in the read set, fold
-        base+deltas through ``aggs`` — the same monoid the merge
-        applies, so read-fold(state) == merge-fold(state). With no
-        deltas the plan is the plain pruned scan (no exchange)."""
-        df = self.spark.read.parquet(*paths)
-        if any(os.path.basename(p).startswith("d-") for p in paths):
-            return df.groupBy(*self.key_cols).agg(*self.aggs)
-        return df.drop(_BUCKET)
+        folded; rows of buckets that carry a pending DELTA fold
+        through ``aggs`` — the same monoid the merge applies, so
+        read-fold(state) == merge-fold(state). The fold exchange is
+        scoped to the DELTA-BEARING buckets only (a bucket's keys
+        never leave it, so per-bucket folds compose by plain
+        union): fully-compacted buckets stay scan-only, keeping the
+        read cost of the tier proportional to its pending deltas,
+        not to everything the probe touched."""
+        delta_buckets = {os.path.dirname(p) for p in paths
+                         if os.path.basename(p).startswith("d-")}
+        folded_paths = [p for p in paths
+                        if os.path.dirname(p) in delta_buckets]
+        plain_paths = [p for p in paths
+                       if os.path.dirname(p) not in delta_buckets]
+        plain = (self.spark.read.parquet(*plain_paths).drop(_BUCKET)
+                 if plain_paths else None)
+        folded = (self.spark.read.parquet(*folded_paths)
+                  .groupBy(*self.key_cols).agg(*self.aggs)
+                  if folded_paths else None)
+        if folded is None:
+            return plain
+        if plain is None:
+            return folded
+        return plain.unionByName(folded)
 
     def _empty_state(self) -> DataFrame:
         schema = self.state_schema or "x int"
@@ -594,15 +635,13 @@ def rebucket(store: KeyedParquetStore, new_path: str,
     if not lineages:
         return new_store                       # empty store: done
     currents = []
-    for d in os.listdir(store.path):
-        if d.startswith("bucket-"):
-            b = int(d.split("-", 1)[1])
-            cur = store._current(b)
-            if cur is not None:
-                currents.append(cur[2:])
-            dvs = store._delta_versions(b)     # a delta-tier store's
-            if dvs:                            # max claimed epoch may
-                currents.append(dvs[-1][2:])   # live in a delta
+    for b in store._bucket_ids():
+        cur = store._current(b)
+        if cur is not None:
+            currents.append(cur[2:])
+        dvs = store._delta_versions(b)         # a delta-tier store's
+        if dvs:                                # max claimed epoch may
+            currents.append(dvs[-1][2:])       # live in a delta
     epoch_key = max(currents)                  # prefixes stripped;
     #                                          same lineage -> lexical
     #                                          max is the max epoch
@@ -1973,9 +2012,15 @@ class ParquetOlsStore(KeyedParquetStore):
     model refit reads O(keys) rows."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 key_col: str = "gkey",
+                 key_col: str = "gkey", key_type: str = "string",
                  n_buckets: int = 2) -> None:
         self.key_col = key_col
+        #: the key's DDL type: the empty-state schema must not lie
+        #: about it — a per-part fit (long keys, ml_ols_per_part's
+        #: shape) polled before the first commit would otherwise
+        #: hand downstream joins a string-typed key column that
+        #: silently changes type once state exists
+        self.key_type = key_type
         dec = "decimal(38,0)"
         super().__init__(
             spark, path, [key_col],
@@ -1986,17 +2031,18 @@ class ParquetOlsStore(KeyedParquetStore):
              F.sum("sxy").cast(dec).alias("sxy"),
              F.sum("syy").cast(dec).alias("syy")],
             n_buckets,
-            state_schema=f"{key_col} string, n long, sx long, "
+            state_schema=f"{key_col} {key_type}, n long, sx long, "
                          f"sy long, sxx {dec}, sxy {dec}, "
                          f"syy {dec}")
 
     def _clone(self, new_path: str,
                n_buckets: int) -> "ParquetOlsStore":
-        # forward key_col (it names the key column in the schema —
-        # the bare signature would rebucket a custom-keyed store
-        # into the default name and trip the drift belt)
+        # forward key_col/key_type (they shape the schema — the
+        # bare signature would rebucket a custom-keyed store into
+        # the default name and trip the drift belt)
         return ParquetOlsStore(self.spark, new_path,
                                key_col=self.key_col,
+                               key_type=self.key_type,
                                n_buckets=n_buckets)
 
 

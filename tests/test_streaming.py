@@ -3165,3 +3165,48 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     # non-vacuous: sessions must actually span arrival slices
     assert any(n > 1 for _, _, n, _, _ in got), \
         "all sessions are singletons: the merge went untested"
+
+
+def test_delta_review_fixes(spark, tmp_path):
+    """r11 review wave: (a) a stray FILE named bucket-* is noise,
+    not a NotADirectoryError inside the lineage check; (b) the
+    delta_threshold guard holds on the blessed (attribute) mutation
+    path; (c) the read fold is scoped to delta-bearing buckets —
+    compacted buckets stay scan-only (one aggregate under a union);
+    (d) an un-written ParquetOlsStore's empty state carries the
+    declared key TYPE."""
+    from galaxy_spark.plans import physical_plan
+    from galaxy_spark.streaming.state_store import ParquetOlsStore
+
+    st = _sum_store(spark, str(tmp_path / "rf"), 2)
+    # (b) setter guard
+    with pytest.raises(ValueError):
+        st.delta_threshold = 0
+    # rows 1 and 2 land in different buckets (checked below)
+    df0 = _batch_df(spark, [(1, 1, "a"), (2, 1, "b")])
+    b1, b2 = (st._buckets_for_keys(
+        _batch_df(spark, [(k, 0, "")]).select("k"))[0]
+        for k in (1, 2))
+    assert b1 != b2, "pick keys that hash apart"
+    st.merge(df0, "lin.000000000000")
+    st.merge(_batch_df(spark, [(1, 1, "c")]), "lin.000000000001")
+    # bucket b1 compacted (2 deltas >= threshold), b2 holds a delta
+    assert [v for v in os.listdir(st._bucket_dir(b1))
+            if v.startswith("d-")] == []
+    assert [v for v in os.listdir(st._bucket_dir(b2))
+            if v.startswith("d-")]
+    # (a) stray file named bucket-junk
+    with open(os.path.join(st.path, "bucket-junk"), "w") as f:
+        f.write("noise")
+    assert st.lineages() == {"lin"}
+    # (c) selective fold: union of a scan-only branch and ONE fold
+    got = {(r.k, r.v) for r in st.state().collect()}
+    assert got == {(1, 2), (2, 1)}
+    p = physical_plan(st.state())
+    assert "Union" in p, "compacted bucket must bypass the fold"
+    assert p.count("partial_max") == 1, \
+        "exactly one fold branch (the delta-bearing bucket)"
+    # (d) typed empty state for a long-keyed OLS store
+    ols = ParquetOlsStore(spark, str(tmp_path / "rf_ols"),
+                          key_col="partkey", key_type="long")
+    assert dict(ols.state().dtypes)["partkey"] == "bigint"
