@@ -575,6 +575,17 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"))
     tf = (toks.filter(F.col("term").isin(*_BM25_TERMS))
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    return bm25_score_topk(tf, dl, stats)
+
+
+def bm25_score_topk(tf: DataFrame, dl: DataFrame,
+                    stats: DataFrame) -> DataFrame:
+    """The Okapi scoring half, shared by the batch query above and
+    the streaming index reader (``streaming/state_store.py:
+    streaming_bm25``) — one expression tree for idf / saturation /
+    decimal fold / top-20 ordering, so the two tiers cannot drift.
+    ``tf``: (doc_id, term, tf); ``dl``: (doc_id, dl); ``stats``:
+    one row (n_docs, avgdl)."""
     df = tf.groupBy(F.col("term").alias("dterm")).agg(
         F.count("*").alias("df"))
     k1, b = _BM25_K1, _BM25_B

@@ -2185,3 +2185,155 @@ def streaming_session_rows(store: ParquetSessionStore) -> DataFrame:
         F.col("iv.n").alias("n_events"),
         F.round(F.col("iv.v") / 100, 2).alias("session_value"),
         F.timestamp_micros(F.col("iv.s")).alias("session_start"))
+
+
+class ParquetPostingsStore(KeyedParquetStore):
+    """Incrementally-maintained inverted index: (term, doc_id) ->
+    term frequency, laid out by TERM so a query's postings read
+    opens only the buckets its terms hash to (the searchable twin
+    of the LSH index's (band, bucket) layout). MAX over an
+    identical recomputed tf is idempotent (doc ids are unique in
+    the pipeline contract), so replayed inserts fold away."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 8) -> None:
+        super().__init__(
+            spark, path, ["term", "doc_id"],
+            [F.max("tf").cast("long").alias("tf")],
+            n_buckets,
+            state_schema="term string, doc_id long, tf long",
+            layout_cols=["term"])
+
+
+class ParquetDocLenStore(KeyedParquetStore):
+    """doc_id -> token count, the per-document half of the BM25
+    statistics; layout by doc_id lets the scorer attach lengths
+    for CANDIDATE docs only (state_for_keys)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 8) -> None:
+        super().__init__(
+            spark, path, ["doc_id"],
+            [F.max("dl").cast("long").alias("dl")],
+            n_buckets,
+            state_schema="doc_id long, dl long")
+
+
+class ParquetCorpusStatsStore(KeyedParquetStore):
+    """The O(1)-state corpus aggregates BM25 needs globally
+    (doc count, total token count) under a plain SUM — one row,
+    so a query-time read costs one file open regardless of corpus
+    size."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 1) -> None:
+        super().__init__(
+            spark, path, ["scope"],
+            [F.sum("n_docs").cast("long").alias("n_docs"),
+             F.sum("sum_dl").cast("long").alias("sum_dl")],
+            n_buckets,
+            state_schema="scope string, n_docs long, sum_dl long")
+
+
+def partial_postings(batch_df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One micro-batch's (term, doc_id, tf) rows — the batch
+    index's exact tokenizer (shared import: operators.text), so
+    the streaming index can never tokenize differently."""
+    from galaxy_spark.operators import text as _text
+
+    return (batch_df
+            .select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.explode(_text.tokens(F.col(text_col)))
+                    .alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("long").alias("tf")))
+
+
+def partial_doc_stats(batch_df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts for the batch (scan-local array size —
+    no explode)."""
+    from galaxy_spark.operators import text as _text
+
+    return batch_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(_text.tokens(F.col(text_col))).cast("long")
+        .alias("dl"))
+
+
+def start_streaming_search_index(
+        stream: DataFrame, postings: ParquetPostingsStore,
+        doclen: ParquetDocLenStore, stats: ParquetCorpusStatsStore,
+        checkpoint_dir: str, text_col: str = "text",
+        id_col: str = "doc_id") -> StreamingQuery:
+    """Maintain the full-text search index from a document stream:
+    postings, doc lengths and the O(1) corpus statistics, all under
+    one shared epoch key so crash windows replay to the same
+    stores."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(checkpoint_dir,
+                               (postings, doclen, stats), lineage)
+        key = f"{lin}.{epoch_id:012d}"
+        batch = batch_df.localCheckpoint()   # consumed three times
+        dls = partial_doc_stats(batch, text_col, id_col) \
+            .localCheckpoint(eager=False)    # feeds doclen AND stats
+        postings.merge(partial_postings(batch, text_col, id_col),
+                       key)
+        doclen.merge(dls, key)
+        stats.merge(
+            dls.groupBy(F.lit("corpus").alias("scope"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("dl").cast("long").alias("sum_dl")), key)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_inverted_index(
+        postings: ParquetPostingsStore) -> DataFrame:
+    """The accumulated index in the batch query's output shape —
+    over the same corpus this equals ``text_inverted_index``
+    row-for-row (df >= 5, sorted 100-id posting prefix)."""
+    return (postings.state()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.slice(F.sort_array(F.collect_list("doc_id")),
+                         1, 100).alias("postings"))
+            .filter(F.col("df") >= 5)
+            .select("term", "df", "postings"))
+
+
+def streaming_bm25(postings: ParquetPostingsStore,
+                   doclen: ParquetDocLenStore,
+                   stats: ParquetCorpusStatsStore,
+                   terms: tuple[str, ...]) -> DataFrame:
+    """Query the incrementally-built index: top-20 BM25 for a
+    conjunctive term set, through the SAME scoring tree as the
+    batch query (``queries.indexing.bm25_score_topk``, imported).
+    Reads are layout-pruned end-to-end: postings open only the
+    query terms' buckets, doc lengths only the candidate docs'
+    buckets, corpus stats one row — per-query cost tracks the query
+    terms' postings, never the corpus (the point of maintaining an
+    index at 100 TB instead of re-scanning)."""
+    from galaxy_spark.queries.indexing import bm25_score_topk
+
+    spark = postings.spark
+    probe = spark.createDataFrame([(t,) for t in terms],
+                                  "term string")
+    # consumed three times (df fold, candidate ids, score join) —
+    # materialize the pruned read once
+    tf = (postings.state_for_keys(probe)
+          .join(F.broadcast(probe), "term", "left_semi")
+          .localCheckpoint(eager=False))
+    cand = tf.select("doc_id").distinct().localCheckpoint(eager=False)
+    dl = (doclen.state_for_keys(cand)
+          .join(cand, "doc_id", "left_semi"))
+    st = (stats.state()
+          .select(F.col("n_docs"),
+                  (F.col("sum_dl") * F.lit(1.0) / F.col("n_docs"))
+                  .alias("avgdl")))
+    return bm25_score_topk(tf, dl, st)
