@@ -2277,16 +2277,24 @@ def start_streaming_search_index(
         lin = _require_lineage(checkpoint_dir,
                                (postings, doclen, stats), lineage)
         key = f"{lin}.{epoch_id:012d}"
-        batch = batch_df.localCheckpoint()   # consumed three times
+        batch = batch_df.localCheckpoint()   # consumed twice
         dls = partial_doc_stats(batch, text_col, id_col) \
             .localCheckpoint(eager=False)    # feeds doclen AND stats
-        postings.merge(partial_postings(batch, text_col, id_col),
-                       key)
+        # merge order matters for crash-window/concurrent READS:
+        # postings commit LAST, so a reader never sees a doc in the
+        # tf/df statistics whose length row is missing (which would
+        # silently drop a matching doc from the top-20). The
+        # converse window — lengths/stats lead postings by one
+        # epoch — only biases avgdl/n_docs one batch ahead, and
+        # every returned doc is fully scored; the replay then
+        # converges the stores (r11 review wave 2).
         doclen.merge(dls, key)
         stats.merge(
             dls.groupBy(F.lit("corpus").alias("scope"))
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("dl").cast("long").alias("sum_dl")), key)
+        postings.merge(partial_postings(batch, text_col, id_col),
+                       key)
 
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
