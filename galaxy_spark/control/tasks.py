@@ -216,13 +216,23 @@ class TaskManager:
         spec = (self.tasks[spec_or_id]
                 if isinstance(spec_or_id, str) else spec_or_id)
         root = self.store_root(spec)
-        return (ParquetLshStore(self.spark, os.path.join(root, "lsh")),
-                ParquetDocStore(self.spark, os.path.join(root, "doc")),
-                ParquetPairStore(self.spark, os.path.join(root, "pair")),
-                ParquetClusterStore(self.spark,
-                                    os.path.join(root, "cluster")),
-                ParquetRedirectStore(self.spark,
-                                     os.path.join(root, "redirect")))
+        stores = (
+            ParquetLshStore(self.spark, os.path.join(root, "lsh")),
+            ParquetDocStore(self.spark, os.path.join(root, "doc")),
+            ParquetPairStore(self.spark, os.path.join(root, "pair")),
+            ParquetClusterStore(self.spark,
+                                os.path.join(root, "cluster")),
+            ParquetRedirectStore(self.spark,
+                                 os.path.join(root, "redirect")))
+        # production default: delta-tier writes (O(batch) appends,
+        # compaction every 8th touch of a bucket) — the doc/LSH
+        # stores are corpus-sized and insert-only, exactly where a
+        # per-trigger bucket rewrite stops scaling; the knob shapes
+        # only the write path, so readers and the lifecycle tests
+        # are unchanged (SCALE.md r11 "delta-tier merges")
+        for s in stores:
+            s.delta_threshold = 8
+        return stores
 
     def near_dup_pairs(self, task_id: str) -> DataFrame:
         """All near-dup pairs the task has emitted so far (the

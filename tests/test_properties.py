@@ -332,3 +332,126 @@ def test_mariadb_gtidset_merge_covers_both_and_monotone(a_gtids,
         bm = {p.rsplit("-", 1)[0].split("-")[0]: p.rsplit("-", 1)[1]
               for p in str(b).split(",")}
         assert am == bm
+
+
+# ------------------------------------------------------------------
+# r11: gap-merge closure (streaming sessionization) properties
+# ------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _py_gap_merge(events):
+    """Pure-Python reference: sessionize (ts_us, cents) tuples by
+    the 30-min gap, returning (s, e, n, v) intervals."""
+    out = []
+    for ts, cents in sorted(events):
+        if out and ts <= out[-1][1] + _GAP_US:
+            s, e, n, v = out[-1]
+            out[-1] = (s, max(e, ts), n + 1, v + cents)
+        else:
+            out.append((ts, ts, 1, cents))
+    return out
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2),                 # user key
+                       st.integers(0, 7),                 # half-gaps
+                       st.integers(0, 3),                 # jitter us
+                       st.integers(0, 9999)),             # cents
+             min_size=1, max_size=24),
+    st.integers(0, 2 ** 20),                              # split seed
+)
+@settings(max_examples=8, deadline=None)  # several Spark jobs each
+def test_gap_merge_closure_split_invariant(spark, raw, seed):
+    """The session store's fold is the gap-merge closure, which
+    must be (a) equal to the pure-Python sessionizer and (b)
+    SPLIT-INSENSITIVE: pre-merging arbitrary batch subsets first,
+    then folding the parts (exactly the store's merge shape), lands
+    on the same intervals. Timestamps are built from half-gap
+    multiples plus microsecond jitter so the exact-30-minute
+    boundary (merge on <=, batch's is_new on >) is hit often."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.streaming.state_store import _gap_merge_ivs
+
+    events = [(u, h * (_GAP_US // 2) + j, c) for u, h, j, c in raw]
+    rng = random.Random(seed)
+    parts = [rng.randint(0, 2) for _ in events]
+
+    rows = [(u, p, ts, ts, 1, c)
+            for (u, ts, c), p in zip(events, parts)]
+    df = spark.createDataFrame(
+        rows, "u long, p long, s long, e long, n long, v long")
+    iv = F.struct(F.col("s").alias("s"), F.col("e").alias("e"),
+                  F.col("n").alias("n"), F.col("v").alias("v"))
+    # split path: pre-merge per (u, part), then fold parts per u —
+    # the store's exact two-level shape
+    split = (df.select("u", "p", iv.alias("iv"))
+             .groupBy("u", "p")
+             .agg(_gap_merge_ivs(F.collect_list("iv")).alias("ivs"))
+             .groupBy("u")
+             .agg(_gap_merge_ivs(F.flatten(F.collect_list("ivs")))
+                  .alias("ivs")))
+    got = {r.u: [tuple(x) for x in r.ivs] for r in split.collect()}
+    want = {}
+    for u, ts, c in events:
+        want.setdefault(u, []).append((ts, c))
+    want = {u: _py_gap_merge(evs) for u, evs in want.items()}
+    assert got == want
+
+
+@given(
+    st.lists(st.lists(st.tuples(st.integers(0, 5),        # key
+                                st.integers(-50, 50)),    # value
+                      min_size=0, max_size=6),
+             min_size=1, max_size=5),
+    st.lists(st.sampled_from([None, 1, 2, 3]),            # per-epoch
+             min_size=5, max_size=5),                     # mode flip
+)
+@settings(max_examples=5, deadline=None)  # real disk stores per example
+def test_delta_tier_any_schedule_matches_cow(spark, batches, modes):
+    """Hypothesis twin of the deterministic delta-tier tests: for
+    ANY batch sequence (including empty batches) and ANY per-epoch
+    CoW/delta flip schedule, the folded state equals the
+    always-CoW twin after every epoch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.streaming.state_store import KeyedParquetStore
+
+    root = tempfile.mkdtemp()
+    try:
+        # the store fold must be a monoid — COUNT(*) is not (it
+        # counts rows, not prior counts; the first draft used it in
+        # aggs and hypothesis immediately found the divergence), so
+        # the partial carries w and the store folds SUM(w)
+        def mk(name):
+            return KeyedParquetStore(
+                spark, f"{root}/{name}", ["k"],
+                [F.sum("v").cast("long").alias("v"),
+                 F.sum("w").cast("long").alias("w")],
+                n_buckets=3, state_schema="k long, v long, w long")
+        cow, dlt = mk("cow"), mk("dlt")
+        for i, (rows, mode) in enumerate(zip(batches, modes)):
+            bdf = (spark.createDataFrame(
+                       [(k, v, 1) for k, v in rows] or
+                       [(0, 0, 0)],
+                       "k long, v long, w long")
+                   .limit(0 if not rows else len(rows)))
+            partial = bdf.groupBy("k").agg(
+                F.sum("v").cast("long").alias("v"),
+                F.sum("w").cast("long").alias("w"))
+            key = f"lin.{i:012d}"
+            dlt.delta_threshold = mode
+            cow.merge(partial, key)
+            dlt.merge(partial, key)
+            a = sorted(map(tuple, cow.state().collect()))
+            b = sorted(map(tuple, dlt.state().collect()))
+            assert a == b, f"epoch {i} (mode={mode}): {b} != {a}"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
