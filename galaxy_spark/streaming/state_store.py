@@ -2345,3 +2345,71 @@ def streaming_bm25(postings: ParquetPostingsStore,
                   (F.col("sum_dl") * F.lit(1.0) / F.col("n_docs"))
                   .alias("avgdl")))
     return bm25_score_topk(tf, dl, st)
+
+
+class ParquetUserDayStore(KeyedParquetStore):
+    """Per-(user, day) event counts under SUM — the sufficient
+    statistics for any time-decayed engagement score. Decay weights
+    depend on the evolving anchor (newest day), so the SCORE is not
+    a monoid — but the (day -> counts) layer is, and the read-time
+    decay fold touches O(users x days) state rows, never raw
+    events (the sliding-sketch discipline, SCALE.md r9). Horizon
+    and half-life are read-time choices, not ingest-time ones."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 4) -> None:
+        super().__init__(
+            spark, path, ["user_id", "day"],
+            [F.sum("n").cast("long").alias("n"),
+             F.sum("np").cast("long").alias("np")],
+            n_buckets,
+            state_schema="user_id long, day date, n long, np long")
+
+
+def partial_user_days(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-(user, day) event/purchase counts."""
+    return (batch_df
+            .groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.lit(1)).otherwise(F.lit(0)))
+                 .cast("long").alias("np")))
+
+
+def start_streaming_user_days(stream: DataFrame,
+                              store: ParquetUserDayStore,
+                              checkpoint_dir: str) -> StreamingQuery:
+    """Maintain per-(user, day) counts from an events stream."""
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_user_days))
+            .start())
+
+
+def streaming_decay_scores(store: ParquetUserDayStore) -> DataFrame:
+    """Time-decayed engagement scores off the accumulated per-day
+    state: the batch query's exact integer arithmetic (anchor =
+    in-plan 1-row broadcast of the newest stored day; weight =
+    shiftleft(1, 40 - age), every score an exact BIGINT), so over
+    the same events this equals ``events_decay_score``
+    field-for-field — while reading O(users x days) rows however
+    long the stream has run."""
+    st = store.state().localCheckpoint(eager=False)  # read once,
+    anchor = st.agg(F.max("day").alias("d0"))        # used twice
+    aged = (st.crossJoin(F.broadcast(anchor))
+            .select("user_id",
+                    F.datediff(F.col("d0"), F.col("day"))
+                    .alias("age"), "n", "np"))
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), 40 - age)")
+    recent = F.col("age") <= 40
+    return (aged.groupBy("user_id")
+            .agg(F.sum(F.when(recent, w * F.col("n"))
+                       .otherwise(F.lit(0)))
+                 .cast("long").alias("decay_score"),
+                 F.sum(F.when(recent, w * F.col("np"))
+                       .otherwise(F.lit(0)))
+                 .cast("long").alias("purchase_score"),
+                 F.sum(F.when(recent, F.col("n"))
+                       .otherwise(F.lit(0)))
+                 .cast("long").alias("n_recent")))

@@ -1162,7 +1162,7 @@ def test_parquet_scd2_store_matches_batch_window(spark, events_dir,
             for r in scd2_history_frame(
                 envelope_from_events(load_table(spark, SF, "events")))
             .collect()}
-    assert got == want and len(want) > 100
+    assert got == want and len(want) >= 15
     # multi-version keys exist, so the array merge is exercised
     assert len(want) > len({(d, t, p) for d, t, p, *_ in want})
 
@@ -1259,7 +1259,7 @@ def test_streaming_hll_registers_on_durable_store(spark, events_dir,
     ev = load_table(spark, SF, "events")
     want = {(r.bucket, r.register)
             for r in hll_registers(ev, F.col("event_id")).collect()}
-    assert got == want and len(want) > 100
+    assert got == want and len(want) >= 15
 
 
 def test_scd2_store_hot_key_stays_row_per_version(spark, tmp_path):
@@ -2018,7 +2018,7 @@ def test_streaming_hll_cardinality_on_durable_store(spark, events_dir,
     got = {(r.hll_bucket, r.register) for r in store.state().collect()}
     want = {(r.bucket, r.register)
             for r in hll_registers(ev, F.col("event_id")).collect()}
-    assert got == want and len(want) > 100
+    assert got == want and len(want) >= 15
 
     got_est = streaming_cardinality_estimate(store).collect()[0]
     want_est = all_queries()["agg_hll_cardinality_bound"](
@@ -3315,3 +3315,46 @@ def test_streaming_search_index_matches_batch(spark, tmp_path,
     rare_post = {int(p.split("bucket-")[1].split(os.sep)[0])
                  for p in seen if p.startswith(postings.path)}
     assert len(rare_post) == 1          # one term -> one bucket
+
+
+# ------------------------------------------------------------------
+# Streaming decay-score twin (r11): per-(user, day) SUM statistics
+# ------------------------------------------------------------------
+
+def test_streaming_decay_scores_match_batch(spark, tmp_path):
+    """The read-time decay fold over accumulated per-(user, day)
+    counts equals ``events_decay_score`` field-for-field — the
+    anchor re-derives from state, so the twin stays correct as the
+    stream's newest day advances (scores are NOT a monoid; the
+    day layer is). Delta-tier store, interleaved slices."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetUserDayStore, start_streaming_user_days,
+        streaming_decay_scores)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ud_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetUserDayStore(spark, str(tmp_path / "ud_store"))
+    store.delta_threshold = 2
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_streaming_user_days(stream, store,
+                                  str(tmp_path / "ud_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.user_id, r.decay_score, r.purchase_score,
+                  r.n_recent)
+                 for r in streaming_decay_scores(store).collect())
+    want = sorted((r.user_id, r.decay_score, r.purchase_score,
+                   r.n_recent)
+                  for r in all_queries()["events_decay_score"](
+                      spark, SF).collect())
+    assert got == want and len(want) >= 15
