@@ -2413,3 +2413,77 @@ def streaming_decay_scores(store: ParquetUserDayStore) -> DataFrame:
                  F.sum(F.when(recent, F.col("n"))
                        .otherwise(F.lit(0)))
                  .cast("long").alias("n_recent")))
+
+
+class ParquetEventIndexStore(KeyedParquetStore):
+    """Per-(user, event_type) sorted distinct event-time index under
+    set-union — a true idempotent monoid, so arrival order and
+    replay cannot move it. This is the exact-state funnel twin's
+    honest cost: stage-gated funnels ("first click AFTER the first
+    view") are NOT expressible over bounded per-user scalars when
+    events arrive out of order — a late earlier view can re-gate
+    which clicks qualify, so any click may become the answer later —
+    and the minimal exact state is the event-time index itself
+    (O(user activity), the session store's class, cheap next to the
+    raw log since it collapses duplicates and carries no payload)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 4) -> None:
+        super().__init__(
+            spark, path, ["user_id", "event_type"],
+            [F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("tss")))).alias("tss")],
+            n_buckets,
+            state_schema="user_id long, event_type string, "
+                         "tss array<bigint>")
+
+
+def partial_event_index(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-(user, type) sorted distinct
+    event-time micros."""
+    return (batch_df
+            .select("user_id", "event_type",
+                    F.unix_micros("ts").alias("t"))
+            .groupBy("user_id", "event_type")
+            .agg(F.array_sort(F.collect_set("t")).alias("tss")))
+
+
+def start_streaming_event_index(stream: DataFrame,
+                                store: ParquetEventIndexStore,
+                                checkpoint_dir: str) -> StreamingQuery:
+    """Maintain the per-(user, type) event-time index."""
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_event_index))
+            .start())
+
+
+def streaming_funnel(store: ParquetEventIndexStore) -> DataFrame:
+    """The stage-gated funnel off the accumulated index: first
+    view, first click AFTER it, first purchase AFTER that — pure
+    array expressions (array_min over a gated filter), with NULLs
+    propagating exactly like the batch left joins (no click =>
+    null gate => empty purchase filter => null). Over the same
+    events this equals ``events_funnel_conversion``
+    field-for-field."""
+    st = store.state()
+    piv = (st.groupBy("user_id")
+           .agg(F.max(F.when(F.col("event_type") == "view",
+                             F.col("tss"))).alias("vs"),
+                F.max(F.when(F.col("event_type") == "click",
+                             F.col("tss"))).alias("cs"),
+                F.max(F.when(F.col("event_type") == "purchase",
+                             F.col("tss"))).alias("ps")))
+    tv = F.array_min("vs")
+    tc = F.array_min(F.filter("cs", lambda x: x > tv))
+    return (piv.filter(F.col("vs").isNotNull())
+            .select("user_id", tv.alias("tvu"), tc.alias("tcu"),
+                    "ps")
+            .select(
+                "user_id",
+                F.timestamp_micros(F.col("tvu")).alias("t_view"),
+                F.timestamp_micros(F.col("tcu")).alias("t_click"),
+                F.timestamp_micros(F.array_min(F.filter(
+                    "ps", lambda x: x > F.col("tcu"))))
+                .alias("t_purchase")))

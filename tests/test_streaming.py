@@ -3358,3 +3358,57 @@ def test_streaming_decay_scores_match_batch(spark, tmp_path):
                   for r in all_queries()["events_decay_score"](
                       spark, SF).collect())
     assert got == want and len(want) >= 15
+
+
+# ------------------------------------------------------------------
+# Streaming funnel twin (r11): event-time index under set-union
+# ------------------------------------------------------------------
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stage-gated funnel off the accumulated event-time index
+    equals ``events_funnel_conversion`` field-for-field — with
+    events interleaved across micro-batches, so late-arriving
+    earlier views re-gate which clicks qualify (the case bounded
+    per-user scalars get wrong). Set-union fold => also
+    replay-insensitive beyond the epoch claim: a fresh-epoch
+    re-merge of a full slice cannot move the index."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetEventIndexStore, partial_event_index,
+        start_streaming_event_index, streaming_funnel)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "fun_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetEventIndexStore(spark, str(tmp_path / "fun_store"))
+    store.delta_threshold = 2
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_streaming_event_index(stream, store,
+                                    str(tmp_path / "fun_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return sorted((r.user_id, r.t_view, r.t_click, r.t_purchase)
+                      for r in df.collect())
+
+    got = rows(streaming_funnel(store))
+    want = rows(all_queries()["events_funnel_conversion"](spark, SF))
+    assert got == want and len(want) >= 10
+    # non-vacuous gating: some user must have a click that exists
+    # but precedes every view (t_click not simply min(click ts))
+    assert any(t_c is not None for _, _, t_c, _ in want)
+
+    # idempotence WITHOUT the claim: full-slice re-merge, new epoch
+    lin = sorted(store.lineages())[0]
+    store.merge(partial_event_index(
+        ev.filter(F.col("event_id") % 3 == 0)),
+        f"zz{lin}.000000000099")
+    assert rows(streaming_funnel(store)) == got
