@@ -2487,3 +2487,30 @@ def streaming_funnel(store: ParquetEventIndexStore) -> DataFrame:
                 F.timestamp_micros(F.array_min(F.filter(
                     "ps", lambda x: x > F.col("tcu"))))
                 .alias("t_purchase")))
+
+
+def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:
+    """Weekly retention cohorts off the SAME event-time index the
+    funnel reads (one store, many readers — the point of keeping
+    sufficient state instead of materialized answers): explode the
+    per-(user, type) index back to (user, ts) rows — collapsed
+    already to distinct event times, far fewer than raw events —
+    then exactly the batch query's shape. Equals
+    ``events_retention_cohorts`` field-for-field."""
+    ev_times = (store.state()
+                .select("user_id", F.explode("tss").alias("t"))
+                .localCheckpoint(eager=False))   # feeds f AND a
+    f = (ev_times.groupBy("user_id")
+         .agg(F.date_trunc("week", F.timestamp_micros(F.min("t")))
+              .alias("cohort_week")))
+    a = (ev_times
+         .select("user_id",
+                 F.date_trunc("week", F.timestamp_micros(F.col("t")))
+                 .alias("active_week"))
+         .distinct())
+    return (a.join(f, "user_id")
+            .groupBy("cohort_week",
+                     F.floor(F.datediff("active_week", "cohort_week")
+                             / F.lit(7.0)).cast("int")
+                     .alias("week_offset"))
+            .agg(F.count("*").alias("n_users")))

@@ -3406,9 +3406,20 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     # but precedes every view (t_click not simply min(click ts))
     assert any(t_c is not None for _, _, t_c, _ in want)
 
+    # the same index serves RETENTION (one store, many readers)
+    from galaxy_spark.streaming.state_store import streaming_retention
+    got_r = sorted((r.cohort_week, r.week_offset, r.n_users)
+                   for r in streaming_retention(store).collect())
+    want_r = sorted((r.cohort_week, r.week_offset, r.n_users)
+                    for r in all_queries()["events_retention_cohorts"](
+                        spark, SF).collect())
+    assert got_r == want_r and len(want_r) >= 3
+
     # idempotence WITHOUT the claim: full-slice re-merge, new epoch
     lin = sorted(store.lineages())[0]
     store.merge(partial_event_index(
         ev.filter(F.col("event_id") % 3 == 0)),
         f"zz{lin}.000000000099")
     assert rows(streaming_funnel(store)) == got
+    assert sorted((r.cohort_week, r.week_offset, r.n_users)
+                  for r in streaming_retention(store).collect()) == got_r
