@@ -229,9 +229,13 @@ class TaskManager:
         # stores are corpus-sized and insert-only, exactly where a
         # per-trigger bucket rewrite stops scaling; the knob shapes
         # only the write path, so readers and the lifecycle tests
-        # are unchanged (SCALE.md r11 "delta-tier merges")
+        # are unchanged (SCALE.md r11 "delta-tier merges").
+        # Per-task override through the same options dict as the
+        # index tunables; explicit null selects CoW.
+        opts = spec.index_options or {}
+        dt = opts.get("delta_threshold", 8)
         for s in stores:
-            s.delta_threshold = 8
+            s.delta_threshold = None if dt is None else int(dt)
         return stores
 
     def near_dup_pairs(self, task_id: str) -> DataFrame:

@@ -302,6 +302,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-distinct pairs, never COUNT(DISTINCT) over raw events.
     """
     ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts_from_events(ev.select("user_id", "ts"))
+
+
+def retention_cohorts_from_events(ev: DataFrame) -> DataFrame:
+    """The retention shape over any (user_id, ts) frame — shared
+    with the streaming event-index reader (``streaming_retention``),
+    imported not copied, so the cohort/offset arithmetic cannot
+    drift between tiers."""
     f = (ev.groupBy("user_id")
          .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
     a = (ev.select("user_id",
@@ -832,19 +840,34 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
     aged = (ev.crossJoin(F.broadcast(anchor))
-            .select("user_id", "event_type",
+            .select("user_id",
                     F.datediff(F.col("d0"), F.to_date("ts"))
-                    .alias("age")))
-    # shiftleft's bit count must be a COLUMN here (pyspark's
-    # function form takes a literal only)
+                    .alias("age"),
+                    F.lit(1).cast("long").alias("n"),
+                    F.when(F.col("event_type") == "purchase",
+                           F.lit(1)).otherwise(F.lit(0))
+                    .cast("long").alias("np")))
+    return decay_scores_from_aged(aged)
+
+
+def decay_scores_from_aged(aged: DataFrame) -> DataFrame:
+    """The decay fold over any (user_id, age, n, np) frame — shared
+    with the streaming per-day reader (``streaming_decay_scores``),
+    imported not copied, so the horizon (40 days) and the exact
+    integer weight arithmetic cannot drift between tiers. Every
+    weight is INTEGER (shiftleft by 40 - age; the bit count must be
+    a COLUMN, so F.expr — pyspark's function form takes a literal
+    only), and n/np are exact counts, so w*n == summing w per event:
+    the per-day and per-event folds agree bit-for-bit."""
     w = F.expr("shiftleft(CAST(1 AS BIGINT), 40 - age)")
     recent = F.col("age") <= 40
     return (aged.groupBy("user_id")
-            .agg(F.sum(F.when(recent, w).otherwise(F.lit(0)))
+            .agg(F.sum(F.when(recent, w * F.col("n"))
+                       .otherwise(F.lit(0)))
                  .cast("long").alias("decay_score"),
-                 F.sum(F.when(recent & (F.col("event_type")
-                                        == "purchase"), w)
+                 F.sum(F.when(recent, w * F.col("np"))
                        .otherwise(F.lit(0)))
                  .cast("long").alias("purchase_score"),
-                 F.sum(F.when(recent, F.lit(1)).otherwise(F.lit(0)))
+                 F.sum(F.when(recent, F.col("n"))
+                       .otherwise(F.lit(0)))
                  .cast("long").alias("n_recent")))

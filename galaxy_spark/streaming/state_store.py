@@ -2395,24 +2395,15 @@ def streaming_decay_scores(store: ParquetUserDayStore) -> DataFrame:
     the same events this equals ``events_decay_score``
     field-for-field — while reading O(users x days) rows however
     long the stream has run."""
+    from galaxy_spark.queries.events import decay_scores_from_aged
+
     st = store.state().localCheckpoint(eager=False)  # read once,
     anchor = st.agg(F.max("day").alias("d0"))        # used twice
     aged = (st.crossJoin(F.broadcast(anchor))
             .select("user_id",
                     F.datediff(F.col("d0"), F.col("day"))
                     .alias("age"), "n", "np"))
-    w = F.expr("shiftleft(CAST(1 AS BIGINT), 40 - age)")
-    recent = F.col("age") <= 40
-    return (aged.groupBy("user_id")
-            .agg(F.sum(F.when(recent, w * F.col("n"))
-                       .otherwise(F.lit(0)))
-                 .cast("long").alias("decay_score"),
-                 F.sum(F.when(recent, w * F.col("np"))
-                       .otherwise(F.lit(0)))
-                 .cast("long").alias("purchase_score"),
-                 F.sum(F.when(recent, F.col("n"))
-                       .otherwise(F.lit(0)))
-                 .cast("long").alias("n_recent")))
+    return decay_scores_from_aged(aged)
 
 
 class ParquetEventIndexStore(KeyedParquetStore):
@@ -2441,11 +2432,16 @@ class ParquetEventIndexStore(KeyedParquetStore):
 def partial_event_index(batch_df: DataFrame) -> DataFrame:
     """One micro-batch's per-(user, type) sorted distinct
     event-time micros."""
+    # no array_sort here: every consumer re-folds the partial
+    # through the store aggs (which sort) — the delta merge
+    # pre-folds before writing, the CoW merge folds the union, and
+    # delta-bearing reads fold again, so a per-batch sort would be
+    # pure wasted CPU (r11 review wave 3)
     return (batch_df
             .select("user_id", "event_type",
                     F.unix_micros("ts").alias("t"))
             .groupBy("user_id", "event_type")
-            .agg(F.array_sort(F.collect_set("t")).alias("tss")))
+            .agg(F.collect_set("t").alias("tss")))
 
 
 def start_streaming_event_index(stream: DataFrame,
@@ -2497,20 +2493,12 @@ def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:
     already to distinct event times, far fewer than raw events —
     then exactly the batch query's shape. Equals
     ``events_retention_cohorts`` field-for-field."""
+    from galaxy_spark.queries.events import \
+        retention_cohorts_from_events
+
     ev_times = (store.state()
                 .select("user_id", F.explode("tss").alias("t"))
+                .select("user_id",
+                        F.timestamp_micros(F.col("t")).alias("ts"))
                 .localCheckpoint(eager=False))   # feeds f AND a
-    f = (ev_times.groupBy("user_id")
-         .agg(F.date_trunc("week", F.timestamp_micros(F.min("t")))
-              .alias("cohort_week")))
-    a = (ev_times
-         .select("user_id",
-                 F.date_trunc("week", F.timestamp_micros(F.col("t")))
-                 .alias("active_week"))
-         .distinct())
-    return (a.join(f, "user_id")
-            .groupBy("cohort_week",
-                     F.floor(F.datediff("active_week", "cohort_week")
-                             / F.lit(7.0)).cast("int")
-                     .alias("week_offset"))
-            .agg(F.count("*").alias("n_users")))
+    return retention_cohorts_from_events(ev_times)

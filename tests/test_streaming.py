@@ -1162,7 +1162,7 @@ def test_parquet_scd2_store_matches_batch_window(spark, events_dir,
             for r in scd2_history_frame(
                 envelope_from_events(load_table(spark, SF, "events")))
             .collect()}
-    assert got == want and len(want) >= 15
+    assert got == want and len(want) > 100
     # multi-version keys exist, so the array merge is exercised
     assert len(want) > len({(d, t, p) for d, t, p, *_ in want})
 
@@ -1259,7 +1259,7 @@ def test_streaming_hll_registers_on_durable_store(spark, events_dir,
     ev = load_table(spark, SF, "events")
     want = {(r.bucket, r.register)
             for r in hll_registers(ev, F.col("event_id")).collect()}
-    assert got == want and len(want) >= 15
+    assert got == want and len(want) > 100
 
 
 def test_scd2_store_hot_key_stays_row_per_version(spark, tmp_path):
@@ -2018,7 +2018,7 @@ def test_streaming_hll_cardinality_on_durable_store(spark, events_dir,
     got = {(r.hll_bucket, r.register) for r in store.state().collect()}
     want = {(r.bucket, r.register)
             for r in hll_registers(ev, F.col("event_id")).collect()}
-    assert got == want and len(want) >= 15
+    assert got == want and len(want) > 100
 
     got_est = streaming_cardinality_estimate(store).collect()[0]
     want_est = all_queries()["agg_hll_cardinality_bound"](
@@ -3402,9 +3402,20 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     got = rows(streaming_funnel(store))
     want = rows(all_queries()["events_funnel_conversion"](spark, SF))
     assert got == want and len(want) >= 10
-    # non-vacuous gating: some user must have a click that exists
-    # but precedes every view (t_click not simply min(click ts))
-    assert any(t_c is not None for _, _, t_c, _ in want)
+    # non-vacuous gating: some user must have a click at-or-before
+    # their first view, so t_click is NOT simply min(click ts) —
+    # the case bounded per-user scalars get wrong (r11 review wave
+    # 3: the earlier any-click assertion was satisfied by ordinary
+    # view-then-click users and would not notice a regenerated
+    # dataset losing the gated case)
+    minc = {r.user_id: r.mc for r in
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id").agg(F.min("ts").alias("mc"))
+            .collect()}
+    gated = [(u, tv, tc) for u, tv, tc, _ in want
+             if u in minc and minc[u] <= tv]
+    assert gated, "dataset lost the gated-click case"
+    assert all(tc is None or tc > minc[u] for u, tv, tc in gated)
 
     # the same index serves RETENTION (one store, many readers)
     from galaxy_spark.streaming.state_store import streaming_retention
