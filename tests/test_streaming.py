@@ -3434,3 +3434,55 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert rows(streaming_funnel(store)) == got
     assert sorted((r.cohort_week, r.week_offset, r.n_users)
                   for r in streaming_retention(store).collect()) == got_r
+
+
+def test_state_for_keys_prunes_and_folds_under_deltas(spark, tmp_path,
+                                                      monkeypatch):
+    """Layout pruning and the delta tier compose: a probe on a
+    delta-mode store with layout_cols ⊂ key_cols opens only the
+    touched buckets' files (base AND pending deltas) and the rows
+    come back FOLDED — never a raw delta fragment."""
+    import pyspark.sql.readwriter as rw
+
+    from galaxy_spark.streaming.state_store import ParquetLshStore
+
+    store = ParquetLshStore(spark, str(tmp_path / "lshd"),
+                            n_buckets=8)
+    store.delta_threshold = 4            # stays un-compacted here
+
+    def rows_df(vals):
+        return spark.createDataFrame(
+            vals, "band int, bucket int, id long, seen int")
+
+    # same (band, bucket, id) key inserted across TWO epochs: the
+    # probe must fold the two delta fragments into one row
+    store.merge(rows_df([(1, 7, 10, 1), (2, 9, 11, 1)]),
+                "lin.000000000000")
+    store.merge(rows_df([(1, 7, 10, 1), (1, 7, 12, 1)]),
+                "lin.000000000001")
+
+    probe = spark.createDataFrame([(1, 7)], "band int, bucket int")
+    expected = set(store._buckets_for_keys(probe))
+    assert expected < set(store._bucket_ids()) or \
+        len(store._bucket_ids()) < 8   # key (2,9) may share bucket
+
+    seen: list[str] = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        seen.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    got = sorted((r.band, r.bucket, r.id, r.seen)
+                 for r in store.state_for_keys(probe)
+                 .filter((F.col("band") == 1) & (F.col("bucket") == 7))
+                 .collect())
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", orig)
+    assert got == [(1, 7, 10, 1), (1, 7, 12, 1)], \
+        f"unfolded or missing delta rows: {got}"
+    opened = {p for p in seen if p.startswith(store.path)}
+    assert opened
+    for p in opened:
+        b = int(p.split("bucket-")[1].split(os.sep)[0])
+        assert b in expected, f"opened untouched bucket {b}"
