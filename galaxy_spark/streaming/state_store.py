@@ -42,8 +42,12 @@ Layout and protocol::
   committed version (epoch ids zero-padded; one checkpoint lineage
   per store, enforced like exactly_once.py, since Spark restarts
   epoch numbering per checkpoint).
-- Commit per (bucket, epoch) is: write to a staging dir -> fsync ->
-  ``os.rename`` into place -> touch ``_COMMITTED``. foreachBatch is
+- Commit per (bucket, epoch) goes through the commit-protocol seam
+  (``store_fs.py``): the POSIX default is write to a staging dir ->
+  fsync -> ``os.rename`` into place -> touch ``_COMMITTED``; the
+  object-store strategy (``fs="manifest"``) is rename-less —
+  per-object puts then one atomic per-bucket manifest put — because
+  S3-class stores have no atomic directory rename. foreachBatch is
   at-least-once; a REPLAYED epoch finds ``_COMMITTED`` present for
   already-applied buckets and skips them, while buckets the crash
   left unfinished recompute from their pre-epoch version — the
@@ -60,15 +64,14 @@ Layout and protocol::
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from galaxy_spark.streaming.exactly_once import (_checkpoint_lineage,
-                                                 _fsync_path)
+from galaxy_spark.streaming.exactly_once import _checkpoint_lineage
+from galaxy_spark.streaming.store_fs import PosixStoreFs, store_fs
 from galaxy_spark.streaming.rollup import _partial_rollup
 from galaxy_spark.streaming.snapshot import partial_snapshot
 
@@ -86,12 +89,32 @@ class KeyedParquetStore:
                  n_buckets: int = 8,
                  state_schema: str | None = None,
                  layout_cols: list[str] | None = None,
-                 delta_threshold: int | None = None) -> None:
+                 delta_threshold: int | None = None,
+                 fs=None,
+                 vacuum_grace_seconds: float = 0.0) -> None:
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.aggs = list(aggs)
         self.n_buckets = n_buckets
+        #: HOW a version becomes durable/visible — the commit
+        #: protocol seam (store_fs.py). "posix" (default): atomic
+        #: directory rename + _COMMITTED marker, correct on POSIX/
+        #: HDFS. "manifest": rename-less per-object puts + one
+        #: atomic per-bucket manifest put — the object-store (S3)
+        #: deployment path, where directory rename is copy+delete
+        #: (r11 verdict's one weak). Accepts a name or a StoreFs
+        #: instance; everything above this seam (layout, replay
+        #: skip, vacuum floors, the delta tier) is strategy-blind.
+        self.fs = store_fs(fs) if fs is not None else PosixStoreFs()
+        #: _vacuum skips superseded versions younger than this —
+        #: a drain window for concurrent monitoring readers that
+        #: resolved version paths just before a compaction (the
+        #: same race class the 600 s stale-stage rule covers on
+        #: the write side; r11 ADVICE). Default 0 = immediate
+        #: vacuum, the historical behavior; crash-window replays
+        #: re-sweep whatever a grace deferred.
+        self.vacuum_grace_seconds = vacuum_grace_seconds
         #: None -> copy-on-write merges (every touched bucket is
         #: rewritten per epoch — per-batch write cost ∝ touched
         #: bucket BYTES). An int T >= 1 -> LSM-style delta tier:
@@ -127,7 +150,7 @@ class KeyedParquetStore:
         #: history() raised UNRESOLVED_COLUMN when polled before
         #: the first micro-batch committed
         self.state_schema = state_schema
-        os.makedirs(path, exist_ok=True)
+        self.fs.ensure_dir(path)
 
     @property
     def delta_threshold(self) -> int | None:
@@ -163,38 +186,34 @@ class KeyedParquetStore:
         NotADirectoryError / int() ValueError inside lineage checks
         and state reads (r11 review)."""
         out = []
-        for d in os.listdir(self.path):
+        for d in self.fs.list_names(self.path):
             if not d.startswith("bucket-"):
                 continue
             suffix = d.split("-", 1)[1]
-            if suffix.isdigit() and os.path.isdir(
+            if suffix.isdigit() and self.fs.is_dir(
                     os.path.join(self.path, d)):
                 out.append(int(suffix))
         return sorted(out)
 
     def _versions(self, b: int) -> list[str]:
-        bd = self._bucket_dir(b)
-        if not os.path.isdir(bd):
-            return []
-        return sorted(v for v in os.listdir(bd) if v.startswith("v-"))
+        return sorted(
+            v for v in self.fs.version_names(self._bucket_dir(b))
+            if v.startswith("v-"))
 
     def _delta_versions(self, b: int) -> list[str]:
         """Committed delta versions of bucket ``b`` with an epoch
         key STRICTLY greater than the current base's (a delta at or
         below the base epoch is a crash-mid-compaction leftover the
         base already folded — applying it would double-count)."""
-        bd = self._bucket_dir(b)
-        if not os.path.isdir(bd):
-            return []
         base = self._current(b)
         floor = base[2:] if base is not None else ""
-        return sorted(v for v in os.listdir(bd)
-                      if v.startswith("d-") and v[2:] > floor
-                      and self._committed(b, v))
+        return sorted(
+            v for v in self.fs.version_names(self._bucket_dir(b))
+            if v.startswith("d-") and v[2:] > floor
+            and self._committed(b, v))
 
     def _committed(self, b: int, version: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._bucket_dir(b), version, "_COMMITTED"))
+        return self.fs.committed(self._bucket_dir(b), version)
 
     def _current(self, b: int, below: str | None = None) -> str | None:
         """Greatest committed version of bucket ``b`` (optionally
@@ -214,9 +233,8 @@ class KeyedParquetStore:
             # delta-tier store that has never compacted has no
             # v- dirs at all, and missing its lineage here would
             # let _require_lineage wave a foreign checkpoint through
-            for v in os.listdir(self._bucket_dir(b)):
-                if v.startswith(("v-", "d-")):
-                    out.add(v[2:].rsplit(".", 1)[0])
+            for v in self.fs.version_names(self._bucket_dir(b)):
+                out.add(v[2:].rsplit(".", 1)[0])
         return out
 
     # -- the MERGE -------------------------------------------------
@@ -237,16 +255,16 @@ class KeyedParquetStore:
         # minutes old.
         import time as _time
 
-        for d in os.listdir(self.path):
+        for d in self.fs.list_names(self.path):
             if not d.startswith(".stage-"):
                 continue
             sp = os.path.join(self.path, d)
             try:
-                age = _time.time() - os.path.getmtime(sp)
+                age = _time.time() - self.fs.mtime(sp)
             except OSError:
                 continue              # concurrently removed
             if age > 600:
-                shutil.rmtree(sp, ignore_errors=True)
+                self.fs.remove_tree(sp)
         version = f"v-{epoch_key}"
         # the partial is consumed twice (touched-bucket probe +
         # staged write) — cut lineage so its upstream fold runs
@@ -268,20 +286,19 @@ class KeyedParquetStore:
                 F.col(_BUCKET).isin([int(b) for b in todo]))
             cur_paths = []
             for b in todo:
+                bd = self._bucket_dir(b)
                 cur = self._current(b, below=version)
                 if cur is not None:
-                    cur_paths.append(
-                        os.path.join(self._bucket_dir(b), cur))
+                    cur_paths.extend(self.fs.read_paths(bd, cur))
                 # committed deltas STRICTLY below this epoch are
                 # prior state too (a store flipped from the delta
                 # tier back to CoW must absorb them, and the new
                 # base's vacuum then sweeps them); a delta AT this
                 # epoch is a replayed attempt's own output — the
                 # _applied skip above already returned for those
-                cur_paths.extend(
-                    os.path.join(self._bucket_dir(b), dv)
-                    for dv in self._delta_versions(b)
-                    if dv[2:] < epoch_key)
+                for dv in self._delta_versions(b):
+                    if dv[2:] < epoch_key:
+                        cur_paths.extend(self.fs.read_paths(bd, dv))
             merged = part
             if cur_paths:
                 cur_df = self.spark.read.parquet(*cur_paths) \
@@ -322,10 +339,10 @@ class KeyedParquetStore:
                 bd = self._bucket_dir(b)
                 cur = self._current(b)
                 if cur is not None:
-                    paths.append(os.path.join(bd, cur))
-                paths.extend(os.path.join(bd, d)
-                             for d in self._delta_versions(b)
-                             if d[2:] <= epoch_key)
+                    paths.extend(self.fs.read_paths(bd, cur))
+                for d in self._delta_versions(b):
+                    if d[2:] <= epoch_key:
+                        paths.extend(self.fs.read_paths(bd, d))
             compacted = (self.spark.read.parquet(*paths)
                          .groupBy(_BUCKET, *self.key_cols)
                          .agg(*self.aggs))
@@ -346,50 +363,26 @@ class KeyedParquetStore:
 
     def _commit_version(self, df: DataFrame, version: str,
                         todo: list[int]) -> None:
-        """Stage -> fsync -> rename -> ``_COMMITTED`` for one
-        version (base or delta) of the given buckets. partitionBy
-        strips its column from the data files, and the per-bucket
-        leaf dirs are renamed out of the partition layout;
-        duplicate the bucket so it survives as a DATA column for
-        the next read side."""
+        """Stage the version's files with one partitioned Spark
+        write, then make each touched bucket's slice durable AND
+        visible through the commit-protocol seam
+        (``self.fs.publish_version`` — atomic dir rename +
+        ``_COMMITTED`` marker on POSIX, per-object puts + one
+        atomic manifest put on object stores; store_fs.py).
+        partitionBy strips its column from the data files, and the
+        per-bucket leaf dirs are published out of the partition
+        layout; duplicate the bucket so it survives as a DATA
+        column for the next read side."""
         stage = os.path.join(self.path,
                              f".stage-{uuid.uuid4().hex[:8]}")
         df.withColumn("__pb", F.col(_BUCKET)) \
             .write.mode("overwrite").partitionBy("__pb").parquet(stage)
         for b in todo:
             src = os.path.join(stage, f"__pb={b}")
-            if not os.path.isdir(src):
+            if not self.fs.is_dir(src):
                 continue  # unreachable: every todo bucket has rows
-            bd = self._bucket_dir(b)
-            os.makedirs(bd, exist_ok=True)
-            for f in os.listdir(src):
-                _fsync_path(os.path.join(src, f))
-            _fsync_path(src)
-            dest = os.path.join(bd, version)
-            if os.path.isdir(dest) and not os.path.exists(
-                    os.path.join(dest, "_COMMITTED")):
-                # TORN version from a crash between rename and
-                # marker: never readable (max-committed rule skips
-                # it), but it would block this replay's rename —
-                # clear it; the recompute below it is this merge.
-                shutil.rmtree(dest, ignore_errors=True)
-            try:
-                os.rename(src, dest)
-            except OSError:
-                # benign ONLY if a concurrent replay actually won
-                # the commit (its _COMMITTED exists); any other
-                # rename failure (ENOSPC, permissions, a swept
-                # staging dir) must raise — swallowing it would
-                # silently drop this bucket's epoch contribution
-                # while Spark commits the batch
-                if self._committed(b, version):
-                    continue
-                raise
-            with open(os.path.join(dest, "_COMMITTED"), "w"):
-                pass
-            _fsync_path(dest)
-            _fsync_path(bd)
-        shutil.rmtree(stage, ignore_errors=True)
+            self.fs.publish_version(self._bucket_dir(b), version, src)
+        self.fs.remove_tree(stage)
 
     def _vacuum(self, b: int) -> None:
         """Drop superseded state of bucket ``b``: every base that
@@ -399,23 +392,32 @@ class KeyedParquetStore:
         torn or committed leftover below the base can never be
         read or rewritten again). Torn deltas ABOVE the base stay:
         their epoch was never Spark-committed and its replay clears
-        them in _commit_version."""
+        them in _commit_version. ``vacuum_grace_seconds`` defers
+        dropping young versions so concurrent readers mid-scan can
+        drain (the replay/next-merge sweep re-collects them)."""
         bd = self._bucket_dir(b)
-        if not os.path.isdir(bd):
-            return
         base = self._current(b)
         floor = base[2:] if base is not None else ""
-        for v in os.listdir(bd):
-            if v.startswith("v-") and base is not None and v != base:
-                shutil.rmtree(os.path.join(bd, v), ignore_errors=True)
-            elif v.startswith("d-") and v[2:] <= floor:
-                shutil.rmtree(os.path.join(bd, v), ignore_errors=True)
+        for v in self.fs.version_names(bd):
+            stale = ((v.startswith("v-") and base is not None
+                      and v != base)
+                     or (v.startswith("d-") and v[2:] <= floor))
+            if not stale:
+                continue
+            if (self.vacuum_grace_seconds
+                    and self.fs.version_age(bd, v)
+                    < self.vacuum_grace_seconds):
+                continue
+            self.fs.drop_version(bd, v)
 
     def _current_paths(self, buckets: set[int] | None = None) -> list[str]:
         """Current-state dirs for the given buckets (None = all):
         each bucket's greatest committed base plus any committed
         deltas above it. Names only — the caller decides what to
-        read (and folds iff a delta is among them)."""
+        read (and folds iff a delta is among them). Posix entries
+        are version DIRS (unchanged plans); manifest entries are
+        the versions' exact FILE lists — listings are never
+        trusted on object stores."""
         paths = []
         for b in self._bucket_ids():
             if buckets is not None and b not in buckets:
@@ -423,10 +425,20 @@ class KeyedParquetStore:
             bd = self._bucket_dir(b)
             cur = self._current(b)
             if cur is not None:
-                paths.append(os.path.join(bd, cur))
-            paths.extend(os.path.join(bd, dv)
-                         for dv in self._delta_versions(b))
+                paths.extend(self.fs.read_paths(bd, cur))
+            for dv in self._delta_versions(b):
+                paths.extend(self.fs.read_paths(bd, dv))
         return paths
+
+    @staticmethod
+    def _version_dir(p: str) -> str:
+        """The ``v-``/``d-`` version-dir component of a read path —
+        the path itself (posix dir reads) or its parent (manifest
+        file reads); data file names never start with v-/d-."""
+        base = os.path.basename(p)
+        if base.startswith(("v-", "d-")):
+            return p
+        return os.path.dirname(p)
 
     def _read_state(self, paths: list[str]) -> DataFrame:
         """Read version dirs into state rows. Base rows are already
@@ -438,12 +450,16 @@ class KeyedParquetStore:
         union): fully-compacted buckets stay scan-only, keeping the
         read cost of the tier proportional to its pending deltas,
         not to everything the probe touched."""
-        delta_buckets = {os.path.dirname(p) for p in paths
-                         if os.path.basename(p).startswith("d-")}
+        def bucket_of(p):
+            return os.path.dirname(self._version_dir(p))
+
+        delta_buckets = {
+            bucket_of(p) for p in paths
+            if os.path.basename(self._version_dir(p)).startswith("d-")}
         folded_paths = [p for p in paths
-                        if os.path.dirname(p) in delta_buckets]
+                        if bucket_of(p) in delta_buckets]
         plain_paths = [p for p in paths
-                       if os.path.dirname(p) not in delta_buckets]
+                       if bucket_of(p) not in delta_buckets]
         plain = (self.spark.read.parquet(*plain_paths).drop(_BUCKET)
                  if plain_paths else None)
         folded = (self.spark.read.parquet(*folded_paths)
@@ -512,7 +528,9 @@ class KeyedParquetStore:
                 self.spark, new_path, self.key_cols, self.aggs,
                 n_buckets=n_buckets, state_schema=self.state_schema,
                 layout_cols=self.layout_cols,
-                delta_threshold=self.delta_threshold)
+                delta_threshold=self.delta_threshold,
+                fs=self.fs,
+                vacuum_grace_seconds=self.vacuum_grace_seconds)
         try:
             return self.__class__(self.spark, new_path,
                                   n_buckets=n_buckets)
@@ -616,10 +634,13 @@ def rebucket(store: KeyedParquetStore, new_path: str,
             "in the docstring; pass checkpoint_dir to have it "
             "checked", stacklevel=2)
     new_store = store._clone(new_path, n_buckets)
-    # delta_threshold shapes only the WRITE strategy (never the
-    # folded state), so it is safe — and required, subclass ctors
-    # don't take it — to copy it across post-construction
+    # delta_threshold / fs / vacuum grace shape only the WRITE
+    # strategy (never the folded state), so it is safe — and
+    # required, subclass ctors don't take them — to copy them
+    # across post-construction
     new_store.delta_threshold = store.delta_threshold
+    new_store.fs = store.fs
+    new_store.vacuum_grace_seconds = store.vacuum_grace_seconds
     # belt for the _clone suspenders: a subclass override that
     # forgot a tunable shows up here as a key/schema drift before
     # any state is rewritten (tunables that shape only the FOLD,

@@ -2117,23 +2117,28 @@ def test_streaming_sliding_wau_restart_resumes(spark, tmp_path):
 # Streaming incremental near-dup index (durable MinHash-LSH)
 # ------------------------------------------------------------------
 
-def _near_dup_stores(spark, tmp_path, tag, delta=None):
+def _near_dup_stores(spark, tmp_path, tag, delta=None, fs="posix"):
     from galaxy_spark.streaming.state_store import (ParquetDocStore,
                                                     ParquetLshStore,
                                                     ParquetPairStore)
+    from galaxy_spark.streaming.store_fs import store_fs
 
     stores = (ParquetLshStore(spark, str(tmp_path / f"{tag}_lsh")),
               ParquetDocStore(spark, str(tmp_path / f"{tag}_docs")),
               ParquetPairStore(spark, str(tmp_path / f"{tag}_pairs")))
-    for s in stores:       # write-strategy knob: safe to set at any
-        s.delta_threshold = delta         # epoch boundary (r11)
+    for s in stores:       # write-strategy knobs: safe to set at any
+        s.delta_threshold = delta         # epoch boundary (r11);
+        s.fs = store_fs(fs)               # fs before first commit
     return stores
 
 
-@pytest.mark.parametrize("delta", [None, 2],
-                         ids=["cow", "delta2"])
+@pytest.mark.parametrize("delta,fs", [(None, "posix"), (2, "posix"),
+                                      (None, "manifest"),
+                                      (2, "manifest")],
+                         ids=["cow", "delta2", "cow-manifest",
+                              "delta2-manifest"])
 def test_streaming_near_dup_index_matches_batch(spark, tmp_path,
-                                                delta):
+                                                delta, fs):
     """The r9 verdict's top item: near-dup-check every micro-batch
     against ALL previously streamed documents on a durable growing
     LSH index. Union of per-batch pair emissions over the replayed
@@ -2156,7 +2161,7 @@ def test_streaming_near_dup_index_matches_batch(spark, tmp_path,
         _time.sleep(1.1)
 
     lsh, dstore, pairs = _near_dup_stores(spark, tmp_path, "nd",
-                                          delta=delta)
+                                          delta=delta, fs=fs)
     stream = spark.readStream.schema(docs.schema) \
         .option("maxFilesPerTrigger", 1).parquet(src)
     q = start_streaming_near_dup_index(
@@ -2514,19 +2519,23 @@ def test_cluster_redirect_replay_regenerates_lost_edges(spark,
         f"cluster split after replay: {got}"
 
 
+@pytest.mark.parametrize("fs", ["posix", "manifest"])
 def test_state_for_keys_opens_only_touched_buckets(spark, tmp_path,
-                                                   monkeypatch):
+                                                   monkeypatch, fs):
     """``state_for_keys`` is the probe-side twin of merge's
     touched-bucket discipline (r10 verdict #1): for a bounded key
     set it must OPEN only the bucket dirs those keys hash to —
     spied at the actual parquet read — and the rows it returns,
     key-joined, must equal a full-state read key-joined (the
-    superset-restricted-to-buckets contract)."""
+    superset-restricted-to-buckets contract). Both commit
+    strategies prune identically: the layout is above the seam."""
     import pyspark.sql.readwriter as rw
 
     from galaxy_spark.streaming.state_store import ParquetDocStore
+    from galaxy_spark.streaming.store_fs import store_fs
 
     store = ParquetDocStore(spark, str(tmp_path / "sfk"), n_buckets=8)
+    store.fs = store_fs(fs)
     docs = load_table(spark, SF, "documents") \
         .select(F.col("doc_id").alias("id"), "text")
     store.merge(docs, "lin.000000000000")
@@ -2859,7 +2868,7 @@ def test_near_dup_stores_survive_rebucket(spark, tmp_path):
 # Delta-tier merges (r11): O(batch) appends + amortized compaction
 # ------------------------------------------------------------------
 
-def _sum_store(spark, path, delta):
+def _sum_store(spark, path, delta, fs="posix"):
     from galaxy_spark.streaming.state_store import KeyedParquetStore
 
     return KeyedParquetStore(
@@ -2867,7 +2876,7 @@ def _sum_store(spark, path, delta):
         [F.sum("v").cast("long").alias("v"),
          F.max("last").alias("last")],
         n_buckets=4, state_schema="k long, v long, last string",
-        delta_threshold=delta)
+        delta_threshold=delta, fs=fs)
 
 
 _DELTA_BATCHES = [
@@ -3486,3 +3495,190 @@ def test_state_for_keys_prunes_and_folds_under_deltas(spark, tmp_path,
     for p in opened:
         b = int(p.split("bucket-")[1].split(os.sep)[0])
         assert b in expected, f"opened untouched bucket {b}"
+
+
+# ------------------------------------------------------------------
+# Commit-protocol seam (r12): object-store-safe manifest commits
+# ------------------------------------------------------------------
+
+@pytest.mark.parametrize("delta", [None, 2], ids=["cow", "delta2"])
+def test_manifest_strategy_state_matches_posix(spark, tmp_path,
+                                               delta):
+    """The manifest (rename-less) strategy is a commit-protocol
+    change, never a semantics change: after every epoch — and
+    after an at-least-once replay — its folded state equals the
+    posix twin's row for row, in both write modes. And it must be
+    genuinely rename-less on the commit path: no _COMMITTED
+    markers anywhere, a _MANIFEST.json in every written bucket."""
+    ref = _sum_store(spark, str(tmp_path / "p"), delta)
+    man = _sum_store(spark, str(tmp_path / "m"), delta,
+                     fs="manifest")
+    for i, rows in enumerate(_DELTA_BATCHES):
+        key = f"lin.{i:012d}"
+        ref.merge(_batch_df(spark, rows), key)
+        man.merge(_batch_df(spark, rows), key)
+        want = sorted(map(tuple, ref.state().collect()))
+        got = sorted(map(tuple, man.state().collect()))
+        assert got == want, f"divergence at epoch {i}"
+    last = f"lin.{len(_DELTA_BATCHES) - 1:012d}"
+    man.merge(_batch_df(spark, _DELTA_BATCHES[-1]), last)  # replay
+    assert sorted(map(tuple, man.state().collect())) == want
+    markers = [os.path.join(r, f) for r, _, fl in os.walk(man.path)
+               for f in fl if f == "_COMMITTED"]
+    assert markers == [], f"manifest mode wrote markers: {markers}"
+    for b in man._bucket_ids():
+        assert os.path.exists(os.path.join(
+            man._bucket_dir(b), "_MANIFEST.json"))
+    assert man.lineages() == {"lin"}
+
+
+def test_manifest_crash_between_put_and_publish(spark, tmp_path,
+                                                monkeypatch):
+    """THE object-store crash window: files put at their final
+    keys, crash before the manifest put. The version must stay
+    invisible (no partial state), the epoch's replay must repair
+    it, and the orphan objects from the crashed attempt must never
+    be read (the manifest names the exact file list) and must be
+    swept when the version is eventually dropped."""
+    from galaxy_spark.streaming import store_fs as sfs
+
+    store = _sum_store(spark, str(tmp_path / "cw"), None,
+                       fs="manifest")
+    store.merge(_batch_df(spark, [(1, 10, "a")]), "lin.000000000000")
+    before = sorted(map(tuple, store.state().collect()))
+
+    def boom(self, bucket_dir, manifest):
+        raise OSError("simulated crash after puts, before publish")
+
+    monkeypatch.setattr(sfs.ManifestStoreFs, "_put_manifest", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.merge(_batch_df(spark, [(1, 5, "b")]),
+                    "lin.000000000001")
+    monkeypatch.undo()
+    # invisible: the half-published version changed nothing
+    assert sorted(map(tuple, store.state().collect())) == before
+    b = store._buckets_for_keys(
+        _batch_df(spark, [(1, 5, "b")]).select("k"))[0]
+    vdir = os.path.join(store._bucket_dir(b), "v-lin.000000000001")
+    orphans = set(os.listdir(vdir))
+    assert orphans, "crash left no orphan objects to exercise"
+    # replay repairs; orphans coexist in the dir but are unread —
+    # a double-count of the k=1 row would show in the sum
+    store.merge(_batch_df(spark, [(1, 5, "b")]), "lin.000000000001")
+    assert {(r.k, r.v) for r in store.state().collect()} == {(1, 15)}
+    assert set(os.listdir(vdir)) > orphans
+    # next epoch supersedes the version; its drop sweeps orphans too
+    store.merge(_batch_df(spark, [(1, 1, "c")]), "lin.000000000002")
+    assert not os.path.exists(vdir)
+    assert {(r.k, r.v) for r in store.state().collect()} == {(1, 16)}
+
+
+def test_manifest_drop_updates_visibility_before_bytes(tmp_path):
+    """drop_version removes the version from the manifest (one
+    atomic put) BEFORE deleting bytes — a reader can never resolve
+    a version whose files are already gone."""
+    import shutil
+
+    from galaxy_spark.streaming.store_fs import ManifestStoreFs
+
+    fs = ManifestStoreFs()
+    bd = str(tmp_path / "bucket-0")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-1.parquet"), "wb") as f:
+        f.write(b"x")
+    fs.publish_version(bd, "v-lin.000000000000", stage)
+    assert fs.committed(bd, "v-lin.000000000000")
+    assert fs.read_paths(bd, "v-lin.000000000000") == [
+        os.path.join(bd, "v-lin.000000000000", "part-1.parquet")]
+
+    real_rmtree = shutil.rmtree
+    order = []
+
+    def spy_rmtree(path, **kw):
+        # at byte-deletion time the version is already invisible
+        order.append(fs.committed(bd, "v-lin.000000000000"))
+        real_rmtree(path, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(shutil, "rmtree", spy_rmtree):
+        fs.drop_version(bd, "v-lin.000000000000")
+    assert order == [False], "bytes deleted while still visible"
+    assert fs.read_paths(bd, "v-lin.000000000000") == []
+
+
+def test_cross_strategy_path_refused(spark, tmp_path):
+    """A store path is bound to one commit strategy for life:
+    posix markers are invisible to the manifest reader and vice
+    versa, so continuing a path under the other strategy would
+    silently read committed state as empty. Both directions must
+    refuse loudly at the next write."""
+    rows = [(1, 10, "a")]
+    pos = _sum_store(spark, str(tmp_path / "x"), None)
+    pos.merge(_batch_df(spark, rows), "lin.000000000000")
+    wrong = _sum_store(spark, str(tmp_path / "x"), None,
+                       fs="manifest")
+    with pytest.raises(ValueError, match="posix-committed"):
+        wrong.merge(_batch_df(spark, rows), "lin.000000000001")
+
+    man = _sum_store(spark, str(tmp_path / "y"), None,
+                     fs="manifest")
+    man.merge(_batch_df(spark, rows), "lin.000000000000")
+    wrong2 = _sum_store(spark, str(tmp_path / "y"), None)
+    with pytest.raises(ValueError, match="manifest"):
+        wrong2.merge(_batch_df(spark, rows), "lin.000000000001")
+
+
+def test_rebucket_carries_fs_and_grace(spark, tmp_path):
+    """rebucket reconstructs the store through _clone; the commit
+    strategy and vacuum grace ride along like delta_threshold —
+    and the migrated state re-reads identically under the carried
+    strategy."""
+    from galaxy_spark.streaming.state_store import rebucket
+    from galaxy_spark.streaming.store_fs import ManifestStoreFs
+
+    st = _sum_store(spark, str(tmp_path / "src"), 2, fs="manifest")
+    st.vacuum_grace_seconds = 123.0
+    for i, rows in enumerate(_DELTA_BATCHES[:3]):
+        st.merge(_batch_df(spark, rows), f"lin.{i:012d}")
+    with pytest.warns(UserWarning, match="quiesced"):
+        new = rebucket(st, str(tmp_path / "dst"), 7)
+    assert isinstance(new.fs, ManifestStoreFs)
+    assert new.vacuum_grace_seconds == 123.0
+    assert sorted(map(tuple, new.state().collect())) == \
+        sorted(map(tuple, st.state().collect()))
+
+
+def test_vacuum_grace_defers_drop(spark, tmp_path):
+    """vacuum_grace_seconds (r11 ADVICE): superseded versions
+    younger than the grace survive the post-merge vacuum — a drain
+    window for concurrent readers mid-scan — while reads stay on
+    the current version (max-committed rule), and dropping the
+    grace sweeps them on the next touch."""
+    st = _sum_store(spark, str(tmp_path / "g"), None)
+    st.vacuum_grace_seconds = 3600.0
+    st.merge(_batch_df(spark, [(1, 10, "a")]), "lin.000000000000")
+    st.merge(_batch_df(spark, [(1, 5, "b")]), "lin.000000000001")
+    b = st._buckets_for_keys(
+        _batch_df(spark, [(1, 0, "x")]).select("k"))[0]
+    bd = st._bucket_dir(b)
+    assert os.path.isdir(os.path.join(bd, "v-lin.000000000000")), \
+        "grace did not defer the vacuum"
+    assert {(r.k, r.v) for r in st.state().collect()} == {(1, 15)}
+    st.vacuum_grace_seconds = 0.0
+    st.merge(_batch_df(spark, [(1, 1, "c")]), "lin.000000000002")
+    kept = [v for v in os.listdir(bd) if v.startswith("v-")]
+    assert kept == ["v-lin.000000000002"], f"unswept: {kept}"
+
+
+def test_store_fs_resolver():
+    from galaxy_spark.streaming.store_fs import (ManifestStoreFs,
+                                                 PosixStoreFs,
+                                                 store_fs)
+
+    inst = ManifestStoreFs()
+    assert store_fs(inst) is inst
+    assert isinstance(store_fs("posix"), PosixStoreFs)
+    assert isinstance(store_fs("manifest"), ManifestStoreFs)
+    with pytest.raises(ValueError, match="unknown store commit"):
+        store_fs("s3")
