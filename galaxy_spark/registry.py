@@ -117,7 +117,8 @@ CERTIFICATION_MANIFEST: tuple[str, ...] = (
 #: enter the external 50-row prefix; their certification is the
 #: driver-equivalent local comparison at sf0.001
 #: (tests/test_oracle.py) plus an explicit driver-scale (sf0.01)
-#: comparison (tests/test_oracle.py::test_post_freeze_at_driver_scale).
+#: comparison
+#: (tests/test_oracle.py::test_local_certification_at_driver_scale).
 #: APPEND-ONLY: add every new query name here, in order.
 POST_FREEZE_QUERIES: tuple[str, ...] = (
     "cdc_apply_snapshot",
@@ -202,6 +203,17 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "join_interval_overlap",
     "graph_sssp_weighted",
 )
+
+
+#: The frozen EXTERNAL certification surface: the driver's harness
+#: checks exactly the first 50 names of the enumeration order
+#: (CORRECTNESS_r*.json carries 50 rows; COVERAGE.md ledger). Every
+#: registered query OUTSIDE this prefix gets its driver-scale
+#: (sf0.01) certification from the in-suite twin instead
+#: (tests/test_oracle.py::test_local_certification_at_driver_scale)
+#: — r11 verdict #2: the 32 manifest names past position 50 had no
+#: driver-scale row newer than CORRECTNESS_r03.
+EXTERNAL_PREFIX_LEN = 50
 
 
 def _manifest_ordered(d: dict) -> dict:

@@ -2437,42 +2437,110 @@ class ParquetEventIndexStore(KeyedParquetStore):
     which clicks qualify, so any click may become the answer later —
     and the minimal exact state is the event-time index itself
     (O(user activity), the session store's class, cheap next to the
-    raw log since it collapses duplicates and carries no payload)."""
+    raw log since it collapses duplicates and carries no payload).
+
+    ``retention_days=H`` (r11 verdict #3) bounds that state: each
+    partial carries a watermark ``wm`` = (its batch's max event
+    micros) − H days, folded under MAX — a monotone monoid, so
+    replay/arrival order cannot move it — and the fold drops micros
+    below the folded watermark. Eviction happens whenever a key is
+    touched (untouched keys' arrays never grow, so state stays
+    bounded by in-horizon activity plus frozen tails); readers then
+    apply the GLOBAL max watermark, making answers exactly the
+    batch queries restricted to the retained window. Default None
+    keeps the exact-forever behavior and schema unchanged."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 n_buckets: int = 4) -> None:
+                 n_buckets: int = 4,
+                 retention_days: int | None = None) -> None:
+        if retention_days is not None and retention_days < 1:
+            raise ValueError("retention_days must be >= 1 or None")
+        self.retention_days = retention_days
+        if retention_days is None:
+            aggs = [F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("tss")))).alias("tss")]
+            schema = ("user_id long, event_type string, "
+                      "tss array<bigint>")
+        else:
+            # the folded watermark gates the folded array IN the
+            # same agg projection: filter(union, max(wm)) — at a
+            # higher watermark this absorbs any earlier filter, so
+            # the fold stays associative and idempotent
+            aggs = [F.filter(
+                        F.array_sort(F.array_distinct(F.flatten(
+                            F.collect_list("tss")))),
+                        lambda x: x >= F.max("wm")).alias("tss"),
+                    F.max("wm").alias("wm")]
+            schema = ("user_id long, event_type string, "
+                      "tss array<bigint>, wm long")
         super().__init__(
-            spark, path, ["user_id", "event_type"],
-            [F.array_sort(F.array_distinct(F.flatten(
-                F.collect_list("tss")))).alias("tss")],
-            n_buckets,
-            state_schema="user_id long, event_type string, "
-                         "tss array<bigint>")
+            spark, path, ["user_id", "event_type"], aggs,
+            n_buckets, state_schema=schema)
+
+    def _clone(self, new_path: str,
+               n_buckets: int) -> "ParquetEventIndexStore":
+        # retention shapes the fold AND the schema — rebucket's
+        # drift belt would catch a bare-signature reconstruction
+        return ParquetEventIndexStore(
+            self.spark, new_path, n_buckets=n_buckets,
+            retention_days=self.retention_days)
+
+    def retained_state(self) -> DataFrame:
+        """State rows restricted to the GLOBAL retention window
+        (max folded watermark — per-key watermarks can lag for
+        keys untouched since the horizon moved). With no retention
+        configured this is plain ``state()``."""
+        st = self.state()
+        if self.retention_days is None:
+            return st
+        st = st.localCheckpoint(eager=False)   # read once, used 2x
+        gwm = st.agg(F.max("wm").alias("gwm"))
+        return (st.crossJoin(F.broadcast(gwm))
+                .select("user_id", "event_type",
+                        F.filter("tss",
+                                 lambda x: x >= F.col("gwm"))
+                        .alias("tss"))
+                .filter(F.size("tss") > 0))
 
 
-def partial_event_index(batch_df: DataFrame) -> DataFrame:
+def partial_event_index(batch_df: DataFrame,
+                        retention_days: int | None = None
+                        ) -> DataFrame:
     """One micro-batch's per-(user, type) sorted distinct
-    event-time micros."""
+    event-time micros; with retention, each row also carries the
+    batch watermark (max event micros − H days, one 1-row agg
+    broadcast into the partial)."""
     # no array_sort here: every consumer re-folds the partial
     # through the store aggs (which sort) — the delta merge
     # pre-folds before writing, the CoW merge folds the union, and
     # delta-bearing reads fold again, so a per-batch sort would be
     # pure wasted CPU (r11 review wave 3)
-    return (batch_df
+    part = (batch_df
             .select("user_id", "event_type",
                     F.unix_micros("ts").alias("t"))
             .groupBy("user_id", "event_type")
             .agg(F.collect_set("t").alias("tss")))
+    if retention_days is None:
+        return part
+    horizon = int(retention_days) * 86_400_000_000
+    wm = (batch_df
+          .agg((F.max(F.unix_micros("ts")) - F.lit(horizon))
+               .alias("wm")))
+    return part.crossJoin(F.broadcast(wm))
 
 
 def start_streaming_event_index(stream: DataFrame,
                                 store: ParquetEventIndexStore,
                                 checkpoint_dir: str) -> StreamingQuery:
-    """Maintain the per-(user, type) event-time index."""
+    """Maintain the per-(user, type) event-time index; the partial
+    shape follows the STORE's retention knob, so the two cannot
+    disagree."""
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(_lineage_scoped_handler(
-                store, checkpoint_dir, partial_event_index))
+                store, checkpoint_dir,
+                lambda b: partial_event_index(
+                    b, store.retention_days)))
             .start())
 
 
@@ -2483,8 +2551,9 @@ def streaming_funnel(store: ParquetEventIndexStore) -> DataFrame:
     propagating exactly like the batch left joins (no click =>
     null gate => empty purchase filter => null). Over the same
     events this equals ``events_funnel_conversion``
-    field-for-field."""
-    st = store.state()
+    field-for-field (restricted to the retained window when the
+    store has a retention horizon)."""
+    st = store.retained_state()
     piv = (st.groupBy("user_id")
            .agg(F.max(F.when(F.col("event_type") == "view",
                              F.col("tss"))).alias("vs"),
@@ -2513,11 +2582,12 @@ def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:
     per-(user, type) index back to (user, ts) rows — collapsed
     already to distinct event times, far fewer than raw events —
     then exactly the batch query's shape. Equals
-    ``events_retention_cohorts`` field-for-field."""
+    ``events_retention_cohorts`` field-for-field (restricted to
+    the retained window when the store has a retention horizon)."""
     from galaxy_spark.queries.events import \
         retention_cohorts_from_events
 
-    ev_times = (store.state()
+    ev_times = (store.retained_state()
                 .select("user_id", F.explode("tss").alias("t"))
                 .select("user_id",
                         F.timestamp_micros(F.col("t")).alias("ts"))

@@ -40,17 +40,28 @@ def test_rows_only_queries_run(spark, name):
     df.limit(5).collect()  # must execute without error
 
 
-@pytest.mark.parametrize(
-    "name", __import__("galaxy_spark.registry",
-                       fromlist=["POST_FREEZE_QUERIES"]).POST_FREEZE_QUERIES)
-def test_post_freeze_at_driver_scale(spark, name):
-    """Queries registered AFTER the certification-manifest freeze
-    never enter the driver's external 50-row prefix (COVERAGE.md),
-    so run the identical comparison at the driver's OWN scale
-    (sf0.01) here — on top of the sf0.001 run above — and publish
-    each query's row-count/schema/value-hash into the committed
-    CERTIFY_LOCAL artifact so the externally-invisible queries have
-    a diffable certification trail (VERDICT r5 #8)."""
+def _locally_certified_names() -> list[str]:
+    """Every registered query OUTSIDE the driver's frozen external
+    50-row prefix: the post-freeze queries PLUS the 32 manifest
+    names past position 50 (r11 verdict #2 — those had no
+    driver-scale certification row newer than CORRECTNESS_r03,
+    eight refactor rounds ago). The external 50 keep their trail in
+    the driver's own CORRECTNESS_r*.json."""
+    from galaxy_spark.registry import EXTERNAL_PREFIX_LEN
+
+    external = set(list(QUERIES)[:EXTERNAL_PREFIX_LEN])
+    return sorted(set(QUERIES) - external)
+
+
+@pytest.mark.parametrize("name", _locally_certified_names())
+def test_local_certification_at_driver_scale(spark, name):
+    """Queries outside the driver's external 50-row prefix
+    (COVERAGE.md) get the identical comparison at the driver's OWN
+    scale (sf0.01) here — on top of the sf0.001 run above — and
+    publish each query's row-count/schema/value-hash into the
+    committed CERTIFY_LOCAL artifact so the externally-invisible
+    queries have a diffable certification trail (VERDICT r5 #8;
+    widened from POST_FREEZE_QUERIES to the full 108 in r12)."""
     from galaxy_spark.registry import POST_FREEZE_QUERIES
 
     assert set(POST_FREEZE_QUERIES) <= set(QUERIES)
@@ -69,9 +80,10 @@ def test_post_freeze_at_driver_scale(spark, name):
 #: file, leaving the previous round's judged artifact byte-frozen
 #: exactly as certified (the r8 review caught new rows being
 #: upserted into the already-judged r07 file). r10: bumped from
-#: r09 after the r9 judgment.
+#: r09 after the r9 judgment. r12: bumped after r11's judgment,
+#: now carrying all 108 non-external queries.
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r11.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r12.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:
@@ -79,7 +91,8 @@ def _record_certification(name: str, rec: dict) -> None:
     canonical schema, order-insensitive value hash) into the
     round's committed artifact. Sequential pytest: plain
     read-modify-write, sorted keys for stable diffs."""
-    data = {"sf": 0.01, "source": "test_post_freeze_at_driver_scale",
+    data = {"sf": 0.01,
+            "source": "test_local_certification_at_driver_scale",
             "queries": {}}
     if os.path.exists(CERTIFY_PATH):
         with open(CERTIFY_PATH) as f:
