@@ -250,6 +250,14 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage outputs only shrink — the funnel narrows monotonically.
     """
     ev = load_table(spark, sf_dir, "events")
+    return funnel_from_events(ev)
+
+
+def funnel_from_events(ev: DataFrame) -> DataFrame:
+    """The stage-gated funnel over any (user_id, event_type, ts)
+    frame — shared with the bounded-state certification of the
+    streaming event-index twin (the retained-window comparison),
+    imported not copied, so the gating arithmetic cannot drift."""
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
     c = (ev.filter(F.col("event_type") == "click")
