@@ -76,11 +76,17 @@ class TaskSpec:
     #: this closes the loop between the reference's T1 control plane
     #: and the driver-mandated dedup stores: index maintenance gets
     #: the same create/stop/resume/delete lifecycle, durability and
-    #: boot recovery as a replication task (r10 verdict #8)
+    #: boot recovery as a replication task (r10 verdict #8);
+    #: "search_index" = the incrementally-maintained full-text
+    #: index (postings + doc lengths + corpus stats,
+    #: streaming.state_store.start_streaming_search_index) under
+    #: the same lifecycle (r11 verdict #4)
     task_kind: str = "cdc"
-    #: near_dup_index tuning (n, n_hashes, bands, threshold,
-    #: text_col, id_col) — persisted with the spec so boot recovery
-    #: restarts the index with identical signature arithmetic
+    #: stateful-kind tuning, persisted with the spec so boot
+    #: recovery restarts with identical arithmetic:
+    #: near_dup_index: n, n_hashes, bands, threshold, text_col,
+    #: id_col; search_index: text_col, id_col; both:
+    #: delta_threshold (store write strategy)
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:
@@ -166,14 +172,19 @@ class TaskManager:
             raise ValueError(
                 f"task {spec.task_id} already exists ({state}); "
                 "delete it before reusing the id")
-        if spec.task_kind not in ("cdc", "near_dup_index"):
+        if spec.task_kind not in ("cdc", "near_dup_index",
+                                  "search_index"):
             # a typo'd kind would silently fall into the CDC branch
             # and run the replication pipeline over whatever stream
             # the factory returns — fail at creation, like the
             # task_id validation above (r11 review)
             raise ValueError(
-                f"task_kind {spec.task_kind!r} unknown: use 'cdc' "
-                "or 'near_dup_index'")
+                f"task_kind {spec.task_kind!r} unknown: use 'cdc', "
+                "'near_dup_index' or 'search_index'")
+        if spec.task_kind != "cdc":
+            # fail configuration errors at creation, not at the
+            # first store construction mid-stream (r11 ADVICE)
+            _validated_delta_threshold(spec.index_options or {})
         if spec.task_kind != "cdc" and spec.live:
             # live filter swapping is a CDC-pipeline feature; the
             # near-dup handler has no filter cell, and accepting
@@ -225,17 +236,17 @@ class TaskManager:
             ParquetRedirectStore(self.spark,
                                  os.path.join(root, "redirect")))
         # production default: delta-tier writes (O(batch) appends,
-        # compaction every 8th touch of a bucket) — the doc/LSH
-        # stores are corpus-sized and insert-only, exactly where a
-        # per-trigger bucket rewrite stops scaling; the knob shapes
-        # only the write path, so readers and the lifecycle tests
-        # are unchanged (SCALE.md r11 "delta-tier merges").
+        # compaction every 8th touch) for the CORPUS-SIZED stores
+        # only — doc/LSH/pair are insert-heavy and bucket-rewrite-
+        # bound, exactly where amortized compaction pays. The tiny
+        # hot cluster/redirect stores default to CoW: their
+        # per-epoch rewrite is already cheap, and every probe of a
+        # delta-bearing bucket would pay a groupBy fold over up to
+        # T-1 delta files for no write-side win (r11 ADVICE).
         # Per-task override through the same options dict as the
-        # index tunables; explicit null selects CoW.
-        opts = spec.index_options or {}
-        dt = opts.get("delta_threshold", 8)
-        for s in stores:
-            s.delta_threshold = None if dt is None else int(dt)
+        # index tunables; explicit null selects CoW everywhere.
+        _apply_delta_thresholds(stores, spec.index_options or {},
+                                big=(True, True, True, False, False))
         return stores
 
     def near_dup_pairs(self, task_id: str) -> DataFrame:
@@ -261,6 +272,61 @@ class TaskManager:
         docs = doc.state().select(F.col("id").alias("doc_id"))
         return streaming_cluster_assignments(docs, cstore, rstore)
 
+    def search_stores(self, spec_or_id) -> tuple:
+        """(postings, doclen, stats) store handles for a
+        search_index task — same paths running or stopped, so
+        BM25 queries work across the lifecycle."""
+        from galaxy_spark.streaming.state_store import (
+            ParquetCorpusStatsStore, ParquetDocLenStore,
+            ParquetPostingsStore)
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        root = self.store_root(spec)
+        stores = (
+            ParquetPostingsStore(self.spark,
+                                 os.path.join(root, "postings")),
+            ParquetDocLenStore(self.spark,
+                               os.path.join(root, "doclen")),
+            ParquetCorpusStatsStore(self.spark,
+                                    os.path.join(root, "stats")))
+        # postings/doclen are corpus-sized (delta tier); the corpus
+        # stats store is ONE row read on every query — CoW, same
+        # hot-store reasoning as cluster/redirect above
+        _apply_delta_thresholds(stores, spec.index_options or {},
+                                big=(True, True, False))
+        return stores
+
+    def search_bm25(self, task_id: str,
+                    terms: tuple[str, ...]) -> DataFrame:
+        """Top-20 BM25 over the task's incrementally-built index
+        (the batch ``text_bm25_search`` output shape; reads
+        layout-pruned to the query terms' buckets)."""
+        from galaxy_spark.streaming.state_store import streaming_bm25
+
+        postings, doclen, stats = self.search_stores(task_id)
+        return streaming_bm25(postings, doclen, stats, terms)
+
+    def search_inverted_index(self, task_id: str) -> DataFrame:
+        """The task's accumulated index in the batch
+        ``text_inverted_index`` output shape."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_inverted_index
+
+        return streaming_inverted_index(self.search_stores(task_id)[0])
+
+    def _start_search_index(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_streaming_search_index
+
+        env = self.source_factory(self.spark, spec)
+        postings, doclen, stats = self.search_stores(spec)
+        opts = dict(spec.index_options)
+        return start_streaming_search_index(
+            env, postings, doclen, stats, self.checkpoint_dir(spec),
+            text_col=opts.get("text_col", "text"),
+            id_col=opts.get("id_col", "doc_id"))
+
     def _start_near_dup(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_near_dup_clustering
@@ -281,6 +347,10 @@ class TaskManager:
     def _start(self, spec: TaskSpec) -> None:
         if spec.task_kind == "near_dup_index":
             self.queries[spec.task_id] = self._start_near_dup(spec)
+            spec.stopped = False
+            return
+        if spec.task_kind == "search_index":
+            self.queries[spec.task_id] = self._start_search_index(spec)
             spec.stopped = False
             return
         env = self.source_factory(self.spark, spec)
@@ -415,6 +485,49 @@ class TaskManager:
             q.processAllAvailable()
             if time.time() > deadline:
                 break
+
+
+#: sentinel: option absent -> per-store defaults apply
+_DT_DEFAULT = object()
+
+#: default compaction cadence for corpus-sized stores (SCALE.md
+#: r11 "delta-tier merges": O(batch) appends, bucket rewrite every
+#: 8th touch)
+_BIG_STORE_DELTA = 8
+
+
+def _validated_delta_threshold(opts: dict):
+    """Resolve ``index_options['delta_threshold']``: absent ->
+    sentinel (per-store defaults), explicit null -> CoW everywhere,
+    integer >= 1 -> that cadence everywhere. Anything else —
+    non-integral floats (silent int() truncation turned 8.9 into
+    8), strings, bools — is rejected with an error naming the
+    option (r11 ADVICE)."""
+    if "delta_threshold" not in opts:
+        return _DT_DEFAULT
+    dt = opts["delta_threshold"]
+    if dt is None:
+        return None
+    ok = (isinstance(dt, int) and not isinstance(dt, bool)) or \
+        (isinstance(dt, float) and dt.is_integer())
+    if not ok or int(dt) < 1:
+        raise ValueError(
+            f"index_options['delta_threshold'] must be an integer "
+            f">= 1 or null, got {dt!r}")
+    return int(dt)
+
+
+def _apply_delta_thresholds(stores, opts: dict,
+                            big: tuple[bool, ...]) -> None:
+    """Set each store's write strategy: per-store defaults (delta
+    tier for corpus-sized stores, CoW for small hot ones) unless
+    the task option overrides uniformly."""
+    dt = _validated_delta_threshold(opts)
+    for s, is_big in zip(stores, big):
+        if dt is _DT_DEFAULT:
+            s.delta_threshold = _BIG_STORE_DELTA if is_big else None
+        else:
+            s.delta_threshold = dt
 
 
 def new_task_id() -> str:

@@ -380,3 +380,131 @@ def test_task_kind_and_live_validation(spark, tmp_path):
                                task_kind="near_dup_index")
     with _pytest.raises(ValueError, match="cdc tasks only"):
         mgr.update_filters("t3", databases=["shop"])
+
+
+def test_search_index_task_lifecycle(spark, tmp_path):
+    """r11 verdict #4: the incrementally-maintained search index
+    runs as a TASK KIND under the reference's T1 lifecycle —
+    create, stop, recovery_v1 (same checkpoint + same stores), boot
+    recovery after a manager restart, recovery_v2 (fresh epoch =
+    fresh checkpoint AND fresh stores), delete (drops every epoch's
+    checkpoints and stores). Across all of it the task's BM25
+    answers equal the batch ``text_bm25_search`` and its index
+    equals ``text_inverted_index``."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.queries.indexing import _BM25_TERMS
+    from galaxy_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "six_docs")
+
+    def doc_factory(spark_, spec):
+        return (spark_.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "six_state")
+    mgr = TaskManager(spark, state, doc_factory)
+    (docs.filter(F.col("doc_id") % 3 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    spec = TaskSpec(task_id="six1", task_kind="search_index")
+    mgr.create_task(spec)
+    mgr.await_all()
+    mgr.stop_task("six1")                       # T1 stop
+    assert mgr.status()["six1"]["stopped"]
+
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 3 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("six1")                      # resume saved position
+    mgr.await_all()
+    mgr.stop_task("six1")
+
+    # boot recovery from persisted metadata (non-stopped only)
+    mgr.tasks["six1"].stopped = False
+    mgr._persist()
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 3 == 2)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr2 = TaskManager(spark, state, doc_factory)
+    assert mgr2.recover_all() == ["six1"]
+    mgr2.await_all()
+    mgr2.stop_task("six1")
+
+    def bm(df):
+        return [(r.doc_id, r.bm25, r.n_terms) for r in df.collect()]
+
+    want_bm = bm(all_queries()["text_bm25_search"](spark, SF))
+    assert bm(mgr2.search_bm25("six1", _BM25_TERMS)) == want_bm \
+        and len(want_bm) == 20
+    got_ix = sorted((r.term, r.df, tuple(r.postings))
+                    for r in mgr2.search_inverted_index("six1")
+                    .collect())
+    want_ix = sorted((r.term, r.df, tuple(r.postings))
+                     for r in all_queries()["text_inverted_index"](
+                         spark, SF).collect())
+    assert got_ix == want_ix and len(want_ix) > 20
+
+    # recovery_v2: fresh checkpoint epoch => fresh store root; the
+    # file source replays everything, rebuilding the index from
+    # scratch in the NEW stores
+    root_e0 = mgr2.store_root(mgr2.tasks["six1"])
+    mgr2.recover_v2("six1")
+    mgr2.await_all()
+    mgr2.stop_task("six1")
+    root_e1 = mgr2.store_root(mgr2.tasks["six1"])
+    assert root_e1 != root_e0
+    assert os.path.isdir(os.path.join(root_e1, "postings"))
+    assert bm(mgr2.search_bm25("six1", _BM25_TERMS)) == want_bm
+
+    mgr2.delete_task("six1")
+    assert not os.path.isdir(root_e0) and not os.path.isdir(root_e1)
+    assert not os.path.isdir(mgr2.checkpoint_dir(mgr2.tasks.get(
+        "six1", spec)))
+
+
+def test_stateful_task_store_write_strategies(spark, tmp_path):
+    """r11 ADVICE: per-store delta defaults — the corpus-sized
+    stores (lsh/doc/pair, postings/doclen) run the delta tier, the
+    small hot ones (cluster/redirect, corpus stats) stay CoW; an
+    explicit option overrides uniformly; a non-integral or junk
+    delta_threshold is rejected AT CREATION with an error naming
+    the option."""
+    import pytest as _pytest
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+
+    mgr = TaskManager(spark, str(tmp_path / "ws_state"),
+                      lambda s, spec: None)
+
+    nd = TaskSpec(task_id="nd", task_kind="near_dup_index")
+    assert [s.delta_threshold for s in mgr.near_dup_stores(nd)] == \
+        [8, 8, 8, None, None]
+    si = TaskSpec(task_id="si", task_kind="search_index")
+    assert [s.delta_threshold for s in mgr.search_stores(si)] == \
+        [8, 8, None]
+    # explicit null -> CoW everywhere; explicit int -> uniform
+    cow = TaskSpec(task_id="c", task_kind="search_index",
+                   index_options={"delta_threshold": None})
+    assert [s.delta_threshold for s in mgr.search_stores(cow)] == \
+        [None, None, None]
+    four = TaskSpec(task_id="f", task_kind="near_dup_index",
+                    index_options={"delta_threshold": 4})
+    assert [s.delta_threshold for s in mgr.near_dup_stores(four)] == \
+        [4, 4, 4, 4, 4]
+    # float with integral value is accepted (JSON round-trip), but
+    # 8.9 must NOT silently truncate to 8, and junk must name the
+    # option
+    ok = TaskSpec(task_id="k", task_kind="search_index",
+                  index_options={"delta_threshold": 4.0})
+    assert mgr.search_stores(ok)[0].delta_threshold == 4
+    for bad in (8.9, "8", True, 0, -2, "many"):
+        with _pytest.raises(ValueError,
+                            match=r"delta_threshold"):
+            mgr.create_task(TaskSpec(
+                task_id="bad", task_kind="search_index",
+                index_options={"delta_threshold": bad}))
+    assert mgr.tasks == {}
