@@ -825,16 +825,23 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             events.append(DecodedEvent("previous_gtids", ts, log_pos))
         elif etype == GTID_TAGGED_EVENT:
             # MySQL >= 8.3 tagged-GTID transaction header
-            # (WL#15294). Body is mysql::serialization-encoded
-            # (self-describing field/type stream) — NOT decoded by
-            # this build, so the gtid text (uuid:tag:gno) is not
-            # surfaced; the transaction's row events still decode
-            # and flow normally, and the source's walkers treat
-            # the event as an undecodable resume boundary
-            # (binlog_source._tagged_et). SCALE.md records the
-            # residual: executed-set TRACKING of tagged
-            # transactions needs the body decode.
-            events.append(DecodedEvent("gtid_tagged", ts, log_pos))
+            # (WL#15294). Body is mysql::serialization-encoded;
+            # decode_tagged_gtid (cdc/mysql_serialization.py)
+            # extracts (uuid, tag, gno) with strict validation and
+            # returns None on ANY anomaly — the event then stays an
+            # undecodable conservative resume boundary exactly as
+            # in r11 (re-delivery, never a silent skip), so a
+            # format misread degrades, never loses data.
+            from galaxy_spark.cdc.mysql_serialization import \
+                decode_tagged_gtid
+
+            parsed = decode_tagged_gtid(r.rest())
+            gtid_txt = (f"{parsed[0]}:{parsed[1]}:{parsed[2]}"
+                        if parsed and parsed[1]
+                        else f"{parsed[0]}:{parsed[2]}"
+                        if parsed else None)
+            events.append(DecodedEvent("gtid_tagged", ts, log_pos,
+                                       gtid=gtid_txt))
         elif etype == ROWS_QUERY_EVENT:
             r.u8()                          # length byte (truncated)
             events.append(DecodedEvent(

@@ -649,6 +649,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(li)
     survivors = (edges.select(F.col("src").alias("node")).distinct()
                  .localCheckpoint(eager=True))
+    n_prev = survivors.count()
     for _ in range(25):
         deg = (edges
                .join(survivors.withColumnRenamed("node", "src"),
@@ -660,10 +661,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (deg.filter(F.col("deg") >= _KCORE_K)
                .select(F.col("src").alias("node"))
                .localCheckpoint(eager=True))
-        n_prev, n_next = survivors.count(), nxt.count()
+        # ONE driver action per round: the previous round's count
+        # is carried, not recomputed (r11 verdict #7 — the
+        # checkpoint already materialized nxt, so count() is a
+        # metadata read of it, and survivors.count() repeated the
+        # same read a second time per round)
+        n_next = nxt.count()
         survivors = nxt
         if n_next == n_prev or n_next == 0:
             break
+        n_prev = n_next
     else:
         raise RuntimeError(
             "k-core peeling did not converge in 25 rounds; the "

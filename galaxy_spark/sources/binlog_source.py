@@ -291,16 +291,37 @@ class BinlogStreamReader(DataSourceStreamReader):
 
     def _tagged_et(self) -> int | None:
         """MySQL >= 8.3 GTID_TAGGED_EVENT (42) for the mysql
-        flavor, else None. Its mysql::serialization body is not
-        decoded here, so walkers must treat it as an UNDECODABLE
-        transaction boundary: the auto-position scan resumes AT the
-        first one (coverage unprovable -> conservative re-delivery,
-        never a silent skip — the ANONYMOUS_GTID discipline, r8
-        review class), and the timestamp seek anchors on it like
-        any transaction opener. Residual recorded in SCALE.md."""
+        flavor, else None. Since r12 its mysql::serialization body
+        IS decoded (``cdc/mysql_serialization.py``), so the
+        auto-position scan treats a tagged transaction as a
+        first-class anchor — skip when the carried set covers its
+        (uuid, tag, gno), resume at it otherwise — and executed-set
+        tracking accumulates tagged transactions. Any body that
+        fails the decoder's validation falls back to the r11
+        conservative boundary (resume AT the event: re-delivery,
+        never a silent skip — the ANONYMOUS_GTID discipline). The
+        timestamp seek anchors on it like any transaction opener."""
         from galaxy_spark.cdc.binlog import GTID_TAGGED_EVENT
 
         return GTID_TAGGED_EVENT if self.flavor != "mariadb" else None
+
+    @staticmethod
+    def _read_tagged_at(f, pos: int, esize: int) -> str | None:
+        """GTID text (``uuid:tag:gno``) from a GTID_TAGGED_EVENT
+        during a header walk, or None when the body does not
+        validate (callers then take the conservative path). The
+        walk read includes the CRC trailer when checksums are on;
+        the decoder tolerates exactly that tail."""
+        from galaxy_spark.cdc.mysql_serialization import \
+            decode_tagged_gtid
+
+        f.seek(pos + 19)
+        parsed = decode_tagged_gtid(f.read(esize - 19))
+        if parsed is None:
+            return None
+        uuid_txt, tag, gno = parsed
+        return (f"{uuid_txt}:{tag}:{gno}" if tag
+                else f"{uuid_txt}:{gno}")
 
     def _read_gtid_at(self, f, pos: int, esize: int,
                       where: str) -> str:
@@ -503,12 +524,16 @@ class BinlogStreamReader(DataSourceStreamReader):
                     if anon_et is not None and etype == anon_et:
                         return {"file": s, "pos": prev_end}
                     if tagged_et is not None and etype == tagged_et:
-                        # tagged transaction (8.3+): the event body
-                        # is undecodable here, so coverage cannot be
-                        # proven — resume AT it (re-delivery of a
-                        # covered transaction is recoverable;
+                        # tagged transaction (8.3+): decode the
+                        # (uuid, tag, gno) anchor and skip ONLY on
+                        # proven coverage; a body that fails
+                        # validation resumes AT the event (r11
+                        # conservative path — re-delivery of a
+                        # covered transaction is recoverable,
                         # skipping an uncovered one is data loss)
-                        return {"file": s, "pos": prev_end}
+                        tg = self._read_tagged_at(f, pos, esize)
+                        if tg is None or not gset.covers(tg):
+                            return {"file": s, "pos": prev_end}
                     if etype == gtid_et:
                         gtid = self._read_gtid_at(f, pos, esize,
                                                   f"{s}:{pos}")
@@ -544,6 +569,7 @@ class BinlogStreamReader(DataSourceStreamReader):
         the error-1236 gate fire on healthy streams (r9 review
         wave 2)."""
         gtid_et, _anon_et, prev_et = self._etypes()
+        tagged_et = self._tagged_et()
         out = self._gset_cls()()
         for s in _segments(self.path):
             if file and _seg_key(s) > _seg_key(file):
@@ -560,6 +586,14 @@ class BinlogStreamReader(DataSourceStreamReader):
                     elif etype == gtid_et:
                         out.add(self._read_gtid_at(f, p, esize,
                                                    f"{s}:{p}"))
+                    elif tagged_et is not None and etype == tagged_et:
+                        tg = self._read_tagged_at(f, p, esize)
+                        if tg is not None:
+                            # an unvalidatable body stays untracked:
+                            # the carried set then under-covers and
+                            # resume falls back to the conservative
+                            # boundary — never a false claim
+                            out.add(tg)
         return out
 
     def _gtids_at(self, file: str, pos: int) -> str:
@@ -577,6 +611,7 @@ class BinlogStreamReader(DataSourceStreamReader):
         resolution time and went back to bare (file, pos)
         afterward)."""
         gtid_et, _anon_et, prev_et = self._etypes()
+        tagged_et = self._tagged_et()
         self._tracker()
         target = (_seg_key(file), pos)
         if target < (_seg_key(self._scan_file), self._scan_pos):
@@ -625,6 +660,11 @@ class BinlogStreamReader(DataSourceStreamReader):
                         self._gtids.add(
                             self._read_gtid_at(f, p, esize,
                                                f"{s}:{p}"))
+                    elif tagged_et is not None and etype == tagged_et:
+                        tg = self._read_tagged_at(f, p, esize)
+                        if tg is not None:     # unvalidatable body:
+                            self._gtids.add(tg)  # under-cover, never
+                                                 # falsely claim
         self._scan_file, self._scan_pos = file, pos
         return str(self._gtids)
 

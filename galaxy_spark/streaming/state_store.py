@@ -2341,8 +2341,11 @@ def streaming_bm25(postings: ParquetPostingsStore,
                    stats: ParquetCorpusStatsStore,
                    terms: tuple[str, ...]) -> DataFrame:
     """Query the incrementally-built index: top-20 BM25 for a
-    conjunctive term set, through the SAME scoring tree as the
-    batch query (``queries.indexing.bm25_score_topk``, imported).
+    multi-term query under DISJUNCTIVE semantics (any doc matching
+    at least one term is scored; ``n_terms`` reports how many it
+    matched — the batch query's semantics exactly), through the
+    SAME scoring tree (``queries.indexing.bm25_score_topk``,
+    imported).
     Reads are layout-pruned end-to-end: postings open only the
     query terms' buckets, doc lengths only the candidate docs'
     buckets, corpus stats one row — per-query cost tracks the query

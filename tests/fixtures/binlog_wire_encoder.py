@@ -414,7 +414,13 @@ class BinlogWriter:
         header = (le(self.ts, 4) + bytes([etype]) + le(sid, 4)
                   + le(size, 4) + le(self.pos, 4) + le(0, 2))
         ev = header + body
+        self._last_body = body          # for body-level decode tests
         self.out += ev + (le(zlib.crc32(ev), 4) if self.crc32 else b"")
+
+    def last_body(self) -> bytes:
+        """The most recently emitted event's BODY (no header, no
+        CRC trailer) — what a checksum-trimming decoder sees."""
+        return self._last_body
 
     def format_description(self) -> None:
         body = (le(4, 2) + b"8.4.0-indep-fixture".ljust(50, b"\x00")
@@ -512,12 +518,48 @@ class BinlogWriter:
                 + bytes([2]) + le(0, 8) + le(0, 8))  # lt-type + ts
         self._emit(34 if anonymous else 33, body)
 
-    def tagged_gtid(self, payload: bytes = b"\x02\x01\x00") -> None:
-        """MySQL >= 8.3 GTID_TAGGED_EVENT (42, WL#15294). The real
-        body is mysql::serialization-encoded; every reader in this
-        repo treats the event as an OPAQUE transaction boundary
-        (header-only handling), so the fixture writes an opaque
-        stand-in body."""
+    def tagged_gtid(self, sid_hex: str | None = None,
+                    gno: int | None = None, tag: str = "",
+                    payload: bytes | None = None) -> None:
+        """MySQL >= 8.3 GTID_TAGGED_EVENT (42, WL#15294). With
+        ``sid_hex``/``gno`` this writes a REAL
+        mysql::serialization body (this encoder is written here
+        independently of the production decoder, from the same
+        public format description: leading format-version varint,
+        then (field-id varint, value) pairs; varints put the
+        extra-byte count as trailing 1-bits of the first byte;
+        signed fields zigzag; strings length-prefixed; the
+        optional fields 7/10/11 are omitted, exercising the
+        reader's id-skip). Without them: the legacy opaque
+        stand-in an r11-era reader refuses — kept as the
+        conservative-fallback fixture."""
+        if payload is None and sid_hex is None:
+            payload = b"\x02\x01\x00"
+        if payload is None:
+            def vu(v: int) -> bytes:      # unsigned varint
+                n = 1
+                while n <= 8 and v >= (1 << (7 * n)):
+                    n += 1
+                if n > 8:
+                    return b"\xff" + v.to_bytes(8, "little")
+                return ((v << n) | ((1 << (n - 1)) - 1)) \
+                    .to_bytes(n, "little")
+
+            def vs(v: int) -> bytes:      # signed (zigzag) varint
+                return vu((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+            t = tag.encode()
+            payload = (
+                vu(1)                                 # format version
+                + vu(0) + bytes([0])                  # gtid_flags
+                + vu(1) + bytes.fromhex(sid_hex)      # uuid
+                + vu(2) + vs(gno)                     # gno
+                + vu(3) + vu(len(t)) + t              # tag
+                + vu(4) + vs(0)                       # last_committed
+                + vu(5) + vs(1)                       # sequence_number
+                + vu(6) + vu(1_700_000_000_000_000)   # immediate_ts
+                + vu(8) + vu(0)                       # txn_length
+                + vu(9) + vu(80300))                  # server_version
         self._emit(42, payload)
 
     def previous_gtids(self, sid_hex: str, upto: int) -> None:

@@ -1783,3 +1783,133 @@ def test_previous_gtids_tagged_purge_gate(tmp_path):
     ok = _mk_reader(d, startingGtids=f"{u}:patch:1-3")
     off = ok.initialOffset()
     assert off["file"] == "binlog.000003.bin"
+
+
+def test_starting_gtids_skips_covered_tagged_transactions(spark,
+                                                          tmp_path):
+    """r11 verdict #5 (precise tagged resume): with the type-42
+    body DECODED, a covered tagged transaction is skipped like any
+    covered plain transaction — the scan resumes past it at the
+    first genuinely-uncovered anchor instead of the r11
+    conservative window (which re-delivered every covered tagged
+    transaction on a tag-heavy 8.3+ primary). Executed-set
+    tracking accumulates the tagged identity (uuid:tag:gno
+    namespace, disjoint from the untagged one)."""
+    from tests.fixtures.binlog_wire_encoder import (LONG, VARCHAR,
+                                                    BinlogWriter)
+
+    sid = "0f81a2b3c4d5e6f7081922aabbccddee"
+    cols = [(LONG, 0), (VARCHAR, 64)]
+    w = BinlogWriter()
+    w.format_description()
+    w.gtid(sid, 1)
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[1, "plain-1"]])
+    w.xid(901)
+    w.tagged_gtid(sid, gno=1, tag="patch")       # real 8.3 body
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[2, "tagged-2"]])
+    w.xid(902)
+    w.gtid(sid, 2)
+    w.query("shop", "BEGIN")
+    w.table_map(7, "shop", "orders", cols)
+    w.write_rows(7, cols, [[3, "plain-3"]])
+    w.xid(903)
+    d = str(tmp_path / "tagged_precise")
+    os.makedirs(d)
+    with open(os.path.join(d, "binlog.000001.bin"), "wb") as f:
+        f.write(w.bytes())
+
+    uuid = f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-" \
+           f"{sid[16:20]}-{sid[20:32]}"
+    # plain :1 AND the tagged transaction are covered; plain :2 is
+    # not — resume must land exactly there, WITHOUT replaying the
+    # tagged transaction the r11 conservative boundary re-delivered
+    q = _start_gtids(spark, d, "gt_tag_skip", str(tmp_path / "ck"),
+                     f"{uuid}:1,{uuid}:patch:1")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM gt_tag_skip").collect()
+    assert [(r.action, r.org_row[0]) for r in rows] == \
+        [("insert", ["3", "plain-3"])]
+
+    # the tagged identity must NOT leak into the untagged
+    # namespace: covering uuid:1-2 (untagged) alone leaves the
+    # tagged transaction uncovered -> it IS delivered
+    q2 = _start_gtids(spark, d, "gt_tag_ns", str(tmp_path / "ck2"),
+                      f"{uuid}:1-2")
+    q2.processAllAvailable()
+    q2.stop()
+    rows2 = spark.sql("SELECT * FROM gt_tag_ns").collect()
+    assert [(r.action, r.org_row[0]) for r in rows2] == \
+        [("insert", ["2", "tagged-2"]), ("insert", ["3", "plain-3"])]
+
+    # offset-carried executed sets track the tagged transaction
+    rd = _mk_reader(d, startingGtids=f"{uuid}:1")
+    scanned = rd._scan_gtids()
+    assert scanned.covers(f"{uuid}:patch:1")
+    assert scanned.covers(f"{uuid}:2")
+    assert not scanned.covers(f"{uuid}:patch:2")
+
+
+def test_tagged_body_decode_and_conservative_fallback():
+    """The mysql::serialization decoder: round-trips the fixture
+    encoder's independently-written bodies (plain and >1-byte
+    varints, empty and max-length tags), tolerates the 4-byte CRC
+    tail a header-walk read includes, and rejects malformed bodies
+    (truncation, bad tag charset, zero gno, unknown/decreasing
+    field ids) -> None, which every caller maps to the r11
+    conservative resume boundary."""
+    from galaxy_spark.cdc.mysql_serialization import (
+        decode_tagged_gtid, read_varsint, read_varuint,
+        write_varsint, write_varuint)
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter
+
+    # varint roundtrips incl. every byte-length boundary
+    for v in (0, 1, 63, 64, 127, 128, 16383, 16384, (1 << 21) - 1,
+              1 << 21, (1 << 49) - 1, 1 << 49, (1 << 56) - 1,
+              1 << 56, (1 << 63) + 5, (1 << 64) - 1):
+        buf = write_varuint(v)
+        got, off = read_varuint(buf, 0)
+        assert (got, off) == (v, len(buf)), v
+    for v in (0, 1, -1, 5, -5, (1 << 62), -(1 << 62)):
+        buf = write_varsint(v)
+        got, off = read_varsint(buf, 0)
+        assert (got, off) == (v, len(buf)), v
+
+    sid = "00112233445566778899aabbccddeeff"
+    uuid = "00112233-4455-6677-8899-aabbccddeeff"
+
+    def body(gno, tag):
+        w = BinlogWriter()
+        w.format_description()
+        w.tagged_gtid(sid, gno=gno, tag=tag)
+        # extract the last event's body (fixture emits checksummed
+        # FDE first; tagged event body = bytes after its header)
+        return w.last_body()
+
+    for gno, tag in ((1, "patch"), (7, ""), (123456789, "x"),
+                     ((1 << 62) + 3, "a" * 32),
+                     (1, "maint_2024")):
+        got = decode_tagged_gtid(body(gno, tag))
+        assert got == (uuid, tag, gno), (gno, tag, got)
+        # CRC-tail tolerance (checksum-on header-walk reads)
+        assert decode_tagged_gtid(body(gno, tag) + b"\x01\x02\x03\x04") \
+            == (uuid, tag, gno)
+
+    ok = body(5, "patch")
+    assert decode_tagged_gtid(b"\x02\x01\x00") is None  # r11 opaque
+    assert decode_tagged_gtid(ok[:10]) is None          # truncated
+    assert decode_tagged_gtid(b"") is None
+    bad_tag = body(5, "ok")
+    assert decode_tagged_gtid(bad_tag.replace(b"\x04ok", b"\x04-k")) \
+        is None                                         # tag charset
+    assert decode_tagged_gtid(body(5, "t") + b"\x99") is None
+    # zero gno is invalid (GNOs start at 1)
+    from tests.fixtures.binlog_wire_encoder import BinlogWriter as BW
+    w = BW()
+    w.format_description()
+    w.tagged_gtid(sid, gno=0, tag="t")
+    assert decode_tagged_gtid(w.last_body()) is None
