@@ -508,3 +508,84 @@ def test_stateful_task_store_write_strategies(spark, tmp_path):
                 task_id="bad", task_kind="search_index",
                 index_options={"delta_threshold": bad}))
     assert mgr.tasks == {}
+
+
+def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
+    """One TaskManager running all three task kinds AT ONCE — cdc
+    replication, the near-dup index, the search index — with
+    per-task checkpoint dirs and store roots that never collide:
+    stopping/deleting one task leaves the others' queries running
+    and their state untouched, and each task's answers equal its
+    single-task twin's (store isolation, not just liveness)."""
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.queries.indexing import _BM25_TERMS
+    from galaxy_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    ev_src = str(tmp_path / "mk_events")
+    load_table(spark, SF, "events").write.parquet(ev_src)
+    doc_src = str(tmp_path / "mk_docs")
+    docs.coalesce(1).write.parquet(doc_src)
+
+    def factory(spark_, spec):
+        if spec.task_kind == "cdc":
+            static = spark_.read.parquet(ev_src)
+            return envelope_from_events(
+                spark_.readStream.schema(static.schema)
+                .parquet(ev_src))
+        return (spark_.readStream.schema(docs.schema)
+                .parquet(doc_src))
+
+    mgr = TaskManager(spark, str(tmp_path / "mk_state"), factory)
+    mgr.create_task(TaskSpec(task_id="repl",
+                             columns=list(EVENT_SOURCE_COLUMNS),
+                             sink_kind="memory"))
+    mgr.create_task(TaskSpec(task_id="ndx",
+                             task_kind="near_dup_index"))
+    mgr.create_task(TaskSpec(task_id="six",
+                             task_kind="search_index"))
+    assert sorted(mgr.queries) == ["ndx", "repl", "six"]
+    mgr.await_all()
+
+    # isolation of the on-disk layout: three disjoint checkpoint
+    # dirs, two disjoint store roots (cdc keeps no store root)
+    cks = {tid: mgr.checkpoint_dir(mgr.tasks[tid])
+           for tid in mgr.tasks}
+    assert len(set(cks.values())) == 3
+    roots = {tid: mgr.store_root(mgr.tasks[tid])
+             for tid in ("ndx", "six")}
+    assert roots["ndx"] != roots["six"]
+    assert os.path.isdir(os.path.join(roots["ndx"], "doc"))
+    assert os.path.isdir(os.path.join(roots["six"], "postings"))
+
+    # each task's answers == its batch twin while the OTHERS run
+    want_pairs = sorted((r.id_a, r.id_b, r.jaccard)
+                        for r in all_queries()["dedup_minhash_lsh"](
+                            spark, SF).collect())
+    got_pairs = sorted((r.id_a, r.id_b, r.jaccard)
+                       for r in mgr.near_dup_pairs("ndx").collect())
+    assert got_pairs == want_pairs and len(want_pairs) >= 3
+    want_bm = [(r.doc_id, r.bm25, r.n_terms) for r in
+               all_queries()["text_bm25_search"](spark, SF).collect()]
+    got_bm = [(r.doc_id, r.bm25, r.n_terms) for r in
+              mgr.search_bm25("six", _BM25_TERMS).collect()]
+    assert got_bm == want_bm and len(want_bm) == 20
+    n_changes = spark.sql("SELECT count(*) c FROM repl") \
+        .collect()[0].c
+    assert n_changes > 0
+
+    # stopping one kind leaves the others live; deleting it drops
+    # ONLY its state
+    mgr.stop_task("ndx")
+    assert mgr.queries["repl"].isActive and mgr.queries["six"].isActive
+    mgr.delete_task("ndx")
+    assert not os.path.isdir(roots["ndx"])
+    assert os.path.isdir(roots["six"])
+    assert os.path.isdir(cks["six"]) and os.path.isdir(cks["repl"])
+    # the survivors still answer after the sibling's deletion
+    assert [(r.doc_id, r.bm25, r.n_terms) for r in
+            mgr.search_bm25("six", _BM25_TERMS).collect()] == want_bm
+    mgr.stop_task("repl")
+    mgr.stop_task("six")
