@@ -452,3 +452,115 @@ def test_mariadb_corrupt_gtid_list_refused(tmp_path):
     rd = _mk_reader(d)
     with pytest.raises(ValueError, match="corrupt MariaDB GTID_LIST"):
         rd._scan_gtids()
+
+
+def test_mariadb_reference_shape_chain(spark, tmp_path):
+    """MariaDB twin of the MySQL reference-shape chain test
+    (test_binlog_source.py::test_reference_shape_pipeline_end_to_end):
+    fake-master WIRE bytes -> relay writer -> galaxy_binlog source
+    with flavor=mariadb -> db filter -> projections -> keyed topic
+    sink -> a downstream consumer folding the published topic into
+    the durable snapshot store — with a producer kill/restart
+    between two wire passes (recovery_v1 from the same checkpoint:
+    phase A's events are not re-published) and the second pass
+    resuming over the flavor's own connect-state GTIDs."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.cdc.filters import TaskFilter
+    from galaxy_spark.sinks_topic import TopicFilesDataSource
+    from galaxy_spark.sources.binlog_source import BinlogDataSource
+    from galaxy_spark.streaming.pipeline import (SinkConfig,
+                                                 start_pipeline)
+    from galaxy_spark.streaming.snapshot import partial_snapshot
+    from galaxy_spark.streaming.state_store import ParquetSnapshotStore
+
+    for ds in (BinlogDataSource, TopicFilesDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass
+
+    relay = str(tmp_path / "m_relay")
+    txns, fde = _mariadb_stream_fixture()
+
+    # phase A: the master has only the first two groups; the relay
+    # writer lands them in a segment
+    cs, ss = socket.socketpair()
+    m1 = FakeMariaDbMaster(ss, txns[:2], fde)
+    m1.start()
+    n1 = rc.relay_to_segments(cs, USER, PASSWORD, server_id=99,
+                              file="mariadb-bin.000001", pos=4,
+                              out_dir=relay, flavor="mariadb",
+                              gtid_set=rc.MariaDbGtidSet())
+    m1.join(timeout=10)
+    assert m1.error is None and n1 > 0
+
+    topics = str(tmp_path / "m_topics")
+    ckpt = str(tmp_path / "m_ck")
+
+    def start():
+        raw = (spark.readStream.format("galaxy_binlog")
+               .option("path", relay)
+               .option("flavor", "mariadb").load())
+        env = raw.select(
+            "database", "table", "action", "org_row",
+            F.struct(F.col("ts_sec").alias("timestamp"),
+                     F.col("log_pos").alias("log_pos"))
+            .alias("event_header"))
+        return start_pipeline(
+            env, "t_mdb", TaskFilter(databases=("shop",)),
+            ["id", "note"],
+            SinkConfig("topic_files", {"path": topics}), ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()                                   # the "kill"
+
+    # phase B: a second wire pass, connect state = what the relay
+    # already holds — the master serves ONLY the remaining group,
+    # the relay appends it, the restarted pipeline publishes it
+    cs2, ss2 = socket.socketpair()
+    m2 = FakeMariaDbMaster(ss2, txns, fde)
+    m2.start()
+    n2 = rc.relay_to_segments(cs2, USER, PASSWORD, server_id=99,
+                              file="mariadb-bin.000001", pos=4,
+                              out_dir=relay, flavor="mariadb",
+                              gtid_set=rc.MariaDbGtidSet.parse("0-41-2"))
+    m2.join(timeout=10)
+    assert m2.error is None and n2 > 0
+    assert m2.seen["served"] == [(1, 1)]
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    msgs = []
+    for f in glob.glob(f"{topics}/t_mdb.shop.orders/batch-*.jsonl"):
+        with open(f) as fh:
+            msgs.extend(json.loads(ln) for ln in fh)
+    # conservation across the restart: three inserts total, exactly
+    # once each, all keyed db.table
+    assert len(msgs) == 3
+    assert {m["key"] for m in msgs} == {"shop.orders"}
+    assert sorted(os.listdir(topics)) == ["t_mdb.shop.orders"]
+
+    # downstream consumer: topic -> snapshot store fold
+    vschema = ("database string, `table` string, action string, "
+               "before map<string,string>, after map<string,string>, "
+               "org_row array<array<string>>, "
+               "event_header struct<timestamp:bigint,log_pos:bigint>")
+    raw = spark.read.json(f"{topics}/t_mdb.shop.orders/batch-*.jsonl",
+                          schema="key string, value string")
+    img = F.coalesce(F.col("m.after"), F.col("m.before"))
+    changes = (raw.select(F.from_json("value", vschema).alias("m"))
+               .select("m.database", "m.table", "m.action",
+                       F.element_at(img, "id").cast("long").alias("pk"),
+                       F.element_at(img, "id").cast("double").alias("v"),
+                       F.col("m.event_header.log_pos").alias("pos")))
+    store = ParquetSnapshotStore(spark, str(tmp_path / "m_snap"))
+    store.merge(partial_snapshot(changes), "mconsume.000000000000")
+    assert [(r[0], r[1], r[2]) for r in store.snapshot()] == \
+        [("shop", "orders", 10), ("shop", "orders", 20),
+         ("shop", "orders", 30)]
