@@ -879,3 +879,72 @@ def decay_scores_from_aged(aged: DataFrame) -> DataFrame:
                  F.sum(F.when(recent, F.col("n"))
                        .otherwise(F.lit(0)))
                  .cast("long").alias("n_recent")))
+
+
+@register(
+    "events_timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, h.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(t0, t1,
+                                  INTERVAL 1 HOUR)) AS hour
+                    FROM bounds) h
+    ), hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           CAST(COALESCE(hourly.n_events, 0) AS BIGINT) AS n_events,
+           CAST(SUM(COALESCE(hourly.n_events, 0)) OVER (
+                PARTITION BY g.event_type ORDER BY g.hour
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_24h
+    FROM grid g LEFT JOIN hourly
+      ON g.event_type = hourly.event_type AND g.hour = hourly.hour
+    """,
+)
+def events_timeseries_gapfill(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Regularized time series with gap-fill: the (event_type x
+    hour) grid over the stream's full span, empty hours ZERO-FILLED,
+    plus a trailing-24h moving sum per type — the downsample-and-
+    window shape every monitoring/feature pipeline needs, and the
+    one a bare groupBy gets silently wrong (missing hours simply
+    vanish, so windows span gaps as if they were adjacent; at
+    sf0.01 each type leaves ~40-50 of the ~720 hours empty).
+
+    Shape at scale: the calendar grid is SYNTHESIZED, not scanned —
+    a 1-row bounds agg feeds one sequence() explode (O(calendar
+    hours), thousands of rows for years of data) cross-joined with
+    the broadcast distinct type set; the raw scan is touched once by
+    a partial-aggregated (type, hour) rollup whose key space is also
+    calendar-bounded. The moving sum windows over O(calendar) rows
+    per type, NEVER raw events — window cost is independent of
+    event volume. All-integer counts/sums, so the hash cannot drift
+    on float summation order."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"))
+    hours = bounds.select(F.explode(
+        F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour"))
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    hourly = (ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").cast("long").alias("n_events")))
+    filled = (grid.join(hourly, ["event_type", "hour"], "left")
+              .select("event_type", "hour",
+                      F.coalesce("n_events", F.lit(0))
+                      .cast("long").alias("n_events")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-23, 0))
+    return filled.select(
+        "event_type", "hour", "n_events",
+        F.sum("n_events").over(w).cast("long").alias("trailing_24h"))

@@ -19,7 +19,7 @@ the per-round plan is identical either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from galaxy_spark.registry import register
@@ -813,3 +813,93 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .union(improved))
         frontier = improved
     return dist.select(F.col("node").alias("part"), "cost")
+
+
+@register(
+    "similarity_item_cf_topk",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co_orders
+        FROM baskets a JOIN baskets b
+          ON a.o = b.o AND a.p <> b.p
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM baskets GROUP BY 1
+    ), scored AS (
+        SELECT part_a, part_b, n_co_orders,
+               CAST(n_co_orders * n_co_orders * 10000
+                    // (da.d * db.d) AS BIGINT) AS cos2_bp
+        FROM pairs
+        JOIN deg da ON part_a = da.p
+        JOIN deg db ON part_b = db.p
+    )
+    SELECT part_a, part_b, n_co_orders, cos2_bp,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY part_a
+              ORDER BY cos2_bp DESC, part_b) AS rnk
+          FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def similarity_item_cf_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-3
+    most-similar parts by co-occurrence cosine over order baskets —
+    sim(a,b) = co(a,b) / sqrt(|a| |b|) — the classic
+    "customers who bought X also bought" neighborhood model, and the
+    recommendation-side reading of the co-purchase graph the
+    PageRank/k-core queries mine structurally.
+
+    Cross-engine determinism: the cosine is ranked through its
+    SQUARE in integer basis points — cos2_bp = floor(co^2 * 10^4 /
+    (|a|·|b|)) via BIGINT floor-div on both engines — because
+    sqrt() is a libm call whose last bit differs across engines and
+    a last-bit flip at a rank boundary flips the emitted row set.
+    Squaring is monotone on non-negatives, so the ranking is the
+    cosine ranking exactly; ties break on part_b.
+
+    Shape at scale: basket self-join blocked on the order key (never
+    all-pairs across parts — a part pair meets only inside an
+    order), pair counts partial-aggregate onto (a, b), degrees onto
+    |parts| rows broadcast back, and the top-3 runs as row_number
+    over the pair frame — Spark plans a WindowGroupLimit partial
+    top-k below the exchange, so the full ranked set never
+    shuffles. Skew note: a basket of k parts emits k(k-1) pairs;
+    TPC-H orders are bounded (<= 7 lines), and for power-law
+    baskets the standard fix is capping or sampling mega-baskets
+    before the self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct()
+               .localCheckpoint(eager=False))
+    pairs = (baskets.alias("a")
+             .join(baskets.alias("b"),
+                   (F.col("a.o") == F.col("b.o"))
+                   & (F.col("a.p") != F.col("b.p")))
+             .groupBy(F.col("a.p").alias("part_a"),
+                      F.col("b.p").alias("part_b"))
+             .agg(F.count("*").cast("long").alias("n_co_orders")))
+    deg = baskets.groupBy(F.col("p")).agg(
+        F.count("*").cast("long").alias("d"))
+    scored = (pairs
+              .join(F.broadcast(deg.withColumnRenamed("p", "part_a")
+                                .withColumnRenamed("d", "da")),
+                    "part_a")
+              .join(F.broadcast(deg.withColumnRenamed("p", "part_b")
+                                .withColumnRenamed("d", "db")),
+                    "part_b")
+              .select("part_a", "part_b", "n_co_orders",
+                      F.expr("CAST(n_co_orders * n_co_orders * 10000"
+                             " DIV (da * db) AS BIGINT)")
+                      .alias("cos2_bp")))
+    w = Window.partitionBy("part_a").orderBy(
+        F.col("cos2_bp").desc(), F.col("part_b"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 3)
+            .select("part_a", "part_b", "n_co_orders", "cos2_bp",
+                    "rank"))

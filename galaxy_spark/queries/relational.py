@@ -1371,3 +1371,48 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_overlaps"),
                  F.max(overlap_days).cast("integer")
                  .alias("max_overlap_days")))
+
+
+@register(
+    "join_lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+           t.o_orderdate, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 2) t
+    """,
+)
+def join_lateral_topk_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each customer's two most recent
+    orders — the per-row-subquery surface (SQL:1999 LATERAL /
+    CROSS APPLY) modern engines expose and report generators lean
+    on. Expressed as actual LATERAL SQL on BOTH engines, not a
+    window rewrite, to certify the decorrelation path itself.
+
+    Shape at scale: Catalyst decorrelates the per-customer LIMIT
+    subquery into a WindowGroupLimit (a PARTIAL top-2 per o_custkey
+    below the exchange — map-side, so at most 2 rows per customer
+    per task ever shuffle) + row_number filter + an equi-join back
+    to customer; nothing resembling a per-row subquery execution
+    survives in the physical plan (pinned in test_plans). Ties
+    break on o_orderkey DESC, so the emitted row set is
+    deterministic on both engines."""
+    load_table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders") \
+        .createOrReplaceTempView("lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+               t.o_orderdate, t.o_totalprice
+        FROM lat_customer c, LATERAL (
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 2) t
+    """)

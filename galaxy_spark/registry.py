@@ -202,6 +202,10 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "events_decay_score",
     "join_interval_overlap",
     "graph_sssp_weighted",
+    # r12 additions
+    "events_timeseries_gapfill",
+    "similarity_item_cf_topk",
+    "join_lateral_topk_orders",
 )
 
 

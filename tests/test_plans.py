@@ -905,3 +905,56 @@ def test_sssp_relax_round_is_frontier_shaped(q):
     assert p.count("FileScan") == 0, \
         "rounds must read the checkpointed weighted-edge frame, " \
         "not rebuild the co-purchase graph from the scan"
+
+
+def test_gapfill_grid_is_synthesized_not_scanned(q):
+    """The gap-filled series (r12) must synthesize its calendar
+    grid from a 1-row bounds agg + sequence() explode — the events
+    table scans for the bounds and the hourly rollup, never once
+    per grid row — and the moving sum windows over the
+    calendar-bounded frame (one Window, partial-aggregated
+    rollup)."""
+    from galaxy_spark.plans import physical_plan
+
+    import re
+
+    df = q("events_timeseries_gapfill")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "Generate" in p, "sequence() explode missing"
+    assert "partial_count" in p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3, \
+        "bounds + distinct types + hourly rollup — anything more " \
+        "re-reads events per grid row"
+
+
+def test_item_cf_topk_partial_windowgrouplimit(q):
+    """Item-item CF (r12): the per-item top-3 must run as a
+    WindowGroupLimit (partial top-k BELOW the exchange, so at most
+    3 rows per item per task shuffle for the rank), degrees attach
+    as broadcast joins, and the basket self-join is an equi-join on
+    the order key — never a cartesian."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("similarity_item_cf_topk")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert broadcast_join_count(df) >= 2
+    assert "partial_count" in p
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(q):
+    """The LATERAL per-customer LIMIT subquery (r12) must
+    decorrelate: WindowGroupLimit partial top-2 + row_number filter
+    + ONE equi-join back to customer — no per-row subquery
+    execution shape (no nested-loop join) in the physical plan."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("join_lateral_topk_orders")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p
+    assert "row_number" in p
