@@ -929,16 +929,27 @@ def events_timeseries_gapfill(spark: SparkSession,
     event volume. All-integer counts/sums, so the hash cannot drift
     on float summation order."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"))
-    hours = bounds.select(F.explode(
-        F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour"))
-    types = ev.select("event_type").distinct()
-    grid = hours.crossJoin(F.broadcast(types))
     hourly = (ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count("*").cast("long").alias("n_events")))
+    return gapfill_from_hourly(hourly)
+
+
+def gapfill_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Grid synthesis + zero-fill + trailing-24h window over any
+    (event_type, hour, n_events) frame — shared with the streaming
+    rollup-store reader (``streaming_gapfill``), imported not
+    copied, so the calendar/window arithmetic cannot drift between
+    tiers. Bounds come from the hourly frame's own min/max hour,
+    which equal the raw stream's truncated min/max ts by
+    construction (truncation is monotone)."""
+    hourly = hourly.localCheckpoint(eager=False)   # used three ways
+    bounds = hourly.agg(F.min("hour").alias("t0"),
+                        F.max("hour").alias("t1"))
+    hours = bounds.select(F.explode(
+        F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour"))
+    types = hourly.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
     filled = (grid.join(hourly, ["event_type", "hour"], "left")
               .select("event_type", "hour",
                       F.coalesce("n_events", F.lit(0))

@@ -2596,3 +2596,24 @@ def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:
                         F.timestamp_micros(F.col("t")).alias("ts"))
                 .localCheckpoint(eager=False))   # feeds f AND a
     return retention_cohorts_from_events(ev_times)
+
+
+def streaming_gapfill(store: ParquetRollupStore) -> DataFrame:
+    """Regularized gap-filled hourly series off the continuously
+    maintained multi-grain rollup store: the hour-grain state rows
+    feed the batch query's exact grid/zero-fill/moving-window tree
+    (``queries.events.gapfill_from_hourly``, imported), so over the
+    same events this equals ``events_timeseries_gapfill``
+    field-for-field — while reading O(types x calendar hours)
+    state rows however long the stream has run, never raw events
+    (the sliding-sketch discipline: the store keeps sufficient
+    statistics, readers derive the presentation)."""
+    from galaxy_spark.queries.events import gapfill_from_hourly
+
+    hourly = (store.state()
+              .filter(F.col("grain") == "hour")
+              .select("event_type",
+                      F.col("bucket_start").alias("hour"),
+                      F.col("n_events").cast("long")
+                      .alias("n_events")))
+    return gapfill_from_hourly(hourly)

@@ -3761,3 +3761,43 @@ def test_event_index_retention_bounds_state(spark, tmp_path):
     with pytest.raises(ValueError, match="retention_days"):
         ParquetEventIndexStore(spark, str(tmp_path / "bad"),
                                retention_days=0)
+
+
+def test_streaming_gapfill_matches_batch(spark, tmp_path):
+    """The gap-filled hourly series off the continuously maintained
+    rollup store equals the batch ``events_timeseries_gapfill``
+    field-for-field — including zero rows for hours NO event ever
+    touched (the store holds only occupied buckets; the reader's
+    grid synthesis must regenerate the gaps) — with events
+    interleaved across micro-batches and a replayed epoch."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetRollupStore, start_incremental_rollup_parquet,
+        streaming_gapfill)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "gf_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetRollupStore(spark, str(tmp_path / "gf_store"))
+    store.delta_threshold = 2
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_incremental_rollup_parquet(stream, store,
+                                         str(tmp_path / "gf_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.event_type, r.hour, r.n_events, r.trailing_24h)
+                 for r in streaming_gapfill(store).collect())
+    want = sorted((r.event_type, r.hour, r.n_events, r.trailing_24h)
+                  for r in all_queries()["events_timeseries_gapfill"](
+                      spark, SF).collect())
+    assert got == want and len(want) > 100
+    assert any(n == 0 for _, _, n, _ in got), \
+        "no zero-filled hour: the gap regeneration went untested"
