@@ -832,16 +832,15 @@ def decode_binlog(blob: bytes) -> list[DecodedEvent]:
             # undecodable conservative resume boundary exactly as
             # in r11 (re-delivery, never a silent skip), so a
             # format misread degrades, never loses data.
-            from galaxy_spark.cdc.mysql_serialization import \
-                decode_tagged_gtid
+            from galaxy_spark.cdc.mysql_serialization import (
+                decode_tagged_gtid, tagged_gtid_text)
 
+            # the body is already CRC-trimmed here, so strict mode:
+            # the final bytes parse and validate like any others
             parsed = decode_tagged_gtid(r.rest())
-            gtid_txt = (f"{parsed[0]}:{parsed[1]}:{parsed[2]}"
-                        if parsed and parsed[1]
-                        else f"{parsed[0]}:{parsed[2]}"
-                        if parsed else None)
-            events.append(DecodedEvent("gtid_tagged", ts, log_pos,
-                                       gtid=gtid_txt))
+            events.append(DecodedEvent(
+                "gtid_tagged", ts, log_pos,
+                gtid=tagged_gtid_text(parsed) if parsed else None))
         elif etype == ROWS_QUERY_EVENT:
             r.u8()                          # length byte (truncated)
             events.append(DecodedEvent(

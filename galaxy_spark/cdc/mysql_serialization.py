@@ -120,14 +120,22 @@ def write_varsint(value: int) -> bytes:
                          if value < 0 else value << 1)
 
 
-def decode_tagged_gtid(body: bytes) -> tuple[str, str, int] | None:
+def decode_tagged_gtid(body: bytes,
+                       crc_tail: bool = False
+                       ) -> tuple[str, str, int] | None:
     """(uuid_text, tag, gno) from a GTID_TAGGED_EVENT body, or
     None when the body does not VALIDATE as one — truncation, a
     non-increasing or unknown field id, a malformed tag, an
-    out-of-range gno, or a field boundary that lands neither at
-    the end of the buffer nor exactly 4 bytes before it (the CRC
-    trailer of checksum-on header-walk reads). Callers treat None
-    as the conservative resume boundary."""
+    out-of-range gno, or a field boundary that does not land at
+    the end of the buffer. ``crc_tail=True`` additionally accepts
+    a boundary exactly 4 bytes before the end — for HEADER-WALK
+    reads, which include the event's CRC32 trailer when checksums
+    are on and cannot know the mode. Callers that already
+    CRC-trimmed the body (decode_binlog) keep the default strict
+    mode, so their last 4 bytes are parsed and validated like any
+    others (r12 review: the unconditional tolerance skipped them
+    unvalidated). Callers treat None as the conservative resume
+    boundary."""
     try:
         off = 0
         version, off = read_varuint(body, off)
@@ -136,7 +144,8 @@ def decode_tagged_gtid(body: bytes) -> tuple[str, str, int] | None:
         flags = uuid_hex = tag = gno = None
         last_id = -1
         while off < len(body):
-            if len(body) - off == 4 and flags is not None:
+            if crc_tail and len(body) - off == 4 \
+                    and flags is not None:
                 break                    # CRC32 trailer
             fid, off = read_varuint(body, off)
             if fid <= last_id or fid not in _FIELDS:
@@ -168,7 +177,9 @@ def decode_tagged_gtid(body: bytes) -> tuple[str, str, int] | None:
                 gno = val
             elif fid == 3:
                 tag = val
-        if off not in (len(body), len(body) - 4):
+        ok_ends = ((len(body), len(body) - 4) if crc_tail
+                   else (len(body),))
+        if off not in ok_ends:
             return None
         if flags is None or uuid_hex is None or gno is None \
                 or tag is None:
@@ -183,3 +194,14 @@ def decode_tagged_gtid(body: bytes) -> tuple[str, str, int] | None:
         return uuid_txt, tag.lower(), gno
     except (ValueError, UnicodeDecodeError):
         return None
+
+
+def tagged_gtid_text(parsed: tuple[str, str, int]) -> str:
+    """``uuid:tag:gno`` (or ``uuid:gno`` for an empty tag) from a
+    decode_tagged_gtid tuple — ONE rendering shared by the event
+    decoder and the source's header walks, so the gtid strings in
+    DecodedEvents and the offset-carried executed sets cannot
+    drift (r12 review)."""
+    uuid_txt, tag, gno = parsed
+    return (f"{uuid_txt}:{tag}:{gno}" if tag
+            else f"{uuid_txt}:{gno}")

@@ -457,13 +457,26 @@ class TaskManager:
     # -- boot recovery (T2) -----------------------------------------
     def recover_all(self) -> list[str]:
         """Boot-time re-launch of all non-stopped tasks
-        (``scheduler.go:69-116``)."""
+        (``scheduler.go:69-116``). Failures are isolated PER TASK
+        (r12 review: one unstartable spec — e.g. a legacy
+        ``delta_threshold`` value the stricter validation now
+        rejects — must not abort recovery for every task behind it;
+        the reference's own taskRecovery logs and continues).
+        Failed task ids -> exceptions land in ``recovery_errors``
+        for the operator; the task stays registered and stopped so
+        it can be fixed and resumed."""
         self.tasks = self._load_meta()
+        self.recovery_errors: dict[str, Exception] = {}
         started = []
         for tid, spec in self.tasks.items():
-            if not spec.stopped:
+            if spec.stopped:
+                continue
+            try:
                 self._start(spec)
                 started.append(tid)
+            except Exception as exc:        # noqa: BLE001 — isolate
+                self.recovery_errors[tid] = exc
+                spec.stopped = True
         return started
 
     # -- introspection ----------------------------------------------

@@ -310,18 +310,16 @@ class BinlogStreamReader(DataSourceStreamReader):
         """GTID text (``uuid:tag:gno``) from a GTID_TAGGED_EVENT
         during a header walk, or None when the body does not
         validate (callers then take the conservative path). The
-        walk read includes the CRC trailer when checksums are on;
-        the decoder tolerates exactly that tail."""
-        from galaxy_spark.cdc.mysql_serialization import \
-            decode_tagged_gtid
+        walk read includes the CRC trailer when checksums are on
+        and the walk cannot know the mode — crc_tail=True tolerates
+        exactly that tail."""
+        from galaxy_spark.cdc.mysql_serialization import (
+            decode_tagged_gtid, tagged_gtid_text)
 
         f.seek(pos + 19)
-        parsed = decode_tagged_gtid(f.read(esize - 19))
-        if parsed is None:
-            return None
-        uuid_txt, tag, gno = parsed
-        return (f"{uuid_txt}:{tag}:{gno}" if tag
-                else f"{uuid_txt}:{gno}")
+        parsed = decode_tagged_gtid(f.read(esize - 19),
+                                    crc_tail=True)
+        return tagged_gtid_text(parsed) if parsed else None
 
     def _read_gtid_at(self, f, pos: int, esize: int,
                       where: str) -> str:

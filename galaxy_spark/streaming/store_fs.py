@@ -128,8 +128,19 @@ class PosixStoreFs(StoreFs):
     name = "posix"
 
     def version_names(self, bucket_dir: str) -> list[str]:
-        return [v for v in self.list_names(bucket_dir)
-                if v.startswith(("v-", "d-"))]
+        names = self.list_names(bucket_dir)
+        if _MANIFEST in names:
+            # READ-side twin of the publish tripwire (r12 review):
+            # a manifest-written bucket has no _COMMITTED markers,
+            # so a posix reader would silently treat its committed
+            # state as empty — loud refusal beats silent data loss,
+            # and the check is free (same listing).
+            raise ValueError(
+                f"{bucket_dir} was written with the 'manifest' "
+                "commit strategy; reopen the store with "
+                "fs='manifest' (a store path is bound to one "
+                "strategy for its lifetime)")
+        return [v for v in names if v.startswith(("v-", "d-"))]
 
     def committed(self, bucket_dir: str, version: str) -> bool:
         return os.path.exists(
@@ -198,12 +209,34 @@ class ManifestStoreFs(StoreFs):
 
     name = "manifest"
 
+    def __init__(self) -> None:
+        #: per-bucket (mtime, manifest) cache — one state() read
+        #: walks versions/committed/read_paths over the same
+        #: manifest many times (r12 review: each was a separate
+        #: load, and on the S3 backend a GET round-trip); the local
+        #: mtime check keeps a concurrent writer's atomic replace
+        #: visible. The S3 backend swaps this for a conditional GET
+        #: (If-None-Match on the cached ETag).
+        self._cache: dict[str, tuple[float, dict]] = {}
+
     # -- manifest I/O ---------------------------------------------
     def _load_manifest(self, bucket_dir: str) -> dict:
+        path = os.path.join(bucket_dir, _MANIFEST)
         try:
-            with open(os.path.join(bucket_dir, _MANIFEST)) as f:
-                return json.load(f)
+            mt = os.path.getmtime(path)
+            hit = self._cache.get(bucket_dir)
+            if hit is None or hit[0] != mt:
+                with open(path) as f:
+                    hit = (mt, json.load(f))
+                self._cache[bucket_dir] = hit
+            # SHALLOW COPY: publish/drop mutate the dict they get
+            # before the atomic put — handing out the cached object
+            # itself let a CRASHED publish's mutation leak into
+            # later reads as committed state (caught by the
+            # crash-window test when the cache landed)
+            return dict(hit[1])
         except (FileNotFoundError, NotADirectoryError):
+            self._cache.pop(bucket_dir, None)
             return {}
         # a torn manifest cannot exist under os.replace / S3 PUT
         # atomicity; json errors here mean external corruption and
@@ -219,14 +252,33 @@ class ManifestStoreFs(StoreFs):
             json.dump(manifest, f, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(bucket_dir, _MANIFEST))
+        dest = os.path.join(bucket_dir, _MANIFEST)
+        os.replace(tmp, dest)
         _fsync_path(bucket_dir)
+        self._cache[bucket_dir] = (os.path.getmtime(dest),
+                                   dict(manifest))
 
     # -- protocol -------------------------------------------------
     def version_names(self, bucket_dir: str) -> list[str]:
         # manifest entries ARE the committed set; orphan dirs from
         # pre-publish crashes have no name here and stay invisible
-        return list(self._load_manifest(bucket_dir))
+        manifest = self._load_manifest(bucket_dir)
+        if not manifest:
+            # READ-side tripwire (r12 review), checked only on the
+            # empty-manifest path so healthy reads stay listing-free:
+            # a bucket with posix-committed versions but no manifest
+            # means the store was written under the posix strategy —
+            # reading it as empty would silently drop all its state.
+            for v in self.list_names(bucket_dir):
+                if v.startswith(("v-", "d-")) and os.path.exists(
+                        os.path.join(bucket_dir, v, "_COMMITTED")):
+                    raise ValueError(
+                        f"{bucket_dir} holds posix-committed "
+                        f"version {v!r} and no manifest; reopen the "
+                        "store with the default posix strategy (a "
+                        "store path is bound to one strategy for "
+                        "its lifetime)")
+        return list(manifest)
 
     def committed(self, bucket_dir: str, version: str) -> bool:
         return version in self._load_manifest(bucket_dir)
@@ -279,7 +331,17 @@ class ManifestStoreFs(StoreFs):
     def read_paths(self, bucket_dir: str, version: str) -> list[str]:
         entry = self._load_manifest(bucket_dir).get(version)
         if entry is None:
-            return []                    # dropped since resolution
+            # dropped between resolution and read (a concurrent
+            # compaction's vacuum). Silently returning [] made the
+            # reader OMIT this bucket's rows — wrong answers (r12
+            # review); raise like the posix strategy's deleted-dir
+            # read does, so the caller can retry against the new
+            # current version (or set vacuum_grace_seconds to give
+            # in-flight readers a drain window).
+            raise FileNotFoundError(
+                f"store version {version!r} of {bucket_dir} was "
+                "vacuumed after being resolved; retry the read "
+                "(a concurrent compaction superseded it)")
         return [os.path.join(bucket_dir, version, f)
                 for f in entry["files"]]
 

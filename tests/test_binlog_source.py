@@ -1895,9 +1895,15 @@ def test_tagged_body_decode_and_conservative_fallback():
                      (1, "maint_2024")):
         got = decode_tagged_gtid(body(gno, tag))
         assert got == (uuid, tag, gno), (gno, tag, got)
-        # CRC-tail tolerance (checksum-on header-walk reads)
-        assert decode_tagged_gtid(body(gno, tag) + b"\x01\x02\x03\x04") \
+        # CRC-tail tolerance is OPT-IN (header-walk reads, which
+        # can't know the checksum mode); the strict default used by
+        # the CRC-trimming decoder rejects trailing garbage — it
+        # must parse and validate the final bytes like any others
+        # (r12 review)
+        tailed = body(gno, tag) + b"\x01\x02\x03\x04"
+        assert decode_tagged_gtid(tailed, crc_tail=True) \
             == (uuid, tag, gno)
+        assert decode_tagged_gtid(tailed) is None
 
     ok = body(5, "patch")
     assert decode_tagged_gtid(b"\x02\x01\x00") is None  # r11 opaque

@@ -589,3 +589,41 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
             mgr.search_bm25("six", _BM25_TERMS).collect()] == want_bm
     mgr.stop_task("repl")
     mgr.stop_task("six")
+
+
+def test_boot_recovery_isolates_bad_task_spec(spark, tmp_path):
+    """r12 review: one unstartable persisted spec (e.g. a legacy
+    delta_threshold value the stricter validation now rejects) must
+    not abort boot recovery for every task behind it — the good
+    tasks start, the bad one lands in recovery_errors flagged
+    stopped, recoverable after a config fix."""
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+
+    ev_src = str(tmp_path / "br_events")
+    load_table(spark, SF, "events").write.parquet(ev_src)
+
+    def factory(spark_, spec):
+        static = spark_.read.parquet(ev_src)
+        return envelope_from_events(
+            spark_.readStream.schema(static.schema).parquet(ev_src))
+
+    state = str(tmp_path / "br_state")
+    mgr = TaskManager(spark, state, factory)
+    # persist directly: the bad spec predates the validation (a
+    # create_task today would refuse it)
+    mgr.tasks["legacy_bad"] = TaskSpec(
+        task_id="legacy_bad", task_kind="search_index",
+        index_options={"delta_threshold": "many"})
+    mgr.tasks["good"] = TaskSpec(
+        task_id="good", columns=list(EVENT_SOURCE_COLUMNS),
+        sink_kind="memory")
+    mgr._persist()
+
+    mgr2 = TaskManager(spark, state, factory)
+    started = mgr2.recover_all()
+    assert started == ["good"]
+    assert set(mgr2.recovery_errors) == {"legacy_bad"}
+    assert "delta_threshold" in str(mgr2.recovery_errors["legacy_bad"])
+    assert mgr2.tasks["legacy_bad"].stopped
+    assert mgr2.queries["good"].isActive
+    mgr2.stop_task("good")

@@ -3604,7 +3604,11 @@ def test_manifest_drop_updates_visibility_before_bytes(tmp_path):
     with mock.patch.object(shutil, "rmtree", spy_rmtree):
         fs.drop_version(bd, "v-lin.000000000000")
     assert order == [False], "bytes deleted while still visible"
-    assert fs.read_paths(bd, "v-lin.000000000000") == []
+    # a read that resolved the version before the drop must fail
+    # LOUDLY (retryable), never silently omit the bucket's rows
+    # (r12 review)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        fs.read_paths(bd, "v-lin.000000000000")
 
 
 def test_cross_strategy_path_refused(spark, tmp_path):
@@ -3627,6 +3631,15 @@ def test_cross_strategy_path_refused(spark, tmp_path):
     wrong2 = _sum_store(spark, str(tmp_path / "y"), None)
     with pytest.raises(ValueError, match="manifest"):
         wrong2.merge(_batch_df(spark, rows), "lin.000000000001")
+
+    # READ side refuses too (r12 review): a pure reader opened with
+    # the wrong strategy previously saw committed state as EMPTY —
+    # silent data loss on e.g. a BM25 query over a stopped task
+    with pytest.raises(ValueError, match="manifest"):
+        _sum_store(spark, str(tmp_path / "y"), None).state()
+    with pytest.raises(ValueError, match="posix-committed"):
+        _sum_store(spark, str(tmp_path / "x"), None,
+                   fs="manifest").state()
 
 
 def test_rebucket_carries_fs_and_grace(spark, tmp_path):
