@@ -903,3 +903,90 @@ def similarity_item_cf_topk(spark: SparkSession,
             .filter(F.col("rank") <= 3)
             .select("part_a", "part_b", "n_co_orders", "cos2_bp",
                     "rank"))
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: every level is
+    referenced by the next round's count CTE, so each is
+    MATERIALIZED (the k-core lesson: DuckDB's default inlining of
+    multiply-referenced CTEs re-evaluates per reference)."""
+    head = _EDGES_CTE + """
+    , l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    , c{k} AS MATERIALIZED (
+        SELECT e.dst AS node, l.label,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM edges e JOIN l{k - 1} l ON e.src = l.node
+        GROUP BY 1, 2
+    ), l{k} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM c{k}) t
+        WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT node AS part, CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l{_LPA_ROUNDS}
+    """
+    return head + "".join(rounds) + tail
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3
+    rounds) over the part co-purchase graph: every node starts as
+    its own label, and each round adopts the label held by the
+    PLURALITY of its neighbors (ties -> smallest label) — the
+    near-linear community algorithm recommenders and near-dup
+    cluster pre-segmentation run where modularity methods don't
+    scale. Completes the graph family's third axis: connectivity
+    (CC/BFS/k-core), centrality (PageRank), now community
+    structure.
+
+    Determinism across engines: synchronous updates with a FIXED
+    round count and a total tie order — the winner per node
+    minimizes (-count, label), unique because labels are distinct
+    within a node's ballot — so both engines step through identical
+    label states; no float appears anywhere.
+
+    Shape at scale: each round is one edges ⋈ labels equi-join,
+    one partial-aggregated (node, label) ballot count, and one
+    max_by fold onto |V| rows — two bounded exchanges per round,
+    rounds fixed, the PageRank budget exactly. Label state is |V|
+    rows, eagerly checkpointed per round (the CC/k-core
+    discipline) so round r never re-evaluates rounds 1..r-1; the
+    final community_size window runs over |V| rows partitioned by
+    label."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li)
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(_LPA_ROUNDS):
+        ballots = (edges.join(labels, edges.src == labels.node)
+                   .groupBy(F.col("dst").alias("bnode"), "label")
+                   .agg(F.count("*").alias("cnt")))
+        labels = (ballots.groupBy(F.col("bnode").alias("node"))
+                  .agg(F.max_by(
+                      "label",
+                      F.struct(F.col("cnt"),
+                               (-F.col("label")).alias("nl")))
+                      .alias("label"))
+                  .localCheckpoint(eager=True))
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("part"),
+        F.col("label").cast("long").alias("community"),
+        F.count("*").over(w).cast("long").alias("community_size"))

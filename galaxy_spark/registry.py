@@ -206,6 +206,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "events_timeseries_gapfill",
     "similarity_item_cf_topk",
     "join_lateral_topk_orders",
+    "graph_label_propagation",
 )
 
 

@@ -961,3 +961,27 @@ def test_lateral_topk_decorrelates_to_window_group_limit(q):
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
     assert "row_number" in p
+
+
+def test_lpa_rounds_bounded_exchanges_no_rescan(q):
+    """Label propagation (r12): the output plan consumes the
+    per-round checkpointed label state and the checkpointed edge
+    frame — zero raw parquet re-scans — with the ballot argmax as a
+    partial-aggregated max_by fold (no Window in the round path;
+    the single Window is the final community_size count over |V|
+    rows)."""
+    import re
+
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_label_propagation")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    # the rounds ran eagerly behind per-round checkpoints (the
+    # CC/k-core discipline), so the OUTPUT plan is exactly: the
+    # community_size Window over the checkpointed |V|-row label
+    # state — zero raw parquet re-scans, no join residue
+    assert "Scan ExistingRDD" in p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, \
+        "rounds must consume the checkpointed edge/label frames"
