@@ -582,6 +582,14 @@ def events_anomaly_daily_counts(spark: SparkSession,
         "event_type",
         F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count("*").alias("n_events")))
+    return anomaly_from_daily(daily)
+
+
+def anomaly_from_daily(daily: DataFrame) -> DataFrame:
+    """The cross-multiplied |z| > 2 test over any (event_type, day,
+    n_events) frame — shared with the streaming rollup-store reader
+    (``streaming_anomaly``), imported not copied, so the integer
+    sufficient-statistics arithmetic cannot drift between tiers."""
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("n_events").alias("s"),

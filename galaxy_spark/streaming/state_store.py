@@ -2617,3 +2617,24 @@ def streaming_gapfill(store: ParquetRollupStore) -> DataFrame:
                       F.col("n_events").cast("long")
                       .alias("n_events")))
     return gapfill_from_hourly(hourly)
+
+
+def streaming_anomaly(store: ParquetRollupStore) -> DataFrame:
+    """Volume-anomaly flags off the continuously maintained rollup
+    store: the day-grain state rows feed the batch query's exact
+    cross-multiplied integer |z| > 2 test
+    (``queries.events.anomaly_from_daily``, imported), so over the
+    same events this equals ``events_anomaly_daily_counts``
+    field-for-field — while reading O(types x days) state rows
+    however long the stream has run, never raw events. With
+    ``streaming_gapfill`` this makes the rollup store a one-write
+    many-readers hub: rollup, gap-filled series, anomaly flags."""
+    from galaxy_spark.queries.events import anomaly_from_daily
+
+    daily = (store.state()
+             .filter(F.col("grain") == "day")
+             .select("event_type",
+                     F.to_date("bucket_start").alias("day"),
+                     F.col("n_events").cast("long")
+                     .alias("n_events")))
+    return anomaly_from_daily(daily)

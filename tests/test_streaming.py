@@ -3814,3 +3814,40 @@ def test_streaming_gapfill_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 100
     assert any(n == 0 for _, _, n, _ in got), \
         "no zero-filled hour: the gap regeneration went untested"
+
+
+def test_streaming_anomaly_matches_batch(spark, tmp_path):
+    """The anomaly flags off the continuously maintained rollup
+    store equal the batch ``events_anomaly_daily_counts``
+    field-for-field — the rollup store serving its THIRD reader
+    (rollup snapshot, gap-filled series, anomaly flags) from one
+    write path, with events interleaved across micro-batches."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetRollupStore, start_incremental_rollup_parquet,
+        streaming_anomaly)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "an_src")
+    for k in range(2):
+        (ev.filter(F.col("event_id") % 2 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetRollupStore(spark, str(tmp_path / "an_store"))
+    store.delta_threshold = 2
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_incremental_rollup_parquet(stream, store,
+                                         str(tmp_path / "an_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.event_type, r.day, r.n_events, r.is_anomaly)
+                 for r in streaming_anomaly(store).collect())
+    want = sorted((r.event_type, r.day, r.n_events, r.is_anomaly)
+                  for r in all_queries()["events_anomaly_daily_counts"](
+                      spark, SF).collect())
+    assert got == want and len(want) >= 100
