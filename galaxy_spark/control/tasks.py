@@ -80,7 +80,11 @@ class TaskSpec:
     #: "search_index" = the incrementally-maintained full-text
     #: index (postings + doc lengths + corpus stats,
     #: streaming.state_store.start_streaming_search_index) under
-    #: the same lifecycle (r11 verdict #4)
+    #: the same lifecycle (r11 verdict #4);
+    #: "rollup" = the continuous multi-grain time-series hub
+    #: (hour/day rollup store) whose one write path serves three
+    #: readers — rollup snapshot, gap-filled series, anomaly
+    #: flags (r12)
     task_kind: str = "cdc"
     #: stateful-kind tuning, persisted with the spec so boot
     #: recovery restarts with identical arithmetic:
@@ -173,14 +177,14 @@ class TaskManager:
                 f"task {spec.task_id} already exists ({state}); "
                 "delete it before reusing the id")
         if spec.task_kind not in ("cdc", "near_dup_index",
-                                  "search_index"):
+                                  "search_index", "rollup"):
             # a typo'd kind would silently fall into the CDC branch
             # and run the replication pipeline over whatever stream
             # the factory returns — fail at creation, like the
             # task_id validation above (r11 review)
             raise ValueError(
                 f"task_kind {spec.task_kind!r} unknown: use 'cdc', "
-                "'near_dup_index' or 'search_index'")
+                "'near_dup_index', 'search_index' or 'rollup'")
         if spec.task_kind != "cdc":
             # fail configuration errors at creation, not at the
             # first store construction mid-stream (r11 ADVICE)
@@ -327,6 +331,57 @@ class TaskManager:
             text_col=opts.get("text_col", "text"),
             id_col=opts.get("id_col", "doc_id"))
 
+    def rollup_store(self, spec_or_id):
+        """The multi-grain rollup store handle for a rollup task —
+        same path running or stopped, so the three readers work
+        across the lifecycle."""
+        from galaxy_spark.streaming.state_store import \
+            ParquetRollupStore
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        store = ParquetRollupStore(
+            self.spark,
+            os.path.join(self.store_root(spec), "rollup"))
+        # (grain, bucket, type)-keyed counters: calendar-bounded key
+        # space but touched broadly every batch — the delta tier's
+        # O(batch) appends beat a per-trigger rewrite of most
+        # buckets
+        _apply_delta_thresholds((store,), spec.index_options or {},
+                                big=(True,))
+        return store
+
+    def rollup_snapshot(self, task_id: str) -> DataFrame:
+        """Accumulated multi-grain rollup rows (the batch
+        ``events_multi_rollup`` output shape)."""
+        return self.rollup_store(task_id).state()
+
+    def rollup_gapfill(self, task_id: str) -> DataFrame:
+        """Gap-filled hourly series + trailing-24h window off the
+        task's store (== ``events_timeseries_gapfill`` over the
+        same events)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_gapfill
+
+        return streaming_gapfill(self.rollup_store(task_id))
+
+    def rollup_anomaly(self, task_id: str) -> DataFrame:
+        """Daily volume-anomaly flags off the task's store
+        (== ``events_anomaly_daily_counts`` over the same
+        events)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_anomaly
+
+        return streaming_anomaly(self.rollup_store(task_id))
+
+    def _start_rollup(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_incremental_rollup_parquet
+
+        env = self.source_factory(self.spark, spec)
+        return start_incremental_rollup_parquet(
+            env, self.rollup_store(spec), self.checkpoint_dir(spec))
+
     def _start_near_dup(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_near_dup_clustering
@@ -351,6 +406,10 @@ class TaskManager:
             return
         if spec.task_kind == "search_index":
             self.queries[spec.task_id] = self._start_search_index(spec)
+            spec.stopped = False
+            return
+        if spec.task_kind == "rollup":
+            self.queries[spec.task_id] = self._start_rollup(spec)
             spec.stopped = False
             return
         env = self.source_factory(self.spark, spec)

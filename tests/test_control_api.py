@@ -627,3 +627,71 @@ def test_boot_recovery_isolates_bad_task_spec(spark, tmp_path):
     assert mgr2.tasks["legacy_bad"].stopped
     assert mgr2.queries["good"].isActive
     mgr2.stop_task("good")
+
+
+def test_rollup_task_lifecycle(spark, tmp_path):
+    """r12: the continuous multi-grain rollup runs as the FOURTH
+    task kind under T1 — create/stop/recovery_v1/boot recovery/
+    delete — and its one write path serves three readers across the
+    lifecycle: rollup snapshot, gap-filled hourly series
+    (== events_timeseries_gapfill) and daily anomaly flags
+    (== events_anomaly_daily_counts)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.registry import all_queries
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ru_events")
+
+    def ev_factory(spark_, spec):
+        return (spark_.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "ru_state")
+    mgr = TaskManager(spark, state, ev_factory)
+    (ev.filter(F.col("event_id") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.create_task(TaskSpec(task_id="ru1", task_kind="rollup"))
+    mgr.await_all()
+    mgr.stop_task("ru1")
+
+    _time.sleep(1.1)
+    (ev.filter(F.col("event_id") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("ru1")
+    mgr.await_all()
+    mgr.stop_task("ru1")
+
+    # boot recovery with a fresh manager
+    mgr.tasks["ru1"].stopped = False
+    mgr._persist()
+    mgr2 = TaskManager(spark, state, ev_factory)
+    assert mgr2.recover_all() == ["ru1"]
+    mgr2.await_all()
+    mgr2.stop_task("ru1")
+
+    got_gf = sorted(
+        (r.event_type, r.hour, r.n_events, r.trailing_24h)
+        for r in mgr2.rollup_gapfill("ru1").collect())
+    want_gf = sorted(
+        (r.event_type, r.hour, r.n_events, r.trailing_24h)
+        for r in all_queries()["events_timeseries_gapfill"](
+            spark, SF).collect())
+    assert got_gf == want_gf and len(want_gf) > 100
+    got_an = sorted(
+        (r.event_type, r.day, r.n_events, r.is_anomaly)
+        for r in mgr2.rollup_anomaly("ru1").collect())
+    want_an = sorted(
+        (r.event_type, r.day, r.n_events, r.is_anomaly)
+        for r in all_queries()["events_anomaly_daily_counts"](
+            spark, SF).collect())
+    assert got_an == want_an and len(want_an) >= 100
+    assert mgr2.rollup_snapshot("ru1").count() > 0
+
+    root = mgr2.store_root(mgr2.tasks["ru1"])
+    assert os.path.isdir(os.path.join(root, "rollup"))
+    mgr2.delete_task("ru1")
+    assert not os.path.isdir(root)

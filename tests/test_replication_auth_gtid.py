@@ -1127,3 +1127,62 @@ def test_tagged_decode_tolerates_checksum_tail_untagged_rejects_garbage():
            + struct.pack("<QQQ", 1, 5, 3))       # untagged, 5 > 3
     with pytest.raises(ValueError, match="interval"):
         rc.GtidSet.decode(bad)
+
+
+def test_serialization_varint_hypothesis_roundtrips():
+    """mysql::serialization codec properties: every u64 round-trips
+    through the variable-length encoding at its minimal width,
+    every i64 through the zigzag form, and decode is total on the
+    encoder's range (hypothesis sweep on top of the boundary
+    vectors in test_binlog_source)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from galaxy_spark.cdc.mysql_serialization import (
+        read_varsint, read_varuint, write_varsint, write_varuint)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+    def roundtrip_u(v):
+        buf = write_varuint(v)
+        got, off = read_varuint(buf, 0)
+        assert (got, off) == (v, len(buf))
+        # minimal width: one fewer byte cannot hold the value
+        n = len(buf)
+        if n <= 8:
+            assert n == 1 or v >= (1 << (7 * (n - 1)))
+        else:
+            assert v >= (1 << 56)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-(1 << 63),
+                       max_value=(1 << 63) - 1))
+    def roundtrip_s(v):
+        buf = write_varsint(v)
+        got, off = read_varsint(buf, 0)
+        assert (got, off) == (v, len(buf))
+
+    roundtrip_u()
+    roundtrip_s()
+
+
+def test_tagged_body_decode_hypothesis_never_crashes():
+    """decode_tagged_gtid is TOTAL over arbitrary bytes: any input
+    returns a tuple or None, never raises — the property the
+    conservative-fallback design rests on (a malformed body must
+    degrade to the r11 resume boundary, not kill the source)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from galaxy_spark.cdc.mysql_serialization import \
+        decode_tagged_gtid
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.binary(max_size=120), st.booleans())
+    def total(body, crc):
+        out = decode_tagged_gtid(body, crc_tail=crc)
+        assert out is None or (
+            isinstance(out, tuple) and len(out) == 3
+            and 1 <= out[2] < (1 << 63))
+
+    total()
