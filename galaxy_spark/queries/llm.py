@@ -1044,3 +1044,108 @@ def dedup_containment_pairs(spark: SparkSession,
                     F.col("n_sub").cast("long").alias("n_sub"),
                     F.col("n_shared").cast("long").alias("n_shared"),
                     F.round(cont, 4).alias("containment")))
+
+
+#: winnowing geometry (Schleimer/Wilkerson/Aiken 2003): k-word
+#: grams, window w — the guarantee is that any shared run of
+#: k + w - 1 = 6 consecutive words between two documents yields at
+#: least one shared fingerprint, while only ~2/(w+1) of grams are
+#: ever kept. DF caps: fingerprints in > 50 docs are boilerplate
+#: (stop-fingerprints, dropped per the paper's practice); pairs
+#: must share >= 2 fingerprints to be emitted.
+_WINNOW_K, _WINNOW_W = 3, 4
+_WINNOW_DF_CAP, _WINNOW_MIN_SHARED = 50, 2
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+        WHERE len({_TOKS}) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(t) - {_WINNOW_K} + 2),
+                   i -> md5(array_to_string(
+                       t[i:i + {_WINNOW_K - 1}], ' '))) AS g
+        FROM toks
+    ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(g) - {_WINNOW_W} + 2),
+                   j -> list_aggregate(
+                       g[j:j + {_WINNOW_W - 1}], 'min'))) AS fps
+        FROM grams
+    ), fpd AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+    ), kept AS (
+        SELECT fp FROM fpd GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpd a
+    JOIN kept USING (fp)
+    JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Near-dup candidates by WINNOWING fingerprints (Schleimer et
+    al. 2003 — the MOSS plagiarism detector's selection scheme):
+    per document, hash every 3-word gram, slide a window of 4
+    hashes, keep each window's MINIMUM — a deterministic local
+    sampling with the positional guarantee MinHash lacks (any
+    shared run of >= 6 consecutive words between two documents is
+    CERTAIN to produce a shared fingerprint; MinHash only matches
+    with probability). Pairs sharing >= 2 retained fingerprints
+    are emitted with their overlap count. Completes the near-dup
+    family's selection axis: probabilistic (MinHash/SimHash),
+    lossless-threshold (PPJoin prefix), and now guaranteed-local
+    (winnowing).
+
+    Cross-engine determinism: the gram "hash" is md5 hex TEXT and
+    the window minimum is the lexicographic string min — both
+    engines produce identical md5 hex, so selection is exact with
+    no integer-hash parity seam at all.
+
+    Shape at scale: gram hashing and window minima are scan-local
+    array expressions (zero shuffle until fingerprints explode);
+    winnowing keeps ~2/(w+1) of grams, so the exploded frame is a
+    fraction of the shingle tier's. The pair join is blocked on
+    the fingerprint with boilerplate fingerprints dropped by the
+    DF cap (2..50) — the same hot-key discipline as the LSH band
+    join, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    base = (docs.select("doc_id", toks.alias("t"))
+            .filter(F.size("t") >= _WINNOW_K + _WINNOW_W - 1))
+    grams = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - _WINNOW_K + 1),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice("t", i, _WINNOW_K)))).alias("g"))
+    wins = grams.select(
+        "doc_id",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("g") - _WINNOW_W + 1),
+            lambda j: F.array_min(F.slice("g", j, _WINNOW_W))))
+        .alias("fps"))
+    fpd = wins.select("doc_id", F.explode("fps").alias("fp"))
+    kept = (fpd.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2)
+                    & (F.col("df") <= _WINNOW_DF_CAP))
+            .select("fp"))
+    blocked = fpd.join(kept, "fp", "left_semi")
+    return (blocked.alias("a")
+            .join(blocked.alias("b"),
+                  (F.col("a.fp") == F.col("b.fp"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED))

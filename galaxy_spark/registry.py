@@ -207,6 +207,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "similarity_item_cf_topk",
     "join_lateral_topk_orders",
     "graph_label_propagation",
+    "dedup_winnowing_pairs",
 )
 
 

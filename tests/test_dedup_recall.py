@@ -206,3 +206,26 @@ def test_ppjoin_prefix_len_exact_at_float_boundaries(spark):
         for n in ns:
             exact = n - math.ceil(Decimal(str(t)) * n) + 1
             assert got[n] == exact, (t, n, got[n], exact)
+
+
+def test_winnowing_covers_high_jaccard_pairs_at_driver_scale(spark):
+    """Winnowing's POSITIONAL guarantee, checked empirically at the
+    driver's scale: every pair the exact 5-shingle Jaccard tier
+    calls a near-dup at >= 0.5 shares long common runs, so the
+    winnowing candidates (k=3, w=4: any shared 6-word run yields a
+    shared fingerprint) must contain all of them — and stay a
+    CANDIDATE set, not all-pairs (bounded extras, each sharing >= 2
+    retained fingerprints)."""
+    from galaxy_spark.registry import all_queries
+
+    docs = load_table(spark, SF_DRIVER, "documents")
+    exact = _pairs(dedup.shingle_pairs_jaccard(docs, n=5)
+                   .filter(F.col("jaccard") >= 0.5))
+    win = {(r.doc_a, r.doc_b) for r in
+           all_queries()["dedup_winnowing_pairs"](
+               spark, SF_DRIVER).collect()}
+    assert exact, "ground truth empty: dataset lost its near-dups"
+    assert exact <= win, f"guarantee violated: missed {exact - win}"
+    n_docs = docs.count()
+    assert len(win) < n_docs, \
+        "winnowing degenerated toward all-pairs"
