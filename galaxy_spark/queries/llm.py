@@ -1111,30 +1111,45 @@ def dedup_winnowing_pairs(spark: SparkSession,
     engines produce identical md5 hex, so selection is exact with
     no integer-hash parity seam at all.
 
-    Shape at scale: gram hashing and window minima are scan-local
-    array expressions (zero shuffle until fingerprints explode);
-    winnowing keeps ~2/(w+1) of grams, so the exploded frame is a
-    fraction of the shingle tier's. The pair join is blocked on
-    the fingerprint with boilerplate fingerprints dropped by the
-    DF cap (2..50) — the same hot-key discipline as the LSH band
-    join, never all-pairs."""
+    Shape at scale: gram hashing is ONE scan-local array expression
+    evaluated once per document (posexplode consumes it), and the
+    window minima run as a doc-partitioned frame window over the
+    gram rows — O(grams) per document. The obvious
+    nested-array-lambda form (windows as transform over slices of
+    the gram array) is a trap: Catalyst collapses the projections
+    and inlines the gram-building transform INTO the window lambda,
+    recomputing every md5 per window position — O(tokens^2) per
+    document, measured 553 s at sf0.1 vs ~3 s for this form (the
+    first BENCH_FULL_r12 cut caught it). Winnowing keeps ~2/(w+1)
+    of grams, and the pair join is blocked on the fingerprint with
+    boilerplate fingerprints dropped by the DF cap (2..50) — the
+    same hot-key discipline as the LSH band join, never
+    all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
     base = (docs.select("doc_id", toks.alias("t"))
             .filter(F.size("t") >= _WINNOW_K + _WINNOW_W - 1))
-    grams = base.select(
+    gram_rows = base.select(
         "doc_id",
-        F.transform(
+        (F.size("t") - _WINNOW_K + 1).alias("n_grams"),
+        F.posexplode(F.transform(
             F.sequence(F.lit(1), F.size("t") - _WINNOW_K + 1),
             lambda i: F.md5(F.concat_ws(
-                " ", F.slice("t", i, _WINNOW_K)))).alias("g"))
-    wins = grams.select(
-        "doc_id",
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.size("g") - _WINNOW_W + 1),
-            lambda j: F.array_min(F.slice("g", j, _WINNOW_W))))
-        .alias("fps"))
-    fpd = wins.select("doc_id", F.explode("fps").alias("fp"))
+                " ", F.slice("t", i, _WINNOW_K)))))
+        .alias("pos", "h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, _WINNOW_W - 1))
+    fpd = (gram_rows
+           .select("doc_id", "pos", "n_grams",
+                   F.min("h").over(w).alias("fp"))
+           # full windows only (the paper's selection); the <W-sized
+           # tail windows would add fingerprints the guarantee does
+           # not define and the oracle does not compute
+           .filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W)
+           .select("doc_id", "fp").distinct()
+           # three consumers (DF-cap agg + both join sides) — cut
+           # lineage so the gram/winnow pipeline runs once, not 3x
+           .localCheckpoint(eager=False))
     kept = (fpd.groupBy("fp")
             .agg(F.count("*").alias("df"))
             .filter((F.col("df") >= 2)

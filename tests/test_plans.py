@@ -985,3 +985,28 @@ def test_lpa_rounds_bounded_exchanges_no_rescan(q):
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, \
         "rounds must consume the checkpointed edge/label frames"
+
+
+def test_winnowing_windows_over_exploded_grams(q):
+    """Winnowing (r12): gram hashing must evaluate ONCE per doc
+    (posexplode consumes the single array expression) with window
+    minima as a doc-partitioned frame Window — the nested
+    array-lambda form collapses into an O(tokens^2)-per-doc md5
+    recompute (553 s at sf0.1; fixed form ~2 s)."""
+    import re
+
+    from galaxy_spark.plans import physical_plan
+
+    df = q("dedup_winnowing_pairs")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    # the (doc, fp) frame materializes ONCE (lazy checkpoint) and
+    # its three consumers read it back — so the output plan holds
+    # NO Generate and no Window at all: the gram explode and the
+    # winnow Window ran exactly once inside the checkpointed
+    # subtree, structurally excluding both the O(tokens^2) lambda
+    # collapse and the 3x pipeline recompute
+    assert "Scan ExistingRDD" in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 0
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 0
+    assert "partial_count" in p
