@@ -89,8 +89,9 @@ class TaskSpec:
     #: stateful-kind tuning, persisted with the spec so boot
     #: recovery restarts with identical arithmetic:
     #: near_dup_index: n, n_hashes, bands, threshold, text_col,
-    #: id_col; search_index: text_col, id_col; both:
-    #: delta_threshold (store write strategy)
+    #: id_col; search_index: text_col, id_col; every stateful kind
+    #: (near_dup_index / search_index / rollup): delta_threshold
+    #: (store write strategy, validated at creation)
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:
