@@ -511,8 +511,9 @@ def test_stateful_task_store_write_strategies(spark, tmp_path):
 
 
 def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
-    """One TaskManager running all three task kinds AT ONCE — cdc
-    replication, the near-dup index, the search index — with
+    """One TaskManager running all FOUR task kinds AT ONCE — cdc
+    replication, the near-dup index, the search index, the
+    time-series rollup — with
     per-task checkpoint dirs and store roots that never collide:
     stopping/deleting one task leaves the others' queries running
     and their state untouched, and each task's answers equal its
@@ -529,12 +530,16 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
     doc_src = str(tmp_path / "mk_docs")
     docs.coalesce(1).write.parquet(doc_src)
 
+    ev_schema = load_table(spark, SF, "events").schema
+
     def factory(spark_, spec):
         if spec.task_kind == "cdc":
-            static = spark_.read.parquet(ev_src)
             return envelope_from_events(
-                spark_.readStream.schema(static.schema)
+                spark_.readStream.schema(ev_schema)
                 .parquet(ev_src))
+        if spec.task_kind == "rollup":
+            return (spark_.readStream.schema(ev_schema)
+                    .parquet(ev_src))
         return (spark_.readStream.schema(docs.schema)
                 .parquet(doc_src))
 
@@ -546,17 +551,19 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
                              task_kind="near_dup_index"))
     mgr.create_task(TaskSpec(task_id="six",
                              task_kind="search_index"))
-    assert sorted(mgr.queries) == ["ndx", "repl", "six"]
+    mgr.create_task(TaskSpec(task_id="ru", task_kind="rollup"))
+    assert sorted(mgr.queries) == ["ndx", "repl", "ru", "six"]
     mgr.await_all()
 
-    # isolation of the on-disk layout: three disjoint checkpoint
-    # dirs, two disjoint store roots (cdc keeps no store root)
+    # isolation of the on-disk layout: four disjoint checkpoint
+    # dirs, three disjoint store roots (cdc keeps no store root)
     cks = {tid: mgr.checkpoint_dir(mgr.tasks[tid])
            for tid in mgr.tasks}
-    assert len(set(cks.values())) == 3
+    assert len(set(cks.values())) == 4
     roots = {tid: mgr.store_root(mgr.tasks[tid])
-             for tid in ("ndx", "six")}
-    assert roots["ndx"] != roots["six"]
+             for tid in ("ndx", "six", "ru")}
+    assert len(set(roots.values())) == 3
+    assert os.path.isdir(os.path.join(roots["ru"], "rollup"))
     assert os.path.isdir(os.path.join(roots["ndx"], "doc"))
     assert os.path.isdir(os.path.join(roots["six"], "postings"))
 
@@ -576,10 +583,21 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
         .collect()[0].c
     assert n_changes > 0
 
+    # the rollup hub answers == its batch twin while siblings run
+    got_an = sorted(
+        (r.event_type, r.day, r.n_events, r.is_anomaly)
+        for r in mgr.rollup_anomaly("ru").collect())
+    want_an = sorted(
+        (r.event_type, r.day, r.n_events, r.is_anomaly)
+        for r in all_queries()["events_anomaly_daily_counts"](
+            spark, SF).collect())
+    assert got_an == want_an
+
     # stopping one kind leaves the others live; deleting it drops
     # ONLY its state
     mgr.stop_task("ndx")
     assert mgr.queries["repl"].isActive and mgr.queries["six"].isActive
+    assert mgr.queries["ru"].isActive
     mgr.delete_task("ndx")
     assert not os.path.isdir(roots["ndx"])
     assert os.path.isdir(roots["six"])
@@ -589,6 +607,7 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
             mgr.search_bm25("six", _BM25_TERMS).collect()] == want_bm
     mgr.stop_task("repl")
     mgr.stop_task("six")
+    mgr.stop_task("ru")
 
 
 def test_boot_recovery_isolates_bad_task_spec(spark, tmp_path):
