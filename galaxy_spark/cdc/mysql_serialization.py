@@ -130,12 +130,22 @@ def decode_tagged_gtid(body: bytes,
     the end of the buffer. ``crc_tail=True`` additionally accepts
     a boundary exactly 4 bytes before the end — for HEADER-WALK
     reads, which include the event's CRC32 trailer when checksums
-    are on and cannot know the mode. Callers that already
+    are on and cannot know the mode. A STRICT parse is attempted
+    first and the 4-byte-tolerant parse runs only when it fails
+    (r12 ADVICE: on a checksum-NONE stream a real untrailed body
+    whose final field boundary happened to land 4 bytes before the
+    end used to exit early, silently skipping validation of the
+    final fields; strict-first validates them, and the fallback is
+    safe because fields 0-3 parse before any tail bytes — CRC
+    garbage can at most masquerade as tail fields >= 4, which do
+    not contribute to the returned triple). Callers that already
     CRC-trimmed the body (decode_binlog) keep the default strict
-    mode, so their last 4 bytes are parsed and validated like any
-    others (r12 review: the unconditional tolerance skipped them
-    unvalidated). Callers treat None as the conservative resume
+    mode. Callers treat None as the conservative resume
     boundary."""
+    if crc_tail:
+        strict = decode_tagged_gtid(body, crc_tail=False)
+        if strict is not None:
+            return strict
     try:
         off = 0
         version, off = read_varuint(body, off)

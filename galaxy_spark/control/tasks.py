@@ -122,6 +122,11 @@ class TaskManager:
         self.tasks: dict[str, TaskSpec] = {}
         self.queries: dict[str, object] = {}
         self.live_filters: dict[str, LiveFilterRef] = {}
+        #: task_id -> exception from the last recover_all; empty on
+        #: a fresh manager (r12 ADVICE: the attribute only existed
+        #: after recover_all ran, so status probes on a manager that
+        #: never booted hit AttributeError)
+        self.recovery_errors: dict[str, Exception] = {}
         os.makedirs(state_dir, exist_ok=True)
         self._meta_path = os.path.join(state_dir, "tasks.json")
 
@@ -526,7 +531,7 @@ class TaskManager:
         for the operator; the task stays registered and stopped so
         it can be fixed and resumed."""
         self.tasks = self._load_meta()
-        self.recovery_errors: dict[str, Exception] = {}
+        self.recovery_errors = {}
         started = []
         for tid, spec in self.tasks.items():
             if spec.stopped:
@@ -537,6 +542,12 @@ class TaskManager:
             except Exception as exc:        # noqa: BLE001 — isolate
                 self.recovery_errors[tid] = exc
                 spec.stopped = True
+        if self.recovery_errors:
+            # make the stopped flags DURABLE (r12 ADVICE: they lived
+            # only in memory, so every boot retried the bad spec, and
+            # an unrelated later _persist() committed them silently
+            # as a side effect)
+            self._persist()
         return started
 
     # -- introspection ----------------------------------------------

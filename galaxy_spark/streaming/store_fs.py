@@ -210,24 +210,34 @@ class ManifestStoreFs(StoreFs):
     name = "manifest"
 
     def __init__(self) -> None:
-        #: per-bucket (mtime, manifest) cache — one state() read
-        #: walks versions/committed/read_paths over the same
+        #: per-bucket (stat-signature, manifest) cache — one state()
+        #: read walks versions/committed/read_paths over the same
         #: manifest many times (r12 review: each was a separate
-        #: load, and on the S3 backend a GET round-trip); the local
-        #: mtime check keeps a concurrent writer's atomic replace
-        #: visible. The S3 backend swaps this for a conditional GET
+        #: load, and on the S3 backend a GET round-trip); the stat
+        #: check keeps a concurrent writer's atomic replace visible.
+        #: The signature is (inode, mtime_ns, size), NOT mtime alone
+        #: (r12 ADVICE: coarse-mtime filesystems can land two
+        #: publishes in one quantum and leave a second in-process
+        #: reader serving the stale manifest; os.replace always
+        #: installs a fresh inode, so the triple cannot collide).
+        #: The S3 backend swaps this for a conditional GET
         #: (If-None-Match on the cached ETag).
-        self._cache: dict[str, tuple[float, dict]] = {}
+        self._cache: dict[str, tuple[tuple, dict]] = {}
+
+    @staticmethod
+    def _stat_sig(path: str) -> tuple:
+        st = os.stat(path)
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
 
     # -- manifest I/O ---------------------------------------------
     def _load_manifest(self, bucket_dir: str) -> dict:
         path = os.path.join(bucket_dir, _MANIFEST)
         try:
-            mt = os.path.getmtime(path)
+            sig = self._stat_sig(path)
             hit = self._cache.get(bucket_dir)
-            if hit is None or hit[0] != mt:
+            if hit is None or hit[0] != sig:
                 with open(path) as f:
-                    hit = (mt, json.load(f))
+                    hit = (sig, json.load(f))
                 self._cache[bucket_dir] = hit
             # SHALLOW COPY: publish/drop mutate the dict they get
             # before the atomic put — handing out the cached object
@@ -255,7 +265,7 @@ class ManifestStoreFs(StoreFs):
         dest = os.path.join(bucket_dir, _MANIFEST)
         os.replace(tmp, dest)
         _fsync_path(bucket_dir)
-        self._cache[bucket_dir] = (os.path.getmtime(dest),
+        self._cache[bucket_dir] = (self._stat_sig(dest),
                                    dict(manifest))
 
     # -- protocol -------------------------------------------------

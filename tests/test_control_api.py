@@ -647,6 +647,17 @@ def test_boot_recovery_isolates_bad_task_spec(spark, tmp_path):
     assert mgr2.queries["good"].isActive
     mgr2.stop_task("good")
 
+    # r12 ADVICE: the stopped flag must be DURABLE at recover_all
+    # time (not only in memory, waiting for an unrelated later
+    # _persist to commit it as a side effect) — a third boot must
+    # NOT retry the bad spec
+    mgr3 = TaskManager(spark, state, factory)
+    assert mgr3.recovery_errors == {}   # exists before recover_all
+    started3 = mgr3.recover_all()
+    assert started3 == []               # good was stopped cleanly
+    assert mgr3.tasks["legacy_bad"].stopped
+    assert mgr3.recovery_errors == {}   # no retry, no new error
+
 
 def test_rollup_task_lifecycle(spark, tmp_path):
     """r12: the continuous multi-grain rollup runs as the FOURTH

@@ -1186,3 +1186,109 @@ def test_tagged_body_decode_hypothesis_never_crashes():
             and 1 <= out[2] < (1 << 63))
 
     total()
+
+
+def test_tagged_body_decode_hand_assembled_spec_vectors():
+    """A THIRD witness for the mysql::serialization decode (r12
+    ADVICE): the production decoder and the fixture encoder were
+    both written from the same reading of the public format doc, so
+    a shared misreading of the varint/field-id layout would
+    round-trip green. These vectors are assembled BYTE BY BYTE in
+    comments directly from the format's published rules — no call
+    into either implementation — so the three artifacts (decoder,
+    encoder, literal bytes) can only agree if the reading of the
+    spec is self-consistent at the byte level.
+
+    Varint rule under test: the count of trailing 1-bits of the
+    FIRST byte = extra bytes c; value = little-endian(c+1 bytes)
+    >> (c+1). One-byte values therefore appear as v << 1.
+    """
+    from galaxy_spark.cdc.mysql_serialization import \
+        decode_tagged_gtid
+
+    # --- vector 1: every mandatory field one-byte encoded --------
+    body = bytes([
+        0x04,                            # version 2      (2 << 1)
+        0x00,                            # field id 0     (0 << 1)
+        0x01,                            # gtid_flags = 1 (fixed u8)
+        0x02,                            # field id 1     (1 << 1)
+        # uuid 3e11fa47-71ca-11e1-9e33-c80aa9429562 (16 raw bytes)
+        0x3e, 0x11, 0xfa, 0x47, 0x71, 0xca, 0x11, 0xe1,
+        0x9e, 0x33, 0xc8, 0x0a, 0xa9, 0x42, 0x95, 0x62,
+        0x04,                            # field id 2     (2 << 1)
+        0x1c,                            # gno 7: zigzag 14, 14 << 1
+        0x06,                            # field id 3     (3 << 1)
+        0x04,                            # tag length 2   (2 << 1)
+        0x61, 0x61,                      # "aa"
+        0x08,                            # field id 4     (4 << 1)
+        0x00,                            # last_committed 0
+        0x0a,                            # field id 5     (5 << 1)
+        0x04,                            # sequence_number 1 (zz 2)
+        0x10,                            # field id 8 (6/7 SKIPPED —
+                                         #   optional-absence path)
+        0xb1, 0x04,                      # txn_length 300: c=1 so
+                                         #   raw = (300 << 2) | 0b01
+                                         #   = 1201 = 0x04b1 LE
+    ])
+    assert decode_tagged_gtid(body) == (
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562", "aa", 7)
+
+    # --- vector 2: multi-byte gno, empty tag ----------------------
+    # gno 123456789 -> zigzag 246913578 (needs 28 bits -> 4 bytes,
+    # c = 3): raw = (246913578 << 4) | 0b0111, little-endian
+    zz = 123456789 << 1
+    gno_bytes = ((zz << 4) | 0b0111).to_bytes(4, "little")
+    body2 = (bytes([0x04, 0x00, 0x00, 0x02])
+             + bytes(range(16))          # uuid 000102...0f
+             + bytes([0x04]) + gno_bytes
+             + bytes([0x06, 0x00]))      # tag "" (length 0)
+    assert decode_tagged_gtid(body2) == (
+        "00010203-0405-0607-0809-0a0b0c0d0e0f", "", 123456789)
+
+    # --- vector 3: 9-byte escape varint (first byte 0xFF) --------
+    # txn_length 2**60 cannot fit 8 varint bytes -> 0xFF + raw u64
+    body3 = (body2 + bytes([0x10, 0xff])
+             + (1 << 60).to_bytes(8, "little"))
+    assert decode_tagged_gtid(body3) == (
+        "00010203-0405-0607-0809-0a0b0c0d0e0f", "", 123456789)
+
+    # --- negative controls off vector 1 ---------------------------
+    assert decode_tagged_gtid(body[:-1]) is None   # torn boundary
+    # field 3's id byte (offset 22) rewritten to id 2 again ->
+    # non-increasing id, refused
+    assert decode_tagged_gtid(
+        body[:22] + bytes([0x04]) + body[23:]) is None
+    assert decode_tagged_gtid(
+        bytes([0x12]) + body[1:]) is None  # future version 9 > 3
+
+
+def test_tagged_crc_tail_is_strict_first():
+    """r12 ADVICE: crc_tail=True must VALIDATE a real untrailed
+    body's final fields even when a field boundary lands exactly 4
+    bytes before the end — strict parse first, the 4-byte-tolerant
+    parse only as the fallback for genuinely CRC-trailed reads."""
+    from galaxy_spark.cdc.mysql_serialization import \
+        decode_tagged_gtid
+
+    # untrailed body whose FINAL field (id 8, 3-byte varint) spans
+    # exactly the last 4 bytes: 70000 needs c=2 -> raw =
+    # (70000 << 3) | 0b011
+    head = bytes([
+        0x04, 0x00, 0x01, 0x02,
+        0x3e, 0x11, 0xfa, 0x47, 0x71, 0xca, 0x11, 0xe1,
+        0x9e, 0x33, 0xc8, 0x0a, 0xa9, 0x42, 0x95, 0x62,
+        0x04, 0x1c, 0x06, 0x00,
+    ])
+    tail_field = bytes([0x10]) + (
+        (70000 << 3) | 0b011).to_bytes(3, "little")
+    body = head + tail_field
+    want = ("3e11fa47-71ca-11e1-9e33-c80aa9429562", "", 7)
+    assert decode_tagged_gtid(body, crc_tail=False) == want
+    # strict-first: same answer, final field actually parsed
+    assert decode_tagged_gtid(body, crc_tail=True) == want
+    # genuinely CRC-trailed read still tolerated (fallback path)
+    assert decode_tagged_gtid(
+        body + b"\xde\xad\xbe\xef", crc_tail=True) == want
+    # ... but only under crc_tail: the strict caller refuses
+    assert decode_tagged_gtid(
+        body + b"\xde\xad\xbe\xef", crc_tail=False) is None

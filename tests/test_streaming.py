@@ -3684,6 +3684,39 @@ def test_vacuum_grace_defers_drop(spark, tmp_path):
     assert kept == ["v-lin.000000000002"], f"unswept: {kept}"
 
 
+def test_manifest_cache_survives_mtime_collision(tmp_path):
+    """r12 ADVICE: on coarse-mtime filesystems two manifest
+    publishes can land in one mtime quantum, leaving a second
+    in-process reader instance serving the stale manifest when the
+    cache is keyed on mtime alone. The cache key is the full stat
+    signature (inode, mtime_ns, size); os.replace installs a fresh
+    inode on every publish, so even a FORCED mtime collision (the
+    worst case, emulated here with utime) must invalidate."""
+    from galaxy_spark.streaming.store_fs import _MANIFEST, \
+        ManifestStoreFs
+
+    writer, reader = ManifestStoreFs(), ManifestStoreFs()
+    bd = str(tmp_path / "bucket-0")
+    for i in (0, 1):
+        stage = str(tmp_path / f"stage{i}")
+        os.makedirs(stage)
+        with open(os.path.join(stage, f"part-{i}.parquet"),
+                  "wb") as f:
+            f.write(b"x")
+        writer.publish_version(bd, f"v-lin.{i:012d}", stage)
+        if i == 0:
+            # reader caches the one-version manifest
+            assert reader.version_names(bd) == ["v-lin.000000000000"]
+            mpath = os.path.join(bd, _MANIFEST)
+            t0 = os.stat(mpath).st_mtime
+    # force the mtime of the SECOND publish back onto the first's
+    os.utime(os.path.join(bd, _MANIFEST), (t0, t0))
+    assert sorted(reader.version_names(bd)) == [
+        "v-lin.000000000000", "v-lin.000000000001"], \
+        "reader served a stale cached manifest"
+    assert reader.committed(bd, "v-lin.000000000001")
+
+
 def test_store_fs_resolver():
     from galaxy_spark.streaming.store_fs import (ManifestStoreFs,
                                                  PosixStoreFs,
