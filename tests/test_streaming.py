@@ -2134,9 +2134,10 @@ def _near_dup_stores(spark, tmp_path, tag, delta=None, fs="posix"):
 
 @pytest.mark.parametrize("delta,fs", [(None, "posix"), (2, "posix"),
                                       (None, "manifest"),
-                                      (2, "manifest")],
+                                      (2, "manifest"),
+                                      (2, "manifest_cas")],
                          ids=["cow", "delta2", "cow-manifest",
-                              "delta2-manifest"])
+                              "delta2-manifest", "delta2-cas"])
 def test_streaming_near_dup_index_matches_batch(spark, tmp_path,
                                                 delta, fs):
     """The r9 verdict's top item: near-dup-check every micro-batch
@@ -2519,7 +2520,7 @@ def test_cluster_redirect_replay_regenerates_lost_edges(spark,
         f"cluster split after replay: {got}"
 
 
-@pytest.mark.parametrize("fs", ["posix", "manifest"])
+@pytest.mark.parametrize("fs", ["posix", "manifest", "manifest_cas"])
 def test_state_for_keys_opens_only_touched_buckets(spark, tmp_path,
                                                    monkeypatch, fs):
     """``state_for_keys`` is the probe-side twin of merge's
@@ -3501,18 +3502,20 @@ def test_state_for_keys_prunes_and_folds_under_deltas(spark, tmp_path,
 # Commit-protocol seam (r12): object-store-safe manifest commits
 # ------------------------------------------------------------------
 
+@pytest.mark.parametrize("fs", ["manifest", "manifest_cas"])
 @pytest.mark.parametrize("delta", [None, 2], ids=["cow", "delta2"])
 def test_manifest_strategy_state_matches_posix(spark, tmp_path,
-                                               delta):
+                                               delta, fs):
     """The manifest (rename-less) strategy is a commit-protocol
     change, never a semantics change: after every epoch — and
     after an at-least-once replay — its folded state equals the
-    posix twin's row for row, in both write modes. And it must be
-    genuinely rename-less on the commit path: no _COMMITTED
-    markers anywhere, a _MANIFEST.json in every written bucket."""
+    posix twin's row for row, in both write modes and under both
+    manifest backends (plain local put / fenced conditional put).
+    And it must be genuinely rename-less on the commit path: no
+    _COMMITTED markers anywhere, a _MANIFEST.json in every
+    written bucket."""
     ref = _sum_store(spark, str(tmp_path / "p"), delta)
-    man = _sum_store(spark, str(tmp_path / "m"), delta,
-                     fs="manifest")
+    man = _sum_store(spark, str(tmp_path / "m"), delta, fs=fs)
     for i, rows in enumerate(_DELTA_BATCHES):
         key = f"lin.{i:012d}"
         ref.merge(_batch_df(spark, rows), key)
@@ -3532,25 +3535,33 @@ def test_manifest_strategy_state_matches_posix(spark, tmp_path,
     assert man.lineages() == {"lin"}
 
 
+@pytest.mark.parametrize("fs", ["manifest", "manifest_cas"])
 def test_manifest_crash_between_put_and_publish(spark, tmp_path,
-                                                monkeypatch):
+                                                monkeypatch, fs):
     """THE object-store crash window: files put at their final
     keys, crash before the manifest put. The version must stay
     invisible (no partial state), the epoch's replay must repair
     it, and the orphan objects from the crashed attempt must never
     be read (the manifest names the exact file list) and must be
-    swept when the version is eventually dropped."""
+    swept when the version is eventually dropped. The crash seam
+    is each backend's actual publish primitive: the local atomic
+    put (manifest) / the conditional object-store put
+    (manifest_cas)."""
     from galaxy_spark.streaming import store_fs as sfs
 
-    store = _sum_store(spark, str(tmp_path / "cw"), None,
-                       fs="manifest")
+    store = _sum_store(spark, str(tmp_path / "cw"), None, fs=fs)
     store.merge(_batch_df(spark, [(1, 10, "a")]), "lin.000000000000")
     before = sorted(map(tuple, store.state().collect()))
 
-    def boom(self, bucket_dir, manifest):
+    def boom(self, *a, **kw):
         raise OSError("simulated crash after puts, before publish")
 
-    monkeypatch.setattr(sfs.ManifestStoreFs, "_put_manifest", boom)
+    if fs == "manifest":
+        monkeypatch.setattr(sfs.ManifestStoreFs, "_put_manifest",
+                            boom)
+    else:
+        monkeypatch.setattr(sfs.LocalObjectStore, "put_if_match",
+                            boom)
     with pytest.raises(OSError, match="simulated crash"):
         store.merge(_batch_df(spark, [(1, 5, "b")]),
                     "lin.000000000001")
@@ -3718,7 +3729,8 @@ def test_manifest_cache_survives_mtime_collision(tmp_path):
 
 
 def test_store_fs_resolver():
-    from galaxy_spark.streaming.store_fs import (ManifestStoreFs,
+    from galaxy_spark.streaming.store_fs import (CasManifestStoreFs,
+                                                 ManifestStoreFs,
                                                  PosixStoreFs,
                                                  store_fs)
 
@@ -3726,8 +3738,143 @@ def test_store_fs_resolver():
     assert store_fs(inst) is inst
     assert isinstance(store_fs("posix"), PosixStoreFs)
     assert isinstance(store_fs("manifest"), ManifestStoreFs)
+    assert isinstance(store_fs("manifest_cas"), CasManifestStoreFs)
     with pytest.raises(ValueError, match="unknown store commit"):
         store_fs("s3")
+
+
+def _stage_one_file(tmp_path, name: str) -> str:
+    import uuid
+
+    stage = str(tmp_path / f"stage-{name}-{uuid.uuid4().hex[:6]}")
+    os.makedirs(stage)
+    with open(os.path.join(stage, f"part-{name}.parquet"),
+              "wb") as f:
+        f.write(name.encode())
+    return stage
+
+
+def test_local_object_store_precondition_semantics(tmp_path):
+    """The fake object store honors the exact contract a real S3
+    client must provide to CasManifestStoreFs: create-only puts
+    refuse existing keys, If-Match puts refuse a stale ETag, and a
+    winning put changes the ETag."""
+    from galaxy_spark.streaming.store_fs import (LocalObjectStore,
+                                                 PreconditionFailed)
+
+    s = LocalObjectStore()
+    key = str(tmp_path / "obj")
+    assert s.get(key) == (None, None)
+    e1 = s.put_if_match(key, b"v1", None)
+    assert s.get(key) == (b"v1", e1)
+    with pytest.raises(PreconditionFailed):
+        s.put_if_match(key, b"v2", None)          # exists
+    with pytest.raises(PreconditionFailed):
+        s.put_if_match(key, b"v2", "stale-etag")  # wrong etag
+    e2 = s.put_if_match(key, b"v2", e1)
+    assert e2 != e1 and s.get(key) == (b"v2", e2)
+
+
+def test_manifest_cas_two_writer_race_loses_no_version(tmp_path):
+    """r12 verdict #1, the fencing scenario: a ZOMBIE driver still
+    mid-publish of epoch N's version while the new LIVE driver
+    commits N and N+1. The zombie's manifest put is made from a
+    stale read; under the plain last-writer-wins emulation it
+    would erase the live writer's versions. Under the fenced
+    strategy the put fails its If-Match precondition, the mutation
+    re-applies on the fresh manifest (where the version already
+    exists), and the race degrades to a no-op: NO version lost,
+    replay-skip lineage (the committed set) stays consistent."""
+    from galaxy_spark.streaming.store_fs import (CasManifestStoreFs,
+                                                 LocalObjectStore)
+
+    objects = LocalObjectStore()
+    live = CasManifestStoreFs(objects)
+    zombie = CasManifestStoreFs(objects)
+    bd = str(tmp_path / "bucket-0")
+    vN, vN1 = "v-lin.000000000005", "v-lin.000000000006"
+
+    # interleave: the hook fires inside the zombie's publish,
+    # between its stale manifest read and its conditional put —
+    # the live writer lands BOTH epochs in that window
+    def live_commits():
+        live.publish_version(bd, vN, _stage_one_file(tmp_path, "ln"))
+        live.publish_version(bd, vN1,
+                             _stage_one_file(tmp_path, "l1"))
+
+    objects.before_put = live_commits
+    zombie.publish_version(bd, vN, _stage_one_file(tmp_path, "zn"))
+
+    # no lost version, and the committed set is the union
+    assert sorted(zombie.version_names(bd)) == [vN, vN1]
+    assert live.committed(bd, vN) and live.committed(bd, vN1)
+    # the winner's (live) files are the visible ones for vN — the
+    # zombie's stale attempt converged to a no-op, and every
+    # manifest-listed file actually exists and is readable
+    for v in (vN, vN1):
+        paths = live.read_paths(bd, v)
+        assert paths and all(os.path.exists(p) for p in paths)
+    assert [os.path.basename(p)
+            for p in live.read_paths(bd, vN)] == ["part-ln.parquet"]
+
+
+def test_manifest_unfenced_race_demonstrates_lost_version(tmp_path):
+    """The CONVERSE of the fenced test — documents WHY the CAS
+    strategy exists: under plain ManifestStoreFs (single-key
+    last-writer-wins put, the correct local emulation of S3's
+    unconditional PUT), the same zombie interleave erases the live
+    writer's in-between version. This is the documented contract
+    boundary (store_fs.py module docstring), not a bug: deploys
+    with any chance of two live writers must use manifest_cas."""
+    from galaxy_spark.streaming.store_fs import ManifestStoreFs
+
+    live = ManifestStoreFs()
+    zombie = ManifestStoreFs()
+    bd = str(tmp_path / "bucket-0")
+    vN, vN1 = "v-lin.000000000005", "v-lin.000000000006"
+
+    orig = ManifestStoreFs._put_manifest
+    fired = []
+
+    def hooked(self, bucket_dir, manifest):
+        if self is zombie and not fired:
+            fired.append(True)
+            live.publish_version(bd, vN,
+                                 _stage_one_file(tmp_path, "ln"))
+            live.publish_version(bd, vN1,
+                                 _stage_one_file(tmp_path, "l1"))
+        orig(self, bucket_dir, manifest)
+
+    import unittest.mock as mock
+    with mock.patch.object(ManifestStoreFs, "_put_manifest", hooked):
+        zombie.publish_version(bd, vN,
+                               _stage_one_file(tmp_path, "zn"))
+    # vN1 is GONE from the manifest — the lost-version hazard
+    assert zombie.version_names(bd) == [vN]
+
+
+def test_posix_zombie_replay_cannot_erase_live_versions(tmp_path):
+    """The posix path's zombie-vs-live story, made explicit (r12
+    verdict #1): version dirs are DISJOINT keys — a zombie replay
+    of epoch N can at worst lose the rename race for its own
+    version (absorbed by the winner's _COMMITTED marker check) and
+    can never touch versions it never wrote, so there is no
+    manifest-style lost-version window to fence."""
+    from galaxy_spark.streaming.store_fs import PosixStoreFs
+
+    live, zombie = PosixStoreFs(), PosixStoreFs()
+    bd = str(tmp_path / "bucket-0")
+    vN, vN1 = "v-lin.000000000005", "v-lin.000000000006"
+    live.publish_version(bd, vN, _stage_one_file(tmp_path, "ln"))
+    live.publish_version(bd, vN1, _stage_one_file(tmp_path, "l1"))
+    # zombie replays epoch N with ITS recompute of the same version
+    zombie.publish_version(bd, vN, _stage_one_file(tmp_path, "zn"))
+    assert sorted(zombie.version_names(bd)) == [vN, vN1]
+    assert all(zombie.committed(bd, v) for v in (vN, vN1))
+    # the live winner's bytes survived the zombie's replay
+    names = os.listdir(os.path.join(bd, vN))
+    assert "part-ln.parquet" in names and \
+        "part-zn.parquet" not in names
 
 
 def test_event_index_retention_bounds_state(spark, tmp_path):
