@@ -195,6 +195,7 @@ class TaskManager:
             # fail configuration errors at creation, not at the
             # first store construction mid-stream (r11 ADVICE)
             _validated_delta_threshold(spec.index_options or {})
+            _validated_fs(spec.index_options or {})
         if spec.task_kind != "cdc" and spec.live:
             # live filter swapping is a CDC-pipeline feature; the
             # near-dup handler has no filter cell, and accepting
@@ -601,17 +602,39 @@ def _validated_delta_threshold(opts: dict):
     return int(dt)
 
 
+def _validated_fs(opts: dict) -> str:
+    """Resolve ``index_options['fs']`` — the commit-protocol
+    strategy for every durable store a stateful task owns
+    (store_fs.py): 'posix' (default), 'manifest' (object-store
+    rename-less commits), 'manifest_cas' (manifest + two-live-
+    writer conditional-put fencing). Validated at task creation
+    like delta_threshold so a typo fails the POST, not the first
+    micro-batch."""
+    fs = opts.get("fs", "posix")
+    if fs not in ("posix", "manifest", "manifest_cas"):
+        raise ValueError(
+            f"index_options['fs'] must be 'posix', 'manifest' or "
+            f"'manifest_cas', got {fs!r}")
+    return fs
+
+
 def _apply_delta_thresholds(stores, opts: dict,
                             big: tuple[bool, ...]) -> None:
     """Set each store's write strategy: per-store defaults (delta
     tier for corpus-sized stores, CoW for small hot ones) unless
-    the task option overrides uniformly."""
+    the task option overrides uniformly; plus the task-wide commit
+    strategy (``fs``) — one strategy for ALL of a task's stores,
+    because a task deploys onto one storage class."""
+    from galaxy_spark.streaming.store_fs import store_fs
+
     dt = _validated_delta_threshold(opts)
+    fs = _validated_fs(opts)
     for s, is_big in zip(stores, big):
         if dt is _DT_DEFAULT:
             s.delta_threshold = _BIG_STORE_DELTA if is_big else None
         else:
             s.delta_threshold = dt
+        s.fs = store_fs(fs)
 
 
 def new_task_id() -> str:

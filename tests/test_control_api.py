@@ -509,15 +509,42 @@ def test_stateful_task_store_write_strategies(spark, tmp_path):
                 index_options={"delta_threshold": bad}))
     assert mgr.tasks == {}
 
+    # fs option: per-task commit strategy for ALL its stores (r12
+    # verdict #6); junk rejected at creation naming the option
+    from galaxy_spark.streaming.store_fs import (CasManifestStoreFs,
+                                                 ManifestStoreFs,
+                                                 PosixStoreFs)
 
-def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
+    man = TaskSpec(task_id="m", task_kind="near_dup_index",
+                   index_options={"fs": "manifest"})
+    assert all(type(s.fs) is ManifestStoreFs
+               for s in mgr.near_dup_stores(man))
+    cas = TaskSpec(task_id="cs", task_kind="rollup",
+                   index_options={"fs": "manifest_cas"})
+    assert type(mgr.rollup_store(cas).fs) is CasManifestStoreFs
+    assert all(type(s.fs) is PosixStoreFs
+               for s in mgr.search_stores(si))    # default
+    with _pytest.raises(ValueError, match=r"\['fs'\]"):
+        mgr.create_task(TaskSpec(
+            task_id="bad", task_kind="rollup",
+            index_options={"fs": "s3"}))
+    assert mgr.tasks == {}
+
+
+@pytest.mark.parametrize("fs", ["posix", "manifest"])
+def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path,
+                                                    fs):
     """One TaskManager running all FOUR task kinds AT ONCE — cdc
     replication, the near-dup index, the search index, the
     time-series rollup — with
     per-task checkpoint dirs and store roots that never collide:
     stopping/deleting one task leaves the others' queries running
     and their state untouched, and each task's answers equal its
-    single-task twin's (store isolation, not just liveness)."""
+    single-task twin's (store isolation, not just liveness).
+    Parametrized over the commit strategy (r12 verdict #6): the
+    object-store manifest path must hold under the full T1
+    lifecycle, not only the store-level battery — verified by the
+    rename-less layout markers in every task's store root."""
     from pyspark.sql import functions as F
 
     from galaxy_spark.control.tasks import TaskManager, TaskSpec
@@ -544,14 +571,18 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
                 .parquet(doc_src))
 
     mgr = TaskManager(spark, str(tmp_path / "mk_state"), factory)
+    opts = {"fs": fs}
     mgr.create_task(TaskSpec(task_id="repl",
                              columns=list(EVENT_SOURCE_COLUMNS),
                              sink_kind="memory"))
     mgr.create_task(TaskSpec(task_id="ndx",
-                             task_kind="near_dup_index"))
+                             task_kind="near_dup_index",
+                             index_options=dict(opts)))
     mgr.create_task(TaskSpec(task_id="six",
-                             task_kind="search_index"))
-    mgr.create_task(TaskSpec(task_id="ru", task_kind="rollup"))
+                             task_kind="search_index",
+                             index_options=dict(opts)))
+    mgr.create_task(TaskSpec(task_id="ru", task_kind="rollup",
+                             index_options=dict(opts)))
     assert sorted(mgr.queries) == ["ndx", "repl", "ru", "six"]
     mgr.await_all()
 
@@ -566,6 +597,22 @@ def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path):
     assert os.path.isdir(os.path.join(roots["ru"], "rollup"))
     assert os.path.isdir(os.path.join(roots["ndx"], "doc"))
     assert os.path.isdir(os.path.join(roots["six"], "postings"))
+
+    # the chosen commit protocol is what actually ran: manifest
+    # mode is rename-less (no _COMMITTED markers anywhere, a
+    # _MANIFEST.json in every written bucket), posix the converse
+    walked = [(r, fl) for root in roots.values()
+              for r, _, fl in os.walk(root)]
+    markers = [f for _, fl in walked for f in fl
+               if f == "_COMMITTED"]
+    manifests = [f for _, fl in walked for f in fl
+                 if f == "_MANIFEST.json"]
+    if fs == "manifest":
+        assert markers == [] and manifests, \
+            "manifest tasks wrote posix markers"
+    else:
+        assert manifests == [] and markers, \
+            "posix tasks wrote manifests"
 
     # each task's answers == its batch twin while the OTHERS run
     want_pairs = sorted((r.id_a, r.id_b, r.jaccard)
