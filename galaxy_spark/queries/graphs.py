@@ -139,6 +139,47 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part"), "deg", "rank")
 
 
+def cap_mega_baskets(baskets: DataFrame, k_max: int | None,
+                     order_col: str = "o",
+                     item_col: str = "p") -> DataFrame:
+    """Deterministic mega-basket cap for basket self-joins (r12
+    verdict #2): keep at most ``k_max`` items per basket, chosen by
+    HASH order (md5 over the (order, item) pair, ties on the item),
+    so the sample is a property of the data — stable across runs,
+    partitionings and engines, never a ``rand()`` — and the emitted
+    pair fan-out per basket is bounded by k_max(k_max-1) instead of
+    k(k-1). A basket of k items emits k(k-1) pair rows in the
+    self-join; TPC-H baskets are bounded (<= 7 lines) so the
+    default is OFF (``k_max=None``, a no-op preserving the exact
+    oracles), but at 100x on power-law baskets one mega-basket is a
+    straggler task — e.g. k = 100k items is 10^10 pair rows in ONE
+    join partition. Recall impact (SCALE.md): a pair inside a
+    capped basket survives that basket with probability about
+    (k_max/k)^2; pairs supported by MANY baskets keep their support
+    nearly intact (mega-baskets are the rarest and the least
+    informative — everything co-occurs with everything), which is
+    exactly the A-priori/CF folk rationale for capping.
+
+    The cap itself is one window over the basket frame — a
+    row_number per order in hash order — partial top-k'd below the
+    exchange (WindowGroupLimit) like every bounded-rank window in
+    this repo, so it never materializes the uncapped fan-out it
+    exists to prevent."""
+    if k_max is None:
+        return baskets
+    if k_max < 2:
+        raise ValueError(f"basket cap must allow pairs: {k_max!r}")
+    w = Window.partitionBy(order_col).orderBy(
+        F.md5(F.concat_ws("\x1f",
+                          F.col(order_col).cast("string"),
+                          F.col(item_col).cast("string"))),
+        item_col)
+    return (baskets
+            .withColumn("_cap_rank", F.row_number().over(w))
+            .filter(F.col("_cap_rank") <= k_max)
+            .drop("_cap_rank"))
+
+
 @register(
     "mining_frequent_pairs",
     oracle="""
@@ -157,7 +198,8 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ps.support >= 2
     """,
 )
-def mining_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mining_frequent_pairs(spark: SparkSession, sf_dir: str,
+                          basket_cap: int | None = None) -> DataFrame:
     """Market-basket mining, A-priori level 2: part pairs
     co-occurring in >= 2 orders, with confidence(src -> dst) =
     support / baskets(src). The shape every co-occurrence
@@ -169,19 +211,22 @@ def mining_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join shuffles on the order key and its output
     partial-aggregates on (src, dst) before the support exchange —
     the classic hot-basket hazard (one order with 10k items ->
-    50M pairs) is the max_df-style guard documented in
-    operators/dedup.py, not needed at TPC-H basket widths (<10).
-    Item counts broadcast into the confidence join. Integer
-    support and a single rounded double division keep both engines
-    hash-identical with no decimal machinery.
+    50M pairs) is handled by ``basket_cap`` (see
+    ``cap_mega_baskets``): default OFF at TPC-H basket widths
+    (<10) so the oracle stays exact, ON (k_max ~ 50-200) for
+    power-law corpora. Item counts broadcast into the confidence
+    join. Integer support and a single rounded double division
+    keep both engines hash-identical with no decimal machinery.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # baskets feed three subtrees (item counts + both join sides) —
     # checkpoint the distinct (order, part) frame so the fact scan
     # and dedup shuffle run once
-    baskets = (li.select(F.col("l_orderkey").alias("o"),
-                         F.col("l_partkey").alias("p")).distinct()
-               .localCheckpoint(eager=False))
+    baskets = (cap_mega_baskets(
+        li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct(),
+        basket_cap)
+        .localCheckpoint(eager=False))
     item_count = baskets.groupBy("p").agg(F.count("*").alias("n_baskets"))
     pair_support = (baskets.alias("a")
                     .join(baskets.alias("b"),
@@ -845,8 +890,9 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rnk <= 3
     """,
 )
-def similarity_item_cf_topk(spark: SparkSession,
-                            sf_dir: str) -> DataFrame:
+def similarity_item_cf_topk(spark: SparkSession, sf_dir: str,
+                            basket_cap: int | None = None
+                            ) -> DataFrame:
     """Item-item collaborative filtering: for every part, the top-3
     most-similar parts by co-occurrence cosine over order baskets —
     sim(a,b) = co(a,b) / sqrt(|a| |b|) — the classic
@@ -870,12 +916,16 @@ def similarity_item_cf_topk(spark: SparkSession,
     top-k below the exchange, so the full ranked set never
     shuffles. Skew note: a basket of k parts emits k(k-1) pairs;
     TPC-H orders are bounded (<= 7 lines), and for power-law
-    baskets the standard fix is capping or sampling mega-baskets
-    before the self-join."""
+    baskets ``basket_cap`` applies the standard fix — a
+    deterministic hash-order sample to k_max items per basket
+    BEFORE the self-join (``cap_mega_baskets``; default OFF to
+    keep the oracle exact)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (li.select(F.col("l_orderkey").alias("o"),
-                         F.col("l_partkey").alias("p")).distinct()
-               .localCheckpoint(eager=False))
+    baskets = (cap_mega_baskets(
+        li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct(),
+        basket_cap)
+        .localCheckpoint(eager=False))
     pairs = (baskets.alias("a")
              .join(baskets.alias("b"),
                    (F.col("a.o") == F.col("b.o"))

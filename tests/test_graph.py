@@ -343,3 +343,61 @@ def test_degree_oriented_triangles(spark):
     max_out = (oriented.groupBy("src").agg(F.count("*").alias("d"))
                .agg(F.max("d")).collect()[0][0])
     assert max_out <= math.ceil(math.sqrt(2 * n_e)), (max_out, n_e)
+
+
+def test_mega_basket_cap_bounds_fanout_and_preserves_small(spark):
+    """r12 verdict #2: the deterministic mega-basket cap. On a
+    synthetic power-law basket set (40 bounded baskets + one
+    300-item mega-basket) the cap must (a) bound per-basket pair
+    fan-out to k_max(k_max-1), (b) be a strict deterministic
+    subset (hash order, not rand()), (c) leave every basket under
+    the threshold UNTOUCHED — so small-basket pair supports are
+    exactly preserved and the registered queries' oracles hold
+    whenever no basket exceeds the cap."""
+    from galaxy_spark.queries.graphs import cap_mega_baskets
+
+    rows = [(o, 10 * o + j) for o in range(40) for j in range(5)]
+    rows += [(999, 1000 + j) for j in range(300)]   # the straggler
+    baskets = spark.createDataFrame(rows, "o long, p long")
+
+    k_max = 20
+    capped = cap_mega_baskets(baskets, k_max)
+    sizes = {r.o: r.n for r in capped.groupBy("o")
+             .agg(F.count("*").alias("n")).collect()}
+    assert sizes[999] == k_max                       # capped
+    assert all(sizes[o] == 5 for o in range(40))     # untouched
+    # pair fan-out of the would-be self-join, per basket
+    fanout = sum(n * (n - 1) for n in sizes.values())
+    assert fanout == 40 * 5 * 4 + k_max * (k_max - 1)
+    assert fanout < 300 * 299                        # vs uncapped
+
+    # deterministic: a second evaluation picks the same sample,
+    # and it IS a subset of the original rows
+    again = {(r.o, r.p) for r in cap_mega_baskets(
+        baskets, k_max).collect()}
+    got = {(r.o, r.p) for r in capped.collect()}
+    assert got == again
+    assert got < {(r.o, r.p) for r in baskets.collect()}
+
+    # no-op contract: cap >= max basket width changes nothing
+    assert {(r.o, r.p) for r in cap_mega_baskets(
+        baskets, 300).collect()} == \
+        {(r.o, r.p) for r in baskets.collect()}
+    with pytest.raises(ValueError, match="cap"):
+        cap_mega_baskets(baskets, 1)
+
+
+def test_basket_cap_noop_on_bounded_tpch_queries(spark):
+    """With every TPC-H basket under the cap, the capped queries
+    return EXACTLY the uncapped (oracle-certified) rows — the
+    default-off knob can be turned on at a safe threshold without
+    moving a single answer."""
+    from galaxy_spark.queries.graphs import (mining_frequent_pairs,
+                                             similarity_item_cf_topk)
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (mining_frequent_pairs, similarity_item_cf_topk):
+        want = sorted(map(tuple, fn(spark, sf).collect()))
+        got = sorted(map(tuple, fn(spark, sf,
+                                   basket_cap=16).collect()))
+        assert got == want and len(want) > 50, fn.__name__
