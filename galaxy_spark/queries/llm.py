@@ -1057,6 +1057,41 @@ _WINNOW_K, _WINNOW_W = 3, 4
 _WINNOW_DF_CAP, _WINNOW_MIN_SHARED = 50, 2
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints — THE selection
+    arithmetic of ``dedup_winnowing_pairs``, factored out so the
+    streaming index (state_store.ParquetWinnowStore) imports it
+    instead of re-deriving it: one drifting constant (k, w, the
+    gram hash, the full-window rule) would silently fork streaming
+    emissions from the batch oracle. See the batch query's
+    docstring for the plan-shape reasoning (posexplode + frame
+    window; the nested-lambda O(tokens^2) trap it avoids)."""
+    toks = text.tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        toks.alias("t"))
+            .filter(F.size("t") >= _WINNOW_K + _WINNOW_W - 1))
+    gram_rows = base.select(
+        "doc_id",
+        (F.size("t") - _WINNOW_K + 1).alias("n_grams"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - _WINNOW_K + 1),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice("t", i, _WINNOW_K)))))
+        .alias("pos", "h"))
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(0, _WINNOW_W - 1))
+    return (gram_rows
+            .select("doc_id", "pos", "n_grams",
+                    F.min("h").over(w).alias("fp"))
+            # full windows only (the paper's selection); the
+            # <W-sized tail windows would add fingerprints the
+            # guarantee does not define and the oracle does not
+            # compute
+            .filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W)
+            .select("doc_id", "fp").distinct())
+
+
 @register(
     "dedup_winnowing_pairs",
     oracle=f"""
@@ -1126,30 +1161,9 @@ def dedup_winnowing_pairs(spark: SparkSession,
     same hot-key discipline as the LSH band join, never
     all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = text.tokens(F.col("text"))
-    base = (docs.select("doc_id", toks.alias("t"))
-            .filter(F.size("t") >= _WINNOW_K + _WINNOW_W - 1))
-    gram_rows = base.select(
-        "doc_id",
-        (F.size("t") - _WINNOW_K + 1).alias("n_grams"),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(1), F.size("t") - _WINNOW_K + 1),
-            lambda i: F.md5(F.concat_ws(
-                " ", F.slice("t", i, _WINNOW_K)))))
-        .alias("pos", "h"))
-    w = (Window.partitionBy("doc_id").orderBy("pos")
-         .rowsBetween(0, _WINNOW_W - 1))
-    fpd = (gram_rows
-           .select("doc_id", "pos", "n_grams",
-                   F.min("h").over(w).alias("fp"))
-           # full windows only (the paper's selection); the <W-sized
-           # tail windows would add fingerprints the guarantee does
-           # not define and the oracle does not compute
-           .filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W)
-           .select("doc_id", "fp").distinct()
-           # three consumers (DF-cap agg + both join sides) — cut
-           # lineage so the gram/winnow pipeline runs once, not 3x
-           .localCheckpoint(eager=False))
+    # three consumers (DF-cap agg + both join sides) — cut lineage
+    # so the gram/winnow pipeline runs once, not 3x
+    fpd = winnow_fingerprints(docs).localCheckpoint(eager=False)
     kept = (fpd.groupBy("fp")
             .agg(F.count("*").alias("df"))
             .filter((F.col("df") >= 2)

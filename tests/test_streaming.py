@@ -4031,3 +4031,124 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
                   for r in all_queries()["events_anomaly_daily_counts"](
                       spark, SF).collect())
     assert got == want and len(want) >= 100
+
+
+# ------------------------------------------------------------------
+# Streaming winnowing near-dup index (r12 verdict #3)
+# ------------------------------------------------------------------
+
+@pytest.mark.parametrize("delta,fs", [(None, "posix"),
+                                      (2, "manifest_cas")],
+                         ids=["cow", "delta2-cas"])
+def test_streaming_winnowing_index_matches_batch(spark, tmp_path,
+                                                 delta, fs):
+    """r12 verdict #3: the winnowing tier's streaming twin. Docs
+    stream in three slices with a kill/restart mid-stream; the
+    store reader answers EXACTLY the batch
+    ``dedup_winnowing_pairs`` over the replayed corpus (the
+    one-write many-readers hub shape — the DF cap and min-shared
+    floor are whole-corpus properties, so the reader recomputes
+    from accumulated fingerprint state). The post-ingest probe of
+    the full corpus equals the same answer (state-union replay
+    insensitivity at final df)."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetWinnowStore, start_streaming_winnowing_index,
+        streaming_winnowing_pairs, winnow_probe_pairs)
+    from galaxy_spark.streaming.store_fs import store_fs
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "wn_src")
+    for k in (0, 1):                   # first two slices, then kill
+        (docs.filter(F.col("doc_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetWinnowStore(spark, str(tmp_path / "wn_store"))
+    store.delta_threshold = delta
+    store.fs = store_fs(fs)
+    ck = str(tmp_path / "wn_ck")
+
+    def start():
+        stream = spark.readStream.schema(docs.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_winnowing_index(stream, store, ck)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()                           # the "kill"
+    mid = streaming_winnowing_pairs(store).count()
+
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 3 == 2)
+     .coalesce(1).write.mode("append").parquet(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.doc_a, r.doc_b, r.n_shared)
+                 for r in streaming_winnowing_pairs(store).collect())
+    want = sorted((r.doc_a, r.doc_b, r.n_shared)
+                  for r in all_queries()["dedup_winnowing_pairs"](
+                      spark, SF).collect())
+    assert got == want and len(want) > max(mid, 3)
+    assert any(a % 3 != b % 3 for a, b, _ in got), \
+        "no cross-slice pair: the growing index went untested"
+
+    # post-ingest probe of the full corpus: at final df the
+    # candidate superset collapses to the exact answer, and the
+    # state-union makes it indifferent to the already-applied
+    # inserts (replay shape)
+    probed = sorted((r.doc_a, r.doc_b, r.n_shared)
+                    for r in winnow_probe_pairs(docs,
+                                                store).collect())
+    assert probed == want
+
+
+def test_winnow_store_caps_boilerplate_and_probe_is_superset(
+        spark, tmp_path):
+    """Merge-time DF-cap enforcement + the documented probe
+    semantics. With df_cap=3: (a) a boilerplate fingerprint shared
+    by 8 documents keeps at most cap+1 = 4 member ids in state (the
+    truncation witness — bounded state no matter how hot the
+    fingerprint); (b) a pair the per-trigger probe legitimately
+    emitted early (df at trigger <= cap) is RETRACTED by the exact
+    reader once later arrivals push the fingerprint over the cap —
+    probe union is a superset, the store reader is the truth."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetWinnowStore, partial_winnow_index,
+        streaming_winnowing_pairs, winnow_probe_pairs)
+
+    # a 20-word shared run -> several distinct shared fingerprints
+    # (>= the min-shared floor of 2)
+    run = ("quick brown foxes jump over lazy dogs while striped "
+           "cats sleep calmly under warm afternoon sun near old "
+           "stone walls")
+    mk = lambda i: (i, f"{run} unique{i} filler{i} tail{i} "
+                    f"pad{i} extra{i} more{i}")
+    batch1 = spark.createDataFrame([mk(i) for i in (1, 2, 3)],
+                                   "doc_id long, text string")
+    batch2 = spark.createDataFrame([mk(i) for i in (4, 5, 6, 7, 8)],
+                                   "doc_id long, text string")
+
+    store = ParquetWinnowStore(spark, str(tmp_path / "bp_store"),
+                               df_cap=3)
+    store.merge(partial_winnow_index(batch1), "lin.000000000000")
+    early = {(r.doc_a, r.doc_b) for r in
+             winnow_probe_pairs(batch1, store).collect()}
+    assert early, "df<=cap pairs must emit at trigger time"
+
+    store.merge(partial_winnow_index(batch2), "lin.000000000001")
+    # (a) bounded state: every fp row holds <= cap+1 member ids
+    sizes = [r.n for r in store.state()
+             .select(F.size("doc_ids").alias("n")).collect()]
+    assert max(sizes) == 4 and len(sizes) > 1
+    # (b) retraction: the shared run's fingerprints now exceed the
+    # cap everywhere, so the exact reader emits nothing...
+    assert streaming_winnowing_pairs(store).count() == 0
+    # ...and a fresh probe agrees (superset collapsed to truth)
+    assert winnow_probe_pairs(batch2, store).count() == 0
+    # the early emission was a strict superset of the final answer
+    assert early > set()
