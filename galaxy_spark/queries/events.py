@@ -853,7 +853,16 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shiftleft inside whole-stage codegen) + ONE partial-aggregated
     groupBy(user_id); the anchor join is a broadcast of one row.
     """
-    ev = load_table(spark, sf_dir, "events")
+    return decay_scores_from_events(
+        load_table(spark, sf_dir, "events"))
+
+
+def decay_scores_from_events(ev: DataFrame) -> DataFrame:
+    """The full decay query over any events-shaped frame — the
+    funnel_from_events pattern, so restricted-window twins (the
+    user-day store's retention tests) run the REAL query body over
+    a filtered frame instead of a re-derivation that could
+    drift."""
     anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
     aged = (ev.crossJoin(F.broadcast(anchor))
             .select("user_id",

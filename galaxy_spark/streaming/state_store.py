@@ -143,6 +143,15 @@ class KeyedParquetStore:
         #: merge partials carried.
         self.layout_cols = (list(layout_cols) if layout_cols is not None
                             else list(key_cols))
+        #: optional post-fold row filter (DataFrame -> DataFrame),
+        #: applied after EVERY ``.agg(*self.aggs)`` fold — the seam
+        #: stores whose retention must DROP WHOLE ROWS hang their
+        #: eviction on (array-valued stores evict inside the agg
+        #: itself; a store keyed by the aging column, like
+        #: (user, day), cannot). Must be idempotent and absorbed by
+        #: re-application at a later watermark, like the in-agg
+        #: gates, so replay and fold order cannot move state.
+        self.fold_finalize = None
         missing = set(self.layout_cols) - set(self.key_cols)
         if missing:
             raise ValueError(
@@ -308,8 +317,8 @@ class KeyedParquetStore:
                 cur_df = self.spark.read.parquet(*cur_paths) \
                     .select(*part.columns)
                 merged = part.unionByName(cur_df)
-            merged = merged.groupBy(
-                _BUCKET, *self.key_cols).agg(*self.aggs)
+            merged = self._finalized(merged.groupBy(
+                _BUCKET, *self.key_cols).agg(*self.aggs))
             self._commit_version(merged, version, todo)
             for b in todo:
                 self._vacuum(b)
@@ -324,7 +333,8 @@ class KeyedParquetStore:
         # partial keys implicitly through its state union; a delta
         # file must carry ONE folded row per key itself so the
         # read-side fold sees monoid elements, not raw fragments
-        folded = part.groupBy(_BUCKET, *self.key_cols).agg(*self.aggs)
+        folded = self._finalized(
+            part.groupBy(_BUCKET, *self.key_cols).agg(*self.aggs))
         self._commit_version(folded, f"d-{epoch_key}", todo)
         # compaction: a bucket that reached T committed deltas folds
         # base + deltas into a fresh base at THIS epoch. Only the
@@ -347,12 +357,19 @@ class KeyedParquetStore:
                 for d in self._delta_versions(b):
                     if d[2:] <= epoch_key:
                         paths.extend(self.fs.read_paths(bd, d))
-            compacted = (self.spark.read.parquet(*paths)
-                         .groupBy(_BUCKET, *self.key_cols)
-                         .agg(*self.aggs))
+            compacted = self._finalized(
+                self.spark.read.parquet(*paths)
+                .groupBy(_BUCKET, *self.key_cols)
+                .agg(*self.aggs))
             self._commit_version(compacted, version, ripe)
         for b in todo:
             self._vacuum(b)
+
+    def _finalized(self, folded: DataFrame) -> DataFrame:
+        """Apply the optional post-fold row filter (see
+        ``fold_finalize``)."""
+        return (folded if self.fold_finalize is None
+                else self.fold_finalize(folded))
 
     def _applied(self, b: int, epoch_key: str) -> bool:
         """Replay-skip test for the delta tier: this epoch's
@@ -466,8 +483,9 @@ class KeyedParquetStore:
                        if bucket_of(p) not in delta_buckets]
         plain = (self.spark.read.parquet(*plain_paths).drop(_BUCKET)
                  if plain_paths else None)
-        folded = (self.spark.read.parquet(*folded_paths)
-                  .groupBy(*self.key_cols).agg(*self.aggs)
+        folded = (self._finalized(
+                      self.spark.read.parquet(*folded_paths)
+                      .groupBy(*self.key_cols).agg(*self.aggs))
                   if folded_paths else None)
         if folded is None:
             return plain
@@ -2331,41 +2349,88 @@ class ParquetSessionStore(KeyedParquetStore):
     so the read-time ROUND(v/100, 2) equals the batch query's
     ROUND(SUM(value), 2) deterministically — integer cents keep
     the true sum >= 5e-3 away from every rounding boundary, where
-    float partial-sum order (~1e-13) cannot reach."""
+    float partial-sum order (~1e-13) cannot reach.
+
+    ``retention_days=H`` (r12 verdict #5, the event-index design):
+    CLOSED sessions are immutable once the stream has moved H days
+    past them, so each partial carries a watermark ``wm`` = (batch
+    max event micros) − H days folded under MAX, and the fold
+    drops intervals whose END sits below it — eviction on touch,
+    replay/arrival-order-proof. Intervals are evicted WHOLE (a
+    session reaching past the horizon keeps its pre-horizon events
+    — sessions never truncate mid-way), and the reader re-applies
+    the GLOBAL max watermark, so with events arriving less than H
+    days late the reader equals the batch query over the events of
+    retained sessions. Data arriving MORE than H days late lands
+    below the watermark and is dropped — the same contract a
+    Structured Streaming watermark gives, and the reason H is an
+    operator choice. Default None keeps exact-forever behavior and
+    the schema unchanged."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 n_buckets: int = 2) -> None:
+                 n_buckets: int = 2,
+                 retention_days: int | None = None) -> None:
+        if retention_days is not None and retention_days < 1:
+            raise ValueError("retention_days must be >= 1 or None")
+        self.retention_days = retention_days
+        merged = _gap_merge_ivs(F.flatten(F.collect_list("ivs")))
+        if retention_days is None:
+            aggs = [merged.alias("ivs")]
+            schema = f"user_id long, ivs {_IV_DDL}"
+        else:
+            aggs = [F.filter(merged,
+                             lambda iv: iv["e"] >= F.max("wm"))
+                    .alias("ivs"),
+                    F.max("wm").alias("wm")]
+            schema = f"user_id long, ivs {_IV_DDL}, wm long"
         super().__init__(
-            spark, path, ["user_id"],
-            [_gap_merge_ivs(F.flatten(F.collect_list("ivs")))
-             .alias("ivs")],
-            n_buckets,
-            state_schema=f"user_id long, ivs {_IV_DDL}")
+            spark, path, ["user_id"], aggs, n_buckets,
+            state_schema=schema)
+
+    def _clone(self, new_path: str,
+               n_buckets: int) -> "ParquetSessionStore":
+        return ParquetSessionStore(
+            self.spark, new_path, n_buckets=n_buckets,
+            retention_days=self.retention_days)
 
 
-def partial_sessions(batch_df: DataFrame) -> DataFrame:
+def partial_sessions(batch_df: DataFrame,
+                     retention_days: int | None = None) -> DataFrame:
     """One micro-batch's per-user pre-merged intervals: each event
     is the singleton interval (ts, ts, 1, cents), gap-merged within
     the batch by the SAME closure the store folds with (pre-merge
-    is sound because the closure is associative)."""
+    is sound because the closure is associative). With retention,
+    each row also carries the batch watermark (max event micros −
+    H days, one 1-row agg broadcast into the partial)."""
     iv = F.struct(
         F.unix_micros("ts").alias("s"),
         F.unix_micros("ts").alias("e"),
         F.lit(1).cast("long").alias("n"),
         F.round(F.col("value") * 100, 0).cast("long").alias("v"))
-    return (batch_df.select("user_id", iv.alias("iv"))
+    part = (batch_df.select("user_id", iv.alias("iv"))
             .groupBy("user_id")
             .agg(_gap_merge_ivs(F.collect_list("iv")).alias("ivs")))
+    if retention_days is None:
+        return part
+    horizon = int(retention_days) * 86_400_000_000
+    wm = (batch_df
+          .agg((F.max(F.unix_micros("ts")) - F.lit(horizon))
+               .alias("wm")))
+    return part.crossJoin(F.broadcast(wm))
 
 
 def start_streaming_sessions(stream: DataFrame,
                              store: ParquetSessionStore,
                              checkpoint_dir: str) -> StreamingQuery:
-    """Maintain gap-merged sessions from an events-shaped stream."""
+    """Maintain gap-merged sessions from an events-shaped stream;
+    the partial shape follows the STORE's retention knob, so the
+    two cannot disagree."""
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(_lineage_scoped_handler(
-                store, checkpoint_dir, partial_sessions))
+                store, checkpoint_dir,
+                lambda b: partial_sessions(
+                    b, store.retention_days)))
             .start())
 
 
@@ -2373,11 +2438,24 @@ def streaming_session_rows(store: ParquetSessionStore) -> DataFrame:
     """The accumulated sessions in the batch query's output shape —
     over the same events this equals ``events_sessionization``
     field-for-field (session_id is the per-user ordinal by start,
-    exactly the batch query's cumulative new-session counter)."""
+    exactly the batch query's cumulative new-session counter);
+    with a retention horizon, restricted to sessions ending at or
+    after the GLOBAL max watermark (per-key watermarks can lag for
+    users untouched since the horizon moved), ordinals re-ranked
+    over the retained set."""
     from pyspark.sql import Window
 
-    iv = (store.state()
-          .select("user_id", F.explode("ivs").alias("iv")))
+    st = store.state()
+    if store.retention_days is not None:
+        st = st.localCheckpoint(eager=False)   # read once, used 2x
+        gwm = st.agg(F.max("wm").alias("gwm"))
+        st = (st.crossJoin(F.broadcast(gwm))
+              .select("user_id",
+                      F.filter("ivs",
+                               lambda iv: iv["e"] >= F.col("gwm"))
+                      .alias("ivs"))
+              .filter(F.size("ivs") > 0))
+    iv = st.select("user_id", F.explode("ivs").alias("iv"))
     w = Window.partitionBy("user_id").orderBy(F.col("iv.s"))
     return iv.select(
         "user_id",
@@ -2557,36 +2635,91 @@ class ParquetUserDayStore(KeyedParquetStore):
     a monoid — but the (day -> counts) layer is, and the read-time
     decay fold touches O(users x days) state rows, never raw
     events (the sliding-sketch discipline, SCALE.md r9). Horizon
-    and half-life are read-time choices, not ingest-time ones."""
+    and half-life are read-time choices, not ingest-time ones.
+
+    ``retention_days=H`` (r12 verdict #5): the decay weight is
+    ZERO past the 40-day horizon, so days older than H >= 40
+    behind the newest day are mathematically dead state. The AGING
+    column here is part of the KEY, so eviction cannot live inside
+    the agg like the array stores' — instead each row carries a
+    MAX-folded watermark (batch max day − H) and the store's
+    ``fold_finalize`` hook drops rows whose day sits below their
+    folded watermark at every fold site (CoW rewrite, delta
+    pre-fold, compaction, read-side delta fold). Rows in touched
+    buckets evict as the watermark advances; untouched keys'
+    stale-watermark rows are the frozen-tail class the reader's
+    GLOBAL watermark filter handles (``retained_state``), exactly
+    like the event-index store. Default None = exact-forever."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 n_buckets: int = 4) -> None:
+                 n_buckets: int = 4,
+                 retention_days: int | None = None) -> None:
+        if retention_days is not None and retention_days < 1:
+            raise ValueError("retention_days must be >= 1 or None")
+        self.retention_days = retention_days
+        aggs = [F.sum("n").cast("long").alias("n"),
+                F.sum("np").cast("long").alias("np")]
+        schema = "user_id long, day date, n long, np long"
+        if retention_days is not None:
+            aggs.append(F.max("wm").alias("wm"))
+            schema += ", wm date"
         super().__init__(
-            spark, path, ["user_id", "day"],
-            [F.sum("n").cast("long").alias("n"),
-             F.sum("np").cast("long").alias("np")],
-            n_buckets,
-            state_schema="user_id long, day date, n long, np long")
+            spark, path, ["user_id", "day"], aggs, n_buckets,
+            state_schema=schema)
+        if retention_days is not None:
+            self.fold_finalize = \
+                lambda df: df.filter(F.col("day") >= F.col("wm"))
+
+    def _clone(self, new_path: str,
+               n_buckets: int) -> "ParquetUserDayStore":
+        return ParquetUserDayStore(
+            self.spark, new_path, n_buckets=n_buckets,
+            retention_days=self.retention_days)
+
+    def retained_state(self) -> DataFrame:
+        """State rows restricted to the GLOBAL retention window
+        (max folded watermark); plain ``state()`` with no
+        retention configured."""
+        st = self.state()
+        if self.retention_days is None:
+            return st
+        st = st.localCheckpoint(eager=False)   # read once, used 2x
+        gwm = st.agg(F.max("wm").alias("gwm"))
+        return (st.crossJoin(F.broadcast(gwm))
+                .filter(F.col("day") >= F.col("gwm"))
+                .select("user_id", "day", "n", "np"))
 
 
-def partial_user_days(batch_df: DataFrame) -> DataFrame:
-    """One micro-batch's per-(user, day) event/purchase counts."""
-    return (batch_df
+def partial_user_days(batch_df: DataFrame,
+                      retention_days: int | None = None) -> DataFrame:
+    """One micro-batch's per-(user, day) event/purchase counts;
+    with retention, each row also carries the batch watermark
+    (max event day − H days, one 1-row agg broadcast)."""
+    part = (batch_df
             .groupBy("user_id", F.to_date("ts").alias("day"))
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum(F.when(F.col("event_type") == "purchase",
                               F.lit(1)).otherwise(F.lit(0)))
                  .cast("long").alias("np")))
+    if retention_days is None:
+        return part
+    wm = (batch_df
+          .agg(F.date_sub(F.max(F.to_date("ts")),
+                          int(retention_days)).alias("wm")))
+    return part.crossJoin(F.broadcast(wm))
 
 
 def start_streaming_user_days(stream: DataFrame,
                               store: ParquetUserDayStore,
                               checkpoint_dir: str) -> StreamingQuery:
-    """Maintain per-(user, day) counts from an events stream."""
+    """Maintain per-(user, day) counts from an events stream; the
+    partial shape follows the STORE's retention knob."""
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(_lineage_scoped_handler(
-                store, checkpoint_dir, partial_user_days))
+                store, checkpoint_dir,
+                lambda b: partial_user_days(
+                    b, store.retention_days)))
             .start())
 
 
@@ -2597,10 +2730,14 @@ def streaming_decay_scores(store: ParquetUserDayStore) -> DataFrame:
     shiftleft(1, 40 - age), every score an exact BIGINT), so over
     the same events this equals ``events_decay_score``
     field-for-field — while reading O(users x days) rows however
-    long the stream has run."""
+    long the stream has run. With a retention horizon the read is
+    the global-watermark-restricted state; at H >= the 40-day
+    weight horizon the only difference from the unbounded twin is
+    users whose entire activity aged out (they carried
+    all-zero scores)."""
     from galaxy_spark.queries.events import decay_scores_from_aged
 
-    st = store.state().localCheckpoint(eager=False)  # read once,
+    st = store.retained_state().localCheckpoint(eager=False)
     anchor = st.agg(F.max("day").alias("d0"))        # used twice
     aged = (st.crossJoin(F.broadcast(anchor))
             .select("user_id",

@@ -4152,3 +4152,140 @@ def test_winnow_store_caps_boilerplate_and_probe_is_superset(
     assert winnow_probe_pairs(batch2, store).count() == 0
     # the early emission was a strict superset of the final answer
     assert early > set()
+
+
+# ------------------------------------------------------------------
+# Retention knobs: session + user-day stores (r12 verdict #5)
+# ------------------------------------------------------------------
+
+def test_session_store_retention_bounds_state(spark, tmp_path):
+    """retention_days=H on the session store: merge-time eviction
+    of sessions that END more than H days behind the folded
+    watermark. Pins (a) the absorption property — evicting DURING
+    the stream (intermediate watermarks) lands on exactly the
+    exact-forever store's state filtered at the final global
+    watermark, sessions evicted WHOLE, never truncated; (b) every
+    batch session starting inside the window survives with
+    identical fields; (c) state is strictly bounded below the
+    full-history twin."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetSessionStore, start_streaming_sessions,
+        streaming_session_rows)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "sr_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    H = 14
+    ret = ParquetSessionStore(spark, str(tmp_path / "sr_ret"),
+                              retention_days=H)
+    ret.delta_threshold = 2          # exercise the delta-fold site
+    full = ParquetSessionStore(spark, str(tmp_path / "sr_full"))
+    for store, ck in ((ret, "sr_ck_r"), (full, "sr_ck_f")):
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = start_streaming_sessions(stream, store,
+                                     str(tmp_path / ck))
+        q.processAllAvailable()
+        q.stop()
+
+    cutoff = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] \
+        - H * 86_400_000_000
+
+    # (a) absorption: retained state == exact state filtered at
+    # the global watermark (whole intervals, e >= cutoff)
+    got_iv = sorted(
+        (r.user_id, tuple(map(tuple, r.ivs)))
+        for r in ret.state().select(
+            "user_id", F.filter("ivs",
+                                lambda iv: iv["e"] >= F.lit(cutoff))
+            .alias("ivs")).filter(F.size("ivs") > 0).collect())
+    want_iv = sorted(
+        (r.user_id, tuple(map(tuple, r.ivs)))
+        for r in full.state().select(
+            "user_id", F.filter("ivs",
+                                lambda iv: iv["e"] >= F.lit(cutoff))
+            .alias("ivs")).filter(F.size("ivs") > 0).collect())
+    assert got_iv == want_iv and len(want_iv) > 5
+
+    # (b) every batch session starting in-window survives with
+    # identical (user, n_events, value, start); the only extras
+    # the reader may add are straddlers (start < cutoff <= end) —
+    # retained whole by design
+    got = {(r.user_id, r.n_events, r.session_value, r.session_start)
+           for r in streaming_session_rows(ret).collect()}
+    batch = all_queries()["events_sessionization"](spark, SF)
+    from datetime import datetime, timezone
+    cut_ts = datetime.fromtimestamp(cutoff / 1e6, tz=timezone.utc)
+    want_in = {(r.user_id, r.n_events, r.session_value,
+                r.session_start)
+               for r in batch.collect()
+               if r.session_start.replace(tzinfo=timezone.utc)
+               >= cut_ts}
+    assert want_in <= got and len(want_in) > 5
+    extras = got - want_in               # straddlers only
+    all_batch = {(r.user_id, r.n_events, r.session_value,
+                  r.session_start) for r in batch.collect()}
+    assert extras <= all_batch
+
+    # (c) bounded state: strictly fewer stored intervals
+    n_ret = ret.state().agg(F.sum(F.size("ivs"))).collect()[0][0]
+    n_full = full.state().agg(F.sum(F.size("ivs"))).collect()[0][0]
+    assert 0 < n_ret < n_full
+
+
+def test_user_day_store_retention_bounds_state(spark, tmp_path):
+    """retention_days=H on the user-day store (the fold_finalize
+    row-eviction seam — the aging column is part of the KEY, so
+    eviction cannot live inside the agg): the decay reader answers
+    exactly the batch decay query over events restricted to the
+    retained window, and state is strictly bounded below the
+    full-history twin. Delta tier on, so the pre-fold, compaction
+    and read-side fold sites all run the finalize filter."""
+    import time as _time
+
+    from galaxy_spark.queries.events import decay_scores_from_events
+    from galaxy_spark.streaming.state_store import (
+        ParquetUserDayStore, start_streaming_user_days,
+        streaming_decay_scores)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "udr_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    H = 14
+    store = ParquetUserDayStore(spark, str(tmp_path / "udr_store"),
+                                retention_days=H)
+    store.delta_threshold = 2
+    full = ParquetUserDayStore(spark, str(tmp_path / "udr_full"))
+    for st, ck in ((store, "udr_ck"), (full, "udr_ck_f")):
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = start_streaming_user_days(stream, st,
+                                      str(tmp_path / ck))
+        q.processAllAvailable()
+        q.stop()
+
+    cut = ev.agg(F.date_sub(F.max(F.to_date("ts")), H)
+                 .alias("c")).collect()[0].c
+    ev_r = ev.filter(F.to_date("ts") >= F.lit(cut))
+    assert 0 < ev_r.count() < ev.count()
+
+    got = sorted((r.user_id, r.decay_score, r.purchase_score,
+                  r.n_recent)
+                 for r in streaming_decay_scores(store).collect())
+    want = sorted((r.user_id, r.decay_score, r.purchase_score,
+                   r.n_recent)
+                  for r in decay_scores_from_events(ev_r).collect())
+    assert got == want and len(want) >= 10
+
+    assert 0 < store.state().count() < full.state().count()
