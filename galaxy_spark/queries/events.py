@@ -976,3 +976,133 @@ def gapfill_from_hourly(hourly: DataFrame) -> DataFrame:
     return filled.select(
         "event_type", "hour", "n_events",
         F.sum("n_events").over(w).cast("long").alias("trailing_24h"))
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), att AS (
+        SELECT p.event_id, p.day, p.cents, MAX(c.ts) AS t_click
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id AND c.ts < p.ts
+         AND c.ts >= p.ts - INTERVAL 7 DAY
+        GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_attributed,
+           ROUND(SUM(CASE WHEN t_click IS NOT NULL THEN cents
+                     ELSE 0 END) / 100.0, 2) AS attributed_revenue,
+           ROUND(SUM(CASE WHEN t_click IS NULL THEN cents
+                     ELSE 0 END) / 100.0, 2) AS organic_revenue
+    FROM att GROUP BY day
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution: each purchase credits the
+    same user's latest click within the 7 preceding days; daily
+    totals split purchase revenue into attributed vs organic — the
+    standard attribution report every growth team derives from an
+    event log, and the windowed as-of join underneath it is the
+    temporal-join family's fourth member (as-of, range-band,
+    interval-overlap, and now bounded-lookback as-of).
+
+    Cross-engine determinism: revenue folds as integer CENTS
+    (events.value is 2-decimal by contract) and divides/rounds
+    once at the end — float partial-sum order cannot move a
+    boundary. The attribution itself is MAX over timestamps, a
+    total order.
+
+    Shape at scale: purchases x clicks equi-join on user_id with
+    the 7-day band as a residual predicate — bounded by per-user
+    activity like every temporal join here, never a cross product
+    — then one (event_id)-keyed MAX fold and one partial-agged
+    daily rollup. No window over the full event log."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", F.col("ts").alias("p_ts"),
+                 F.to_date("ts").alias("day"),
+                 F.round(F.col("value") * 100, 0).cast("long")
+                 .alias("cents")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts")))
+    att = (p.join(c, (F.col("user_id") == F.col("c_user"))
+                  & (F.col("c_ts") < F.col("p_ts"))
+                  & (F.col("c_ts") >= F.col("p_ts")
+                     - F.expr("INTERVAL 7 DAYS")), "left")
+           .groupBy("event_id", "day", "cents")
+           .agg(F.max("c_ts").alias("t_click")))
+    hit = F.col("t_click").isNotNull()
+    return (att.groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                 .alias("n_attributed"),
+                 F.round(F.sum(F.when(hit, F.col("cents"))
+                               .otherwise(0)) / 100.0, 2)
+                 .alias("attributed_revenue"),
+                 F.round(F.sum(F.when(hit, 0)
+                               .otherwise(F.col("cents"))) / 100.0,
+                         2).alias("organic_revenue")))
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+          AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_funnel_windowed(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: first view, first click within 24
+    HOURS of it, first purchase within 24 hours of that click —
+    the product-analytics funnel definition (unbounded stage gaps
+    overstate conversion; ``events_funnel_conversion`` keeps the
+    unbounded semantics, this adds the time-boxed one). Same
+    stage-gated plan: three user-keyed conditional MIN aggs
+    chained by equi-joins, one exchange class (user_id) end to
+    end; the window bound is a scan-local residual predicate, so
+    the plan shape and cost match the unbounded funnel exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") > F.col("t_view"))
+                 & (F.col("ts") <= F.col("t_view") + day))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") > F.col("t_click"))
+                 & (F.col("ts") <= F.col("t_click") + day))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase"))

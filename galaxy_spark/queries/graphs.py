@@ -942,6 +942,15 @@ def similarity_item_cf_topk(spark: SparkSession, sf_dir: str,
              .agg(F.count("*").cast("long").alias("n_co_orders")))
     deg = baskets.groupBy(F.col("p")).agg(
         F.count("*").cast("long").alias("d"))
+    return cf_score_topk(pairs, deg)
+
+
+def cf_score_topk(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """The item-CF scoring tail over any (part_a, part_b,
+    n_co_orders) + (p, d) degree frame — shared with the streaming
+    co-occurrence hub's reader (state_store), imported not copied,
+    so the integer-basis-point cosine and the top-3 rank can never
+    drift between tiers."""
     scored = (pairs
               .join(F.broadcast(deg.withColumnRenamed("p", "part_a")
                                 .withColumnRenamed("d", "da")),
@@ -960,6 +969,26 @@ def similarity_item_cf_topk(spark: SparkSession, sf_dir: str,
             .filter(F.col("rank") <= 3)
             .select("part_a", "part_b", "n_co_orders", "cos2_bp",
                     "rank"))
+
+
+def frequent_pairs_from_counts(cooc: DataFrame,
+                               deg: DataFrame) -> DataFrame:
+    """The frequent-pairs tail (support >= 2 + confidence) over
+    any ordered co-occurrence + degree frame — the
+    ``mining_frequent_pairs`` output shape, shared with the
+    streaming hub's second reader."""
+    return (cooc.filter((F.col("part_a") < F.col("part_b"))
+                        & (F.col("n_co_orders") >= 2))
+            .select(F.col("part_a").alias("src"),
+                    F.col("part_b").alias("dst"),
+                    F.col("n_co_orders").alias("support"))
+            .join(F.broadcast(deg.withColumnRenamed("p", "src")
+                              .withColumnRenamed("d", "n_baskets")),
+                  "src")
+            .select("src", "dst", "support",
+                    F.round(F.col("support") * F.lit(1.0)
+                            / F.col("n_baskets"), 4)
+                    .alias("confidence")))
 
 
 _LPA_ROUNDS = 3
@@ -1047,3 +1076,77 @@ def graph_label_propagation(spark: SparkSession,
         F.col("node").alias("part"),
         F.col("label").cast("long").alias("community"),
         F.count("*").over(w).cast("long").alias("community_size"))
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=_EDGES_CTE + """
+    , deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1
+    ), pairs AS (
+        SELECT src AS a, dst AS b FROM edges WHERE src < dst
+    ), cn AS (
+        SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pairs p
+        JOIN edges e1 ON e1.src = p.a
+        JOIN edges e2 ON e2.src = p.b AND e2.dst = e1.dst
+        GROUP BY 1, 2
+    )
+    SELECT a, b, n_common,
+           CAST(n_common * 10000
+                // (da.d + db.d - n_common) AS BIGINT)
+               AS jaccard_bp
+    FROM cn JOIN deg da ON a = da.node JOIN deg db ON b = db.node
+    ORDER BY n_common DESC, jaccard_bp DESC, a, b
+    LIMIT 50
+    """,
+)
+def graph_common_neighbors(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Link-prediction features over the co-purchase graph: for
+    each existing edge (a < b), the common-neighbor count and the
+    neighbor-set Jaccard — the two classic similarity features
+    behind "related items" edges and graph-completion training
+    labels; top-50 strongest pairs. Completes the graph axis's
+    PER-PAIR reading next to the global structural ones (triangle
+    count, communities, k-core).
+
+    Cross-engine determinism: Jaccard ranks through integer basis
+    points (BIGINT floor-div — no float division in the sort key),
+    and the top-50 ORDER BY ends in (a, b), a total order.
+
+    Shape at scale: the edge-iterator discipline of
+    ``graph_triangle_count`` — per-node successor arrays built by
+    one edge-keyed agg, each ORIENTED edge joins both endpoints'
+    arrays and intersects scan-locally (array_intersect), so
+    common neighbors fold per edge without materializing wedges.
+    Degrees ride along as array sizes (no second agg); the final
+    TakeOrderedAndProject keeps only 50 rows per partition before
+    the single-reducer step. Hot-node arrays are the documented
+    degree-orientation refinement, same as the triangle query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li)
+    adj = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.collect_set("dst").alias("nbrs"))
+           .localCheckpoint(eager=False))      # both join sides
+    pairs = edges.filter(F.col("src") < F.col("dst")) \
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    na = adj.select(F.col("node").alias("a"),
+                    F.col("nbrs").alias("nbrs_a"))
+    nb = adj.select(F.col("node").alias("b"),
+                    F.col("nbrs").alias("nbrs_b"))
+    n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
+        .cast("long")
+    union_sz = (F.size("nbrs_a") + F.size("nbrs_b")).cast("long") \
+        - F.col("n_common")
+    return (pairs.join(na, "a").join(nb, "b")
+            .withColumn("n_common", n_common)
+            .filter(F.col("n_common") >= 1)
+            .select("a", "b", "n_common",
+                    F.expr("CAST(n_common * 10000 DIV "
+                           "(size(nbrs_a) + size(nbrs_b) - n_common)"
+                           " AS BIGINT)").alias("jaccard_bp"))
+            .orderBy(F.col("n_common").desc(),
+                     F.col("jaccard_bp").desc(), "a", "b")
+            .limit(50))

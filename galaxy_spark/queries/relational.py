@@ -1416,3 +1416,85 @@ def join_lateral_topk_orders(spark: SparkSession,
             ORDER BY o_orderdate DESC, o_orderkey DESC
             LIMIT 2) t
     """)
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_c AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY 1
+    ), anchor AS (
+        SELECT MAX(last_day) AS d0 FROM per_c
+    ), rfm AS (
+        SELECT o_custkey,
+               date_diff('day', last_day, d0) AS r_days, f, m_cents
+        FROM per_c CROSS JOIN anchor
+    ), bucketed AS (
+        SELECT CAST(NTILE(4) OVER (ORDER BY r_days, o_custkey)
+                    AS INTEGER) AS r_bucket,
+               CAST(NTILE(4) OVER (ORDER BY f DESC, o_custkey)
+                    AS INTEGER) AS f_bucket,
+               CAST(NTILE(4) OVER (ORDER BY m_cents DESC, o_custkey)
+                    AS INTEGER) AS m_bucket,
+               m_cents
+        FROM rfm
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(m_cents) / 100.0, 2) AS total_monetary
+    FROM bucketed GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles)
+    — the classic customer-value grid every CRM/churn pipeline
+    starts from: days since last order, order count, and lifetime
+    spend, each cut into exact quartiles, then customers counted
+    per (r, f, m) cell.
+
+    Cross-engine determinism: NTILE is row-count arithmetic over a
+    TOTAL order — every ORDER BY carries the customer key as the
+    tiebreak, so both engines assign identical buckets; money
+    folds as integer cents with one terminal ROUND.
+
+    Shape at scale: one orders scan -> per-customer partial-agged
+    rollup (|customers| rows), a 1-row anchor broadcast, then
+    three NTILE windows. The windows are GLOBAL sorts of the
+    per-customer frame — exact quartiles are a total-order
+    statistic, priced like the equi-depth histogram
+    (``agg_equidepth_bins``); the 100 TB variant swaps exact NTILE
+    for percentile_approx thresholds broadcast back (the
+    mixture-balancing discipline) at the cost of boundary
+    exactness, which the oracle cannot certify — so the registered
+    form keeps the exact statistic over the compact per-customer
+    frame, never over raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    per_c = (o.groupBy("o_custkey")
+             .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+                  F.count("*").cast("long").alias("f"),
+                  F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).cast("long").alias("m_cents")))
+    anchor = per_c.agg(F.max("last_day").alias("d0"))
+    rfm = (per_c.crossJoin(F.broadcast(anchor))
+           .select("o_custkey",
+                   F.datediff(F.col("d0"), F.col("last_day"))
+                   .alias("r_days"), "f", "m_cents"))
+    r_b = F.ntile(4).over(
+        Window.orderBy("r_days", "o_custkey")).cast("int")
+    f_b = F.ntile(4).over(
+        Window.orderBy(F.col("f").desc(), "o_custkey")).cast("int")
+    m_b = F.ntile(4).over(
+        Window.orderBy(F.col("m_cents").desc(),
+                       "o_custkey")).cast("int")
+    return (rfm.select(r_b.alias("r_bucket"), f_b.alias("f_bucket"),
+                       m_b.alias("m_bucket"), "m_cents")
+            .groupBy("r_bucket", "f_bucket", "m_bucket")
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.round(F.sum("m_cents") / 100.0, 2)
+                 .alias("total_monetary")))

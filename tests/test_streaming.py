@@ -4289,3 +4289,76 @@ def test_user_day_store_retention_bounds_state(spark, tmp_path):
     assert got == want and len(want) >= 10
 
     assert 0 < store.state().count() < full.state().count()
+
+
+# ------------------------------------------------------------------
+# Streaming item-CF / frequent-pairs hub (r12 verdict #7 optional)
+# ------------------------------------------------------------------
+
+def test_streaming_item_cf_matches_batch(spark, tmp_path):
+    """The co-occurrence hub: lineitem stream sliced BY PART so
+    most orders' lines arrive across different micro-batches (the
+    hard case — a pair's two items in different batches must meet
+    through the accumulated basket store), kill/restart
+    mid-stream, plus a duplicate re-delivery of a whole slice
+    under a fresh epoch key (claim-skip can't absorb it; the
+    new-item discipline must). Both readers equal their batch
+    queries row-for-row over the replayed corpus."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetBasketStore, ParquetCoocStore, ParquetItemDegStore,
+        cooc_deltas, start_streaming_item_cf,
+        streaming_frequent_pairs, streaming_item_cf_topk)
+
+    li = load_table(spark, SF, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    src = str(tmp_path / "cf_src")
+    for k in range(3):                 # slices split by PART
+        (li.filter(F.col("l_partkey") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    baskets = ParquetBasketStore(spark, str(tmp_path / "cf_b"))
+    cooc = ParquetCoocStore(spark, str(tmp_path / "cf_c"))
+    cooc.delta_threshold = 2
+    deg = ParquetItemDegStore(spark, str(tmp_path / "cf_d"))
+    ck = str(tmp_path / "cf_ck")
+
+    def start():
+        stream = spark.readStream.schema(li.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_item_cf(stream, baskets, cooc, deg,
+                                       ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()                           # the "kill"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # whole-slice re-delivery under a FRESH epoch: the basket
+    # store's new-item discipline must make it a no-op
+    dup = li.filter(F.col("l_partkey") % 3 == 0)
+    pair_d, deg_d, bk = cooc_deltas(dup, baskets)
+    assert pair_d.count() == 0 and deg_d.count() == 0 \
+        and bk.count() == 0
+    lin = sorted(cooc.lineages())[0]
+    cooc.merge(pair_d, f"{lin}.000000000099")
+    deg.merge(deg_d, f"{lin}.000000000099")
+
+    got = sorted(map(tuple,
+                     streaming_item_cf_topk(cooc, deg).collect()))
+    want = sorted(map(tuple, all_queries()["similarity_item_cf_topk"](
+        spark, SF).collect()))
+    assert got == want and len(want) > 100
+
+    got_fp = sorted(map(tuple,
+                        streaming_frequent_pairs(cooc,
+                                                 deg).collect()))
+    want_fp = sorted(map(tuple, all_queries()["mining_frequent_pairs"](
+        spark, SF).collect()))
+    assert got_fp == want_fp and len(want_fp) > 10
