@@ -208,6 +208,11 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "join_lateral_topk_orders",
     "graph_label_propagation",
     "dedup_winnowing_pairs",
+    # r13 additions
+    "events_attribution_last_touch",
+    "events_funnel_windowed",
+    "customer_rfm_segments",
+    "graph_common_neighbors",
 )
 
 

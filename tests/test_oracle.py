@@ -81,9 +81,10 @@ def test_local_certification_at_driver_scale(spark, name):
 #: exactly as certified (the r8 review caught new rows being
 #: upserted into the already-judged r07 file). r10: bumped from
 #: r09 after the r9 judgment. r12: bumped after r11's judgment,
-#: now carrying all 108 non-external queries.
+#: now carrying all 108 non-external queries. r13: bumped after
+#: r12's judgment (117 non-external queries).
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r12.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r13.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:
