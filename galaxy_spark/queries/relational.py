@@ -1479,7 +1479,9 @@ def customer_rfm_segments(spark: SparkSession,
              .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
                   F.count("*").cast("long").alias("f"),
                   F.sum(F.round(F.col("o_totalprice") * 100, 0)
-                        .cast("long")).cast("long").alias("m_cents")))
+                        .cast("long")).cast("long").alias("m_cents"))
+             # anchor + ranking both consume it — one orders scan
+             .localCheckpoint(eager=False))
     anchor = per_c.agg(F.max("last_day").alias("d0"))
     rfm = (per_c.crossJoin(F.broadcast(anchor))
            .select("o_custkey",

@@ -1010,3 +1010,75 @@ def test_winnowing_windows_over_exploded_grams(q):
     assert len(re.findall(r"\(\d+\) Generate", p)) == 0
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 0
     assert "partial_count" in p
+
+
+def test_attribution_lookback_is_equi_join_no_global_window(q):
+    """Last-touch attribution (r13): the 7-day lookback as-of must
+    plan as an EQUI-join on user_id with the time band as a
+    residual predicate — never a cartesian/nested-loop — and no
+    window over the full event log (the per-purchase winner is a
+    partial-aggregated MAX fold, the daily report a partial-agged
+    rollup)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("events_attribution_last_touch")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "partial_max" in p and "partial_count" in p
+
+
+def test_funnel_windowed_same_plan_class_as_unbounded(q):
+    """The 24h-window funnel (r13) must keep the unbounded
+    funnel's plan: user-keyed conditional MIN aggs chained by
+    equi-joins, the window bound folded into scan-local residual
+    predicates — no new operator class (no Window, no cartesian,
+    no nested loop)."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("events_funnel_windowed")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+    assert "partial_min" in p
+
+
+def test_rfm_windows_run_over_customer_rollup_not_orders(q):
+    """RFM (r13): the three exact-quartile NTILE windows must run
+    over the PER-CUSTOMER rollup (one partial-aggregated orders
+    scan feeding |customers| rows), never over raw orders — one
+    parquet scan in the whole plan, anchor as a broadcast."""
+    import re
+
+    from galaxy_spark.plans import physical_plan
+
+    df = q("customer_rfm_segments")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    # the rollup materializes once (lazy localCheckpoint) and both
+    # consumers (anchor + ranking) read it back — raw orders never
+    # re-scans inside this plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, \
+        "NTILE must rank the checkpointed per-customer rollup, " \
+        "not re-scan orders"
+    assert "ntile" in p
+
+
+def test_common_neighbors_edge_iterator_no_wedges(q):
+    """Link-prediction features (r13): the triangle query's
+    edge-iterator discipline — adjacency arrays intersect
+    scan-locally per oriented edge (array_intersect in the
+    projection), wedges never materialize as a join, and the
+    top-50 runs as TakeOrderedAndProject (per-partition partial
+    top-k), not a global sort."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_common_neighbors")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "array_intersect" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p
