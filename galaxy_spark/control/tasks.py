@@ -183,14 +183,16 @@ class TaskManager:
                 f"task {spec.task_id} already exists ({state}); "
                 "delete it before reusing the id")
         if spec.task_kind not in ("cdc", "near_dup_index",
-                                  "search_index", "rollup"):
+                                  "search_index", "rollup",
+                                  "winnow_index", "item_cf"):
             # a typo'd kind would silently fall into the CDC branch
             # and run the replication pipeline over whatever stream
             # the factory returns — fail at creation, like the
             # task_id validation above (r11 review)
             raise ValueError(
                 f"task_kind {spec.task_kind!r} unknown: use 'cdc', "
-                "'near_dup_index', 'search_index' or 'rollup'")
+                "'near_dup_index', 'search_index', 'rollup', "
+                "'winnow_index' or 'item_cf'")
         if spec.task_kind != "cdc":
             # fail configuration errors at creation, not at the
             # first store construction mid-stream (r11 ADVICE)
@@ -389,6 +391,94 @@ class TaskManager:
         return start_incremental_rollup_parquet(
             env, self.rollup_store(spec), self.checkpoint_dir(spec))
 
+    def winnow_store(self, spec_or_id):
+        """The winnowing-fingerprint store handle for a
+        winnow_index task — same path running or stopped."""
+        from galaxy_spark.streaming.state_store import \
+            ParquetWinnowStore
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        store = ParquetWinnowStore(
+            self.spark,
+            os.path.join(self.store_root(spec), "winnow"))
+        # corpus-sized (one bounded row per distinct fingerprint)
+        # -> delta tier by default, like postings/doc/LSH
+        _apply_delta_thresholds((store,), spec.index_options or {},
+                                big=(True,))
+        return store
+
+    def winnow_pairs(self, task_id: str) -> DataFrame:
+        """Near-dup pairs over everything the task has streamed so
+        far (the batch ``dedup_winnowing_pairs`` output shape —
+        the exact reader, recomputed from accumulated fingerprint
+        state)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_winnowing_pairs
+
+        return streaming_winnowing_pairs(self.winnow_store(task_id))
+
+    def _start_winnow(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_streaming_winnowing_index
+
+        env = self.source_factory(self.spark, spec)
+        opts = dict(spec.index_options)
+        return start_streaming_winnowing_index(
+            env, self.winnow_store(spec), self.checkpoint_dir(spec),
+            text_col=opts.get("text_col", "text"),
+            id_col=opts.get("id_col", "doc_id"))
+
+    def item_cf_stores(self, spec_or_id) -> tuple:
+        """(basket, cooc, deg) store handles for an item_cf task —
+        same paths running or stopped."""
+        from galaxy_spark.streaming.state_store import (
+            ParquetBasketStore, ParquetCoocStore,
+            ParquetItemDegStore)
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        root = self.store_root(spec)
+        stores = (
+            ParquetBasketStore(self.spark,
+                               os.path.join(root, "basket")),
+            ParquetCoocStore(self.spark, os.path.join(root, "cooc")),
+            ParquetItemDegStore(self.spark,
+                                os.path.join(root, "deg")))
+        # baskets and pair counts are corpus-sized (delta tier);
+        # the degree store is |items| rows probed broadcast-side on
+        # every read — CoW, the hot-store reasoning
+        _apply_delta_thresholds(stores, spec.index_options or {},
+                                big=(True, True, False))
+        return stores
+
+    def item_cf_topk(self, task_id: str) -> DataFrame:
+        """Top-3 similar items off the task's accumulated
+        co-occurrence hub (== batch ``similarity_item_cf_topk``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_item_cf_topk
+
+        _b, cooc, deg = self.item_cf_stores(task_id)
+        return streaming_item_cf_topk(cooc, deg)
+
+    def frequent_pairs(self, task_id: str) -> DataFrame:
+        """Frequent pairs + confidence off the same hub
+        (== batch ``mining_frequent_pairs``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_frequent_pairs
+
+        _b, cooc, deg = self.item_cf_stores(task_id)
+        return streaming_frequent_pairs(cooc, deg)
+
+    def _start_item_cf(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_streaming_item_cf
+
+        env = self.source_factory(self.spark, spec)
+        baskets, cooc, deg = self.item_cf_stores(spec)
+        return start_streaming_item_cf(
+            env, baskets, cooc, deg, self.checkpoint_dir(spec))
+
     def _start_near_dup(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_near_dup_clustering
@@ -417,6 +507,14 @@ class TaskManager:
             return
         if spec.task_kind == "rollup":
             self.queries[spec.task_id] = self._start_rollup(spec)
+            spec.stopped = False
+            return
+        if spec.task_kind == "winnow_index":
+            self.queries[spec.task_id] = self._start_winnow(spec)
+            spec.stopped = False
+            return
+        if spec.task_kind == "item_cf":
+            self.queries[spec.task_id] = self._start_item_cf(spec)
             spec.stopped = False
             return
         env = self.source_factory(self.spark, spec)

@@ -534,9 +534,11 @@ def test_stateful_task_store_write_strategies(spark, tmp_path):
 @pytest.mark.parametrize("fs", ["posix", "manifest"])
 def test_multi_kind_tasks_run_concurrently_isolated(spark, tmp_path,
                                                     fs):
-    """One TaskManager running all FOUR task kinds AT ONCE — cdc
+    """One TaskManager running FOUR task kinds AT ONCE — cdc
     replication, the near-dup index, the search index, the
-    time-series rollup — with
+    time-series rollup (winnow_index and item_cf get their own
+    lifecycle tests below; four concurrent kinds already exercise
+    the isolation seams) — with
     per-task checkpoint dirs and store roots that never collide:
     stopping/deleting one task leaves the others' queries running
     and their state untouched, and each task's answers equal its
@@ -771,4 +773,119 @@ def test_rollup_task_lifecycle(spark, tmp_path):
     root = mgr2.store_root(mgr2.tasks["ru1"])
     assert os.path.isdir(os.path.join(root, "rollup"))
     mgr2.delete_task("ru1")
+    assert not os.path.isdir(root)
+
+
+def test_winnow_index_task_lifecycle(spark, tmp_path):
+    """r13: the winnowing near-dup index as a task kind under T1 —
+    create/stop/recovery_v1/boot recovery/delete — with the exact
+    pair reader == batch ``dedup_winnowing_pairs`` across the
+    lifecycle."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.registry import all_queries
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "wn_docs")
+
+    def factory(spark_, spec):
+        return (spark_.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "wn_state")
+    mgr = TaskManager(spark, state, factory)
+    (docs.filter(F.col("doc_id") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.create_task(TaskSpec(task_id="wn1",
+                             task_kind="winnow_index"))
+    mgr.await_all()
+    mgr.stop_task("wn1")
+    mid = mgr.winnow_pairs("wn1").count()
+
+    _time.sleep(1.1)
+    (docs.filter(F.col("doc_id") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("wn1")
+    mgr.await_all()
+    mgr.stop_task("wn1")
+
+    # boot recovery with a fresh manager
+    mgr.tasks["wn1"].stopped = False
+    mgr._persist()
+    mgr2 = TaskManager(spark, state, factory)
+    assert mgr2.recover_all() == ["wn1"]
+    mgr2.await_all()
+    mgr2.stop_task("wn1")
+
+    got = sorted((r.doc_a, r.doc_b, r.n_shared)
+                 for r in mgr2.winnow_pairs("wn1").collect())
+    want = sorted((r.doc_a, r.doc_b, r.n_shared)
+                  for r in all_queries()["dedup_winnowing_pairs"](
+                      spark, SF).collect())
+    assert got == want and len(want) > max(mid, 3)
+
+    root = mgr2.store_root(mgr2.tasks["wn1"])
+    assert os.path.isdir(os.path.join(root, "winnow"))
+    mgr2.delete_task("wn1")
+    assert not os.path.isdir(root)
+
+
+def test_item_cf_task_lifecycle(spark, tmp_path):
+    """r13: the co-occurrence hub as a task kind under T1, its two
+    readers == their batch queries across stop/resume/boot
+    recovery — with lineitem slices split BY PART so orders span
+    micro-batches and restarts (the basket store's exactness
+    anchor is what the lifecycle must preserve)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.registry import all_queries
+
+    li = load_table(spark, SF, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    src = str(tmp_path / "cf_li")
+
+    def factory(spark_, spec):
+        return (spark_.readStream.schema(li.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "cf_state")
+    mgr = TaskManager(spark, state, factory)
+    (li.filter(F.col("l_partkey") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.create_task(TaskSpec(task_id="cf1", task_kind="item_cf"))
+    mgr.await_all()
+    mgr.stop_task("cf1")
+
+    _time.sleep(1.1)
+    (li.filter(F.col("l_partkey") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("cf1")
+    mgr.await_all()
+    mgr.stop_task("cf1")
+
+    mgr.tasks["cf1"].stopped = False
+    mgr._persist()
+    mgr2 = TaskManager(spark, state, factory)
+    assert mgr2.recover_all() == ["cf1"]
+    mgr2.await_all()
+    mgr2.stop_task("cf1")
+
+    got = sorted(map(tuple, mgr2.item_cf_topk("cf1").collect()))
+    want = sorted(map(tuple, all_queries()["similarity_item_cf_topk"](
+        spark, SF).collect()))
+    assert got == want and len(want) > 100
+    got_fp = sorted(map(tuple, mgr2.frequent_pairs("cf1").collect()))
+    want_fp = sorted(map(tuple, all_queries()["mining_frequent_pairs"](
+        spark, SF).collect()))
+    assert got_fp == want_fp and len(want_fp) > 10
+
+    root = mgr2.store_root(mgr2.tasks["cf1"])
+    assert os.path.isdir(os.path.join(root, "cooc"))
+    mgr2.delete_task("cf1")
     assert not os.path.isdir(root)
