@@ -1102,8 +1102,9 @@ def graph_label_propagation(spark: SparkSession,
     LIMIT 50
     """,
 )
-def graph_common_neighbors(spark: SparkSession,
-                           sf_dir: str) -> DataFrame:
+def graph_common_neighbors(spark: SparkSession, sf_dir: str,
+                           max_degree: int | None = None
+                           ) -> DataFrame:
     """Link-prediction features over the co-purchase graph: for
     each existing edge (a < b), the common-neighbor count and the
     neighbor-set Jaccard — the two classic similarity features
@@ -1123,10 +1124,20 @@ def graph_common_neighbors(spark: SparkSession,
     common neighbors fold per edge without materializing wedges.
     Degrees ride along as array sizes (no second agg); the final
     TakeOrderedAndProject keeps only 50 rows per partition before
-    the single-reducer step. Hot-node arrays are the documented
-    degree-orientation refinement, same as the triangle query."""
+    the single-reducer step.
+
+    ``max_degree`` is the hot-node lever (the BENCH_FULL_r13
+    price note): adjacency arrays cap at k neighbors chosen in
+    md5-hash order per node (``cap_mega_baskets`` over the edge
+    list — the same deterministic-sample discipline as the basket
+    cap), turning the per-edge intersect cost from O(max deg) to
+    O(k) at the price of SAMPLED-neighbor features (Jaccard over
+    hash-sampled neighbor sets — still deterministic, still
+    comparable across nodes because every node samples the same
+    way). Default OFF so the oracle stays exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
+    edges = cap_mega_baskets(_copurchase_edges(li), max_degree,
+                             order_col="src", item_col="dst")
     adj = (edges.groupBy(F.col("src").alias("node"))
            .agg(F.collect_set("dst").alias("nbrs"))
            .localCheckpoint(eager=False))      # both join sides
@@ -1138,8 +1149,6 @@ def graph_common_neighbors(spark: SparkSession,
                     F.col("nbrs").alias("nbrs_b"))
     n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
         .cast("long")
-    union_sz = (F.size("nbrs_a") + F.size("nbrs_b")).cast("long") \
-        - F.col("n_common")
     return (pairs.join(na, "a").join(nb, "b")
             .withColumn("n_common", n_common)
             .filter(F.col("n_common") >= 1)

@@ -401,3 +401,25 @@ def test_basket_cap_noop_on_bounded_tpch_queries(spark):
         got = sorted(map(tuple, fn(spark, sf,
                                    basket_cap=16).collect()))
         assert got == want and len(want) > 50, fn.__name__
+
+
+def test_common_neighbors_degree_cap(spark):
+    """max_degree (r13, the BENCH_FULL price note's lever): a cap
+    above the true max degree changes nothing; a tight cap bounds
+    every feature by k(-1) and stays deterministic across
+    evaluations (hash-order neighbor sample, not rand())."""
+    from galaxy_spark.queries.graphs import graph_common_neighbors
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(map(tuple, graph_common_neighbors(
+        spark, sf).collect()))
+    same = sorted(map(tuple, graph_common_neighbors(
+        spark, sf, max_degree=100000).collect()))
+    assert same == want and len(want) == 50
+
+    capped = graph_common_neighbors(spark, sf, max_degree=8)
+    rows = capped.collect()
+    assert rows and all(r.n_common <= 8 for r in rows)
+    again = sorted(map(tuple, graph_common_neighbors(
+        spark, sf, max_degree=8).collect()))
+    assert sorted(map(tuple, rows)) == again
