@@ -141,11 +141,36 @@ def decode_tagged_gtid(body: bytes,
     not contribute to the returned triple). Callers that already
     CRC-trimmed the body (decode_binlog) keep the default strict
     mode. Callers treat None as the conservative resume
-    boundary."""
-    if crc_tail:
-        strict = decode_tagged_gtid(body, crc_tail=False)
-        if strict is not None:
-            return strict
+    boundary.
+
+    Ambiguity guard (r13 review): a strict success is honored in
+    crc_tail mode ONLY when every mandatory field (0-3) finished
+    parsing BEFORE the final 4 bytes. Without that check, a
+    malformed trailed body carrying just fields 0-1 could have its
+    CRC bytes parse as plausible gno/tag fields and return a bogus
+    triple; a REAL trailed body always has all its fields before
+    the CRC, so requiring mandatory-before-tail never rejects a
+    genuine event, and a body whose mandatory fields genuinely
+    extend into the last 4 bytes is indistinguishable from that
+    corruption — it degrades to the tolerant parse (which refuses
+    it for missing mandatory fields) and thence to the
+    conservative boundary."""
+    if not crc_tail:
+        out = _parse_tagged(body, crc_tail=False)
+        return out[0] if out is not None else None
+    strict = _parse_tagged(body, crc_tail=False)
+    if strict is not None and strict[1] <= len(body) - 4:
+        return strict[0]
+    tol = _parse_tagged(body, crc_tail=True)
+    return tol[0] if tol is not None else None
+
+
+def _parse_tagged(body: bytes, crc_tail: bool
+                  ) -> tuple[tuple[str, str, int], int] | None:
+    """((uuid_text, tag, gno), mandatory_end) or None — the parse
+    loop behind ``decode_tagged_gtid``; ``mandatory_end`` is the
+    byte offset right after the LAST mandatory field (id <= 3)
+    finished, the ambiguity-guard input."""
     try:
         off = 0
         version, off = read_varuint(body, off)
@@ -153,6 +178,7 @@ def decode_tagged_gtid(body: bytes,
             return None
         flags = uuid_hex = tag = gno = None
         last_id = -1
+        mand_end = 0
         while off < len(body):
             if crc_tail and len(body) - off == 4 \
                     and flags is not None:
@@ -187,6 +213,8 @@ def decode_tagged_gtid(body: bytes,
                 gno = val
             elif fid == 3:
                 tag = val
+            if fid <= 3:
+                mand_end = off
         ok_ends = ((len(body), len(body) - 4) if crc_tail
                    else (len(body),))
         if off not in ok_ends:
@@ -201,7 +229,7 @@ def decode_tagged_gtid(body: bytes,
         u = uuid_hex
         uuid_txt = "-".join((u[0:8], u[8:12], u[12:16],
                              u[16:20], u[20:32]))
-        return uuid_txt, tag.lower(), gno
+        return (uuid_txt, tag.lower(), gno), mand_end
     except (ValueError, UnicodeDecodeError):
         return None
 

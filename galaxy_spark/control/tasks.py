@@ -84,14 +84,22 @@ class TaskSpec:
     #: "rollup" = the continuous multi-grain time-series hub
     #: (hour/day rollup store) whose one write path serves three
     #: readers — rollup snapshot, gap-filled series, anomaly
-    #: flags (r12)
+    #: flags (r12);
+    #: "winnow_index" = the growing winnowing-fingerprint near-dup
+    #: index (streaming.state_store.start_streaming_winnowing_index)
+    #: with the exact pair reader (r13);
+    #: "item_cf" = the co-occurrence hub (basket/cooc/degree
+    #: stores, streaming.state_store.start_streaming_item_cf)
+    #: serving the item-CF top-k and frequent-pairs readers (r13)
     task_kind: str = "cdc"
     #: stateful-kind tuning, persisted with the spec so boot
     #: recovery restarts with identical arithmetic:
     #: near_dup_index: n, n_hashes, bands, threshold, text_col,
-    #: id_col; search_index: text_col, id_col; every stateful kind
-    #: (near_dup_index / search_index / rollup): delta_threshold
-    #: (store write strategy, validated at creation)
+    #: id_col; search_index / winnow_index: text_col, id_col;
+    #: every stateful kind (near_dup_index / search_index / rollup
+    #: / winnow_index / item_cf): delta_threshold (store write
+    #: strategy) and fs (commit protocol: posix / manifest /
+    #: manifest_cas), both validated at creation
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:

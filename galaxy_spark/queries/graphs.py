@@ -1136,9 +1136,14 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
     comparable across nodes because every node samples the same
     way). Default OFF so the oracle stays exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = cap_mega_baskets(_copurchase_edges(li), max_degree,
-                             order_col="src", item_col="dst")
-    adj = (edges.groupBy(F.col("src").alias("node"))
+    edges = _copurchase_edges(li)
+    # the cap bounds the ADJACENCY ARRAYS only — the pair universe
+    # stays every existing edge (r13 review: capping the edge list
+    # itself silently dropped most of a hot node's edges from the
+    # OUTPUT, which is feature-row loss, not feature sampling)
+    adj = (cap_mega_baskets(edges, max_degree,
+                            order_col="src", item_col="dst")
+           .groupBy(F.col("src").alias("node"))
            .agg(F.collect_set("dst").alias("nbrs"))
            .localCheckpoint(eager=False))      # both join sides
     pairs = edges.filter(F.col("src") < F.col("dst")) \

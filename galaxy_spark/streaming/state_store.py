@@ -401,7 +401,20 @@ class KeyedParquetStore:
         for b in todo:
             src = os.path.join(stage, f"__pb={b}")
             if not self.fs.is_dir(src):
-                continue  # unreachable: every todo bucket has rows
+                # reachable ONLY through fold_finalize (r13 review):
+                # a retention filter can evict a touched bucket's
+                # ENTIRE folded slice, and skipping the publish
+                # would leave the epoch unclaimed for b — every
+                # replay re-running the fold as a no-op forever.
+                # Publish a legitimate EMPTY slice instead (a 0-row
+                # parquet file with the folded schema, so readers
+                # scan it like any other version).
+                if self.fold_finalize is None:
+                    continue  # plain folds: every todo bucket wrote
+                # staged files carry exactly df's columns (the
+                # __pb partition column is stripped by the write)
+                self.spark.createDataFrame([], df.schema) \
+                    .coalesce(1).write.mode("overwrite").parquet(src)
             self.fs.publish_version(self._bucket_dir(b), version, src)
         self.fs.remove_tree(stage)
 
@@ -663,6 +676,11 @@ def rebucket(store: KeyedParquetStore, new_path: str,
     new_store.delta_threshold = store.delta_threshold
     new_store.fs = store.fs
     new_store.vacuum_grace_seconds = store.vacuum_grace_seconds
+    # the eviction seam must migrate too (r13 review: a store whose
+    # retention hangs on fold_finalize would silently stop evicting
+    # after rebucket; subclasses that re-derive the hook in their
+    # _clone override get the identical callable re-assigned)
+    new_store.fold_finalize = store.fold_finalize
     # belt for the _clone suspenders: a subclass override that
     # forgot a tunable shows up here as a key/schema drift before
     # any state is rewritten (tunables that shape only the FOLD,
@@ -1954,18 +1972,24 @@ class ParquetWinnowStore(KeyedParquetStore):
 
 def partial_winnow_index(batch_df: DataFrame,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         df_cap: int | None = None) -> DataFrame:
     """One micro-batch's (fp, doc_ids) partials — the batch
     query's own selection arithmetic (shared import, so k/w/gram
-    hash/full-window rule can never drift), pre-folded per fp so
-    the merge input is already one row per (fp) with a bounded
-    array."""
-    from galaxy_spark.queries.llm import winnow_fingerprints
+    hash/full-window rule can never drift), pre-folded per fp
+    UNDER THE SAME min-k truncation monoid the store applies
+    (r13 review: an untruncated collect_set built an O(batch-docs)
+    array for a batch-wide boilerplate fingerprint — the exact
+    hot-fp hazard the store bounds; truncating the partial is
+    sound because trunc_k(A ∪ B) = trunc_k(trunc_k(A) ∪ B))."""
+    from galaxy_spark.queries.llm import _WINNOW_DF_CAP, \
+        winnow_fingerprints
 
+    cap = _WINNOW_DF_CAP if df_cap is None else df_cap
     return (winnow_fingerprints(batch_df, text_col, id_col)
             .groupBy("fp")
-            .agg(F.array_sort(F.collect_set("doc_id"))
-                 .alias("doc_ids")))
+            .agg(F.slice(F.array_sort(F.collect_set("doc_id")),
+                         1, cap + 1).alias("doc_ids")))
 
 
 def _winnow_members(store: ParquetWinnowStore) -> DataFrame:
@@ -2075,7 +2099,8 @@ def start_streaming_winnowing_index(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         lin = _require_lineage(checkpoint_dir, (store,), lineage)
         store.merge(
-            partial_winnow_index(batch_df, text_col, id_col),
+            partial_winnow_index(batch_df, text_col, id_col,
+                                 df_cap=store.df_cap),
             f"{lin}.{epoch_id:012d}")
 
     return (stream.writeStream

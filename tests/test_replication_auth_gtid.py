@@ -1292,3 +1292,32 @@ def test_tagged_crc_tail_is_strict_first():
     # ... but only under crc_tail: the strict caller refuses
     assert decode_tagged_gtid(
         body + b"\xde\xad\xbe\xef", crc_tail=False) is None
+
+
+def test_tagged_crc_tail_rejects_crc_masquerading_as_mandatory():
+    """r13 review: a malformed TRAILED body carrying only fields
+    0-1 whose CRC bytes happen to parse as plausible gno/tag
+    fields (0x04 0x1c 0x06 0x00 = fid 2 -> gno 7, fid 3 -> tag "")
+    must NOT return a triple under crc_tail — mandatory fields
+    parsed out of the final 4 bytes are indistinguishable from CRC
+    garbage, and the conservative boundary (None) is the designed
+    fallback. Bodies whose mandatory fields END before the last 4
+    bytes are unaffected (the strict-first test pins those)."""
+    from galaxy_spark.cdc.mysql_serialization import \
+        decode_tagged_gtid
+
+    head = bytes([
+        0x04,                            # version 2
+        0x00, 0x01,                      # field 0: flags = 1
+        0x02,                            # field 1: uuid
+        0x3e, 0x11, 0xfa, 0x47, 0x71, 0xca, 0x11, 0xe1,
+        0x9e, 0x33, 0xc8, 0x0a, 0xa9, 0x42, 0x95, 0x62,
+    ])
+    crc_like = bytes([0x04, 0x1c, 0x06, 0x00])
+    assert decode_tagged_gtid(head + crc_like, crc_tail=True) \
+        is None
+    # the SAME bytes under the strict caller (already CRC-trimmed
+    # upstream, so they really are fields) still decode — the
+    # guard is a crc_tail-ambiguity rule, not a general rejection
+    assert decode_tagged_gtid(head + crc_like, crc_tail=False) == \
+        ("3e11fa47-71ca-11e1-9e33-c80aa9429562", "", 7)

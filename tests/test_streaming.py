@@ -4362,3 +4362,60 @@ def test_streaming_item_cf_matches_batch(spark, tmp_path):
     want_fp = sorted(map(tuple, all_queries()["mining_frequent_pairs"](
         spark, SF).collect()))
     assert got_fp == want_fp and len(want_fp) > 10
+
+
+def test_fold_finalize_empty_bucket_slice_still_claims_epoch(
+        spark, tmp_path):
+    """r13 review: a retention filter can evict a touched bucket's
+    ENTIRE folded slice — the commit must still publish (an empty
+    0-row version) so the epoch is claimed and replays skip,
+    instead of re-running the fold for that bucket forever."""
+    from datetime import datetime
+
+    from galaxy_spark.streaming.state_store import (
+        ParquetUserDayStore, partial_user_days)
+
+    H = 14
+    store = ParquetUserDayStore(spark, str(tmp_path / "ef_store"),
+                                retention_days=H)
+
+    def ev(user, day_str, typ="view"):
+        return (1, datetime.fromisoformat(day_str + "T12:00:00"),
+                user, typ, 1.0, "{}")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    # find two users hashing to DIFFERENT buckets for their days
+    probe = spark.createDataFrame(
+        [ev(u, "2024-01-01") for u in range(8)]
+        + [ev(u, "2024-06-01") for u in range(8)], schema)
+    pk = partial_user_days(probe, H).select("user_id", "day")
+    rows = pk.collect()
+    bmap = {}
+    for r in rows:
+        b = store._buckets_for_keys(
+            pk.filter((F.col("user_id") == r.user_id)
+                      & (F.col("day") == r.day)))[0]
+        bmap[(r.user_id, str(r.day))] = b
+    old_key = next(k for k in bmap if k[1] == "2024-01-01")
+    new_key = next(k for k in bmap if k[1] == "2024-06-01"
+                   and bmap[k] != bmap[old_key])
+
+    # ONE batch: a fresh row (sets the watermark) + a >H-late row
+    # whose bucket holds nothing else — its folded slice is empty
+    batch = spark.createDataFrame(
+        [ev(new_key[0], "2024-06-01"), ev(old_key[0], "2024-01-01")],
+        schema)
+    store.merge(partial_user_days(batch, H), "lin.000000000000")
+
+    b_old = bmap[old_key]
+    assert store._applied(b_old, "lin.000000000000"), \
+        "evicted-slice bucket left unclaimed: every replay refolds"
+    # the empty version is a legitimate readable slice
+    assert {(r.user_id, str(r.day)) for r in
+            store.state().select("user_id", "day").collect()} \
+        == {(new_key[0], new_key[1])}
+    # and a replay is the claim-skip no-op, not a rewrite
+    before = sorted(map(tuple, store.state().collect()))
+    store.merge(partial_user_days(batch, H), "lin.000000000000")
+    assert sorted(map(tuple, store.state().collect())) == before
