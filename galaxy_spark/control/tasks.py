@@ -206,6 +206,16 @@ class TaskManager:
             # first store construction mid-stream (r11 ADVICE)
             _validated_delta_threshold(spec.index_options or {})
             _validated_fs(spec.index_options or {})
+        elif spec.index_options:
+            # r13 ADVICE: index_options tune the stateful kinds'
+            # stores; a cdc task has none, so accepting (say)
+            # fs='manifest_cas' here would silently do nothing —
+            # the same trap as a typo'd task_kind. Fail at
+            # creation, like every other dead-config path.
+            raise ValueError(
+                f"index_options apply to stateful task kinds only "
+                f"(task_kind='cdc' got "
+                f"{sorted(spec.index_options)!r})")
         if spec.task_kind != "cdc" and spec.live:
             # live filter swapping is a CDC-pipeline feature; the
             # near-dup handler has no filter cell, and accepting

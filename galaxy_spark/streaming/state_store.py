@@ -2845,6 +2845,22 @@ class ParquetUserDayStore(KeyedParquetStore):
                  retention_days: int | None = None) -> None:
         if retention_days is not None and retention_days < 1:
             raise ValueError("retention_days must be >= 1 or None")
+        if retention_days is not None and retention_days < 40:
+            # r13 ADVICE: the decay reader's exactness claim vs the
+            # unbounded batch twin is CONDITIONAL on H covering the
+            # 40-day zero-weight horizon (events.py decay weights:
+            # shiftleft(1, 40 - age), zero past 40). Below it the
+            # store silently evicts rows still carrying nonzero
+            # weight — legal (answers become the batch query over
+            # the retained window, which is what the tests pin),
+            # but it must be a CHOICE, not a surprise.
+            import warnings
+            warnings.warn(
+                f"retention_days={retention_days} is below the "
+                "40-day decay-weight horizon: streaming_decay_"
+                "scores will answer over the retained window only, "
+                "not equal the unbounded events_decay_score",
+                stacklevel=2)
         self.retention_days = retention_days
         aggs = [F.sum("n").cast("long").alias("n"),
                 F.sum("np").cast("long").alias("np")]

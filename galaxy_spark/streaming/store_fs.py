@@ -62,11 +62,11 @@ deployment model (r11 verdict, "What's wrong" #1).
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
 import shutil
-import threading
 import time
 import uuid
 
@@ -363,7 +363,33 @@ class ManifestStoreFs(StoreFs):
             m[version] = entry
             return m
 
-        self._update_manifest(bucket_dir, add)
+        try:
+            self._update_manifest(bucket_dir, add)
+        except CasExhausted:
+            # r13 ADVICE: the files were already moved to their
+            # final keys, but the version never entered the
+            # manifest — without cleanup the orphan dir is
+            # invisible to vacuum (manifest entries ARE the
+            # committed set) and leaks until a manual drop of that
+            # exact name. Scoped to EXHAUSTION (persistent): a
+            # transient put failure keeps its orphans, which the
+            # epoch's replay repairs in place (tested crash-window
+            # behavior). Remove ONLY the files WE put (a
+            # concurrent same-version publisher's puts carry
+            # different uuid'd part names, and rmdir refuses a
+            # non-empty dir), and only if the version truly isn't
+            # committed.
+            if version not in self._load_manifest(bucket_dir):
+                for f in names:
+                    try:
+                        os.remove(os.path.join(final, f))
+                    except OSError:
+                        pass
+                try:
+                    os.rmdir(final)
+                except OSError:
+                    pass
+            raise
 
     def drop_version(self, bucket_dir: str, version: str) -> None:
         def remove(m: dict):
@@ -407,6 +433,15 @@ class PreconditionFailed(Exception):
     the object changed under the caller (HTTP 412 analogue)."""
 
 
+class CasExhausted(RuntimeError):
+    """The conditional-put loop hit its retry bound without
+    converging — pathological contention or a misbehaving client.
+    Distinct from a transient put failure: a transient failure's
+    orphan files are repaired in place by the epoch's replay,
+    while exhaustion is persistent, so the publish path sweeps its
+    own puts before re-raising (r13 ADVICE)."""
+
+
 class LocalObjectStore:
     """In-repo fake object store enforcing ATOMIC
     put-with-precondition semantics — the exact contract a real S3
@@ -420,17 +455,27 @@ class LocalObjectStore:
 
     Objects are plain files (so later 'clients' — store restarts —
     see the same bytes, like the remote service they emulate);
-    the compare-and-swap runs under one process-wide lock, the
-    moral equivalent of the service's internal per-key
-    serialization. The ETag is the MD5 of the object's content,
-    matching S3's simple-put ETag; content-equal manifests are
-    state-equal, so the theoretical ABA case (state changed and
-    changed back between a writer's read and put) is benign by
-    construction here. An optional one-shot ``before_put`` hook
-    (fired BEFORE the lock) lets tests interleave a second writer
-    inside another writer's read-modify-write window."""
-
-    _lock = threading.Lock()
+    the compare-and-swap runs under an OS-level per-key ``flock``
+    on a sidecar lock file, the moral equivalent of the service's
+    internal per-key serialization. ``flock`` serializes across
+    PROCESSES, not just threads (r13 verdict #1: the real zombie
+    driver the fencing is bought for is a separate process, and a
+    ``threading.Lock`` left the get→compare→replace window
+    unserialized between two processes on shared POSIX storage);
+    two threads of one process are covered too, because each
+    ``open`` creates a distinct open-file description and flock
+    locks exclude between descriptions. Advisory locking is
+    sufficient — every writer reaches the object through this
+    method; scope is local/NFSv4-class filesystems, while a real
+    S3 deployment swaps this class for the service's own
+    conditional-PUT serialization. The ETag is the MD5 of the
+    object's content, matching S3's simple-put ETag;
+    content-equal manifests are state-equal, so the theoretical
+    ABA case (state changed and changed back between a writer's
+    read and put) is benign by construction here. An optional
+    one-shot ``before_put`` hook (fired BEFORE the lock) lets
+    tests interleave a second writer inside another writer's
+    read-modify-write window."""
 
     def __init__(self) -> None:
         self.before_put = None           # test seam, one-shot
@@ -452,23 +497,34 @@ class LocalObjectStore:
         hook, self.before_put = self.before_put, None
         if hook is not None:
             hook()
-        with self._lock:
-            cur, cur_etag = self.get(key)
-            if etag is None:
-                if cur is not None:
+        parent = os.path.dirname(key)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        # the lock file is NEVER the object itself: os.replace on
+        # the object would swap the inode under a waiter's lock.
+        # The sidecar persists (tiny, one per key) so every
+        # process locks the same inode for the key's lifetime.
+        with open(f"{key}.lock", "a") as lf:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+            try:
+                cur, cur_etag = self.get(key)
+                if etag is None:
+                    if cur is not None:
+                        raise PreconditionFailed(
+                            f"{key}: exists (If-None-Match)")
+                elif cur_etag != etag:
                     raise PreconditionFailed(
-                        f"{key}: exists (If-None-Match)")
-            elif cur_etag != etag:
-                raise PreconditionFailed(
-                    f"{key}: etag {cur_etag} != expected {etag}")
-            tmp = f"{key}.cas-{uuid.uuid4().hex[:8]}.tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, key)
-            _fsync_path(os.path.dirname(key))
-            return self._etag(data)
+                        f"{key}: etag {cur_etag} != expected {etag}")
+                tmp = f"{key}.cas-{uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, key)
+                _fsync_path(os.path.dirname(key))
+                return self._etag(data)
+            finally:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
 
 
 class CasManifestStoreFs(ManifestStoreFs):
@@ -535,7 +591,7 @@ class CasManifestStoreFs(ManifestStoreFs):
                 continue                 # merge onto the fresh state
             self._cache[bucket_dir] = (new_etag, new)
             return
-        raise RuntimeError(
+        raise CasExhausted(
             f"manifest CAS on {key} did not converge after "
             f"{self._MAX_CAS_RETRIES} attempts — either pathological "
             "writer contention (more than two drivers?) or a "

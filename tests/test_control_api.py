@@ -380,6 +380,15 @@ def test_task_kind_and_live_validation(spark, tmp_path):
                                task_kind="near_dup_index")
     with _pytest.raises(ValueError, match="cdc tasks only"):
         mgr.update_filters("t3", databases=["shop"])
+    # r13 ADVICE: index_options on a CDC task were validated-for
+    # and applied-to stateful kinds only — a cdc task carrying
+    # fs='manifest_cas' got no error and no effect. Same
+    # fail-at-creation discipline as the typo'd-kind guard.
+    with _pytest.raises(ValueError, match="stateful task kinds"):
+        mgr.create_task(TaskSpec(
+            task_id="t4", task_kind="cdc",
+            index_options={"fs": "manifest_cas"}))
+    assert mgr.tasks == {"t3": mgr.tasks["t3"]}
 
 
 def test_search_index_task_lifecycle(spark, tmp_path):

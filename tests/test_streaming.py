@@ -3877,6 +3877,140 @@ def test_posix_zombie_replay_cannot_erase_live_versions(tmp_path):
         "part-zn.parquet" not in names
 
 
+def _cas_counter_worker(key: str, rounds: int, barrier) -> None:
+    """One contender: read-modify-write increments through the
+    conditional put, retrying on PreconditionFailed — the client
+    loop a real S3 CAS user runs. Module-level so child processes
+    can import it."""
+    from galaxy_spark.streaming.store_fs import (LocalObjectStore,
+                                                 PreconditionFailed)
+
+    s = LocalObjectStore()
+    barrier.wait()
+    for _ in range(rounds):
+        while True:
+            raw, etag = s.get(key)
+            n = int(raw) if raw is not None else 0
+            try:
+                s.put_if_match(key, str(n + 1).encode(), etag)
+                break
+            except PreconditionFailed:
+                continue
+
+
+def test_local_object_store_cas_is_cross_process(tmp_path):
+    """r13 verdict #1: the fencing guarantee names a zombie driver
+    in another PROCESS, so the stand-in's compare-and-swap must be
+    OS-level, not a threading.Lock. Three real processes hammer
+    one key with CAS increments; flock-serialized windows mean no
+    increment is lost — under the old process-wide threading.Lock
+    (private per child after fork) interleaved get→replace windows
+    lose updates."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    key, rounds = str(tmp_path / "counter"), 40
+    barrier = ctx.Barrier(3)
+    procs = [ctx.Process(target=_cas_counter_worker,
+                         args=(key, rounds, barrier))
+             for _ in range(3)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    with open(key, "rb") as f:
+        assert int(f.read()) == 3 * rounds
+
+
+def _cas_publisher_worker(bd: str, stage_root: str, tag: str,
+                          n_versions: int, barrier) -> None:
+    """One driver process publishing its own version lineage into
+    the shared bucket through the fenced strategy."""
+    import os as _os
+    import uuid as _uuid
+
+    from galaxy_spark.streaming.store_fs import CasManifestStoreFs
+
+    fs = CasManifestStoreFs()
+    barrier.wait()
+    for j in range(n_versions):
+        stage = _os.path.join(
+            stage_root, f"stage-{tag}-{j}-{_uuid.uuid4().hex[:6]}")
+        _os.makedirs(stage)
+        with open(_os.path.join(stage,
+                                f"part-{tag}-{j}.parquet"),
+                  "wb") as f:
+            f.write(f"{tag}:{j}".encode())
+        fs.publish_version(bd, f"v-{tag}.{j:09d}", stage)
+
+
+def test_manifest_cas_two_process_race_loses_no_version(tmp_path):
+    """The r13 verdict #1 'done' criterion: a REAL two-(three-)
+    process writer race over one bucket's manifest, every publish
+    a get→merge→conditional-put from a possibly-stale read. With
+    the flock-backed object store no version is lost; a fresh
+    reader process (the parent) sees the union of every writer's
+    lineage and every manifest-listed file exists."""
+    import multiprocessing as mp
+
+    from galaxy_spark.streaming.store_fs import CasManifestStoreFs
+
+    ctx = mp.get_context("fork")
+    bd = str(tmp_path / "bucket-0")
+    n_versions = 8
+    tags = ["a", "b", "c"]
+    barrier = ctx.Barrier(len(tags))
+    procs = [ctx.Process(target=_cas_publisher_worker,
+                         args=(bd, str(tmp_path), t, n_versions,
+                               barrier))
+             for t in tags]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+
+    reader = CasManifestStoreFs()
+    expect = sorted(f"v-{t}.{j:09d}"
+                    for t in tags for j in range(n_versions))
+    assert sorted(reader.version_names(bd)) == expect
+    for v in expect:
+        paths = reader.read_paths(bd, v)
+        assert paths and all(os.path.exists(p) for p in paths)
+
+
+def test_manifest_publish_failure_sweeps_orphan_version_dir(
+        tmp_path, monkeypatch):
+    """r13 ADVICE: if the manifest put fails AFTER the data files
+    were moved to their final keys (e.g. CAS exhaustion), the
+    staged-but-unpublished version dir would be invisible to
+    vacuum forever — manifest entries ARE the committed set. The
+    publish path now removes exactly the files it put (and the
+    dir, if empty) before re-raising, and leaves committed
+    versions untouched."""
+    from galaxy_spark.streaming import store_fs as sfs
+
+    fs = sfs.CasManifestStoreFs()
+    bd = str(tmp_path / "bucket-0")
+    v0, v1 = "v-lin.000000000001", "v-lin.000000000002"
+    fs.publish_version(bd, v0, _stage_one_file(tmp_path, "ok"))
+
+    def always_fail(self, key, data, etag):
+        raise sfs.PreconditionFailed(f"{key}: induced")
+
+    monkeypatch.setattr(sfs.LocalObjectStore, "put_if_match",
+                        always_fail)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        fs.publish_version(bd, v1, _stage_one_file(tmp_path, "nf"))
+    # the failed version's dir is swept — no unreferenced orphan
+    assert not os.path.exists(os.path.join(bd, v1))
+    # the committed version is untouched and still readable
+    monkeypatch.undo()
+    assert fs.version_names(bd) == [v0]
+    assert all(os.path.exists(p) for p in fs.read_paths(bd, v0))
+
+
 def test_event_index_retention_bounds_state(spark, tmp_path):
     """retention_days=H (r11 verdict #3) bounds the event-index
     store's state: merge-time eviction drops micros older than H
@@ -3954,6 +4088,32 @@ def test_event_index_retention_bounds_state(spark, tmp_path):
     with pytest.raises(ValueError, match="retention_days"):
         ParquetEventIndexStore(spark, str(tmp_path / "bad"),
                                retention_days=0)
+
+
+def test_user_day_retention_below_decay_horizon_warns(
+        spark, tmp_path):
+    """r13 ADVICE: streaming_decay_scores equals the unbounded
+    batch twin only at H >= the 40-day zero-weight horizon; an H
+    in [1, 39] silently evicts rows still carrying nonzero decay
+    weight. The store now warns at construction (retained-window
+    answers stay legal — the bounded-state test pins them — but
+    sub-horizon eviction must be a choice, not a surprise)."""
+    import warnings as _warnings
+
+    from galaxy_spark.streaming.state_store import ParquetUserDayStore
+
+    with pytest.warns(UserWarning, match="40-day decay-weight"):
+        ParquetUserDayStore(spark, str(tmp_path / "ud_w"),
+                            retention_days=14)
+    # at or above the horizon, and with no retention: silent
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        ParquetUserDayStore(spark, str(tmp_path / "ud_40"),
+                            retention_days=40)
+        ParquetUserDayStore(spark, str(tmp_path / "ud_n"))
+    with pytest.raises(ValueError, match="retention_days"):
+        ParquetUserDayStore(spark, str(tmp_path / "ud_bad"),
+                            retention_days=0)
 
 
 def test_streaming_gapfill_matches_batch(spark, tmp_path):
