@@ -329,18 +329,27 @@ _EDGES_CTE = """
     )"""
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
-    """Symmetrized part co-purchase edge list (src, dst), lazily
-    localCheckpointed: the build (scan + order self-join + two
-    distincts) materializes once and feeds every round/consumer."""
+def _copurchase_half(li: DataFrame) -> DataFrame:
+    """ID-oriented (src < dst) part co-purchase edge list — the
+    build half of ``_copurchase_edges``, exposed separately for
+    consumers that never need the symmetric frame (the exact
+    common-neighbors path materializes HALF the rows this way —
+    the r14 audit's first win)."""
     baskets = (li.select(F.col("l_orderkey").alias("o"),
                          F.col("l_partkey").alias("p")).distinct())
-    half = (baskets.alias("a")
+    return (baskets.alias("a")
             .join(baskets.alias("b"),
                   (F.col("a.o") == F.col("b.o"))
                   & (F.col("a.p") < F.col("b.p")))
             .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
             .distinct())
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Symmetrized part co-purchase edge list (src, dst), lazily
+    localCheckpointed: the build (scan + order self-join + two
+    distincts) materializes once and feeds every round/consumer."""
+    half = _copurchase_half(li)
     return (half.union(half.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
             .localCheckpoint(eager=False))
@@ -1117,14 +1126,26 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
     points (BIGINT floor-div — no float division in the sort key),
     and the top-50 ORDER BY ends in (a, b), a total order.
 
-    Shape at scale: the edge-iterator discipline of
-    ``graph_triangle_count`` — per-node successor arrays built by
-    one edge-keyed agg, each ORIENTED edge joins both endpoints'
-    arrays and intersects scan-locally (array_intersect), so
-    common neighbors fold per edge without materializing wedges.
-    Degrees ride along as array sizes (no second agg); the final
-    TakeOrderedAndProject keeps only 50 rows per partition before
-    the single-reducer step.
+    Shape at scale (r13 verdict #1, the cost audit): an edge's
+    common-neighbor count IS its per-edge TRIANGLE count, so the
+    exact path enumerates triangles once over ID-ORIENTED
+    successor arrays (a<b<c; only the oriented half-frame is ever
+    materialized — half the symmetric rows — and arrays hold only
+    higher-id neighbors, half the symmetric length) and EXPLODES
+    each triangle into credits for its three edges, folded by one
+    partial-aggregated (edge) count. vs r13's symmetric-adjacency
+    join (full N(a), N(b) arrays shipped per pair — Σ deg² array
+    elements through the shuffle) this was measured 7.8 s → 5.5 s
+    at sf0.1, identical result (SCALE.md r14, with the variants
+    that LOST: aggregating the base edge's own credit to cut
+    explode volume re-evaluated or over-projected the join; a
+    min(deg) upper-bound prune keeps 100% of pairs on TPC-H's
+    near-uniform degrees). Degrees join as a broadcast-size
+    |V|-row scalar side at the end; the top-50 runs as
+    TakeOrderedAndProject. The 100 TB refinement is the same as
+    the triangle query's note: DEGREE orientation bounds every
+    array at ~sqrt(|E|) — same plan, different orientation
+    predicate.
 
     ``max_degree`` is the hot-node lever (the BENCH_FULL_r13
     price note): adjacency arrays cap at k neighbors chosen in
@@ -1134,33 +1155,80 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
     O(k) at the price of SAMPLED-neighbor features (Jaccard over
     hash-sampled neighbor sets — still deterministic, still
     comparable across nodes because every node samples the same
-    way). Default OFF so the oracle stays exact."""
+    way, and every feature bounded by k). The cap keeps the r13
+    symmetric-array formulation: triangle-credit counting under a
+    capped sample would un-bound per-edge counts (credits arrive
+    from OTHER base edges' intersects), breaking the k-bound the
+    knob promises. Default OFF so the oracle stays exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li)
-    # the cap bounds the ADJACENCY ARRAYS only — the pair universe
-    # stays every existing edge (r13 review: capping the edge list
-    # itself silently dropped most of a hot node's edges from the
-    # OUTPUT, which is feature-row loss, not feature sampling)
-    adj = (cap_mega_baskets(edges, max_degree,
-                            order_col="src", item_col="dst")
-           .groupBy(F.col("src").alias("node"))
-           .agg(F.collect_set("dst").alias("nbrs"))
+    if max_degree is not None:
+        # sampled-feature path — the cap bounds the ADJACENCY
+        # ARRAYS only; the pair universe stays every existing edge
+        # (r13 review: capping the edge list itself silently
+        # dropped most of a hot node's edges from the OUTPUT,
+        # which is feature-row loss, not feature sampling)
+        edges = _copurchase_edges(li)
+        adj = (cap_mega_baskets(edges, max_degree,
+                                order_col="src", item_col="dst")
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.collect_set("dst").alias("nbrs"))
+               .localCheckpoint(eager=False))   # both join sides
+        pairs = edges.filter(F.col("src") < F.col("dst")) \
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        na = adj.select(F.col("node").alias("a"),
+                        F.col("nbrs").alias("nbrs_a"))
+        nb = adj.select(F.col("node").alias("b"),
+                        F.col("nbrs").alias("nbrs_b"))
+        n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
+            .cast("long")
+        return (pairs.join(na, "a").join(nb, "b")
+                .withColumn("n_common", n_common)
+                .filter(F.col("n_common") >= 1)
+                .select("a", "b", "n_common",
+                        F.expr("CAST(n_common * 10000 DIV "
+                               "(size(nbrs_a) + size(nbrs_b) "
+                               "- n_common) AS BIGINT)")
+                        .alias("jaccard_bp"))
+                .orderBy(F.col("n_common").desc(),
+                         F.col("jaccard_bp").desc(), "a", "b")
+                .limit(50))
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    adj = (half.groupBy("src")
+           .agg(F.collect_set("dst").alias("succ")))
+    # each triangle {a<b<c} found exactly once via its lowest
+    # edge (a,b): c ∈ succ(a) ∩ succ(b); credit all three edges
+    tri = (half
+           .join(adj.select("src", F.col("succ").alias("sa")),
+                 "src")
+           .join(adj.select(F.col("src").alias("dst"),
+                            F.col("succ").alias("sb")), "dst")
+           .select(F.col("src").alias("ta"),
+                   F.col("dst").alias("tb"),
+                   F.explode(F.array_intersect("sa", "sb"))
+                   .alias("tc")))
+    credits = (tri.select(F.explode(F.array(
+                   F.struct(F.col("ta").alias("a"),
+                            F.col("tb").alias("b")),
+                   F.struct(F.col("ta").alias("a"),
+                            F.col("tc").alias("b")),
+                   F.struct(F.col("tb").alias("a"),
+                            F.col("tc").alias("b")))).alias("e"))
+               .select("e.a", "e.b"))
+    cn = (credits.groupBy("a", "b")
+          .agg(F.count("*").cast("long").alias("n_common")))
+    ends = half.select(F.col("src").alias("node")).unionAll(
+        half.select(F.col("dst").alias("node")))
+    deg = (ends.groupBy("node").agg(F.count("*").alias("d"))
            .localCheckpoint(eager=False))      # both join sides
-    pairs = edges.filter(F.col("src") < F.col("dst")) \
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    na = adj.select(F.col("node").alias("a"),
-                    F.col("nbrs").alias("nbrs_a"))
-    nb = adj.select(F.col("node").alias("b"),
-                    F.col("nbrs").alias("nbrs_b"))
-    n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
-        .cast("long")
-    return (pairs.join(na, "a").join(nb, "b")
-            .withColumn("n_common", n_common)
-            .filter(F.col("n_common") >= 1)
+    return (cn
+            .join(deg.select(F.col("node").alias("a"),
+                             F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("node").alias("b"),
+                             F.col("d").alias("db")), "b")
             .select("a", "b", "n_common",
                     F.expr("CAST(n_common * 10000 DIV "
-                           "(size(nbrs_a) + size(nbrs_b) - n_common)"
-                           " AS BIGINT)").alias("jaccard_bp"))
+                           "(da + db - n_common) AS BIGINT)")
+                    .alias("jaccard_bp"))
             .orderBy(F.col("n_common").desc(),
                      F.col("jaccard_bp").desc(), "a", "b")
             .limit(50))
