@@ -99,7 +99,8 @@ class TaskSpec:
     #: every stateful kind (near_dup_index / search_index / rollup
     #: / winnow_index / item_cf): delta_threshold (store write
     #: strategy) and fs (commit protocol: posix / manifest /
-    #: manifest_cas), both validated at creation
+    #: manifest_cas), both validated at creation; item_cf:
+    #: retention_days (basket-store eviction horizon, r14)
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:
@@ -206,6 +207,8 @@ class TaskManager:
             # first store construction mid-stream (r11 ADVICE)
             _validated_delta_threshold(spec.index_options or {})
             _validated_fs(spec.index_options or {})
+        if spec.task_kind == "item_cf":
+            _validated_retention_days(spec.index_options or {})
         elif spec.index_options:
             # r13 ADVICE: index_options tune the stateful kinds'
             # stores; a cdc task has none, so accepting (say)
@@ -459,7 +462,9 @@ class TaskManager:
         root = self.store_root(spec)
         stores = (
             ParquetBasketStore(self.spark,
-                               os.path.join(root, "basket")),
+                               os.path.join(root, "basket"),
+                               retention_days=_validated_retention_days(
+                                   spec.index_options or {})),
             ParquetCoocStore(self.spark, os.path.join(root, "cooc")),
             ParquetItemDegStore(self.spark,
                                 os.path.join(root, "deg")))
@@ -732,6 +737,24 @@ def _validated_fs(opts: dict) -> str:
             f"index_options['fs'] must be 'posix', 'manifest' or "
             f"'manifest_cas', got {fs!r}")
     return fs
+
+
+def _validated_retention_days(opts: dict) -> int | None:
+    """Resolve ``index_options['retention_days']`` (item_cf: the
+    basket store's eviction horizon — state_store.py
+    ParquetBasketStore). Absent/null -> exact-forever; integer
+    >= 1 -> that horizon. Validated at creation like the other
+    options so a typo fails the POST, not the first micro-batch."""
+    rd = opts.get("retention_days")
+    if rd is None:
+        return None
+    ok = (isinstance(rd, int) and not isinstance(rd, bool)) or \
+        (isinstance(rd, float) and rd.is_integer())
+    if not ok or int(rd) < 1:
+        raise ValueError(
+            f"index_options['retention_days'] must be an integer "
+            f">= 1 or null, got {rd!r}")
+    return int(rd)
 
 
 def _apply_delta_thresholds(stores, opts: dict,

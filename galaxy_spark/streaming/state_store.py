@@ -2120,16 +2120,87 @@ class ParquetBasketStore(KeyedParquetStore):
     buckets. This is the EXACTNESS anchor of the co-occurrence
     hub: an order's lines can arrive across many micro-batches,
     and "which pairs are NEW for this order" is only answerable
-    against its accumulated basket."""
+    against its accumulated basket.
+
+    ``retention_days=H`` (r13 verdict #4): the store's only job is
+    dedup of an order's lines, and orders QUIESCE — once the
+    stream has moved H days past an order's last ship activity,
+    further lines for it are >H-late stragglers. Each row then
+    carries ``t`` = the order's newest l_shipdate seen (MAX-
+    folded), and ``cooc_deltas`` advances a STORE-LEVEL watermark
+    ``current_wm`` = max-so-far(batch max l_shipdate) − H (one
+    1-row agg collect per trigger — the audited bounded-collect
+    class) before probing. Two consumers read it:
+
+    - the ``fold_finalize`` hook drops rows with t < current_wm
+      at every fold site. Unlike the user-day/session stores'
+      per-key folded watermark (their keys keep being touched;
+      basket keys quiesce, so a per-key wm would never advance
+      for exactly the rows that need evicting), the store-level
+      literal applies to EVERY row of a folded bucket — CoW
+      merges and compactions sweep whole touched buckets, so
+      under continuous traffic (the layout hash spreads new
+      orders over all buckets) state is O(orders active within
+      H) plus the tails of buckets not touched since.
+    - the probe filters stale baskets IN-PLAN (t >= wm), so a
+      basket past the horizon reads as absent even before its
+      bucket's next physical fold — probe semantics and physical
+      eviction cannot disagree.
+
+    The accepted inexactness is the watermark contract: lines
+    arriving MORE than H days after their order's last activity
+    start a FRESH fragment — pairs inside the fragment count
+    (duplicating any that already counted pre-horizon, degree +1
+    again), while pairs STRADDLING the horizon (an expired item x
+    a late item of the same order) are lost, exactly like data
+    below a Structured Streaming watermark. (If the stale row was
+    not yet physically folded away, the late fragment's merge
+    re-unions its parts — which only REDUCES future straddle
+    losses; fragment-internal counting is unaffected.)
+    Replay-deterministic: a replayed epoch recomputes the same
+    watermark from the same batch (monotone max, so replay after
+    a later epoch can only see a HIGHER wm — whose extra
+    evictions the claim-skip makes unobservable, merges for
+    replayed epochs never run). The cooc/deg READERS are
+    unchanged — they never see the basket store. Default None
+    keeps exact-forever behavior and the schema unchanged."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 n_buckets: int = 4) -> None:
+                 n_buckets: int = 4,
+                 retention_days: int | None = None) -> None:
+        if retention_days is not None and retention_days < 1:
+            raise ValueError("retention_days must be >= 1 or None")
+        self.retention_days = retention_days
+        #: the stream-time eviction horizon (a datetime.date),
+        #: advanced monotonically by cooc_deltas; None until the
+        #: first timed batch (no eviction before the stream has a
+        #: clock — also the state right after a restart,
+        #: re-established by the next trigger)
+        self.current_wm = None
+        parts = F.array_sort(F.array_distinct(F.flatten(
+            F.collect_list("parts")))).alias("parts")
+        if retention_days is None:
+            aggs = [parts]
+            schema = "o long, parts array<bigint>"
+        else:
+            aggs = [parts, F.max("t").alias("t")]
+            schema = "o long, parts array<bigint>, t date"
         super().__init__(
-            spark, path, ["o"],
-            [F.array_sort(F.array_distinct(F.flatten(
-                F.collect_list("parts")))).alias("parts")],
-            n_buckets,
-            state_schema="o long, parts array<bigint>")
+            spark, path, ["o"], aggs, n_buckets,
+            state_schema=schema)
+        if retention_days is not None:
+            self.fold_finalize = lambda df: (
+                df if self.current_wm is None
+                else df.filter(
+                    F.col("t") >= F.lit(self.current_wm)))
+
+    def _clone(self, new_path: str,
+               n_buckets: int) -> "ParquetBasketStore":
+        # retention shapes the fold AND the schema — rebucket's
+        # drift belt would catch a bare-signature reconstruction
+        return ParquetBasketStore(
+            self.spark, new_path, n_buckets=n_buckets,
+            retention_days=self.retention_days)
 
 
 class ParquetCoocStore(KeyedParquetStore):
@@ -2180,13 +2251,46 @@ def cooc_deltas(batch_df: DataFrame,
     (order, ordered pair) is counted exactly once over the
     stream's lifetime no matter how the order's lines split
     across batches. The probe reads only the incoming orders'
-    store buckets (layout pruning)."""
+    store buckets (layout pruning).
+
+    With the store's ``retention_days`` set, each basket partial
+    also carries ``t`` (the order's max l_shipdate in this batch),
+    the store's ``current_wm`` advances to (max-so-far batch
+    l_shipdate − H) BEFORE the probe (one 1-row agg collect), and
+    the probe drops baskets with t < wm — the batch must then be
+    full lineitem-shaped (l_shipdate present); a time-less stream
+    fails loudly at the first batch rather than silently never
+    evicting. Partials exist only for orders with NEW items, so
+    pure re-delivery does not refresh a basket's recency —
+    re-delivery stays a no-op in every configuration (the
+    whole-slice re-delivery test's invariant)."""
+    h = getattr(basket_store, "retention_days", None)
+    if h is not None:
+        if "l_shipdate" not in batch_df.columns:
+            raise ValueError(
+                "basket retention needs l_shipdate on the stream "
+                "(the eviction clock); the batch carries only "
+                f"{batch_df.columns}")
+        row = batch_df.agg(
+            F.date_sub(F.max(F.to_date("l_shipdate")),
+                       int(h)).alias("wm")).collect()[0]
+        if row.wm is not None and (
+                basket_store.current_wm is None
+                or row.wm > basket_store.current_wm):
+            basket_store.current_wm = row.wm
     items = (batch_df
              .select(F.col("l_orderkey").cast("long").alias("o"),
                      F.col("l_partkey").cast("long").alias("p"))
              .distinct()
              .localCheckpoint(eager=False))    # probe + anti + union
-    old_items = (basket_store.state_for_keys(items.select("o"))
+    probed = basket_store.state_for_keys(items.select("o"))
+    if h is not None and basket_store.current_wm is not None:
+        # expired baskets read as ABSENT: the plain (non-delta)
+        # read path applies no fold, so the probe must mirror the
+        # fold_finalize filter itself
+        probed = probed.filter(
+            F.col("t") >= F.lit(basket_store.current_wm))
+    old_items = (probed
                  .join(items.select("o").distinct(), "o",
                        "left_semi")
                  .select("o", F.explode("parts").alias("p"))
@@ -2214,6 +2318,12 @@ def cooc_deltas(batch_df: DataFrame,
     baskets = (new_items.groupBy("o")
                .agg(F.array_sort(F.collect_set("p"))
                     .alias("parts")))
+    if h is not None:
+        touch = (batch_df
+                 .groupBy(F.col("l_orderkey").cast("long")
+                          .alias("o"))
+                 .agg(F.max(F.to_date("l_shipdate")).alias("t")))
+        baskets = baskets.join(touch, "o")
     return pair_deltas, deg_deltas, baskets
 
 

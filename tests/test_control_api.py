@@ -856,7 +856,8 @@ def test_item_cf_task_lifecycle(spark, tmp_path):
     from galaxy_spark.registry import all_queries
 
     li = load_table(spark, SF, "lineitem") \
-        .select("l_orderkey", "l_partkey")
+        .select("l_orderkey", "l_partkey",
+                F.to_date("l_shipdate").alias("l_shipdate"))
     src = str(tmp_path / "cf_li")
 
     def factory(spark_, spec):
@@ -898,3 +899,20 @@ def test_item_cf_task_lifecycle(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "cooc"))
     mgr2.delete_task("cf1")
     assert not os.path.isdir(root)
+
+    # r14: the basket horizon is a task option — validated at
+    # creation, applied to the basket store only
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="retention_days"):
+        mgr2.create_task(TaskSpec(
+            task_id="cf_bad", task_kind="item_cf",
+            index_options={"retention_days": 0}))
+    spec = TaskSpec(task_id="cf_ret", task_kind="item_cf",
+                    index_options={"retention_days": 90})
+    mgr2.create_task(spec)
+    mgr2.await_all()
+    mgr2.stop_task("cf_ret")
+    b, c, d = mgr2.item_cf_stores("cf_ret")
+    assert b.retention_days == 90
+    assert "t date" in (b.state_schema or "")
+    mgr2.delete_task("cf_ret")

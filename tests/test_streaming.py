@@ -4524,6 +4524,135 @@ def test_streaming_item_cf_matches_batch(spark, tmp_path):
     assert got_fp == want_fp and len(want_fp) > 10
 
 
+def test_basket_retention_recount_contract(spark, tmp_path):
+    """r13 verdict #4, the documented inexactness made explicit:
+    with ``retention_days=H`` on the basket store, a line arriving
+    MORE than H days after its order's last ship activity finds an
+    evicted (empty) basket — it re-counts as new (degree +1 again)
+    and pairs only against later arrivals; counts can only
+    over-count, never lose a pair. Deterministic micro-case."""
+    from galaxy_spark.streaming.state_store import (
+        ParquetBasketStore, ParquetCoocStore, ParquetItemDegStore,
+        cooc_deltas)
+
+    baskets = ParquetBasketStore(spark, str(tmp_path / "br_b"),
+                                 n_buckets=1, retention_days=10)
+    cooc = ParquetCoocStore(spark, str(tmp_path / "br_c"))
+    deg = ParquetItemDegStore(spark, str(tmp_path / "br_d"))
+    schema = "l_orderkey long, l_partkey long, l_shipdate date"
+
+    def merge(rows, eid):
+        b = spark.createDataFrame(rows, schema)
+        pd_, dd, bk = cooc_deltas(b, baskets)
+        cooc.merge(pd_, f"lin.{eid:012d}")
+        deg.merge(dd, f"lin.{eid:012d}")
+        baskets.merge(bk, f"lin.{eid:012d}")
+
+    from datetime import date
+    d0 = date(2024, 1, 1)
+    merge([(1, 101, d0), (1, 102, d0)], 0)     # order 1: p101+p102
+    # day 31: another order touches the (single) bucket — the fold
+    # evicts order 1's basket (t=d0 < current_wm=d31-10)
+    merge([(2, 201, date(2024, 2, 1))], 1)
+    assert [r.o for r in baskets.state().collect()] == [2], \
+        "order 1's basket should have evicted on bucket fold"
+    # day 32: a >H-late line for order 1 re-counts: p101 is 'new'
+    # again (degree over-count) and pairs with p103 only
+    merge([(1, 101, date(2024, 2, 2)), (1, 103, date(2024, 2, 2))],
+          2)
+    got_deg = {r.p: r.d for r in deg.state().collect()}
+    assert got_deg == {101: 2, 102: 1, 103: 1, 201: 1}
+    got_cooc = {(r.part_a, r.part_b): r.n
+                for r in cooc.state().collect()}
+    assert got_cooc == {(101, 102): 1, (102, 101): 1,
+                        (101, 103): 1, (103, 101): 1}
+    # a time-less batch under retention fails loudly
+    with pytest.raises(ValueError, match="l_shipdate"):
+        cooc_deltas(spark.createDataFrame(
+            [(3, 301)], "l_orderkey long, l_partkey long"),
+            baskets)
+    with pytest.raises(ValueError, match="retention_days"):
+        ParquetBasketStore(spark, str(tmp_path / "br_bad"),
+                           retention_days=0)
+
+
+def test_basket_retention_bounds_state(spark, tmp_path):
+    """The horizon's point at 100 TB: basket state is O(orders
+    active within H) + tails of untouched buckets, not O(all
+    orders ever). Lineitem streamed in SHIP-DATE order (three
+    date-tercile slices):
+
+    - with a horizon far smaller than the corpus span the
+      retained store ends strictly smaller than the exact-forever
+      twin (every surviving basket sits at/above the final
+      watermark — the slices touch every bucket, so the sweep is
+      complete), while pair/degree counts stay well-formed;
+    - with a horizon covering the whole span NOTHING can expire
+      and the retention path's counts equal the exact twin
+      row-for-row (the code path is exercised — t column, wm
+      advance, probe filter — without any eviction)."""
+    import time as _time
+
+    from galaxy_spark.streaming.state_store import (
+        ParquetBasketStore, ParquetCoocStore, ParquetItemDegStore,
+        start_streaming_item_cf)
+
+    li = load_table(spark, SF, "lineitem") \
+        .select("l_orderkey", "l_partkey",
+                F.to_date("l_shipdate").alias("l_shipdate"))
+    qs = li.agg(
+        F.expr("percentile(unix_date(l_shipdate), 0.33)").alias("a"),
+        F.expr("percentile(unix_date(l_shipdate), 0.66)").alias("b")
+    ).collect()[0]
+    cuts = [int(qs.a), int(qs.b)]
+    src = str(tmp_path / "brb_src")
+    conds = [F.expr(f"unix_date(l_shipdate) <= {cuts[0]}"),
+             F.expr(f"unix_date(l_shipdate) > {cuts[0]} AND "
+                    f"unix_date(l_shipdate) <= {cuts[1]}"),
+             F.expr(f"unix_date(l_shipdate) > {cuts[1]}")]
+    for c in conds:                    # slices in ship-date order
+        li.filter(c).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    H = 180
+    ret_b = ParquetBasketStore(spark, str(tmp_path / "brb_b"),
+                               retention_days=H)
+    ret_b.delta_threshold = 2          # exercise every fold site
+    cooc = ParquetCoocStore(spark, str(tmp_path / "brb_c"))
+    deg = ParquetItemDegStore(spark, str(tmp_path / "brb_d"))
+    wide_b = ParquetBasketStore(spark, str(tmp_path / "brb_wb"),
+                                retention_days=9999)
+    wcooc = ParquetCoocStore(spark, str(tmp_path / "brb_wc"))
+    wdeg = ParquetItemDegStore(spark, str(tmp_path / "brb_wd"))
+    full_b = ParquetBasketStore(spark, str(tmp_path / "brb_fb"))
+    fcooc = ParquetCoocStore(spark, str(tmp_path / "brb_fc"))
+    fdeg = ParquetItemDegStore(spark, str(tmp_path / "brb_fd"))
+    for bst, cst, dst, ck in ((ret_b, cooc, deg, "brb_ck"),
+                              (wide_b, wcooc, wdeg, "brb_wck"),
+                              (full_b, fcooc, fdeg, "brb_fck")):
+        stream = spark.readStream.schema(li.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = start_streaming_item_cf(stream, bst, cst, dst,
+                                    str(tmp_path / ck))
+        q.processAllAvailable()
+        q.stop()
+
+    n_ret, n_full = ret_b.state().count(), full_b.state().count()
+    assert 0 < n_ret < n_full, (n_ret, n_full)
+    assert ret_b.current_wm is not None
+    assert ret_b.state().filter(
+        F.col("t") < F.lit(ret_b.current_wm)).count() == 0, \
+        "a surviving basket sits below the final watermark"
+    assert cooc.state().filter(F.col("n") <= 0).count() == 0
+    # H covering the span: the retention code path, zero eviction,
+    # exact equality with the unbounded twin
+    assert wide_b.state().count() == n_full
+    assert sorted(map(tuple, wcooc.state().collect())) == \
+        sorted(map(tuple, fcooc.state().collect()))
+    assert sorted(map(tuple, wdeg.state().collect())) == \
+        sorted(map(tuple, fdeg.state().collect()))
+
+
 def test_fold_finalize_empty_bucket_slice_still_claims_epoch(
         spark, tmp_path):
     """r13 review: a retention filter can evict a touched bucket's
