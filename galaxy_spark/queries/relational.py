@@ -1479,9 +1479,17 @@ def customer_rfm_segments(spark: SparkSession,
              .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
                   F.count("*").cast("long").alias("f"),
                   F.sum(F.round(F.col("o_totalprice") * 100, 0)
-                        .cast("long")).cast("long").alias("m_cents"))
-             # anchor + ranking both consume it — one orders scan
-             .localCheckpoint(eager=False))
+                        .cast("long")).cast("long").alias("m_cents")))
+    return rfm_segments_from_rollup(per_c)
+
+
+def rfm_segments_from_rollup(per_c: DataFrame) -> DataFrame:
+    """The RFM scoring tail over an already-built per-customer
+    rollup (o_custkey, last_day, f, m_cents) — shared by the batch
+    query and the streaming twin (imported, not copied, so the
+    quartile arithmetic and tiebreaks cannot drift)."""
+    # anchor + ranking both consume it — one upstream scan
+    per_c = per_c.localCheckpoint(eager=False)
     anchor = per_c.agg(F.max("last_day").alias("d0"))
     rfm = (per_c.crossJoin(F.broadcast(anchor))
            .select("o_custkey",

@@ -3209,6 +3209,206 @@ def streaming_funnel(store: ParquetEventIndexStore) -> DataFrame:
                 .alias("t_purchase")))
 
 
+def streaming_funnel_windowed(store: ParquetEventIndexStore
+                              ) -> DataFrame:
+    """The conversion-window funnel off the SAME event-time index
+    the unbounded funnel reads (r13 verdict #5): first view, first
+    click within 24 HOURS of it, first purchase within 24 hours of
+    that click. The 24 h bounds are extra residual predicates
+    inside the same array filters — exactly how the batch query
+    adds them as scan-local residuals on the stage-gated plan — so
+    over the same events this equals ``events_funnel_windowed``
+    field-for-field (restricted to the retained window when the
+    store has a retention horizon)."""
+    day_us = 86_400_000_000
+    st = store.retained_state()
+    piv = (st.groupBy("user_id")
+           .agg(F.max(F.when(F.col("event_type") == "view",
+                             F.col("tss"))).alias("vs"),
+                F.max(F.when(F.col("event_type") == "click",
+                             F.col("tss"))).alias("cs"),
+                F.max(F.when(F.col("event_type") == "purchase",
+                             F.col("tss"))).alias("ps")))
+    tv = F.array_min("vs")
+    tc = F.array_min(F.filter(
+        "cs", lambda x: (x > tv) & (x <= tv + F.lit(day_us))))
+    return (piv.filter(F.col("vs").isNotNull())
+            .select("user_id", tv.alias("tvu"), tc.alias("tcu"),
+                    "ps")
+            .select(
+                "user_id",
+                F.timestamp_micros(F.col("tvu")).alias("t_view"),
+                F.timestamp_micros(F.col("tcu")).alias("t_click"),
+                F.timestamp_micros(F.array_min(F.filter(
+                    "ps", lambda x: (x > F.col("tcu"))
+                    & (x <= F.col("tcu") + F.lit(day_us)))))
+                .alias("t_purchase")))
+
+
+class ParquetPurchaseStore(KeyedParquetStore):
+    """Per-user purchase facts — (event_id, event micros, integer
+    cents) structs under sorted-distinct set union (idempotent:
+    event_id makes each fact self-identifying, so replay and
+    re-delivery cannot move the state). The attribution twin's
+    honest minimal state (r13 verdict #5): last-touch needs every
+    purchase's timestamp AND value, which the event-time index
+    deliberately does not carry — a small dedicated store beats
+    widening the multi-reader index's payload. State is O(users x
+    purchases), strictly smaller than the raw log (clicks and
+    views dominate event traffic)."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["user_id"],
+            [F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("ps")))).alias("ps")],
+            n_buckets,
+            state_schema=("user_id long, ps array<struct<"
+                          "id: long, t: long, c: long>>"))
+
+
+def partial_purchases(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-user purchase-fact sets (cents exact:
+    events.value is 2-decimal by contract)."""
+    return (batch_df
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.struct(
+                F.col("event_id").cast("long").alias("id"),
+                F.unix_micros("ts").alias("t"),
+                F.round(F.col("value") * 100, 0).cast("long")
+                .alias("c")).alias("p"))
+            .groupBy("user_id")
+            .agg(F.collect_set("p").alias("ps")))
+
+
+def start_streaming_attribution_hub(
+        stream: DataFrame, purchase_store: ParquetPurchaseStore,
+        index_store: ParquetEventIndexStore,
+        checkpoint_dir: str) -> StreamingQuery:
+    """One write path maintaining BOTH attribution inputs — the
+    purchase facts and the (user, type) event-time index (clicks
+    ride in the index the funnel/retention readers already use).
+    Both merges are idempotent set-unions, so replay order across
+    the two stores cannot matter."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(
+            checkpoint_dir, (purchase_store, index_store), lineage)
+        key = f"{lin}.{epoch_id:012d}"
+        purchase_store.merge(partial_purchases(batch_df), key)
+        index_store.merge(
+            partial_event_index(batch_df,
+                                index_store.retention_days), key)
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_attribution_last_touch(
+        purchase_store: ParquetPurchaseStore,
+        index_store: ParquetEventIndexStore) -> DataFrame:
+    """Daily last-touch attribution off the two accumulated
+    stores: each stored purchase credits its user's latest click
+    within the 7 preceding days — the bounded-lookback as-of
+    resolved as one array_max over the user's click index (the
+    band is an array filter, scan-local like the batch query's
+    residual) — then the batch query's exact integer-cents daily
+    split. Over the same events this equals
+    ``events_attribution_last_touch`` field-for-field, while
+    reading O(users x purchases + users) state rows, never the
+    raw event log."""
+    band_us = 7 * 86_400_000_000
+    pur = (purchase_store.state()
+           .select("user_id", F.explode("ps").alias("p")))
+    clicks = (index_store.retained_state()
+              .filter(F.col("event_type") == "click")
+              .select("user_id", F.col("tss").alias("cs")))
+    t = F.col("p.t")
+    att = (pur.join(clicks, "user_id", "left")
+           .select(F.to_date(F.timestamp_micros(t)).alias("day"),
+                   F.col("p.c").alias("cents"),
+                   F.array_max(F.filter(
+                       "cs", lambda x: (x < t)
+                       & (x >= t - F.lit(band_us))))
+                   .alias("t_click")))
+    hit = F.col("t_click").isNotNull()
+    return (att.groupBy("day")
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+                 .alias("n_attributed"),
+                 F.round(F.sum(F.when(hit, F.col("cents"))
+                               .otherwise(0)) / 100.0, 2)
+                 .alias("attributed_revenue"),
+                 F.round(F.sum(F.when(hit, 0)
+                               .otherwise(F.col("cents"))) / 100.0,
+                         2).alias("organic_revenue")))
+
+
+class ParquetCustomerOrderStore(KeyedParquetStore):
+    """Per-customer order rollup — (last order day, order count,
+    lifetime cents) under MAX/SUM/SUM: recency, frequency and
+    monetary are ALL monoid folds, so the whole RFM input is
+    O(customers) state rows (r13 verdict #7, completing the event
+    family's streaming coverage). SUM partials rely on the store's
+    per-(bucket, epoch) claim discipline for replay safety, the
+    rollup/OLS class — orders are facts delivered once by the
+    checkpointed source."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["o_custkey"],
+            [F.max("last_day").alias("last_day"),
+             F.sum("f").cast("long").alias("f"),
+             F.sum("m_cents").cast("long").alias("m_cents")],
+            n_buckets,
+            state_schema=("o_custkey long, last_day date, f long, "
+                          "m_cents long"))
+
+
+def partial_customer_orders(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-customer rollup partial (integer
+    cents: the batch query's own arithmetic)."""
+    return (batch_df
+            .groupBy("o_custkey")
+            .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+                 F.count("*").cast("long").alias("f"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).cast("long")
+                 .alias("m_cents")))
+
+
+def start_streaming_customer_orders(
+        stream: DataFrame, store: ParquetCustomerOrderStore,
+        checkpoint_dir: str) -> StreamingQuery:
+    """Maintain the per-customer order rollup from an
+    orders-shaped stream."""
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_customer_orders))
+            .start())
+
+
+def streaming_rfm_segments(store: ParquetCustomerOrderStore
+                           ) -> DataFrame:
+    """RFM quartile segmentation off the accumulated per-customer
+    rollup — the batch query's own scoring tail
+    (``queries.relational.rfm_segments_from_rollup``, imported),
+    so over the same orders this equals ``customer_rfm_segments``
+    field-for-field while ranking O(customers) state rows, never
+    raw orders."""
+    from galaxy_spark.queries.relational import \
+        rfm_segments_from_rollup
+
+    return rfm_segments_from_rollup(
+        store.state().select("o_custkey", "last_day", "f",
+                             "m_cents"))
+
+
 def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:
     """Weekly retention cohorts off the SAME event-time index the
     funnel reads (one store, many readers — the point of keeping

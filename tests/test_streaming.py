@@ -3436,6 +3436,17 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
                         spark, SF).collect())
     assert got_r == want_r and len(want_r) >= 3
 
+    # the same index serves the WINDOWED funnel too (r13 verdict
+    # #5): 24 h stage bounds as extra array-filter residuals
+    from galaxy_spark.streaming.state_store import \
+        streaming_funnel_windowed
+    got_w = rows(streaming_funnel_windowed(store))
+    want_w = rows(all_queries()["events_funnel_windowed"](spark, SF))
+    assert got_w == want_w and len(want_w) >= 10
+    # the bound must bite somewhere, or the windowed reader is
+    # indistinguishable from the unbounded one on this dataset
+    assert got_w != got
+
     # idempotence WITHOUT the claim: full-slice re-merge, new epoch
     lin = sorted(store.lineages())[0]
     store.merge(partial_event_index(
@@ -3444,6 +3455,116 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert rows(streaming_funnel(store)) == got
     assert sorted((r.cohort_week, r.week_offset, r.n_users)
                   for r in streaming_retention(store).collect()) == got_r
+    assert rows(streaming_funnel_windowed(store)) == got_w
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Daily last-touch attribution off the purchase-fact store +
+    the click index (r13 verdict #5): one hub write path, two
+    idempotent set-union stores, kill/restart mid-stream, a
+    whole-slice re-merge under a fresh epoch — and the reader
+    equals ``events_attribution_last_touch`` field-for-field over
+    the replayed corpus."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetEventIndexStore, ParquetPurchaseStore,
+        partial_purchases, start_streaming_attribution_hub,
+        streaming_attribution_last_touch)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "att_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    pur = ParquetPurchaseStore(spark, str(tmp_path / "att_p"))
+    pur.delta_threshold = 2
+    idx = ParquetEventIndexStore(spark, str(tmp_path / "att_i"))
+    ck = str(tmp_path / "att_ck")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_attribution_hub(stream, pur, idx, ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()                           # the "kill"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return sorted((r.day, r.n_purchases, r.n_attributed,
+                       r.attributed_revenue, r.organic_revenue)
+                      for r in df.collect())
+
+    got = rows(streaming_attribution_last_touch(pur, idx))
+    want = rows(all_queries()["events_attribution_last_touch"](
+        spark, SF))
+    assert got == want and len(want) >= 10
+    # both outcome classes present, or the band logic is untested
+    assert any(n_att > 0 for _, _, n_att, _, _ in want)
+    assert any(n_att < n for _, n, n_att, _, _ in want)
+
+    # idempotence WITHOUT the claim: full-slice re-merge, new epoch
+    lin = sorted(pur.lineages())[0]
+    pur.merge(partial_purchases(
+        ev.filter(F.col("event_id") % 3 == 0)),
+        f"zz{lin}.000000000099")
+    assert rows(streaming_attribution_last_touch(pur, idx)) == got
+
+
+def test_streaming_rfm_matches_batch(spark, tmp_path):
+    """RFM quartiles off the continuously maintained per-customer
+    order rollup (r13 verdict #7): MAX/SUM/SUM monoid state,
+    kill/restart mid-stream, reader == ``customer_rfm_segments``
+    field-for-field through the batch query's own imported scoring
+    tail."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetCustomerOrderStore, start_streaming_customer_orders,
+        streaming_rfm_segments)
+
+    o = load_table(spark, SF, "orders")
+    src = str(tmp_path / "rfm_src")
+    for k in range(3):
+        (o.filter(F.col("o_orderkey") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetCustomerOrderStore(spark,
+                                      str(tmp_path / "rfm_store"))
+    store.delta_threshold = 2
+    ck = str(tmp_path / "rfm_ck")
+
+    def start():
+        stream = spark.readStream.schema(o.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_customer_orders(stream, store, ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()                           # the "kill"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return sorted((r.r_bucket, r.f_bucket, r.m_bucket,
+                       r.n_customers, r.total_monetary)
+                      for r in df.collect())
+
+    got = rows(streaming_rfm_segments(store))
+    want = rows(all_queries()["customer_rfm_segments"](spark, SF))
+    assert got == want and len(want) >= 20
 
 
 def test_state_for_keys_prunes_and_folds_under_deltas(spark, tmp_path,
