@@ -1106,3 +1106,66 @@ def events_funnel_windowed(spark: SparkSession,
     return (v.join(c, "user_id", "left")
             .join(p, "user_id", "left")
             .select("user_id", "t_view", "t_click", "t_purchase"))
+
+
+@register(
+    "events_stickiness_dau_wau",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM d
+    ), dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1
+    ), wau AS (
+        SELECT g.day, CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+        FROM days g JOIN d
+          ON d.day <= g.day AND d.day >= g.day - INTERVAL 6 DAY
+        GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau * 10000 // wau.wau AS BIGINT)
+               AS stickiness_bp
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_stickiness_dau_wau(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio every product
+    dashboard leads with: per active day, the distinct users that
+    day (DAU), the distinct users over the trailing 7 days (WAU),
+    and their ratio. Exact trailing distincts — the EXACT twin of
+    ``agg_hll_sliding_distinct_users`` (which answers the same
+    window sketched); keeping both documents the accuracy/cost
+    trade both ways.
+
+    Cross-engine determinism: counts are exact BIGINTs; the ratio
+    is integer basis points (DIV), never a float division.
+
+    Shape at scale: the event log collapses FIRST to distinct
+    (user, day) — one shuffle, |users|·|active days| rows, far
+    smaller than raw events — then the 7-day window is a range
+    join of that frame against the |days| grid (each (user, day)
+    row lands in ≤ 7 grid rows; bounded fan-out, the range-join
+    family), partial-aggregated per day. The exact trailing
+    distinct is NOT expressible as a window monoid (distinct does
+    not decompose); the range join IS the honest exact plan, and
+    the HLL query is the 100 TB approximation."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.select("user_id", F.to_date("ts").alias("day"))
+         .distinct()
+         .localCheckpoint(eager=False))    # dau + wau + grid
+    days = d.select("day").distinct()
+    dau = d.groupBy("day").agg(F.count("*").cast("long")
+                               .alias("dau"))
+    g = days.select(F.col("day").alias("gday"))
+    wau = (d.join(g, (F.col("day") <= F.col("gday"))
+                  & (F.col("day") >= F.date_sub(F.col("gday"), 6)))
+           .groupBy("gday")
+           .agg(F.countDistinct("user_id").cast("long")
+                .alias("wau")))
+    return (dau.join(wau, dau.day == wau.gday)
+            .select("day", "dau", "wau",
+                    F.expr("CAST(dau * 10000 DIV wau AS BIGINT)")
+                    .alias("stickiness_bp")))

@@ -244,6 +244,87 @@ def mining_frequent_pairs(spark: SparkSession, sf_dir: str,
 
 
 @register(
+    "mining_pair_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), nb AS (
+        SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM baskets
+    ), item_count AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM baskets GROUP BY p
+    ), pair_support AS (
+        SELECT a.p AS src, b.p AS dst,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+    )
+    SELECT ps.src, ps.dst, ps.support,
+           CAST(ps.support * nb.n * 10000
+                // (ia.n_baskets * ib.n_baskets) AS BIGINT)
+               AS lift_bp
+    FROM pair_support ps
+    CROSS JOIN nb
+    JOIN item_count ia ON ps.src = ia.p
+    JOIN item_count ib ON ps.dst = ib.p
+    WHERE ps.support >= 2
+    """,
+)
+def mining_pair_lift(spark: SparkSession, sf_dir: str,
+                     basket_cap: int | None = None) -> DataFrame:
+    """Market-basket LIFT — the association-rule metric that
+    corrects confidence for item popularity: lift(A, B) =
+    P(A,B) / (P(A)·P(B)) = support·N / (n_A·n_B). Confidence
+    (``mining_frequent_pairs``) flags any pair containing a
+    popular item; lift > 1 flags genuinely associated pairs —
+    both metrics off the SAME support/count frames, the A-priori
+    level-2 pattern completed.
+
+    Cross-engine determinism: lift in integer BASIS POINTS —
+    support·N·10000 DIV (n_A·n_B), BIGINT floor division in both
+    engines — never a float ratio. Headroom: support ≤ min(n_A,
+    n_B) keeps support·N·10⁴ < 2⁶³ through ~10¹⁴ basket-item
+    pairs; past that, the same expression in DECIMAL(38,0)
+    (documented variant, the OLS discipline).
+
+    Shape at scale: identical to ``mining_frequent_pairs`` — one
+    (order, part) dedup shuffle, the order-keyed pair self-join
+    with partial-agged support (``basket_cap`` for power-law
+    baskets), item counts and the 1-row basket total BROADCAST
+    into the scoring projection (no extra exchange for N)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (cap_mega_baskets(
+        li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct(),
+        basket_cap)
+        .localCheckpoint(eager=False))
+    nb = baskets.agg(F.countDistinct("o").alias("n"))
+    item_count = baskets.groupBy("p").agg(
+        F.count("*").alias("n_baskets"))
+    pair_support = (baskets.alias("a")
+                    .join(baskets.alias("b"),
+                          (F.col("a.o") == F.col("b.o"))
+                          & (F.col("a.p") < F.col("b.p")))
+                    .groupBy(F.col("a.p").alias("src"),
+                             F.col("b.p").alias("dst"))
+                    .agg(F.count("*").alias("support"))
+                    .filter(F.col("support") >= 2))
+    ia = item_count.select(F.col("p").alias("src"),
+                           F.col("n_baskets").alias("na"))
+    ib = item_count.select(F.col("p").alias("dst"),
+                           F.col("n_baskets").alias("nb_"))
+    return (pair_support
+            .join(F.broadcast(ia), "src")
+            .join(F.broadcast(ib), "dst")
+            .crossJoin(F.broadcast(nb))
+            .select("src", "dst",
+                    F.col("support").cast("long").alias("support"),
+                    F.expr("CAST(support * n * 10000 DIV "
+                           "(na * nb_) AS BIGINT)")
+                    .alias("lift_bp")))
+
+
+@register(
     "graph_triangle_count",
     oracle="""
     WITH baskets AS (
@@ -1192,20 +1273,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
                 .orderBy(F.col("n_common").desc(),
                          F.col("jaccard_bp").desc(), "a", "b")
                 .limit(50))
-    half = _copurchase_half(li).localCheckpoint(eager=False)
-    adj = (half.groupBy("src")
-           .agg(F.collect_set("dst").alias("succ")))
-    # each triangle {a<b<c} found exactly once via its lowest
-    # edge (a,b): c ∈ succ(a) ∩ succ(b); credit all three edges
-    tri = (half
-           .join(adj.select("src", F.col("succ").alias("sa")),
-                 "src")
-           .join(adj.select(F.col("src").alias("dst"),
-                            F.col("succ").alias("sb")), "dst")
-           .select(F.col("src").alias("ta"),
-                   F.col("dst").alias("tb"),
-                   F.explode(F.array_intersect("sa", "sb"))
-                   .alias("tc")))
+    half, tri = _oriented_triangles(li)
     credits = (tri.select(F.explode(F.array(
                    F.struct(F.col("ta").alias("a"),
                             F.col("tb").alias("b")),
@@ -1216,10 +1284,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
                .select("e.a", "e.b"))
     cn = (credits.groupBy("a", "b")
           .agg(F.count("*").cast("long").alias("n_common")))
-    ends = half.select(F.col("src").alias("node")).unionAll(
-        half.select(F.col("dst").alias("node")))
-    deg = (ends.groupBy("node").agg(F.count("*").alias("d"))
-           .localCheckpoint(eager=False))      # both join sides
+    deg = _half_degrees(half)
     return (cn
             .join(deg.select(F.col("node").alias("a"),
                              F.col("d").alias("da")), "a")
@@ -1231,4 +1296,104 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
                     .alias("jaccard_bp"))
             .orderBy(F.col("n_common").desc(),
                      F.col("jaccard_bp").desc(), "a", "b")
+            .limit(50))
+
+
+def _oriented_triangles(li: DataFrame):
+    """(half edge frame, triangle frame (ta < tb < tc)) — each
+    triangle enumerated exactly once via its lowest edge (a, b):
+    c ∈ succ(a) ∩ succ(b) over id-oriented successor arrays. The
+    shared engine of the per-edge link-feature queries (common
+    neighbors, resource allocation)."""
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    adj = (half.groupBy("src")
+           .agg(F.collect_set("dst").alias("succ")))
+    tri = (half
+           .join(adj.select("src", F.col("succ").alias("sa")),
+                 "src")
+           .join(adj.select(F.col("src").alias("dst"),
+                            F.col("succ").alias("sb")), "dst")
+           .select(F.col("src").alias("ta"),
+                   F.col("dst").alias("tb"),
+                   F.explode(F.array_intersect("sa", "sb"))
+                   .alias("tc")))
+    return half, tri
+
+
+def _half_degrees(half: DataFrame) -> DataFrame:
+    """Symmetric degrees (node, d) off the oriented half frame,
+    lazily checkpointed for reuse across join sides."""
+    ends = half.select(F.col("src").alias("node")).unionAll(
+        half.select(F.col("dst").alias("node")))
+    return (ends.groupBy("node").agg(F.count("*").alias("d"))
+            .localCheckpoint(eager=False))
+
+
+@register(
+    "graph_resource_allocation",
+    oracle=_EDGES_CTE + """
+    , deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1
+    ), pairs AS (
+        SELECT src AS a, dst AS b FROM edges WHERE src < dst
+    ), cn AS (
+        SELECT p.a, p.b, e1.dst AS c
+        FROM pairs p
+        JOIN edges e1 ON e1.src = p.a
+        JOIN edges e2 ON e2.src = p.b AND e2.dst = e1.dst
+    )
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(1000000 // dc.d) AS BIGINT) AS ra_micro
+    FROM cn JOIN deg dc ON cn.c = dc.node
+    GROUP BY a, b
+    ORDER BY ra_micro DESC, n_common DESC, a, b
+    LIMIT 50
+    """,
+)
+def graph_resource_allocation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Resource-allocation link-prediction index over the
+    co-purchase graph: for each existing edge (a < b), RA(a,b) =
+    Σ_{c ∈ N(a)∩N(b)} 1/deg(c) — the Zhou-Lü-Zhang index, the
+    degree-penalized refinement of raw common-neighbor counts
+    (a promiscuous shared neighbor is weak evidence; RA and its
+    log-sibling Adamic-Adar consistently beat CN on link
+    prediction benchmarks). Top-50 strongest pairs.
+
+    Cross-engine determinism: the weight is INTEGER micro-units —
+    1,000,000 DIV deg(c) (floor division in both engines) summed
+    as BIGINT — never a float 1/d; Adamic-Adar's 1/log d is NOT
+    registered precisely because log is float-only. The top-50
+    ORDER BY ends in (a, b), a total order.
+
+    Shape at scale: the triangle-credit engine shared with
+    ``graph_common_neighbors`` (RA(edge) is a weighted per-edge
+    triangle count): triangles enumerate once over id-oriented
+    successor arrays, each explodes into three (edge, third-vertex)
+    credits, ONE broadcast-size degree join keys the weight off
+    the third vertex, and a partial-aggregated (edge) SUM folds —
+    no wedge materialization, no symmetric adjacency shipping."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half, tri = _oriented_triangles(li)
+    # credit each triangle's three edges, carrying the OPPOSITE
+    # vertex whose degree prices the credit
+    mk = lambda x, y, z: F.struct(x.alias("a"), y.alias("b"),
+                                  z.alias("c"))
+    credits = (tri.select(F.explode(F.array(
+                   mk(F.col("ta"), F.col("tb"), F.col("tc")),
+                   mk(F.col("ta"), F.col("tc"), F.col("tb")),
+                   mk(F.col("tb"), F.col("tc"), F.col("ta"))))
+                   .alias("e"))
+               .select("e.a", "e.b", "e.c"))
+    deg = _half_degrees(half)
+    return (credits
+            .join(deg.select(F.col("node").alias("c"),
+                             F.col("d").alias("dc")), "c")
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("n_common"),
+                 F.sum(F.expr("1000000 DIV dc")).cast("long")
+                 .alias("ra_micro"))
+            .orderBy(F.col("ra_micro").desc(),
+                     F.col("n_common").desc(), "a", "b")
             .limit(50))

@@ -1508,3 +1508,81 @@ def rfm_segments_from_rollup(per_c: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_customers"),
                  F.round(F.sum("m_cents") / 100.0, 2)
                  .alias("total_monetary")))
+
+
+@register(
+    "customer_order_cadence",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE),
+                                o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    ), per_c AS (
+        SELECT o_custkey,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap,
+               CAST(MAX(gap) AS BIGINT) AS max_gap
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+           ROUND(SUM(sum_gap) * 1.0 / SUM(n_gaps), 2)
+               AS avg_gap_days,
+           CAST(MAX(max_gap) AS BIGINT) AS max_gap_days
+    FROM per_c JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def customer_order_cadence(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: for every
+    repeat customer, the day gaps between consecutive orders
+    (LAG over the customer's order timeline), rolled up to
+    segment-level repeat-customer counts, average and maximum gap
+    — the reorder-cycle statistic behind replenishment forecasts
+    and churn-risk windows ("customer is N× past their usual
+    gap").
+
+    Cross-engine determinism: the LAG runs over (orderdate,
+    orderkey) — a TOTAL order, so same-day orders produce the
+    same gap multiset in both engines (a date tie contributes a 0
+    gap wherever it lands); gaps fold as BIGINT sums with ONE
+    terminal rounded division.
+
+    Shape at scale: one orders scan -> per-customer window
+    (partitionBy custkey — the natural key distribution, no
+    global sort) -> per-customer partial agg (|customers| rows)
+    -> broadcast-joined segment rollup (25-row output). The
+    window and both aggs share the custkey exchange; customer
+    joins AFTER the rollup, |customers| rows not |orders|."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey")
+    gaps = (o.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"),
+                   F.lag(F.to_date("o_orderdate")).over(w))
+        .alias("gap"))
+        .filter(F.col("gap").isNotNull()))
+    per_c = (gaps.groupBy("o_custkey")
+             .agg(F.count("*").cast("long").alias("n_gaps"),
+                  F.sum("gap").cast("long").alias("sum_gap"),
+                  F.max("gap").cast("long").alias("max_gap")))
+    return (per_c
+            .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                           "c_mktsegment"), "o_custkey")
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.sum("n_gaps").cast("long").alias("n_gaps"),
+                 F.round(F.sum("sum_gap") * F.lit(1.0)
+                         / F.sum("n_gaps"), 2)
+                 .alias("avg_gap_days"),
+                 F.max("max_gap").cast("long")
+                 .alias("max_gap_days")))
