@@ -1153,9 +1153,15 @@ def events_stickiness_dau_wau(spark: SparkSession,
     not decompose); the range join IS the honest exact plan, and
     the HLL query is the 100 TB approximation."""
     ev = load_table(spark, sf_dir, "events")
-    d = (ev.select("user_id", F.to_date("ts").alias("day"))
-         .distinct()
-         .localCheckpoint(eager=False))    # dau + wau + grid
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return stickiness_from_user_days(d)
+
+
+def stickiness_from_user_days(d: DataFrame) -> DataFrame:
+    """The DAU/WAU tail over a distinct (user_id, day) frame —
+    shared by the batch query and the streaming reader off the
+    user-day store (imported, not copied)."""
+    d = d.localCheckpoint(eager=False)     # dau + wau + grid
     days = d.select("day").distinct()
     dau = d.groupBy("day").agg(F.count("*").cast("long")
                                .alias("dau"))

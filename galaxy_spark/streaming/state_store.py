@@ -3061,6 +3061,22 @@ def streaming_decay_scores(store: ParquetUserDayStore) -> DataFrame:
     return decay_scores_from_aged(aged)
 
 
+def streaming_stickiness(store: ParquetUserDayStore) -> DataFrame:
+    """DAU/WAU stickiness off the accumulated per-(user, day)
+    state — the user-day store's THIRD reader (decay scores,
+    retention-bounded decay, now stickiness; one write path, many
+    readers): state rows ARE the distinct (user, day) frame the
+    batch query collapses the event log to, so the reader is the
+    batch query's own imported tail over O(users x days) state
+    rows, never raw events. Equals ``events_stickiness_dau_wau``
+    field-for-field (restricted to the retained window when the
+    store has a retention horizon)."""
+    from galaxy_spark.queries.events import stickiness_from_user_days
+
+    return stickiness_from_user_days(
+        store.retained_state().select("user_id", "day"))
+
+
 class ParquetEventIndexStore(KeyedParquetStore):
     """Per-(user, event_type) sorted distinct event-time index under
     set-union — a true idempotent monoid, so arrival order and

@@ -3369,6 +3369,18 @@ def test_streaming_decay_scores_match_batch(spark, tmp_path):
                       spark, SF).collect())
     assert got == want and len(want) >= 15
 
+    # the same state serves DAU/WAU stickiness (r14, third
+    # reader): state rows ARE the distinct (user, day) frame
+    from galaxy_spark.streaming.state_store import \
+        streaming_stickiness
+    got_s = sorted((r.day, r.dau, r.wau, r.stickiness_bp)
+                   for r in streaming_stickiness(store).collect())
+    want_s = sorted((r.day, r.dau, r.wau, r.stickiness_bp)
+                    for r in all_queries()[
+                        "events_stickiness_dau_wau"](
+                        spark, SF).collect())
+    assert got_s == want_s and len(want_s) >= 20
+
 
 # ------------------------------------------------------------------
 # Streaming funnel twin (r11): event-time index under set-union
