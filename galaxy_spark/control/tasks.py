@@ -90,7 +90,12 @@ class TaskSpec:
     #: with the exact pair reader (r13);
     #: "item_cf" = the co-occurrence hub (basket/cooc/degree
     #: stores, streaming.state_store.start_streaming_item_cf)
-    #: serving the item-CF top-k and frequent-pairs readers (r13)
+    #: serving the item-CF top-k and frequent-pairs readers (r13);
+    #: "event_index" = the events-analytics hub (per-(user, type)
+    #: event-time index + purchase facts, one write path via
+    #: streaming.state_store.start_streaming_attribution_hub)
+    #: serving FOUR readers — funnel, windowed funnel, retention
+    #: cohorts, last-touch attribution (r14)
     task_kind: str = "cdc"
     #: stateful-kind tuning, persisted with the spec so boot
     #: recovery restarts with identical arithmetic:
@@ -193,7 +198,8 @@ class TaskManager:
                 "delete it before reusing the id")
         if spec.task_kind not in ("cdc", "near_dup_index",
                                   "search_index", "rollup",
-                                  "winnow_index", "item_cf"):
+                                  "winnow_index", "item_cf",
+                                  "event_index"):
             # a typo'd kind would silently fall into the CDC branch
             # and run the replication pipeline over whatever stream
             # the factory returns — fail at creation, like the
@@ -201,13 +207,13 @@ class TaskManager:
             raise ValueError(
                 f"task_kind {spec.task_kind!r} unknown: use 'cdc', "
                 "'near_dup_index', 'search_index', 'rollup', "
-                "'winnow_index' or 'item_cf'")
+                "'winnow_index', 'item_cf' or 'event_index'")
         if spec.task_kind != "cdc":
             # fail configuration errors at creation, not at the
             # first store construction mid-stream (r11 ADVICE)
             _validated_delta_threshold(spec.index_options or {})
             _validated_fs(spec.index_options or {})
-        if spec.task_kind == "item_cf":
+        if spec.task_kind in ("item_cf", "event_index"):
             _validated_retention_days(spec.index_options or {})
         elif spec.index_options:
             # r13 ADVICE: index_options tune the stateful kinds'
@@ -502,6 +508,76 @@ class TaskManager:
         return start_streaming_item_cf(
             env, baskets, cooc, deg, self.checkpoint_dir(spec))
 
+    def event_index_stores(self, spec_or_id) -> tuple:
+        """(purchase, event-index) store handles for an
+        event_index task — same paths running or stopped.
+        ``index_options['retention_days']`` bounds the EVENT-TIME
+        INDEX (the state_store retention design: readers answer
+        over the retained window); the purchase-fact store stays
+        exact (it is the revenue ledger)."""
+        from galaxy_spark.streaming.state_store import (
+            ParquetEventIndexStore, ParquetPurchaseStore)
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        root = self.store_root(spec)
+        stores = (
+            ParquetPurchaseStore(self.spark,
+                                 os.path.join(root, "purchase")),
+            ParquetEventIndexStore(
+                self.spark, os.path.join(root, "evindex"),
+                retention_days=_validated_retention_days(
+                    spec.index_options or {})))
+        # both are user-keyed activity stores that grow with the
+        # corpus — delta tier for both
+        _apply_delta_thresholds(stores, spec.index_options or {},
+                                big=(True, True))
+        return stores
+
+    def funnel(self, task_id: str) -> DataFrame:
+        """Stage-gated funnel over everything the task streamed
+        (== batch ``events_funnel_conversion``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_funnel
+
+        return streaming_funnel(self.event_index_stores(task_id)[1])
+
+    def funnel_windowed(self, task_id: str) -> DataFrame:
+        """24h-stage funnel off the same index
+        (== batch ``events_funnel_windowed``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_funnel_windowed
+
+        return streaming_funnel_windowed(
+            self.event_index_stores(task_id)[1])
+
+    def retention_cohorts(self, task_id: str) -> DataFrame:
+        """Weekly retention cohorts off the same index
+        (== batch ``events_retention_cohorts``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_retention
+
+        return streaming_retention(
+            self.event_index_stores(task_id)[1])
+
+    def attribution_last_touch(self, task_id: str) -> DataFrame:
+        """Daily last-touch attribution off purchase facts + the
+        click index (== batch ``events_attribution_last_touch``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_attribution_last_touch
+
+        pur, idx = self.event_index_stores(task_id)
+        return streaming_attribution_last_touch(pur, idx)
+
+    def _start_event_index(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_streaming_attribution_hub
+
+        env = self.source_factory(self.spark, spec)
+        pur, idx = self.event_index_stores(spec)
+        return start_streaming_attribution_hub(
+            env, pur, idx, self.checkpoint_dir(spec))
+
     def _start_near_dup(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_near_dup_clustering
@@ -538,6 +614,11 @@ class TaskManager:
             return
         if spec.task_kind == "item_cf":
             self.queries[spec.task_id] = self._start_item_cf(spec)
+            spec.stopped = False
+            return
+        if spec.task_kind == "event_index":
+            self.queries[spec.task_id] = \
+                self._start_event_index(spec)
             spec.stopped = False
             return
         env = self.source_factory(self.spark, spec)

@@ -916,3 +916,86 @@ def test_item_cf_task_lifecycle(spark, tmp_path):
     assert b.retention_days == 90
     assert "t date" in (b.state_schema or "")
     mgr2.delete_task("cf_ret")
+
+
+def test_event_index_task_lifecycle(spark, tmp_path):
+    """r14: the events-analytics hub as a task kind under T1 —
+    one write path (purchase facts + event-time index), FOUR
+    readers, each equal to its batch query across stop/resume and
+    boot recovery; retention_days validated at creation and bound
+    to the INDEX store only."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.registry import all_queries
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "ei_src")
+
+    def factory(spark_, spec):
+        return (spark_.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "ei_state")
+    mgr = TaskManager(spark, state, factory)
+    (ev.filter(F.col("event_id") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.create_task(TaskSpec(task_id="ei1",
+                             task_kind="event_index"))
+    mgr.await_all()
+    mgr.stop_task("ei1")
+
+    _time.sleep(1.1)
+    (ev.filter(F.col("event_id") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("ei1")
+    mgr.await_all()
+    mgr.stop_task("ei1")
+
+    mgr.tasks["ei1"].stopped = False
+    mgr._persist()
+    mgr2 = TaskManager(spark, state, factory)
+    assert mgr2.recover_all() == ["ei1"]
+    mgr2.await_all()
+    mgr2.stop_task("ei1")
+
+    checks = [
+        (mgr2.funnel("ei1"), "events_funnel_conversion", 10,
+         lambda r: (r.user_id, r.t_view, r.t_click, r.t_purchase)),
+        (mgr2.funnel_windowed("ei1"), "events_funnel_windowed", 10,
+         lambda r: (r.user_id, r.t_view, r.t_click, r.t_purchase)),
+        (mgr2.retention_cohorts("ei1"), "events_retention_cohorts",
+         3, lambda r: (r.cohort_week, r.week_offset, r.n_users)),
+        (mgr2.attribution_last_touch("ei1"),
+         "events_attribution_last_touch", 10,
+         lambda r: (r.day, r.n_purchases, r.n_attributed,
+                    r.attributed_revenue, r.organic_revenue)),
+    ]
+    for df, batch_name, n_min, key in checks:
+        got = sorted(map(key, df.collect()))
+        want = sorted(map(key, all_queries()[batch_name](
+            spark, SF).collect()))
+        assert got == want and len(want) >= n_min, batch_name
+
+    root = mgr2.store_root(mgr2.tasks["ei1"])
+    assert os.path.isdir(os.path.join(root, "purchase"))
+    mgr2.delete_task("ei1")
+    assert not os.path.isdir(root)
+
+    # retention is creation-validated and binds to the index only
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="retention_days"):
+        mgr2.create_task(TaskSpec(
+            task_id="ei_bad", task_kind="event_index",
+            index_options={"retention_days": "14"}))
+    spec = TaskSpec(task_id="ei_ret", task_kind="event_index",
+                    index_options={"retention_days": 30})
+    mgr2.create_task(spec)
+    mgr2.await_all()
+    mgr2.stop_task("ei_ret")
+    pur, idx = mgr2.event_index_stores("ei_ret")
+    assert idx.retention_days == 30 and "wm" in idx.state_schema
+    assert "retention" not in repr(pur.state_schema)
+    mgr2.delete_task("ei_ret")
