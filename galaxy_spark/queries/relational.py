@@ -1563,12 +1563,21 @@ def customer_order_cadence(spark: SparkSession,
     joins AFTER the rollup, |customers| rows not |orders|."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.to_date("o_orderdate"), "o_orderkey")
-    gaps = (o.select(
+    rows = o.select("o_custkey",
+                    F.to_date("o_orderdate").alias("day"),
+                    "o_orderkey")
+    return cadence_from_order_rows(rows, c)
+
+
+def cadence_from_order_rows(rows: DataFrame,
+                            customer: DataFrame) -> DataFrame:
+    """The cadence tail over (o_custkey, day, o_orderkey) rows —
+    shared by the batch query and the streaming reader off the
+    order-fact store (imported, not copied)."""
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (rows.select(
         "o_custkey",
-        F.datediff(F.to_date("o_orderdate"),
-                   F.lag(F.to_date("o_orderdate")).over(w))
+        F.datediff(F.col("day"), F.lag("day").over(w))
         .alias("gap"))
         .filter(F.col("gap").isNotNull()))
     per_c = (gaps.groupBy("o_custkey")
@@ -1576,8 +1585,9 @@ def customer_order_cadence(spark: SparkSession,
                   F.sum("gap").cast("long").alias("sum_gap"),
                   F.max("gap").cast("long").alias("max_gap")))
     return (per_c
-            .join(c.select(F.col("c_custkey").alias("o_custkey"),
-                           "c_mktsegment"), "o_custkey")
+            .join(customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_mktsegment"), "o_custkey")
             .groupBy(F.col("c_mktsegment").alias("mktsegment"))
             .agg(F.count("*").cast("long").alias("n_customers"),
                  F.sum("n_gaps").cast("long").alias("n_gaps"),

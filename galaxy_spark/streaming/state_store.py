@@ -3061,6 +3061,71 @@ def streaming_decay_scores(store: ParquetUserDayStore) -> DataFrame:
     return decay_scores_from_aged(aged)
 
 
+class ParquetOrderFactStore(KeyedParquetStore):
+    """Per-customer order facts — (o_orderkey, order day) structs
+    under sorted-distinct set union (idempotent: the order key
+    makes each fact self-identifying, so replay and re-delivery
+    cannot move it). The cadence twin's honest minimal state:
+    inter-order gaps need the customer's full order TIMELINE, not
+    a bounded fold — the purchase-store class, O(orders) rows
+    laid out by customer. Trade vs ``ParquetCustomerOrderStore``
+    (the RFM rollup): that one is O(customers) but SUM-partial
+    (claim-protected only); this one is bigger but idempotent and
+    serves timeline readers."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 2) -> None:
+        super().__init__(
+            spark, path, ["o_custkey"],
+            [F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("os")))).alias("os")],
+            n_buckets,
+            state_schema=("o_custkey long, os array<struct<"
+                          "k: long, day: date>>"))
+
+
+def partial_order_facts(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's per-customer order-fact sets."""
+    return (batch_df
+            .select("o_custkey", F.struct(
+                F.col("o_orderkey").cast("long").alias("k"),
+                F.to_date("o_orderdate").alias("day")).alias("o"))
+            .groupBy("o_custkey")
+            .agg(F.collect_set("o").alias("os")))
+
+
+def start_streaming_order_facts(
+        stream: DataFrame, store: ParquetOrderFactStore,
+        checkpoint_dir: str) -> StreamingQuery:
+    """Maintain the per-customer order timeline from an
+    orders-shaped stream."""
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_lineage_scoped_handler(
+                store, checkpoint_dir, partial_order_facts))
+            .start())
+
+
+def streaming_order_cadence(store: ParquetOrderFactStore,
+                            customer: DataFrame) -> DataFrame:
+    """Segment-level order cadence off the accumulated per-customer
+    timelines: explode the fact sets back to (custkey, day, key)
+    rows — already collapsed to distinct orders — then the batch
+    query's own tail (``queries.relational.cadence_from_order_rows``,
+    imported). Over the same orders this equals
+    ``customer_order_cadence`` field-for-field; ``customer`` is the
+    dimension frame (read it from the warehouse dim, it is not
+    stream state)."""
+    from galaxy_spark.queries.relational import \
+        cadence_from_order_rows
+
+    rows = (store.state()
+            .select("o_custkey", F.explode("os").alias("o"))
+            .select("o_custkey", F.col("o.day").alias("day"),
+                    F.col("o.k").alias("o_orderkey")))
+    return cadence_from_order_rows(rows, customer)
+
+
 def streaming_stickiness(store: ParquetUserDayStore) -> DataFrame:
     """DAU/WAU stickiness off the accumulated per-(user, day)
     state — the user-day store's THIRD reader (decay scores,

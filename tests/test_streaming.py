@@ -3579,6 +3579,60 @@ def test_streaming_rfm_matches_batch(spark, tmp_path):
     assert got == want and len(want) >= 20
 
 
+def test_streaming_order_cadence_matches_batch(spark, tmp_path):
+    """Segment cadence off the per-customer order timelines (r14):
+    idempotent set-union facts, kill/restart mid-stream plus a
+    whole-slice re-merge under a fresh epoch, reader ==
+    ``customer_order_cadence`` through the imported tail."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetOrderFactStore, partial_order_facts,
+        start_streaming_order_facts, streaming_order_cadence)
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    src = str(tmp_path / "oc_src")
+    for k in range(3):
+        (o.filter(F.col("o_orderkey") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetOrderFactStore(spark, str(tmp_path / "oc_store"))
+    store.delta_threshold = 2
+    ck = str(tmp_path / "oc_ck")
+
+    def start():
+        stream = spark.readStream.schema(o.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_order_facts(stream, store, ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()                           # the "kill"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df):
+        return sorted((r.mktsegment, r.n_customers, r.n_gaps,
+                       r.avg_gap_days, r.max_gap_days)
+                      for r in df.collect())
+
+    got = rows(streaming_order_cadence(store, c))
+    want = rows(all_queries()["customer_order_cadence"](spark, SF))
+    assert got == want and len(want) == 5
+
+    # idempotence WITHOUT the claim: full-slice re-merge, new epoch
+    lin = sorted(store.lineages())[0]
+    store.merge(partial_order_facts(
+        o.filter(F.col("o_orderkey") % 3 == 0)),
+        f"zz{lin}.000000000099")
+    assert rows(streaming_order_cadence(store, c)) == got
+
+
 def test_state_for_keys_prunes_and_folds_under_deltas(spark, tmp_path,
                                                       monkeypatch):
     """Layout pruning and the delta tier compose: a probe on a
