@@ -213,8 +213,6 @@ class TaskManager:
             # first store construction mid-stream (r11 ADVICE)
             _validated_delta_threshold(spec.index_options or {})
             _validated_fs(spec.index_options or {})
-        if spec.task_kind in ("item_cf", "event_index"):
-            _validated_retention_days(spec.index_options or {})
         elif spec.index_options:
             # r13 ADVICE: index_options tune the stateful kinds'
             # stores; a cdc task has none, so accepting (say)
@@ -225,6 +223,8 @@ class TaskManager:
                 f"index_options apply to stateful task kinds only "
                 f"(task_kind='cdc' got "
                 f"{sorted(spec.index_options)!r})")
+        if spec.task_kind in ("item_cf", "event_index"):
+            _validated_retention_days(spec.index_options or {})
         if spec.task_kind != "cdc" and spec.live:
             # live filter swapping is a CDC-pipeline feature; the
             # near-dup handler has no filter cell, and accepting

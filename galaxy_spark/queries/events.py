@@ -1175,3 +1175,79 @@ def stickiness_from_user_days(d: DataFrame) -> DataFrame:
             .select("day", "dau", "wau",
                     F.expr("CAST(dau * 10000 DIV wau AS BIGINT)")
                     .alias("stickiness_bp")))
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'
+    ), conv AS (
+        SELECT c.user_id, c.c_ts, MIN(p.p_ts) AS p_ts
+        FROM c JOIN p ON p.user_id = c.user_id AND p.p_ts > c.c_ts
+        GROUP BY 1, 2
+    ), bucketed AS (
+        SELECT user_id,
+               CASE
+                 WHEN (epoch_us(p_ts) - epoch_us(c_ts))
+                      // 3600000000 < 1 THEN '0_under_1h'
+                 WHEN (epoch_us(p_ts) - epoch_us(c_ts))
+                      // 3600000000 < 24 THEN '1_under_24h'
+                 WHEN (epoch_us(p_ts) - epoch_us(c_ts))
+                      // 3600000000 < 168 THEN '2_under_7d'
+                 ELSE '3_over_7d'
+               END AS bucket
+        FROM conv
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM bucketed GROUP BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each click's NEXT same-user
+    purchase (the FORWARD as-of join — temporal-join family member
+    #5 next to backward as-of, range-band, interval-overlap and
+    bounded-lookback), bucketed into the funnel-latency bands
+    every conversion report uses (<1h, <24h, <7d, longer).
+
+    Cross-engine determinism: latency is integer MICROSECOND
+    arithmetic floor-divided to hours (epoch_us/unix_micros in
+    both engines — never timestamp subtraction's interval
+    semantics), bucket labels carry an ordering prefix, counts
+    are exact BIGINTs.
+
+    Shape at scale: clicks x purchases equi-join on user_id with
+    the forward predicate as a residual — bounded by per-user
+    activity, never a cross product — then one (user, click)-keyed
+    MIN fold and a 4-row rollup. Same plan class as the
+    attribution query, mirrored in time."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.col("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts")))
+    conv = (c.join(p, (F.col("user_id") == F.col("p_user"))
+                   & (F.col("p_ts") > F.col("c_ts")))
+            .groupBy("user_id", "c_ts")
+            .agg(F.min("p_ts").alias("p_ts")))
+    # integer floor of the (strictly positive) latency quotient —
+    # DIV, never timestamp subtraction's interval semantics
+    hours = F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) "
+                   "DIV 3600000000")
+    bucket = (F.when(hours < 1, "0_under_1h")
+              .when(hours < 24, "1_under_24h")
+              .when(hours < 168, "2_under_7d")
+              .otherwise("3_over_7d"))
+    return (conv.select("user_id", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_conversions"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users")))

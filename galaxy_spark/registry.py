@@ -213,6 +213,12 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "events_funnel_windowed",
     "customer_rfm_segments",
     "graph_common_neighbors",
+    # r14 additions
+    "graph_resource_allocation",
+    "mining_pair_lift",
+    "customer_order_cadence",
+    "events_stickiness_dau_wau",
+    "events_time_to_convert",
 )
 
 
