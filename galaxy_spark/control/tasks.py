@@ -104,8 +104,9 @@ class TaskSpec:
     #: every stateful kind (near_dup_index / search_index / rollup
     #: / winnow_index / item_cf): delta_threshold (store write
     #: strategy) and fs (commit protocol: posix / manifest /
-    #: manifest_cas), both validated at creation; item_cf:
-    #: retention_days (basket-store eviction horizon, r14)
+    #: manifest_cas), both validated at creation; item_cf /
+    #: event_index: retention_days (basket-store / event-index
+    #: eviction horizon, r14)
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:

@@ -393,10 +393,12 @@ def test_basket_cap_noop_on_bounded_tpch_queries(spark):
     default-off knob can be turned on at a safe threshold without
     moving a single answer."""
     from galaxy_spark.queries.graphs import (mining_frequent_pairs,
+                                             mining_pair_lift,
                                              similarity_item_cf_topk)
 
     sf = "/root/testdata/sf0.001"
-    for fn in (mining_frequent_pairs, similarity_item_cf_topk):
+    for fn in (mining_frequent_pairs, mining_pair_lift,
+               similarity_item_cf_topk):
         want = sorted(map(tuple, fn(spark, sf).collect()))
         got = sorted(map(tuple, fn(spark, sf,
                                    basket_cap=16).collect()))
