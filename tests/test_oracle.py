@@ -82,9 +82,12 @@ def test_local_certification_at_driver_scale(spark, name):
 #: upserted into the already-judged r07 file). r10: bumped from
 #: r09 after the r9 judgment. r12: bumped after r11's judgment,
 #: now carrying all 108 non-external queries. r13: bumped after
-#: r12's judgment (117 non-external queries).
+#: r12's judgment (117 non-external queries). r14: bumped after
+#: r13's judgment (122 non-external queries — +5 r14 additions);
+#: the r13 file was restored byte-frozen after this round's first
+#: suite run upserted into it pre-bump.
 CERTIFY_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "CERTIFY_LOCAL_r13.json")
+    os.path.abspath(__file__))), "CERTIFY_LOCAL_r14.json")
 
 
 def _record_certification(name: str, rec: dict) -> None:
