@@ -500,6 +500,15 @@ class TaskManager:
         _b, cooc, deg = self.item_cf_stores(task_id)
         return streaming_frequent_pairs(cooc, deg)
 
+    def pair_lift(self, task_id: str) -> DataFrame:
+        """Association lift over the task's accumulated hub
+        (== batch ``mining_pair_lift``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_pair_lift
+
+        baskets, cooc, deg = self.item_cf_stores(task_id)
+        return streaming_pair_lift(cooc, deg, baskets)
+
     def _start_item_cf(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_item_cf
@@ -569,6 +578,15 @@ class TaskManager:
 
         pur, idx = self.event_index_stores(task_id)
         return streaming_attribution_last_touch(pur, idx)
+
+    def time_to_convert(self, task_id: str) -> DataFrame:
+        """Click-to-purchase latency buckets off the same two
+        stores (== batch ``events_time_to_convert``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_time_to_convert
+
+        pur, idx = self.event_index_stores(task_id)
+        return streaming_time_to_convert(pur, idx)
 
     def _start_event_index(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \

@@ -300,28 +300,17 @@ def mining_pair_lift(spark: SparkSession, sf_dir: str,
         .localCheckpoint(eager=False))
     nb = baskets.agg(F.countDistinct("o").alias("n"))
     item_count = baskets.groupBy("p").agg(
-        F.count("*").alias("n_baskets"))
+        F.count("*").cast("long").alias("d"))
     pair_support = (baskets.alias("a")
                     .join(baskets.alias("b"),
                           (F.col("a.o") == F.col("b.o"))
                           & (F.col("a.p") < F.col("b.p")))
-                    .groupBy(F.col("a.p").alias("src"),
-                             F.col("b.p").alias("dst"))
-                    .agg(F.count("*").alias("support"))
-                    .filter(F.col("support") >= 2))
-    ia = item_count.select(F.col("p").alias("src"),
-                           F.col("n_baskets").alias("na"))
-    ib = item_count.select(F.col("p").alias("dst"),
-                           F.col("n_baskets").alias("nb_"))
-    return (pair_support
-            .join(F.broadcast(ia), "src")
-            .join(F.broadcast(ib), "dst")
-            .crossJoin(F.broadcast(nb))
-            .select("src", "dst",
-                    F.col("support").cast("long").alias("support"),
-                    F.expr("CAST(support * n * 10000 DIV "
-                           "(na * nb_) AS BIGINT)")
-                    .alias("lift_bp")))
+                    .groupBy(F.col("a.p").alias("part_a"),
+                             F.col("b.p").alias("part_b"))
+                    .agg(F.count("*").alias("n_co_orders")))
+    # the scoring tail is shared with the streaming item-CF hub's
+    # lift reader (imported, not copied)
+    return pair_lift_from_counts(pair_support, item_count, nb)
 
 
 @register(
@@ -1081,6 +1070,31 @@ def frequent_pairs_from_counts(cooc: DataFrame,
                     F.round(F.col("support") * F.lit(1.0)
                             / F.col("n_baskets"), 4)
                     .alias("confidence")))
+
+
+def pair_lift_from_counts(cooc: DataFrame, deg: DataFrame,
+                          nb: DataFrame) -> DataFrame:
+    """The pair-lift tail (support >= 2 + integer-basis-point lift)
+    over ordered co-occurrence + degree frames and a 1-row basket
+    total — the ``mining_pair_lift`` output shape, shared with the
+    streaming hub's third reader."""
+    ia = deg.select(F.col("p").alias("src"),
+                    F.col("d").alias("na"))
+    ib = deg.select(F.col("p").alias("dst"),
+                    F.col("d").alias("nb_"))
+    return (cooc.filter((F.col("part_a") < F.col("part_b"))
+                        & (F.col("n_co_orders") >= 2))
+            .select(F.col("part_a").alias("src"),
+                    F.col("part_b").alias("dst"),
+                    F.col("n_co_orders").cast("long")
+                    .alias("support"))
+            .join(F.broadcast(ia), "src")
+            .join(F.broadcast(ib), "dst")
+            .crossJoin(F.broadcast(nb))
+            .select("src", "dst", "support",
+                    F.expr("CAST(support * n * 10000 DIV "
+                           "(na * nb_) AS BIGINT)")
+                    .alias("lift_bp")))
 
 
 _LPA_ROUNDS = 3

@@ -2382,6 +2382,25 @@ def streaming_frequent_pairs(cooc_store: ParquetCoocStore,
         deg_store.state())
 
 
+def streaming_pair_lift(cooc_store: ParquetCoocStore,
+                        deg_store: ParquetItemDegStore,
+                        basket_store: ParquetBasketStore
+                        ) -> DataFrame:
+    """Association lift off the same hub — the THIRD reader (==
+    batch ``mining_pair_lift``): the basket total N is one 1-row
+    count over the basket store's keys (the orders the stream has
+    seen; with a basket retention horizon this is the RETAINED
+    order count, consistent with the horizon's fragment
+    semantics)."""
+    from galaxy_spark.queries.graphs import pair_lift_from_counts
+
+    nb = basket_store.state().agg(
+        F.count("*").cast("long").alias("n"))
+    return pair_lift_from_counts(
+        cooc_store.state().withColumnRenamed("n", "n_co_orders"),
+        deg_store.state(), nb)
+
+
 # ------------------------------------------------------------------
 # Streaming KMV (k-minimum-values) sketches on the durable store
 # ------------------------------------------------------------------
@@ -3488,6 +3507,43 @@ def streaming_rfm_segments(store: ParquetCustomerOrderStore
     return rfm_segments_from_rollup(
         store.state().select("o_custkey", "last_day", "f",
                              "m_cents"))
+
+
+def streaming_time_to_convert(
+        purchase_store: ParquetPurchaseStore,
+        index_store: ParquetEventIndexStore) -> DataFrame:
+    """Time-to-convert buckets off the attribution hub's two
+    stores (the event_index task kind's FIFTH reader): each stored
+    click's NEXT same-user purchase, resolved scan-locally — the
+    user's click index explodes to rows, the purchase timestamps
+    ride as one array per user, and the forward as-of is an
+    array_min over a filtered array — then the batch query's exact
+    integer-microsecond hour bucketing. Equals
+    ``events_time_to_convert`` field-for-field over the same
+    events (the index collapses same-INSTANT duplicate clicks —
+    by contract event timestamps are unique per (user, type), and
+    the funnel/retention readers already lean on it)."""
+    clicks = (index_store.retained_state()
+              .filter(F.col("event_type") == "click")
+              .select("user_id", F.explode("tss").alias("c")))
+    purs = (purchase_store.state()
+            .select("user_id",
+                    F.transform("ps", lambda x: x["t"])
+                    .alias("pts")))
+    nxt = F.array_min(F.filter("pts", lambda x: x > F.col("c")))
+    conv = (clicks.join(purs, "user_id")
+            .select("user_id", "c", nxt.alias("p"))
+            .filter(F.col("p").isNotNull()))
+    hours = F.expr("(p - c) DIV 3600000000")
+    bucket = (F.when(hours < 1, "0_under_1h")
+              .when(hours < 24, "1_under_24h")
+              .when(hours < 168, "2_under_7d")
+              .otherwise("3_over_7d"))
+    return (conv.select("user_id", bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_conversions"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("n_users")))
 
 
 def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:

@@ -972,6 +972,8 @@ def test_event_index_task_lifecycle(spark, tmp_path):
          "events_attribution_last_touch", 10,
          lambda r: (r.day, r.n_purchases, r.n_attributed,
                     r.attributed_revenue, r.organic_revenue)),
+        (mgr2.time_to_convert("ei1"), "events_time_to_convert", 3,
+         lambda r: (r.bucket, r.n_conversions, r.n_users)),
     ]
     for df, batch_name, n_min, key in checks:
         got = sorted(map(key, df.collect()))

@@ -3523,6 +3523,18 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     assert any(n_att > 0 for _, _, n_att, _, _ in want)
     assert any(n_att < n for _, n, n_att, _, _ in want)
 
+    # the same two stores serve time-to-convert (r14): the forward
+    # as-of as a scan-local array_min over the purchase array
+    from galaxy_spark.streaming.state_store import \
+        streaming_time_to_convert
+    got_t = sorted((r.bucket, r.n_conversions, r.n_users)
+                   for r in streaming_time_to_convert(
+                       pur, idx).collect())
+    want_t = sorted((r.bucket, r.n_conversions, r.n_users)
+                    for r in all_queries()["events_time_to_convert"](
+                        spark, SF).collect())
+    assert got_t == want_t and len(want_t) >= 3
+
     # idempotence WITHOUT the claim: full-slice re-merge, new epoch
     lin = sorted(pur.lineages())[0]
     pur.merge(partial_purchases(
@@ -4709,6 +4721,16 @@ def test_streaming_item_cf_matches_batch(spark, tmp_path):
     want_fp = sorted(map(tuple, all_queries()["mining_frequent_pairs"](
         spark, SF).collect()))
     assert got_fp == want_fp and len(want_fp) > 10
+
+    # third reader (r14): association lift — N from the basket
+    # store's key count
+    from galaxy_spark.streaming.state_store import \
+        streaming_pair_lift
+    got_l = sorted(map(tuple, streaming_pair_lift(
+        cooc, deg, baskets).collect()))
+    want_l = sorted(map(tuple, all_queries()["mining_pair_lift"](
+        spark, SF).collect()))
+    assert got_l == want_l and len(want_l) > 10
 
 
 def test_basket_retention_recount_contract(spark, tmp_path):
