@@ -866,3 +866,71 @@ def text_pmi_collocations(spark: SparkSession,
                       .alias("pmi_ratio")))
     return (scored.orderBy(F.desc("pmi_ratio"), "bigram")
             .limit(_PMI_TOP_K))
+
+
+@register(
+    "mixture_share_drift",
+    oracle="""
+    WITH mx AS (
+        SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS m FROM documents
+    ), b AS (
+        SELECT source, CAST(doc_id * 10 // mx.m AS BIGINT) AS batch
+        FROM documents CROSS JOIN mx
+    ), counts AS (
+        SELECT batch, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    ), tot AS (
+        SELECT batch, CAST(SUM(n) AS BIGINT) AS t
+        FROM counts GROUP BY 1
+    ), shares AS (
+        SELECT c.batch, c.source, c.n,
+               CAST(c.n * 10000 // t.t AS BIGINT) AS share_bp
+        FROM counts c JOIN tot t ON c.batch = t.batch
+    )
+    SELECT batch, source, n, share_bp,
+           share_bp - LAG(share_bp) OVER (
+               PARTITION BY source ORDER BY batch) AS drift_bp
+    FROM shares
+    """,
+)
+def mixture_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order mixture-drift monitor: the corpus split into
+    ten equal doc_id bands (doc_id IS ingestion order in this
+    dataset), each source's share of every band in integer basis
+    points, and the band-over-band share delta per source — the
+    alarm every large-scale data pipeline hangs on its intake (a
+    crawler source silently dying or flooding shows up as drift
+    long before model metrics move). Completes the mixture axis:
+    ``mixture_resample_balanced`` FIXES a mixture,
+    ``mixture_temperature_sampling`` RESHAPES one, this one
+    WATCHES one.
+
+    Cross-engine determinism: band assignment and shares are BIGINT
+    floor arithmetic (never percentile or float division); the LAG
+    runs over (source, batch), a total order; first-band drift is
+    NULL in both engines.
+
+    Shape at scale: one documents scan (doc_id + source only —
+    column pruning leaves text unread) -> partial-agged (band,
+    source) counts (100s of rows however big the corpus) -> the
+    totals join and LAG run on that tiny frame. The 1-row max
+    broadcasts into the scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).cast("long").alias("m"))
+    counts = (docs.crossJoin(F.broadcast(mx))
+              .select("source",
+                      F.expr("CAST(doc_id * 10 DIV m AS BIGINT)")
+                      .alias("batch"))
+              .groupBy("batch", "source")
+              .agg(F.count("*").cast("long").alias("n")))
+    tot = counts.groupBy("batch").agg(
+        F.sum("n").cast("long").alias("t"))
+    shares = (counts.join(tot, "batch")
+              .select("batch", "source", "n",
+                      F.expr("CAST(n * 10000 DIV t AS BIGINT)")
+                      .alias("share_bp")))
+    w = Window.partitionBy("source").orderBy("batch")
+    return shares.select(
+        "batch", "source", "n", "share_bp",
+        (F.col("share_bp") - F.lag("share_bp").over(w))
+        .alias("drift_bp"))

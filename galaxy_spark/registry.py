@@ -219,6 +219,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "customer_order_cadence",
     "events_stickiness_dau_wau",
     "events_time_to_convert",
+    "mixture_share_drift",
 )
 
 
