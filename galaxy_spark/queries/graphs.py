@@ -397,24 +397,25 @@ def _copurchase_half(li: DataFrame) -> DataFrame:
     common-neighbors path materializes HALF the rows this way —
     the r14 audit's first win).
 
-    Build shape (r14 audit, second win): per-order part ARRAYS
-    (one groupBy shuffle — collect_set dedups (o, p) in the same
-    agg, absorbing the separate distinct) and the a<b pairs
-    explode SCAN-LOCALLY from each sorted array, replacing the
-    order-keyed self-join — one exchange fewer; measured 3.06 ->
-    2.56 s at sf0.1 for the identical 1,196,000-edge set, a
-    saving every graph query's fixed edge-build cost inherits.
-    The nested transform is bounded by TPC-H basket width (<= 7);
-    at power-law widths the pair fan-out lever is the same basket
-    cap the mining queries use."""
-    arrs = (li.groupBy(F.col("l_orderkey").alias("o"))
-            .agg(F.sort_array(F.collect_set("l_partkey"))
-                 .alias("ps")))
-    return (arrs.select(F.explode(F.expr(
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), "
-        "y -> struct(x AS src, y AS dst))))")).alias("e"))
-        .select("e.src", "e.dst").distinct())
+    Build-shape audit (r14): an array-explode alternative (per-
+    order part arrays + scan-local a<b pair explode, one exchange
+    fewer) WON the standalone build microbenchmark (3.06 ->
+    2.56 s at sf0.1 on ``half.count()``) but LOST the in-query
+    interleaved A/B on the symmetric-edge consumers (label
+    propagation medians 8.2 vs 6.6 s — per-iteration interleaved
+    so host drift hits both alike) and was a wash on the
+    half-only consumers; reverted, details in SCALE.md r14. The
+    microbenchmark-vs-in-plan reversal is the recorded lesson:
+    the union/checkpoint context changes which build wins."""
+    baskets = (li.select(F.col("l_orderkey").alias("o"),
+                         F.col("l_partkey").alias("p")).distinct())
+    return (baskets.alias("a")
+            .join(baskets.alias("b"),
+                  (F.col("a.o") == F.col("b.o"))
+                  & (F.col("a.p") < F.col("b.p")))
+            .select(F.col("a.p").alias("src"),
+                    F.col("b.p").alias("dst"))
+            .distinct())
 
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
