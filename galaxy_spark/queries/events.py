@@ -1251,3 +1251,73 @@ def events_time_to_convert(spark: SparkSession,
             .agg(F.count("*").cast("long").alias("n_conversions"),
                  F.countDistinct("user_id").cast("long")
                  .alias("n_users")))
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS s1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS s2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS s3
+        FROM events
+    ), paths AS (
+        SELECT s1, s2, s3,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM seq WHERE s3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM paths
+    )
+    SELECT s1, s2, s3, n, n_users,
+           ROUND(n * 1.0 / tot.total, 6) AS share
+    FROM paths CROSS JOIN tot
+    """,
+)
+def events_path_trigrams(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Second-order path mining over per-user event sequences:
+    every 3-step path (s1 → s2 → s3) of consecutive event types in
+    a user's timeline, with its occurrence count, the number of
+    DISTINCT users who walked it, and its share of all trigram
+    walks — the funnel-DISCOVERY primitive (which multi-step
+    journeys actually happen, and whether a hot path is one power
+    user looping or genuinely broad) that sits one order above the
+    Markov transition matrix (``events_markov_transitions``) and
+    feeds candidate stages into the funnel queries.
+
+    Cross-engine determinism: the per-user order is (ts, event_id)
+    — the repo's sessionization convention, a total order — so
+    both engines walk identical sequences; counts are integers and
+    the share is a single ROUND(n · 1.0 / total, 6) on identical
+    integers. Output cardinality is |event_types|³ at most — a
+    handful of rows however large the log.
+
+    Shape at scale: ONE window pass (two LEADs over the same
+    per-user sort — Catalyst evaluates them in a single Window
+    node, so the log is sorted once, partitioned by user: no
+    reducer sees more than one user's timeline), then the path
+    counts partial-aggregate on the tiny (s1,s2,s3) key; the
+    1-row grand total broadcasts back for the share projection.
+    The distinct-user count rides the same aggregation as a
+    two-level fold (exact distinct on a key that is already
+    user-partitioned upstream)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id",
+                    F.col("event_type").alias("s1"),
+                    F.lead("event_type", 1).over(w).alias("s2"),
+                    F.lead("event_type", 2).over(w).alias("s3"))
+    paths = (seq.filter(F.col("s3").isNotNull())
+             .groupBy("s1", "s2", "s3")
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.countDistinct("user_id").cast("long")
+                  .alias("n_users")))
+    tot = paths.agg(F.sum("n").alias("total"))
+    return (paths.crossJoin(F.broadcast(tot))
+            .select("s1", "s2", "s3", "n", "n_users",
+                    F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6)
+                    .alias("share")))

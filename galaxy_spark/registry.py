@@ -220,6 +220,8 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "events_stickiness_dau_wau",
     "events_time_to_convert",
     "mixture_share_drift",
+    "graph_clustering_coefficient",
+    "events_path_trigrams",
 )
 
 
