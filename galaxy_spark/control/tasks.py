@@ -106,7 +106,8 @@ class TaskSpec:
     #: strategy) and fs (commit protocol: posix / manifest /
     #: manifest_cas), both validated at creation; item_cf /
     #: event_index: retention_days (basket-store / event-index
-    #: eviction horizon, r14)
+    #: eviction horizon, r14); item_cf: basket_cap (hash-sample
+    #: width — the streaming cap_mega_baskets, r14)
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:
@@ -226,6 +227,8 @@ class TaskManager:
                 f"{sorted(spec.index_options)!r})")
         if spec.task_kind in ("item_cf", "event_index"):
             _validated_retention_days(spec.index_options or {})
+        if spec.task_kind == "item_cf":
+            _validated_basket_cap(spec.index_options or {})
         if spec.task_kind != "cdc" and spec.live:
             # live filter swapping is a CDC-pipeline feature; the
             # near-dup handler has no filter cell, and accepting
@@ -471,6 +474,8 @@ class TaskManager:
             ParquetBasketStore(self.spark,
                                os.path.join(root, "basket"),
                                retention_days=_validated_retention_days(
+                                   spec.index_options or {}),
+                               basket_cap=_validated_basket_cap(
                                    spec.index_options or {})),
             ParquetCoocStore(self.spark, os.path.join(root, "cooc")),
             ParquetItemDegStore(self.spark,
@@ -855,6 +860,25 @@ def _validated_retention_days(opts: dict) -> int | None:
             f"index_options['retention_days'] must be an integer "
             f">= 1 or null, got {rd!r}")
     return int(rd)
+
+
+def _validated_basket_cap(opts: dict) -> int | None:
+    """Resolve ``index_options['basket_cap']`` (item_cf: the
+    basket store's hash-sample width — state_store.py
+    ParquetBasketStore / _cooc_deltas_capped; the streaming face
+    of the batch queries' ``cap_mega_baskets`` knob). Absent/null
+    -> exact uncapped hub; integer >= 2 -> per-basket sample of at
+    most that many items, pair fan-out bounded by cap²."""
+    bc = opts.get("basket_cap")
+    if bc is None:
+        return None
+    ok = (isinstance(bc, int) and not isinstance(bc, bool)) or \
+        (isinstance(bc, float) and bc.is_integer())
+    if not ok or int(bc) < 2:
+        raise ValueError(
+            f"index_options['basket_cap'] must be an integer "
+            f">= 2 or null, got {bc!r}")
+    return int(bc)
 
 
 def _apply_delta_thresholds(stores, opts: dict,

@@ -2112,6 +2112,26 @@ def start_streaming_winnowing_index(
 # Streaming item-CF / frequent-pairs hub (r12 verdict #7, optional)
 # ------------------------------------------------------------------
 
+def _basket_sample_expr(o_col: Column, parts_col: Column,
+                        k: int) -> Column:
+    """The capped basket SAMPLE as a sorted array: the ``k`` items
+    of ``parts_col`` ranked first by (md5(order\\x1fitem), item) —
+    byte-for-byte the ordering ``cap_mega_baskets`` uses in the
+    batch queries (queries/graphs.py), so the streaming sample is
+    the same pure function of the (order, item-set) data: arrival
+    order, batching and replays cannot move it (a truncation
+    monoid, the winnow store's DF_CAP discipline)."""
+    keyed = F.array_sort(F.transform(
+        parts_col,
+        lambda p: F.struct(
+            F.md5(F.concat_ws(
+                "\x1f", o_col.cast("string"),
+                p.cast("string"))).alias("h"),
+            p.alias("p"))))
+    return F.array_sort(
+        F.transform(F.slice(keyed, 1, k), lambda s: s["p"]))
+
+
 class ParquetBasketStore(KeyedParquetStore):
     """order -> the distinct items seen for it so far, under
     set-union (sorted distinct arrays — idempotent, so replays and
@@ -2163,14 +2183,31 @@ class ParquetBasketStore(KeyedParquetStore):
     evictions the claim-skip makes unobservable, merges for
     replayed epochs never run). The cooc/deg READERS are
     unchanged — they never see the basket store. Default None
-    keeps exact-forever behavior and the schema unchanged."""
+    keeps exact-forever behavior and the schema unchanged.
+
+    ``basket_cap=k`` (r14, the hot-basket lever): the tracked
+    basket becomes the ≤k-item HASH SAMPLE under the
+    ``cap_mega_baskets`` ranking (``_basket_sample_expr``), a
+    truncation monoid — per-order state is O(k) and the
+    per-trigger pair fan-out is bounded by changed-orders × k²
+    however many lines a mega-order accumulates (uncapped, a
+    100k-item order emits 10¹⁰ ordered pairs over its lifetime).
+    Deltas come from ``_cooc_deltas_capped`` (± telescoping
+    against the sample), and the hub's counts equal the batch
+    queries run with the same ``basket_cap``. Default None keeps
+    the exact uncapped hub."""
 
     def __init__(self, spark: SparkSession, path: str,
                  n_buckets: int = 4,
-                 retention_days: int | None = None) -> None:
+                 retention_days: int | None = None,
+                 basket_cap: int | None = None) -> None:
         if retention_days is not None and retention_days < 1:
             raise ValueError("retention_days must be >= 1 or None")
         self.retention_days = retention_days
+        if basket_cap is not None and basket_cap < 2:
+            raise ValueError(
+                f"basket cap must allow pairs: {basket_cap!r}")
+        self.basket_cap = basket_cap
         #: the stream-time eviction horizon (a datetime.date),
         #: advanced monotonically by cooc_deltas; None until the
         #: first timed batch (no eviction before the stream has a
@@ -2188,19 +2225,32 @@ class ParquetBasketStore(KeyedParquetStore):
         super().__init__(
             spark, path, ["o"], aggs, n_buckets,
             state_schema=schema)
-        if retention_days is not None:
-            self.fold_finalize = lambda df: (
-                df if self.current_wm is None
-                else df.filter(
-                    F.col("t") >= F.lit(self.current_wm)))
+        if retention_days is not None or basket_cap is not None:
+            self.fold_finalize = self._finalize
+
+    def _finalize(self, df: DataFrame) -> DataFrame:
+        """Fold-site hook: re-truncate the folded union to the cap
+        sample (union of ≤cap fragments can exceed the cap; the
+        truncation monoid re-applies — partials arrive
+        pre-truncated, so the fold input per key is bounded by
+        (state + per-epoch partial) ≤ 2·cap rows of items), then
+        the retention row filter."""
+        if self.basket_cap is not None:
+            df = df.withColumn("parts", _basket_sample_expr(
+                F.col("o"), F.col("parts"), self.basket_cap))
+        if self.retention_days is not None \
+                and self.current_wm is not None:
+            df = df.filter(F.col("t") >= F.lit(self.current_wm))
+        return df
 
     def _clone(self, new_path: str,
                n_buckets: int) -> "ParquetBasketStore":
-        # retention shapes the fold AND the schema — rebucket's
+        # retention/cap shape the fold AND the schema — rebucket's
         # drift belt would catch a bare-signature reconstruction
         return ParquetBasketStore(
             self.spark, new_path, n_buckets=n_buckets,
-            retention_days=self.retention_days)
+            retention_days=self.retention_days,
+            basket_cap=self.basket_cap)
 
 
 class ParquetCoocStore(KeyedParquetStore):
@@ -2212,7 +2262,16 @@ class ParquetCoocStore(KeyedParquetStore):
     computation's insert-insensitivity (deltas derive from
     PRE-insert basket state, and the basket merge runs LAST in the
     handler, so a crash-window replay recomputes byte-identical
-    deltas; the CMS/view-store story)."""
+    deltas; the CMS/view-store story).
+
+    Under a capped basket store (r14) deltas can be NEGATIVE (a
+    pair leaves an order's hash sample when a better-hashed item
+    evicts one of its ends); per order a pair's net contribution
+    is always 0 or 1, so folded counts stay >= 0 and the
+    ``fold_finalize`` filter drops exact-zero rows — the batch
+    query has no row for a pair no current sample contains.
+    Uncapped deltas are all-positive, so the filter is a no-op
+    there."""
 
     def __init__(self, spark: SparkSession, path: str,
                  n_buckets: int = 4) -> None:
@@ -2221,13 +2280,15 @@ class ParquetCoocStore(KeyedParquetStore):
             [F.sum("n").cast("long").alias("n")],
             n_buckets,
             state_schema="part_a long, part_b long, n long")
+        self.fold_finalize = lambda df: df.filter(F.col("n") != 0)
 
 
 class ParquetItemDegStore(KeyedParquetStore):
     """item -> number of distinct orders containing it (the CF
     cosine's degree and the frequent-pairs confidence denominator)
     — SUM of first-membership deltas, same replay story as the
-    co-occurrence store."""
+    co-occurrence store (including the capped-sample negative
+    deltas and the zero-row fold filter)."""
 
     def __init__(self, spark: SparkSession, path: str,
                  n_buckets: int = 2) -> None:
@@ -2236,6 +2297,7 @@ class ParquetItemDegStore(KeyedParquetStore):
             [F.sum("d").cast("long").alias("d")],
             n_buckets,
             state_schema="p long, d long")
+        self.fold_finalize = lambda df: df.filter(F.col("d") != 0)
 
 
 def cooc_deltas(batch_df: DataFrame,
@@ -2290,6 +2352,9 @@ def cooc_deltas(batch_df: DataFrame,
         # fold_finalize filter itself
         probed = probed.filter(
             F.col("t") >= F.lit(basket_store.current_wm))
+    cap = getattr(basket_store, "basket_cap", None)
+    if cap is not None:
+        return _cooc_deltas_capped(batch_df, items, probed, cap, h)
     old_items = (probed
                  .join(items.select("o").distinct(), "o",
                        "left_semi")
@@ -2318,6 +2383,90 @@ def cooc_deltas(batch_df: DataFrame,
     baskets = (new_items.groupBy("o")
                .agg(F.array_sort(F.collect_set("p"))
                     .alias("parts")))
+    if h is not None:
+        touch = (batch_df
+                 .groupBy(F.col("l_orderkey").cast("long")
+                          .alias("o"))
+                 .agg(F.max(F.to_date("l_shipdate")).alias("t")))
+        baskets = baskets.join(touch, "o")
+    return pair_deltas, deg_deltas, baskets
+
+
+def _cooc_deltas_capped(batch_df: DataFrame, items: DataFrame,
+                        probed: DataFrame, cap: int,
+                        h: int | None
+                        ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The capped-hub delta step (r14, the streaming face of
+    ``cap_mega_baskets``): each order's tracked basket is the
+    ≤``cap``-item HASH SAMPLE (``_basket_sample_expr`` — the same
+    (md5(order\\x1fitem), item) ranking the batch queries cap
+    with), and the maintained pair/degree counts are those of the
+    CURRENT sample, kept exact by telescoping ±deltas.
+
+    Per order per batch: S_new = truncate(S_old ∪ batch items).
+    The emitted ordered-pair deltas are +1 for every pair of S_new
+    with ≥1 end newly added, −1 for every pair of S_old with ≥1
+    end evicted — per order, a pair's cumulative contribution is
+    always 0 or 1 (it is in the count iff it is inside the CURRENT
+    sample), so cumulative counts equal the batch query run with
+    the same ``basket_cap`` on the data so far: the truncation
+    monoid makes the final sample a pure function of the item SET,
+    indifferent to how lines split across batches. Per-batch cost
+    is bounded by changed-orders × cap² however hot the basket —
+    the O(k²) mega-basket fan-out the cap exists to prevent; a
+    batch whose items all hash-lose to the existing sample changes
+    nothing and emits nothing (re-delivery stays a free no-op).
+
+    With retention (``h``), partials carry ``t`` for CHANGED
+    orders only — hash-losing lines do not refresh recency, the
+    re-delivery-is-a-no-op invariant extended to the cap."""
+    empty = F.array().cast("array<bigint>")
+    batch_b = items.groupBy("o").agg(
+        F.array_sort(F.collect_set("p")).alias("bparts"))
+    st = (batch_b.join(probed.select("o", "parts"), "o", "left")
+          .select("o", "bparts",
+                  F.coalesce(F.col("parts"), empty).alias("s_old")))
+    st = st.withColumn("s_new", _basket_sample_expr(
+        F.col("o"), F.array_union("s_old", "bparts"), cap))
+    changed = (st.filter(F.col("s_new") != F.col("s_old"))
+               .select("o", "s_old", "s_new",
+                       F.array_except("s_new", "s_old")
+                       .alias("added"),
+                       F.array_except("s_old", "s_new")
+                       .alias("removed"),
+                       F.array_intersect("s_old", "s_new")
+                       .alias("retained"))
+               .localCheckpoint(eager=False))   # 7 subtrees below
+
+    def expl(first: str, second: str, sign: int,
+             exclude_self: bool) -> DataFrame:
+        d = (changed.select(F.explode(first).alias("part_a"),
+                            F.col(second))
+             .select("part_a", F.explode(second).alias("part_b")))
+        if exclude_self:
+            d = d.filter(F.col("part_a") != F.col("part_b"))
+        return d.withColumn("n", F.lit(sign))
+
+    # ordered pairs of S_new with >=1 added end: (added x S_new\self)
+    # covers first-end-added; (retained x added) covers the rest —
+    # the uncapped d1/d2 decomposition, double-count-free
+    pair_deltas = (expl("added", "s_new", 1, True)
+                   .unionByName(expl("retained", "added", 1, False))
+                   .unionByName(expl("removed", "s_old", -1, True))
+                   .unionByName(expl("retained", "removed", -1,
+                                     False))
+                   .groupBy("part_a", "part_b")
+                   .agg(F.sum("n").cast("long").alias("n"))
+                   .filter(F.col("n") != 0))
+    deg_deltas = (changed.select(F.explode("added").alias("p"),
+                                 F.lit(1).alias("d"))
+                  .unionByName(changed.select(
+                      F.explode("removed").alias("p"),
+                      F.lit(-1).alias("d")))
+                  .groupBy("p")
+                  .agg(F.sum("d").cast("long").alias("d"))
+                  .filter(F.col("d") != 0))
+    baskets = changed.select("o", F.col("s_new").alias("parts"))
     if h is not None:
         touch = (batch_df
                  .groupBy(F.col("l_orderkey").cast("long")

@@ -917,6 +917,22 @@ def test_item_cf_task_lifecycle(spark, tmp_path):
     assert "t date" in (b.state_schema or "")
     mgr2.delete_task("cf_ret")
 
+    # r14: the hash-sample width is a task option too — validated
+    # at creation (>= 2: a 1-item sample can never emit a pair),
+    # bound to the basket store only
+    with _pytest.raises(ValueError, match="basket_cap"):
+        mgr2.create_task(TaskSpec(
+            task_id="cf_bad2", task_kind="item_cf",
+            index_options={"basket_cap": 1}))
+    spec = TaskSpec(task_id="cf_cap", task_kind="item_cf",
+                    index_options={"basket_cap": 50})
+    mgr2.create_task(spec)
+    mgr2.await_all()
+    mgr2.stop_task("cf_cap")
+    b, c, d = mgr2.item_cf_stores("cf_cap")
+    assert b.basket_cap == 50
+    mgr2.delete_task("cf_cap")
+
 
 def test_event_index_task_lifecycle(spark, tmp_path):
     """r14: the events-analytics hub as a task kind under T1 —

@@ -4862,6 +4862,102 @@ def test_basket_retention_bounds_state(spark, tmp_path):
         sorted(map(tuple, fdeg.state().collect()))
 
 
+def test_streaming_item_cf_basket_cap_matches_capped_batch(
+        spark, tmp_path):
+    """r14, the streaming face of ``cap_mega_baskets``: a hub with
+    ``basket_cap=K`` must equal the BATCH queries run with the
+    same cap — on TPC-H's widest baskets the cap genuinely bites
+    (capped != uncapped), lines stream BY PART so samples get
+    REVISED mid-stream (items hash-evicting earlier arrivals →
+    negative deltas through the SUM monoid and the zero-row fold
+    filter), with a kill/restart and a whole-slice re-delivery
+    under a fresh epoch proving the truncation monoid keeps
+    re-delivery a no-op."""
+    import time as _time
+
+    from galaxy_spark.queries.graphs import (
+        mining_frequent_pairs as batch_fp,
+        mining_pair_lift as batch_lift,
+        similarity_item_cf_topk as batch_cf)
+    from galaxy_spark.streaming.state_store import (
+        ParquetBasketStore, ParquetCoocStore, ParquetItemDegStore,
+        cooc_deltas, start_streaming_item_cf,
+        streaming_frequent_pairs, streaming_item_cf_topk,
+        streaming_pair_lift)
+
+    K = 3                     # TPC-H baskets reach 7 -> cap bites
+    li = load_table(spark, SF, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    src = str(tmp_path / "cap_src")
+    for k in range(3):                 # slices split by PART
+        (li.filter(F.col("l_partkey") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    baskets = ParquetBasketStore(spark, str(tmp_path / "cap_b"),
+                                 basket_cap=K)
+    cooc = ParquetCoocStore(spark, str(tmp_path / "cap_c"))
+    cooc.delta_threshold = 2
+    deg = ParquetItemDegStore(spark, str(tmp_path / "cap_d"))
+    ck = str(tmp_path / "cap_ck")
+
+    def start():
+        stream = spark.readStream.schema(li.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_item_cf(stream, baskets, cooc, deg,
+                                       ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()                           # the "kill"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # the truncation monoid's state bound: every basket <= K items
+    widths = baskets.state().select(
+        F.max(F.size("parts")).alias("w")).collect()[0].w
+    assert widths == K, f"cap should bite and bound: {widths}"
+    # counts never negative, zero rows physically filtered
+    assert cooc.state().filter(F.col("n") <= 0).count() == 0
+    assert deg.state().filter(F.col("d") <= 0).count() == 0
+
+    # whole-slice re-delivery under a FRESH epoch: every item
+    # either already in its order's sample or hash-losing to it —
+    # S_new == S_old everywhere, zero deltas, zero partials
+    dup = li.filter(F.col("l_partkey") % 3 == 0)
+    pair_d, deg_d, bk = cooc_deltas(dup, baskets)
+    assert pair_d.count() == 0 and deg_d.count() == 0 \
+        and bk.count() == 0
+
+    got_cf = sorted(map(tuple,
+                        streaming_item_cf_topk(cooc, deg).collect()))
+    want_cf = sorted(map(tuple,
+                         batch_cf(spark, SF, basket_cap=K).collect()))
+    assert got_cf == want_cf and len(want_cf) > 100
+    got_fp = sorted(map(tuple,
+                        streaming_frequent_pairs(cooc, deg).collect()))
+    want_fp = sorted(map(tuple,
+                         batch_fp(spark, SF, basket_cap=K).collect()))
+    assert got_fp == want_fp and len(want_fp) > 5
+    got_l = sorted(map(tuple,
+                       streaming_pair_lift(cooc, deg,
+                                           baskets).collect()))
+    want_l = sorted(map(tuple,
+                        batch_lift(spark, SF,
+                                   basket_cap=K).collect()))
+    assert got_l == want_l and len(want_l) > 5
+
+    # non-vacuous: the cap genuinely changes the answer vs uncapped
+    uncapped_fp = sorted(map(tuple, batch_fp(spark, SF).collect()))
+    assert got_fp != uncapped_fp
+
+    with pytest.raises(ValueError, match="basket cap"):
+        ParquetBasketStore(spark, str(tmp_path / "cap_bad"),
+                           basket_cap=1)
+
+
 def test_fold_finalize_empty_bucket_slice_still_claims_epoch(
         spark, tmp_path):
     """r13 review: a retention filter can evict a touched bucket's
