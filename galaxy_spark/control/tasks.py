@@ -95,7 +95,10 @@ class TaskSpec:
     #: event-time index + purchase facts, one write path via
     #: streaming.state_store.start_streaming_attribution_hub)
     #: serving FOUR readers — funnel, windowed funnel, retention
-    #: cohorts, last-touch attribution (r14)
+    #: cohorts, last-touch attribution (r14);
+    #: "user_seq" = the per-user typed-timeline store
+    #: (streaming.state_store.start_streaming_user_seq) serving
+    #: the path-trigrams reader (r14)
     task_kind: str = "cdc"
     #: stateful-kind tuning, persisted with the spec so boot
     #: recovery restarts with identical arithmetic:
@@ -105,9 +108,10 @@ class TaskSpec:
     #: / winnow_index / item_cf): delta_threshold (store write
     #: strategy) and fs (commit protocol: posix / manifest /
     #: manifest_cas), both validated at creation; item_cf /
-    #: event_index: retention_days (basket-store / event-index
-    #: eviction horizon, r14); item_cf: basket_cap (hash-sample
-    #: width — the streaming cap_mega_baskets, r14)
+    #: event_index / user_seq: retention_days (basket-store /
+    #: event-index / timeline eviction horizon, r14); item_cf:
+    #: basket_cap (hash-sample width — the streaming
+    #: cap_mega_baskets, r14)
     index_options: dict = field(default_factory=dict)
 
     def task_filter(self) -> TaskFilter:
@@ -201,7 +205,7 @@ class TaskManager:
         if spec.task_kind not in ("cdc", "near_dup_index",
                                   "search_index", "rollup",
                                   "winnow_index", "item_cf",
-                                  "event_index"):
+                                  "event_index", "user_seq"):
             # a typo'd kind would silently fall into the CDC branch
             # and run the replication pipeline over whatever stream
             # the factory returns — fail at creation, like the
@@ -209,7 +213,8 @@ class TaskManager:
             raise ValueError(
                 f"task_kind {spec.task_kind!r} unknown: use 'cdc', "
                 "'near_dup_index', 'search_index', 'rollup', "
-                "'winnow_index', 'item_cf' or 'event_index'")
+                "'winnow_index', 'item_cf', 'event_index' or "
+                "'user_seq'")
         if spec.task_kind != "cdc":
             # fail configuration errors at creation, not at the
             # first store construction mid-stream (r11 ADVICE)
@@ -225,7 +230,8 @@ class TaskManager:
                 f"index_options apply to stateful task kinds only "
                 f"(task_kind='cdc' got "
                 f"{sorted(spec.index_options)!r})")
-        if spec.task_kind in ("item_cf", "event_index"):
+        if spec.task_kind in ("item_cf", "event_index",
+                              "user_seq"):
             _validated_retention_days(spec.index_options or {})
         if spec.task_kind == "item_cf":
             _validated_basket_cap(spec.index_options or {})
@@ -514,6 +520,25 @@ class TaskManager:
         baskets, cooc, deg = self.item_cf_stores(task_id)
         return streaming_pair_lift(cooc, deg, baskets)
 
+    def clustering_coefficient(self, task_id: str) -> DataFrame:
+        """Per-node clustering coefficient over the co-purchase
+        graph the task's cooc store holds (== batch
+        ``graph_clustering_coefficient`` for uncapped hubs)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_clustering_coefficient
+
+        _b, cooc, _d = self.item_cf_stores(task_id)
+        return streaming_clustering_coefficient(cooc)
+
+    def degree_assortativity(self, task_id: str) -> DataFrame:
+        """Newman's r over the same graph (== batch
+        ``graph_degree_assortativity`` for uncapped hubs)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_degree_assortativity
+
+        _b, cooc, _d = self.item_cf_stores(task_id)
+        return streaming_degree_assortativity(cooc)
+
     def _start_item_cf(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_item_cf
@@ -602,6 +627,44 @@ class TaskManager:
         return start_streaming_attribution_hub(
             env, pur, idx, self.checkpoint_dir(spec))
 
+    def user_seq_store(self, spec_or_id):
+        """Typed-timeline store handle for a user_seq task — same
+        path running or stopped. ``index_options['retention_days']``
+        bounds the timelines (readers answer over the retained
+        window)."""
+        from galaxy_spark.streaming.state_store import \
+            ParquetUserSeqStore
+
+        spec = (self.tasks[spec_or_id]
+                if isinstance(spec_or_id, str) else spec_or_id)
+        store = ParquetUserSeqStore(
+            self.spark,
+            os.path.join(self.store_root(spec), "userseq"),
+            retention_days=_validated_retention_days(
+                spec.index_options or {}))
+        # user-keyed activity store growing with the corpus —
+        # delta tier
+        _apply_delta_thresholds((store,), spec.index_options or {},
+                                big=(True,))
+        return store
+
+    def path_trigrams(self, task_id: str) -> DataFrame:
+        """Three-step event-type paths over everything the task
+        streamed (== batch ``events_path_trigrams``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_path_trigrams
+
+        return streaming_path_trigrams(self.user_seq_store(task_id))
+
+    def _start_user_seq(self, spec: TaskSpec):
+        from galaxy_spark.streaming.state_store import \
+            start_streaming_user_seq
+
+        env = self.source_factory(self.spark, spec)
+        return start_streaming_user_seq(
+            env, self.user_seq_store(spec),
+            self.checkpoint_dir(spec))
+
     def _start_near_dup(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_near_dup_clustering
@@ -643,6 +706,11 @@ class TaskManager:
         if spec.task_kind == "event_index":
             self.queries[spec.task_id] = \
                 self._start_event_index(spec)
+            spec.stopped = False
+            return
+        if spec.task_kind == "user_seq":
+            self.queries[spec.task_id] = \
+                self._start_user_seq(spec)
             spec.stopped = False
             return
         env = self.source_factory(self.spark, spec)

@@ -1305,17 +1305,49 @@ def events_path_trigrams(spark: SparkSession,
     The distinct-user count rides the same aggregation as a
     two-level fold (exact distinct on a key that is already
     user-partitioned upstream)."""
-    ev = load_table(spark, sf_dir, "events")
+    return path_trigrams_from_events(
+        load_table(spark, sf_dir, "events"))
+
+
+def path_trigrams_from_events(ev: DataFrame) -> DataFrame:
+    """The full trigram pipeline over an events frame (user_id,
+    ts, event_id, event_type): one Window pass for both LEADs,
+    then the shared rollup tail — exposed so retention tests can
+    run the batch query over a restricted window."""
+    return trigrams_from_walks(_path_walks(ev))
+
+
+def _path_walks(ev: DataFrame) -> DataFrame:
+    """The walk extraction alone (both LEADs over the same
+    per-user (ts, event_id) sort — Catalyst evaluates them in ONE
+    Window node), exposed so the plan pin can certify the
+    single-pass property the rollup's checkpoint barrier hides
+    from the final plan."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select("user_id",
-                    F.col("event_type").alias("s1"),
-                    F.lead("event_type", 1).over(w).alias("s2"),
-                    F.lead("event_type", 2).over(w).alias("s3"))
-    paths = (seq.filter(F.col("s3").isNotNull())
-             .groupBy("s1", "s2", "s3")
+    return (ev.select("user_id",
+                      F.col("event_type").alias("s1"),
+                      F.lead("event_type", 1).over(w).alias("s2"),
+                      F.lead("event_type", 2).over(w).alias("s3"))
+            .filter(F.col("s3").isNotNull()))
+
+
+def trigrams_from_walks(walks: DataFrame) -> DataFrame:
+    """The trigram rollup tail over (user_id, s1, s2, s3) walk
+    rows: path counts + distinct walkers on the tiny type³ key,
+    then the 6-dp share off a broadcast 1-row total. Shared by
+    ``events_path_trigrams`` and the streaming user-sequence
+    store's reader (``streaming_path_trigrams``), so the twin
+    equality is structural."""
+    paths = (walks.groupBy("s1", "s2", "s3")
              .agg(F.count("*").cast("long").alias("n"),
                   F.countDistinct("user_id").cast("long")
-                  .alias("n_users")))
+                  .alias("n_users"))
+             # the tiny type³ rollup feeds BOTH the output rows
+             # and the grand total — without the barrier the whole
+             # upstream walk (a full event scan + Window pass in
+             # the batch query) evaluates twice (r14 plan-pin
+             # catch)
+             .localCheckpoint(eager=False))
     tot = paths.agg(F.sum("n").alias("total"))
     return (paths.crossJoin(F.broadcast(tot))
             .select("s1", "s2", "s3", "n", "n_users",

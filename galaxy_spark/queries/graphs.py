@@ -1316,25 +1316,59 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
             .limit(50))
 
 
-def _oriented_triangles(li: DataFrame):
-    """(half edge frame, triangle frame (ta < tb < tc)) — each
-    triangle enumerated exactly once via its lowest edge (a, b):
-    c ∈ succ(a) ∩ succ(b) over id-oriented successor arrays. The
-    shared engine of the per-edge link-feature queries (common
-    neighbors, resource allocation)."""
-    half = _copurchase_half(li).localCheckpoint(eager=False)
+def _oriented_triangles_from_half(half: DataFrame) -> DataFrame:
+    """Triangle frame (ta < tb < tc) over an id-oriented (src <
+    dst) half edge frame — each triangle enumerated exactly once
+    via its lowest edge (a, b): c ∈ succ(a) ∩ succ(b) over
+    id-oriented successor arrays. Exposed half-first so streaming
+    readers can run the same enumeration over edges derived from
+    store state (the cooc store's n ≥ 1 pairs ARE the co-purchase
+    edges)."""
     adj = (half.groupBy("src")
            .agg(F.collect_set("dst").alias("succ")))
-    tri = (half
-           .join(adj.select("src", F.col("succ").alias("sa")),
-                 "src")
-           .join(adj.select(F.col("src").alias("dst"),
-                            F.col("succ").alias("sb")), "dst")
-           .select(F.col("src").alias("ta"),
-                   F.col("dst").alias("tb"),
-                   F.explode(F.array_intersect("sa", "sb"))
-                   .alias("tc")))
-    return half, tri
+    return (half
+            .join(adj.select("src", F.col("succ").alias("sa")),
+                  "src")
+            .join(adj.select(F.col("src").alias("dst"),
+                             F.col("succ").alias("sb")), "dst")
+            .select(F.col("src").alias("ta"),
+                    F.col("dst").alias("tb"),
+                    F.explode(F.array_intersect("sa", "sb"))
+                    .alias("tc")))
+
+
+def _oriented_triangles(li: DataFrame):
+    """(half edge frame, triangle frame (ta < tb < tc)) — the
+    shared engine of the per-edge link-feature queries (common
+    neighbors, resource allocation) and the clustering
+    coefficient."""
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    return half, _oriented_triangles_from_half(half)
+
+
+def clustering_from_half(half: DataFrame) -> DataFrame:
+    """The clustering-coefficient tail over an id-oriented half
+    edge frame (caller localCheckpoints it — it feeds four join
+    sides): triangle enumeration, 1-column vertex credits, degree
+    LEFT join, integer-bp projection. Shared verbatim by
+    ``graph_clustering_coefficient`` and the streaming item-CF
+    hub's reader (``streaming_clustering_coefficient``), so the
+    twin equality is structural."""
+    tri = _oriented_triangles_from_half(half)
+    credits = tri.select(F.explode(F.array(
+        F.col("ta"), F.col("tb"), F.col("tc"))).alias("node"))
+    tcount = (credits.groupBy("node")
+              .agg(F.count("*").cast("long").alias("n_triangles")))
+    deg = _half_degrees(half)
+    return (deg.filter(F.col("d") >= 2)
+            .join(tcount, "node", "left")
+            .select(F.col("node").alias("part"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles"),
+                    F.expr("CAST(coalesce(n_triangles, 0) * 20000 "
+                           "DIV (d * (d - 1)) AS BIGINT)")
+                    .alias("clustering_bp")))
 
 
 def _half_degrees(half: DataFrame) -> DataFrame:
@@ -1475,18 +1509,90 @@ def graph_clustering_coefficient(spark: SparkSession,
     query's: DEGREE orientation bounds every successor array at
     ~sqrt(|E|)."""
     li = load_table(spark, sf_dir, "lineitem")
-    half, tri = _oriented_triangles(li)
-    credits = tri.select(F.explode(F.array(
-        F.col("ta"), F.col("tb"), F.col("tc"))).alias("node"))
-    tcount = (credits.groupBy("node")
-              .agg(F.count("*").cast("long").alias("n_triangles")))
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    return clustering_from_half(half)
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_EDGES_CTE + """
+    , deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1
+    ), ends AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM edges e
+        JOIN deg da ON e.src = da.node
+        JOIN deg db ON e.dst = db.node
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+               CAST(SUM(dx) AS HUGEINT) AS sx,
+               CAST(SUM(dx * dx) AS HUGEINT) AS sxx,
+               CAST(SUM(dx * dy) AS HUGEINT) AS sxy
+        FROM ends
+    )
+    SELECT CAST(m AS BIGINT) AS n_edge_ends,
+           ROUND((m * sxy - sx * sx) * 1.0
+                 / (m * sxx - sx * sx), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Newman's
+    r: the Pearson correlation of the degrees at the two ends of
+    every (directed) edge. One scalar that says whether hub parts
+    co-purchase with hub parts (r > 0, assortative — popularity
+    begets baskets of staples) or with niche parts (r < 0,
+    disassortative — hubs bridge the long tail, the shape most
+    recommendation graphs have), the global summary the
+    clustering-coefficient query reads node-locally.
+
+    Cross-engine determinism: the five sufficient statistics (M,
+    Σdx, Σdx², Σdx·dy — Σdy/Σdy² collapse onto Σdx/Σdx² because
+    the edge list is SYMMETRIC) are exact integers folded as
+    DECIMAL(38,0) / HUGEINT, so both engines divide the SAME two
+    exact integers; the single double division and ROUND(..., 6)
+    are IEEE-identical on identical inputs — the OLS queries'
+    sufficient-statistics discipline (queries/ml.py) applied to a
+    graph moment.
+
+    Shape at scale: degrees partial-aggregate off the half frame;
+    the two degree joins shuffle on node id (the |V|-row side
+    co-partitions with the edge ends); everything after is ONE
+    4-column partial-aggregated fold to a 1-row frame — no
+    window, no driver loop. At 100 TB the only care is the
+    integer headroom: per-row dx·dy stays under 2⁶³ up to degree
+    ~3·10⁹, and the DECIMAL(38,0) sums absorb the rest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    return assortativity_from_half(half)
+
+
+def assortativity_from_half(half: DataFrame) -> DataFrame:
+    """The assortativity tail over an id-oriented half edge frame
+    (caller localCheckpoints it — it feeds the symmetrization and
+    the degree fold). Shared verbatim by
+    ``graph_degree_assortativity`` and the streaming item-CF hub's
+    reader (``streaming_degree_assortativity``)."""
+    edges = half.union(half.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
     deg = _half_degrees(half)
-    return (deg.filter(F.col("d") >= 2)
-            .join(tcount, "node", "left")
-            .select(F.col("node").alias("part"),
-                    F.col("d").cast("long").alias("degree"),
-                    F.coalesce(F.col("n_triangles"), F.lit(0))
-                    .cast("long").alias("n_triangles"),
-                    F.expr("CAST(coalesce(n_triangles, 0) * 20000 "
-                           "DIV (d * (d - 1)) AS BIGINT)")
-                    .alias("clustering_bp")))
+    ends = (edges
+            .join(deg.select(F.col("node").alias("src"),
+                             F.col("d").alias("dx")), "src")
+            .join(deg.select(F.col("node").alias("dst"),
+                             F.col("d").alias("dy")), "dst")
+            .select("dx", "dy"))
+    dec = "decimal(38,0)"
+    s = ends.agg(
+        F.count("*").cast(dec).alias("m"),
+        F.sum("dx").cast(dec).alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast(dec).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast(dec).alias("sxy"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("m").cast("long").alias("n_edge_ends"),
+        F.round(num.cast("double") / den.cast("double"), 6)
+        .alias("assortativity"))

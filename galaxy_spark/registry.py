@@ -222,6 +222,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "mixture_share_drift",
     "graph_clustering_coefficient",
     "events_path_trigrams",
+    "graph_degree_assortativity",
 )
 
 

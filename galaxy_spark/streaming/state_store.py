@@ -2550,6 +2550,57 @@ def streaming_pair_lift(cooc_store: ParquetCoocStore,
         deg_store.state(), nb)
 
 
+def streaming_clustering_coefficient(cooc_store: ParquetCoocStore
+                                     ) -> DataFrame:
+    """Per-node local clustering coefficient off the same hub —
+    the FOURTH reader (== batch ``graph_clustering_coefficient``):
+    the cooc store's n ≥ 1 pairs ARE the co-purchase edge set (a
+    pair co-occurs in some order iff its count is positive), so
+    the id-oriented half frame is a scan-local filter of state
+    (part_a < part_b keeps exactly one orientation of each
+    symmetric pair) and the batch query's own imported tail does
+    the rest — triangle enumeration over successor arrays, vertex
+    credits, degree LEFT join, integer-bp projection. Reads
+    O(pairs) state rows, never raw lineitems; the enumeration cost
+    is the batch query's own (it runs on the reader, not the
+    write path — triangle maintenance under edge inserts would pay
+    O(deg) per edge on the hot path for a number nobody polls
+    per-trigger).
+
+    Equality holds for the UNCAPPED hub; under ``basket_cap`` the
+    state pairs are the capped graph's edges, so the reader
+    answers the clustering structure of the capped graph (the same
+    graph every other capped reader answers on) — there is no
+    capped batch variant to compare against."""
+    from galaxy_spark.queries.graphs import clustering_from_half
+
+    half = (cooc_store.state()
+            .filter(F.col("part_a") < F.col("part_b"))
+            .select(F.col("part_a").alias("src"),
+                    F.col("part_b").alias("dst"))
+            .localCheckpoint(eager=False))   # feeds 4 join sides
+    return clustering_from_half(half)
+
+
+def streaming_degree_assortativity(cooc_store: ParquetCoocStore
+                                   ) -> DataFrame:
+    """Degree assortativity off the same hub — the FIFTH reader
+    (== batch ``graph_degree_assortativity``): the same
+    edges-from-state derivation as the clustering reader, then the
+    batch query's imported sufficient-statistics tail (exact
+    DECIMAL(38,0) folds, one double division). Same capped-hub
+    caveat: under ``basket_cap`` the answer is the capped graph's
+    assortativity."""
+    from galaxy_spark.queries.graphs import assortativity_from_half
+
+    half = (cooc_store.state()
+            .filter(F.col("part_a") < F.col("part_b"))
+            .select(F.col("part_a").alias("src"),
+                    F.col("part_b").alias("dst"))
+            .localCheckpoint(eager=False))
+    return assortativity_from_half(half)
+
+
 # ------------------------------------------------------------------
 # Streaming KMV (k-minimum-values) sketches on the durable store
 # ------------------------------------------------------------------
@@ -3693,6 +3744,160 @@ def streaming_time_to_convert(
             .agg(F.count("*").cast("long").alias("n_conversions"),
                  F.countDistinct("user_id").cast("long")
                  .alias("n_users")))
+
+
+class ParquetUserSeqStore(KeyedParquetStore):
+    """Per-user TYPED event timeline — (micros, event_id, type)
+    structs under sorted-distinct set union (idempotent: event_id
+    makes each fact self-identifying, so replay and re-delivery
+    cannot move the state; struct field order (t, id, et) makes
+    array_sort the batch queries' (ts, event_id) total order).
+
+    This is the sequence-mining twin's honest minimal exact state
+    (the event-index docstring's argument, one step further): path
+    trigrams are order-sensitive over the INTERLEAVED type
+    sequence, so a late event landing mid-timeline rewrites
+    trigrams on both sides of it — no bounded per-user scalar and
+    no per-(user, type) timestamp index can answer exactly (the
+    index drops event_id, so same-instant cross-type order is
+    unrecoverable from it). State is O(user activity) — the raw
+    log re-keyed with payload collapsed to (t, id, type) — the
+    same class as the event-time index plus the id column it
+    deliberately omits.
+
+    ``retention_days=H`` bounds that state exactly as the
+    event-index design (its docstring has the full argument): each
+    partial carries ``wm`` = (its batch's max event micros) − H
+    days folded under MAX, the fold drops facts below the folded
+    watermark, and ``retained_state()`` re-applies the GLOBAL max
+    watermark so readers answer the batch queries restricted to
+    the retained window (a trigram straddling the horizon is
+    dropped with its evicted step — the window semantics, not a
+    bug). Default None keeps exact-forever behavior and the
+    schema unchanged."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 n_buckets: int = 4,
+                 retention_days: int | None = None) -> None:
+        if retention_days is not None and retention_days < 1:
+            raise ValueError("retention_days must be >= 1 or None")
+        self.retention_days = retention_days
+        if retention_days is None:
+            aggs = [F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("es")))).alias("es")]
+            schema = ("user_id long, es array<struct<"
+                      "t: long, id: long, et: string>>")
+        else:
+            aggs = [F.filter(
+                        F.array_sort(F.array_distinct(F.flatten(
+                            F.collect_list("es")))),
+                        lambda x: x["t"] >= F.max("wm"))
+                    .alias("es"),
+                    F.max("wm").alias("wm")]
+            schema = ("user_id long, es array<struct<"
+                      "t: long, id: long, et: string>>, wm long")
+        super().__init__(
+            spark, path, ["user_id"], aggs, n_buckets,
+            state_schema=schema)
+
+    def _clone(self, new_path: str,
+               n_buckets: int) -> "ParquetUserSeqStore":
+        # retention shapes the fold AND the schema — rebucket's
+        # drift belt would catch a bare-signature reconstruction
+        return ParquetUserSeqStore(
+            self.spark, new_path, n_buckets=n_buckets,
+            retention_days=self.retention_days)
+
+    def retained_state(self) -> DataFrame:
+        """State rows restricted to the GLOBAL retention window
+        (the event-index reader, struct-array flavored)."""
+        st = self.state()
+        if self.retention_days is None:
+            return st
+        st = st.localCheckpoint(eager=False)   # read once, used 2x
+        gwm = st.agg(F.max("wm").alias("gwm"))
+        return (st.crossJoin(F.broadcast(gwm))
+                .select("user_id",
+                        F.filter("es",
+                                 lambda x: x["t"] >= F.col("gwm"))
+                        .alias("es"))
+                .filter(F.size("es") > 0))
+
+
+def partial_user_seq(batch_df: DataFrame,
+                     retention_days: int | None = None
+                     ) -> DataFrame:
+    """One micro-batch's per-user typed-timeline fact sets; with
+    retention, each row also carries the batch watermark (max
+    event micros − H days, one 1-row agg broadcast into the
+    partial)."""
+    part = (batch_df
+            .select("user_id", F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").cast("long").alias("id"),
+                F.col("event_type").alias("et")).alias("e"))
+            .groupBy("user_id")
+            .agg(F.collect_set("e").alias("es")))
+    if retention_days is None:
+        return part
+    horizon = int(retention_days) * 86_400_000_000
+    wm = (batch_df
+          .agg((F.max(F.unix_micros("ts")) - F.lit(horizon))
+               .alias("wm")))
+    return part.crossJoin(F.broadcast(wm))
+
+
+def start_streaming_user_seq(stream: DataFrame,
+                             store: ParquetUserSeqStore,
+                             checkpoint_dir: str) -> StreamingQuery:
+    """Maintain the per-user typed event timeline; the partial
+    shape follows the STORE's retention knob, so the two cannot
+    disagree."""
+    lineage: list[str] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        lin = _require_lineage(checkpoint_dir, (store,), lineage)
+        store.merge(partial_user_seq(batch_df,
+                                     store.retention_days),
+                    f"{lin}.{epoch_id:012d}")
+
+    return (stream.writeStream
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(handle).start())
+
+
+def streaming_path_trigrams(store: ParquetUserSeqStore
+                            ) -> DataFrame:
+    """Second-order path mining off the accumulated timelines (==
+    batch ``events_path_trigrams``): each user's sorted struct
+    array IS the (ts, event_id)-ordered walk, so the three-step
+    windows are SCAN-LOCAL — one transform over index positions
+    with O(1) element_at accesses on the plain state column (no
+    Window operator, no shuffle before the tiny type³ rollup; the
+    batch query pays a full per-user sort exchange for the same
+    walks). The rollup is the batch query's own imported tail;
+    with a retention horizon the answer is the batch query
+    restricted to the retained window (``retained_state``)."""
+    from galaxy_spark.queries.events import trigrams_from_walks
+
+    src = store.retained_state()
+    if store.retention_days is not None:
+        # with retention, `es` is a COMPUTED array (the global-
+        # watermark filter) — a projection collapse would inline
+        # that filter into every es[i] access below, turning the
+        # O(1) indexed reads O(len) each (the nested-lambda
+        # collapse trap); the barrier pins the filtered array as a
+        # plain column first. Without retention `es` is a scan
+        # column and indexed access is already O(1).
+        src = src.localCheckpoint(eager=False)
+    walks = (src
+             .filter(F.size("es") >= 3)
+             .select("user_id", F.explode(F.expr(
+                 "transform(sequence(1, size(es) - 2), i -> "
+                 "struct(es[i-1].et AS s1, es[i].et AS s2, "
+                 "es[i+1].et AS s3))")).alias("g"))
+             .select("user_id", "g.s1", "g.s2", "g.s3"))
+    return trigrams_from_walks(walks)
 
 
 def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:

@@ -1017,3 +1017,71 @@ def test_event_index_task_lifecycle(spark, tmp_path):
     assert idx.retention_days == 30 and "wm" in idx.state_schema
     assert "retention" not in repr(pur.state_schema)
     mgr2.delete_task("ei_ret")
+
+
+def test_user_seq_task_lifecycle(spark, tmp_path):
+    """r14: the per-user typed-timeline store as the EIGHTH task
+    kind under T1 — path-trigrams reader equal to its batch query
+    across stop/resume and boot recovery; retention_days
+    creation-validated and shaping the store schema."""
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from galaxy_spark.control.tasks import TaskManager, TaskSpec
+    from galaxy_spark.registry import all_queries
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "us_src")
+
+    def factory(spark_, spec):
+        return (spark_.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    state = str(tmp_path / "us_state")
+    mgr = TaskManager(spark, state, factory)
+    (ev.filter(F.col("event_id") % 2 == 0)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.create_task(TaskSpec(task_id="us1", task_kind="user_seq"))
+    mgr.await_all()
+    mgr.stop_task("us1")
+
+    _time.sleep(1.1)
+    (ev.filter(F.col("event_id") % 2 == 1)
+     .coalesce(1).write.mode("append").parquet(src))
+    mgr.recover_v1("us1")
+    mgr.await_all()
+    mgr.stop_task("us1")
+
+    mgr.tasks["us1"].stopped = False
+    mgr._persist()
+    mgr2 = TaskManager(spark, state, factory)
+    assert mgr2.recover_all() == ["us1"]
+    mgr2.await_all()
+    mgr2.stop_task("us1")
+
+    got = sorted(map(tuple, mgr2.path_trigrams("us1").collect()))
+    want = sorted(map(tuple, all_queries()["events_path_trigrams"](
+        spark, SF).collect()))
+    assert got == want and len(want) > 50
+
+    root = mgr2.store_root(mgr2.tasks["us1"])
+    assert os.path.isdir(os.path.join(root, "userseq"))
+    mgr2.delete_task("us1")
+    assert not os.path.isdir(root)
+
+    # retention is creation-validated and shapes the schema
+    with _pytest.raises(ValueError, match="retention_days"):
+        mgr2.create_task(TaskSpec(
+            task_id="us_bad", task_kind="user_seq",
+            index_options={"retention_days": 0}))
+    spec = TaskSpec(task_id="us_ret", task_kind="user_seq",
+                    index_options={"retention_days": 30})
+    mgr2.create_task(spec)
+    mgr2.await_all()
+    mgr2.stop_task("us_ret")
+    store = mgr2.user_seq_store("us_ret")
+    assert store.retention_days == 30 \
+        and "wm" in store.state_schema
+    mgr2.delete_task("us_ret")

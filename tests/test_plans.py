@@ -1082,3 +1082,58 @@ def test_common_neighbors_edge_iterator_no_wedges(q):
     assert "TakeOrderedAndProject" in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
         or "BroadcastHashJoin" in p
+
+
+def test_clustering_coefficient_vertex_credit_plan(q):
+    """Clustering coefficient (r14): same engine as the triangle
+    count — adjacency arrays intersect scan-locally (no wedge
+    join, no cartesian), triangle credits fold through a
+    partial-aggregated count, and the degree side LEFT-joins so
+    triangle-free nodes stay in the output."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_clustering_coefficient")
+    p = physical_plan(df)
+    assert "CartesianProduct" not in p
+    assert "array_intersect" in p
+    assert "partial_count" in p or "partial, count" in p \
+        or "HashAggregate" in p
+
+
+def test_path_trigrams_single_window_pass(q, spark):
+    """Path trigrams (r14): both LEADs evaluate in ONE Window
+    node (one per-user sort, not two); in the full query the tiny
+    type³ rollup materializes ONCE behind a checkpoint barrier
+    (no parquet re-scan for the grand total — the r14 plan-pin
+    catch) and the 1-row total broadcasts back for the share."""
+    from galaxy_spark.plans import physical_plan
+    from galaxy_spark.queries.events import _path_walks
+    from galaxy_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    import re
+
+    walks = _path_walks(load_table(spark, SF_SMOKE, "events"))
+    wp = physical_plan(walks)
+    assert len(re.findall(r"\(\d+\) Window\b", wp)) == 1, \
+        "both LEADs must share one Window node"
+    assert "lead(event_type" in wp
+
+    df = q("events_path_trigrams")
+    p = physical_plan(df)
+    assert "Scan parquet" not in p, \
+        "rollup must materialize once (no re-scan for the total)"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_assortativity_no_window_partial_agg(q):
+    """Degree assortativity (r14): pure sufficient-statistics
+    fold — no Window operator anywhere, the 4-column moment agg
+    partial-aggregates before its single-row exchange."""
+    from galaxy_spark.plans import physical_plan
+
+    df = q("graph_degree_assortativity")
+    p = physical_plan(df)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p

@@ -3543,6 +3543,124 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     assert rows(streaming_attribution_last_touch(pur, idx)) == got
 
 
+def test_streaming_path_trigrams_matches_batch(spark, tmp_path):
+    """Path trigrams off the per-user typed-timeline store (r14):
+    events stream sliced by event_id % 3, so most users' timelines
+    arrive INTERLEAVED across batches — late events land
+    mid-sequence and rewrite trigrams on both sides, the case that
+    forces the full-timeline state — with kill/restart and a
+    whole-slice re-merge under a fresh epoch (set-union
+    idempotence). The reader equals ``events_path_trigrams``
+    field-for-field, from a plan with NO Window operator (the
+    sorted struct arrays already ARE the (ts, event_id) walk; the
+    three-step windows are scan-local)."""
+    import time as _time
+
+    from galaxy_spark.registry import all_queries
+    from galaxy_spark.streaming.state_store import (
+        ParquetUserSeqStore, partial_user_seq,
+        start_streaming_user_seq, streaming_path_trigrams)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "seq_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    store = ParquetUserSeqStore(spark, str(tmp_path / "seq_store"))
+    store.delta_threshold = 2
+    ck = str(tmp_path / "seq_ck")
+
+    def start():
+        stream = spark.readStream.schema(ev.schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        return start_streaming_user_seq(stream, store, ck)
+
+    q = start()
+    while not os.path.exists(os.path.join(ck, "commits", "0")):
+        _time.sleep(0.1)
+    q.stop()                           # the "kill"
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    reader = streaming_path_trigrams(store)
+    assert "Window" not in \
+        reader._jdf.queryExecution().optimizedPlan().toString()
+    got = sorted(map(tuple, reader.collect()))
+    want = sorted(map(tuple, all_queries()["events_path_trigrams"](
+        spark, SF).collect()))
+    assert got == want and len(want) > 50
+
+    # idempotence WITHOUT the claim: full-slice re-merge, new epoch
+    lin = sorted(store.lineages())[0]
+    store.merge(partial_user_seq(
+        ev.filter(F.col("event_id") % 3 == 1)),
+        f"zz{lin}.000000000099")
+    assert sorted(map(tuple,
+                      streaming_path_trigrams(store).collect())) \
+        == got
+
+
+def test_user_seq_retention_bounds_state(spark, tmp_path):
+    """retention_days=H on the typed-timeline store: merge-time
+    eviction drops facts older than H days behind the folded
+    watermark, and the trigram reader answers exactly the batch
+    query RESTRICTED to the retained window (a trigram straddling
+    the horizon dies with its evicted step — window semantics).
+    Composes with the delta tier."""
+    import time as _time
+
+    from galaxy_spark.queries.events import path_trigrams_from_events
+    from galaxy_spark.streaming.state_store import (
+        ParquetUserSeqStore, start_streaming_user_seq,
+        streaming_path_trigrams)
+
+    ev = load_table(spark, SF, "events")
+    src = str(tmp_path / "usr_src")
+    for k in range(3):
+        (ev.filter(F.col("event_id") % 3 == k)
+         .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    H = 14
+    store = ParquetUserSeqStore(spark, str(tmp_path / "usr_store"),
+                                retention_days=H)
+    store.delta_threshold = 2
+    stream = spark.readStream.schema(ev.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = start_streaming_user_seq(stream, store,
+                                 str(tmp_path / "usr_ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    max_t = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    cutoff = max_t - H * 86_400_000_000
+    ev_r = ev.filter(F.unix_micros("ts") >= cutoff)
+    n_all, n_ret = ev.count(), ev_r.count()
+    assert 0 < n_ret < n_all, "horizon must split the dataset"
+
+    got = sorted(map(tuple,
+                     streaming_path_trigrams(store).collect()))
+    want = sorted(map(tuple,
+                      path_trigrams_from_events(ev_r).collect()))
+    assert got == want and len(want) > 20
+
+    # bounded state: merge-time eviction, not just read filtering
+    stored = store.state().agg(
+        F.sum(F.size("es"))).collect()[0][0]
+    assert stored < n_all, \
+        f"no merge-time eviction: {stored} stored vs {n_all} full"
+
+    # default behavior unchanged: no retention -> no wm column
+    plain = ParquetUserSeqStore(spark, str(tmp_path / "usr_plain"))
+    assert "wm" not in (plain.state_schema or "")
+    with pytest.raises(ValueError, match="retention_days"):
+        ParquetUserSeqStore(spark, str(tmp_path / "usr_bad"),
+                            retention_days=0)
+
+
 def test_streaming_rfm_matches_batch(spark, tmp_path):
     """RFM quartiles off the continuously maintained per-customer
     order rollup (r13 verdict #7): MAX/SUM/SUM monoid state,
@@ -4731,6 +4849,29 @@ def test_streaming_item_cf_matches_batch(spark, tmp_path):
     want_l = sorted(map(tuple, all_queries()["mining_pair_lift"](
         spark, SF).collect()))
     assert got_l == want_l and len(want_l) > 10
+
+    # fourth reader (r14): per-node clustering coefficient — the
+    # cooc store's n >= 1 pairs ARE the co-purchase edges, so the
+    # batch query's triangle tail runs over state verbatim
+    from galaxy_spark.streaming.state_store import \
+        streaming_clustering_coefficient
+    got_cc = sorted(map(tuple, streaming_clustering_coefficient(
+        cooc).collect()))
+    want_cc = sorted(map(tuple,
+                         all_queries()["graph_clustering_coefficient"](
+                             spark, SF).collect()))
+    assert got_cc == want_cc and len(want_cc) > 100
+
+    # fifth reader (r14): degree assortativity — same edge
+    # derivation, the sufficient-statistics tail
+    from galaxy_spark.streaming.state_store import \
+        streaming_degree_assortativity
+    got_a = sorted(map(tuple, streaming_degree_assortativity(
+        cooc).collect()))
+    want_a = sorted(map(tuple,
+                        all_queries()["graph_degree_assortativity"](
+                            spark, SF).collect()))
+    assert got_a == want_a and len(want_a) == 1
 
 
 def test_basket_retention_recount_contract(spark, tmp_path):
