@@ -539,6 +539,24 @@ class TaskManager:
         _b, cooc, _d = self.item_cf_stores(task_id)
         return streaming_degree_assortativity(cooc)
 
+    def common_neighbors(self, task_id: str) -> DataFrame:
+        """Per-edge common-neighbor/Jaccard link features (==
+        batch ``graph_common_neighbors`` for uncapped hubs)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_common_neighbors
+
+        _b, cooc, _d = self.item_cf_stores(task_id)
+        return streaming_common_neighbors(cooc)
+
+    def resource_allocation(self, task_id: str) -> DataFrame:
+        """RA link-prediction index (== batch
+        ``graph_resource_allocation`` for uncapped hubs)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_resource_allocation
+
+        _b, cooc, _d = self.item_cf_stores(task_id)
+        return streaming_resource_allocation(cooc)
+
     def _start_item_cf(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_item_cf
@@ -655,6 +673,15 @@ class TaskManager:
             streaming_path_trigrams
 
         return streaming_path_trigrams(self.user_seq_store(task_id))
+
+    def markov_transitions(self, task_id: str) -> DataFrame:
+        """First-order transition matrix off the same timelines
+        (== batch ``events_markov_transitions``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_markov_transitions
+
+        return streaming_markov_transitions(
+            self.user_seq_store(task_id))
 
     def _start_user_seq(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \

@@ -1290,7 +1290,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
                 .orderBy(F.col("n_common").desc(),
                          F.col("jaccard_bp").desc(), "a", "b")
                 .limit(50))
-    half, tri = _oriented_triangles(li)
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    return common_neighbors_from_half(half)
+
+
+def common_neighbors_from_half(half: DataFrame) -> DataFrame:
+    """The exact common-neighbors tail over an id-oriented half
+    edge frame (caller localCheckpoints it). Shared verbatim by
+    ``graph_common_neighbors`` and the streaming item-CF hub's
+    reader (``streaming_common_neighbors``)."""
+    tri = _oriented_triangles_from_half(half)
     credits = (tri.select(F.explode(F.array(
                    F.struct(F.col("ta").alias("a"),
                             F.col("tb").alias("b")),
@@ -1335,15 +1344,6 @@ def _oriented_triangles_from_half(half: DataFrame) -> DataFrame:
                     F.col("dst").alias("tb"),
                     F.explode(F.array_intersect("sa", "sb"))
                     .alias("tc")))
-
-
-def _oriented_triangles(li: DataFrame):
-    """(half edge frame, triangle frame (ta < tb < tc)) — the
-    shared engine of the per-edge link-feature queries (common
-    neighbors, resource allocation) and the clustering
-    coefficient."""
-    half = _copurchase_half(li).localCheckpoint(eager=False)
-    return half, _oriented_triangles_from_half(half)
 
 
 def clustering_from_half(half: DataFrame) -> DataFrame:
@@ -1426,7 +1426,16 @@ def graph_resource_allocation(spark: SparkSession,
     the third vertex, and a partial-aggregated (edge) SUM folds —
     no wedge materialization, no symmetric adjacency shipping."""
     li = load_table(spark, sf_dir, "lineitem")
-    half, tri = _oriented_triangles(li)
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    return resource_allocation_from_half(half)
+
+
+def resource_allocation_from_half(half: DataFrame) -> DataFrame:
+    """The RA tail over an id-oriented half edge frame (caller
+    localCheckpoints it). Shared verbatim by
+    ``graph_resource_allocation`` and the streaming item-CF hub's
+    reader (``streaming_resource_allocation``)."""
+    tri = _oriented_triangles_from_half(half)
     # credit each triangle's three edges, carrying the OPPOSITE
     # vertex whose degree prices the credit
     mk = lambda x, y, z: F.struct(x.alias("a"), y.alias("b"),
@@ -1497,7 +1506,7 @@ def graph_clustering_coefficient(spark: SparkSession,
     in both engines (the 2 in 2·tri folds into the 20000) — no
     float anywhere; full |V≥2| output, no ordering needed.
 
-    Shape at scale: the shared ``_oriented_triangles`` engine —
+    Shape at scale: the shared ``_oriented_triangles_from_half`` engine —
     triangles enumerate ONCE over id-oriented successor arrays
     (each materialized array holds only higher-id neighbors), each
     triangle explodes into three 1-column vertex credits folded by

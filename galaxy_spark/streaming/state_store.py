@@ -2574,12 +2574,19 @@ def streaming_clustering_coefficient(cooc_store: ParquetCoocStore
     capped batch variant to compare against."""
     from galaxy_spark.queries.graphs import clustering_from_half
 
-    half = (cooc_store.state()
+    return clustering_from_half(_half_from_cooc(cooc_store))
+
+
+def _half_from_cooc(cooc_store: ParquetCoocStore) -> DataFrame:
+    """The id-oriented half edge frame derived from cooc state
+    (part_a < part_b keeps one orientation of each symmetric
+    pair), lazily checkpointed — every graph tail feeds it to
+    multiple join sides."""
+    return (cooc_store.state()
             .filter(F.col("part_a") < F.col("part_b"))
             .select(F.col("part_a").alias("src"),
                     F.col("part_b").alias("dst"))
-            .localCheckpoint(eager=False))   # feeds 4 join sides
-    return clustering_from_half(half)
+            .localCheckpoint(eager=False))
 
 
 def streaming_degree_assortativity(cooc_store: ParquetCoocStore
@@ -2593,12 +2600,29 @@ def streaming_degree_assortativity(cooc_store: ParquetCoocStore
     assortativity."""
     from galaxy_spark.queries.graphs import assortativity_from_half
 
-    half = (cooc_store.state()
-            .filter(F.col("part_a") < F.col("part_b"))
-            .select(F.col("part_a").alias("src"),
-                    F.col("part_b").alias("dst"))
-            .localCheckpoint(eager=False))
-    return assortativity_from_half(half)
+    return assortativity_from_half(_half_from_cooc(cooc_store))
+
+
+def streaming_common_neighbors(cooc_store: ParquetCoocStore
+                               ) -> DataFrame:
+    """Per-edge common-neighbor/Jaccard link features off the same
+    hub — the SIXTH reader (== batch ``graph_common_neighbors``
+    exact path, imported tail): the whole graph-analytics family
+    now reads one maintained pair store."""
+    from galaxy_spark.queries.graphs import common_neighbors_from_half
+
+    return common_neighbors_from_half(_half_from_cooc(cooc_store))
+
+
+def streaming_resource_allocation(cooc_store: ParquetCoocStore
+                                  ) -> DataFrame:
+    """Resource-allocation link index off the same hub — the
+    SEVENTH reader (== batch ``graph_resource_allocation``,
+    imported tail)."""
+    from galaxy_spark.queries.graphs import \
+        resource_allocation_from_half
+
+    return resource_allocation_from_half(_half_from_cooc(cooc_store))
 
 
 # ------------------------------------------------------------------
@@ -3898,6 +3922,29 @@ def streaming_path_trigrams(store: ParquetUserSeqStore
                  "es[i+1].et AS s3))")).alias("g"))
              .select("user_id", "g.s1", "g.s2", "g.s3"))
     return trigrams_from_walks(walks)
+
+
+def streaming_markov_transitions(store: ParquetUserSeqStore
+                                 ) -> DataFrame:
+    """First-order transition matrix off the same timelines — the
+    user-sequence store's SECOND reader (== batch
+    ``events_markov_transitions``): consecutive pairs extracted
+    scan-locally from the sorted struct arrays (the trigram
+    reader's discipline one order down), then the batch query's
+    imported normalization tail."""
+    from galaxy_spark.queries.events import markov_from_pairs
+
+    src = store.retained_state()
+    if store.retention_days is not None:
+        # same projection-collapse guard as the trigram reader
+        src = src.localCheckpoint(eager=False)
+    pairs = (src.filter(F.size("es") >= 2)
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(es) - 1), i -> "
+                 "struct(es[i-1].et AS src, es[i].et AS dst))"))
+                 .alias("g"))
+             .select("g.src", "g.dst"))
+    return markov_from_pairs(pairs)
 
 
 def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:

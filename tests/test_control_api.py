@@ -1065,6 +1065,12 @@ def test_user_seq_task_lifecycle(spark, tmp_path):
     want = sorted(map(tuple, all_queries()["events_path_trigrams"](
         spark, SF).collect()))
     assert got == want and len(want) > 50
+    got_m = sorted(map(tuple,
+                       mgr2.markov_transitions("us1").collect()))
+    want_m = sorted(map(tuple,
+                        all_queries()["events_markov_transitions"](
+                            spark, SF).collect()))
+    assert got_m == want_m and len(want_m) > 10
 
     root = mgr2.store_root(mgr2.tasks["us1"])
     assert os.path.isdir(os.path.join(root, "userseq"))

@@ -3593,6 +3593,17 @@ def test_streaming_path_trigrams_matches_batch(spark, tmp_path):
         spark, SF).collect()))
     assert got == want and len(want) > 50
 
+    # second reader (r14): the first-order transition matrix off
+    # the same timelines (bigram walks, same scan-local extraction)
+    from galaxy_spark.streaming.state_store import \
+        streaming_markov_transitions
+    got_m = sorted(map(tuple,
+                       streaming_markov_transitions(store).collect()))
+    want_m = sorted(map(tuple,
+                        all_queries()["events_markov_transitions"](
+                            spark, SF).collect()))
+    assert got_m == want_m and len(want_m) > 10
+
     # idempotence WITHOUT the claim: full-slice re-merge, new epoch
     lin = sorted(store.lineages())[0]
     store.merge(partial_user_seq(
@@ -4872,6 +4883,23 @@ def test_streaming_item_cf_matches_batch(spark, tmp_path):
                         all_queries()["graph_degree_assortativity"](
                             spark, SF).collect()))
     assert got_a == want_a and len(want_a) == 1
+
+    # readers six and seven (r14): the per-edge link features —
+    # the whole graph family now reads one maintained pair store
+    from galaxy_spark.streaming.state_store import (
+        streaming_common_neighbors, streaming_resource_allocation)
+    got_cn = sorted(map(tuple,
+                        streaming_common_neighbors(cooc).collect()))
+    want_cn = sorted(map(tuple,
+                         all_queries()["graph_common_neighbors"](
+                             spark, SF).collect()))
+    assert got_cn == want_cn and len(want_cn) == 50
+    got_ra = sorted(map(tuple,
+                        streaming_resource_allocation(cooc).collect()))
+    want_ra = sorted(map(tuple,
+                         all_queries()["graph_resource_allocation"](
+                             spark, SF).collect()))
+    assert got_ra == want_ra and len(want_ra) == 50
 
 
 def test_basket_retention_recount_contract(spark, tmp_path):
