@@ -173,6 +173,14 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.col("text"))).alias("tok"))
+    # deliberately NO checkpoint barriers here, unlike the bigram
+    # query one rung up: both the toks barrier (sf0.1 interleaved
+    # A/B ~0.91 -> ~1.03 s median) and a vocab-only freq barrier
+    # (~1.12 -> ~1.40) MEASURED as losses — this query's repeated
+    # subtrees are one cheap regex pass each, and pipelined
+    # re-evaluation beats materialize-and-reread at this shape
+    # (r14 barrier audit, SCALE.md; the opposite verdict from
+    # quality_mad_outliers' compounding 18-scan chain)
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("n_total"))
     lp = F.round(

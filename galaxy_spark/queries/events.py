@@ -373,8 +373,22 @@ def events_markov_transitions(spark: SparkSession,
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("event_type").alias("src"),
                     F.lead("event_type").over(w).alias("dst"))
+    return markov_from_pairs(seq)
+
+
+def markov_from_pairs(seq: DataFrame) -> DataFrame:
+    """The transition-matrix tail over (src, dst) consecutive-pair
+    rows (null dst = timeline end, dropped): counts on the tiny
+    type² key, row-normalized off broadcast totals. Shared by
+    ``events_markov_transitions`` and the user-sequence store's
+    reader (``streaming_markov_transitions``). The tiny rollup is
+    checkpoint-barriered — it feeds both the output and the row
+    totals, and without the barrier the upstream walk (a full
+    event scan + Window pass in the batch query) evaluates twice
+    (the r14 trigram plan-pin catch, applied here too)."""
     trans = (seq.filter(F.col("dst").isNotNull())
-             .groupBy("src", "dst").agg(F.count("*").alias("n")))
+             .groupBy("src", "dst").agg(F.count("*").alias("n"))
+             .localCheckpoint(eager=False))
     tot = trans.groupBy("src").agg(F.sum("n").alias("out_n"))
     return (trans.join(F.broadcast(tot), "src")
             .select("src", "dst", "n",
@@ -590,6 +604,12 @@ def anomaly_from_daily(daily: DataFrame) -> DataFrame:
     n_events) frame — shared with the streaming rollup-store reader
     (``streaming_anomaly``), imported not copied, so the integer
     sufficient-statistics arithmetic cannot drift between tiers."""
+    # the tiny O(calendar × types) frame feeds the moments agg AND
+    # the flag join — un-barriered, the batch caller's raw event
+    # scan ran once per subtree (measured 4 scans in the plan, no
+    # ReusedExchange; the r14 barrier audit), belying the one-scan
+    # docstring claim; the checkpoint makes the claim true
+    daily = daily.localCheckpoint(eager=False)
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("n_events").alias("s"),

@@ -735,14 +735,24 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     error; this exact form is also its certification instrument.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select("event_type",
-                  F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
+    # every frame below feeds 2-3 downstream subtrees, and the
+    # re-evaluations COMPOUND down the med -> dev -> mad chain —
+    # un-barriered, the final plan held EIGHTEEN scans of the raw
+    # events parquet with zero ReusedExchange (the r14 barrier
+    # audit's worst case). Each reused frame checkpoints: the two
+    # O(rows) frames (v, dev) carry two ints/row; hist is
+    # value-cardinality; med/mad are |types| rows.
+    v = (ev.select("event_type",
+                   F.round(F.col("value") * 100, 0).cast("long")
+                   .alias("vc"))
+         .localCheckpoint(eager=False))
 
     def _kth_smallest(vals: DataFrame, col: str, out: str) -> DataFrame:
         """MIN(col) where the per-group running count crosses
         ceil(n/2), off a distinct-value histogram."""
-        hist = vals.groupBy("event_type", col).agg(
+        hist = (vals.groupBy("event_type", col).agg(
             F.count("*").alias("c"))
+            .localCheckpoint(eager=False))   # cum-window + n_per
         w = (Window.partitionBy("event_type").orderBy(col)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         n_per = hist.groupBy("event_type").agg(F.sum("c").alias("n"))
@@ -750,12 +760,14 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(n_per), "event_type")
                 .filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
                 .groupBy("event_type")
-                .agg(F.min(col).alias(out)))
+                .agg(F.min(col).alias(out))
+                .localCheckpoint(eager=False))   # joined 2-3x
 
     med = _kth_smallest(v, "vc", "median_cents")
     dev = (v.join(F.broadcast(med), "event_type")
            .select("event_type",
-                   F.abs(F.col("vc") - F.col("median_cents")).alias("dv")))
+                   F.abs(F.col("vc") - F.col("median_cents")).alias("dv"))
+           .localCheckpoint(eager=False))
     mad = _kth_smallest(dev, "dv", "mad_cents")
     n_per = v.groupBy("event_type").agg(F.count("*").alias("n"))
     out = (dev.join(F.broadcast(mad), "event_type")
