@@ -683,6 +683,15 @@ class TaskManager:
         return streaming_markov_transitions(
             self.user_seq_store(task_id))
 
+    def interarrival_burstiness(self, task_id: str) -> DataFrame:
+        """Per-type burstiness off the same timelines (== batch
+        ``events_interarrival_burstiness``)."""
+        from galaxy_spark.streaming.state_store import \
+            streaming_interarrival_burstiness
+
+        return streaming_interarrival_burstiness(
+            self.user_seq_store(task_id))
+
     def _start_user_seq(self, spec: TaskSpec):
         from galaxy_spark.streaming.state_store import \
             start_streaming_user_seq

@@ -1373,3 +1373,93 @@ def trigrams_from_walks(walks: DataFrame) -> DataFrame:
             .select("s1", "s2", "s3", "n", "n_users",
                     F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6)
                     .alias("share")))
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH rows_t AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS t, event_id AS id
+        FROM events
+    ), gaps AS (
+        SELECT event_type,
+               t - LAG(t) OVER (PARTITION BY user_id, event_type
+                                ORDER BY t, id) AS g
+        FROM rows_t
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(g) AS HUGEINT) AS sg,
+               SUM(CAST(g AS HUGEINT) * g) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(sg // n AS BIGINT) AS mean_gap_us,
+           ROUND((sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+                  - CAST(sg AS DOUBLE))
+                 / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+                    + CAST(sg AS DOUBLE)), 6) AS burstiness
+    FROM s
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Traffic-shape monitor per event type: the burstiness
+    parameter B = (σ−μ)/(σ+μ) of per-user same-type interarrival
+    gaps (Goh & Barabási 2008) — −1 for a metronome, 0 for a
+    Poisson process, → 1 for heavy-tailed bursts. The
+    capacity-planning and bot-detection companion to the anomaly
+    query: a type whose daily totals look calm can still be
+    burst-dominated (retry storms, scripted clients), and B is the
+    scale-free number that says so.
+
+    Cross-engine determinism: gaps are exact integer micros off
+    the (ts, event_id) per-(user, type) total order; the three
+    sufficient statistics fold as DECIMAL(38,0)/HUGEINT (a 90-day
+    gap squared is ~6·10²⁵ — past int64, the documented
+    sum-of-squares promotion rule); the algebra cancels every
+    division by n — B = (sqrt(n·Σg²−(Σg)²) − Σg) /
+    (sqrt(n·Σg²−(Σg)²) + Σg) — so the score is one sqrt and one
+    division of IEEE doubles converted from identical exact
+    integers, rounded at 1e-6. mean_gap_us is BIGINT floor
+    division.
+
+    Shape at scale: one Window pass (per-(user, type) LAG — no
+    reducer sees more than one user's one type), then a
+    partial-aggregated fold onto |types| rows. The same tail runs
+    as the user-sequence store's third streaming reader
+    (``streaming_interarrival_burstiness``)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", "event_type",
+                     F.unix_micros("ts").alias("t"),
+                     F.col("event_id").alias("id"))
+    return burstiness_from_typed_rows(rows)
+
+
+def burstiness_from_typed_rows(rows: DataFrame) -> DataFrame:
+    """The burstiness tail over (user_id, event_type, t, id) rows
+    — shared by ``events_interarrival_burstiness`` and the
+    user-sequence store's reader, so the twin equality is
+    structural."""
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("t", "id")
+    gaps = (rows.select("event_type",
+                        (F.col("t") - F.lag("t").over(w)).alias("g"))
+            .filter(F.col("g").isNotNull()))
+    dec = "decimal(38,0)"
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("g").cast(dec).alias("sg"),
+        F.sum(F.col("g").cast(dec) * F.col("g")).alias("sgg"))
+    num = (F.col("n") * F.col("sgg")
+           - F.col("sg") * F.col("sg")).cast("double")
+    sgd = F.col("sg").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("CAST(sg DIV n AS BIGINT)").alias("mean_gap_us"),
+        F.round((F.sqrt(num) - sgd) / (F.sqrt(num) + sgd), 6)
+        .alias("burstiness"))

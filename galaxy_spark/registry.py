@@ -223,6 +223,7 @@ POST_FREEZE_QUERIES: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "events_path_trigrams",
     "graph_degree_assortativity",
+    "events_interarrival_burstiness",
 )
 
 

@@ -3947,6 +3947,25 @@ def streaming_markov_transitions(store: ParquetUserSeqStore
     return markov_from_pairs(pairs)
 
 
+def streaming_interarrival_burstiness(store: ParquetUserSeqStore
+                                      ) -> DataFrame:
+    """Per-type burstiness off the same timelines — the
+    user-sequence store's THIRD reader (== batch
+    ``events_interarrival_burstiness``): state explodes back to
+    (user, type, t, id) rows — already duplicate-collapsed, far
+    fewer than raw events — and the batch query's imported
+    sufficient-statistics tail does the rest."""
+    from galaxy_spark.queries.events import burstiness_from_typed_rows
+
+    rows = (store.retained_state()
+            .select("user_id", F.explode("es").alias("e"))
+            .select("user_id",
+                    F.col("e.et").alias("event_type"),
+                    F.col("e.t").alias("t"),
+                    F.col("e.id").alias("id")))
+    return burstiness_from_typed_rows(rows)
+
+
 def streaming_retention(store: ParquetEventIndexStore) -> DataFrame:
     """Weekly retention cohorts off the SAME event-time index the
     funnel reads (one store, many readers — the point of keeping

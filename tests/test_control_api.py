@@ -1071,6 +1071,12 @@ def test_user_seq_task_lifecycle(spark, tmp_path):
                         all_queries()["events_markov_transitions"](
                             spark, SF).collect()))
     assert got_m == want_m and len(want_m) > 10
+    got_b = sorted(map(tuple,
+                       mgr2.interarrival_burstiness("us1").collect()))
+    want_b = sorted(map(tuple,
+                        all_queries()["events_interarrival_burstiness"](
+                            spark, SF).collect()))
+    assert got_b == want_b and len(want_b) >= 3
 
     root = mgr2.store_root(mgr2.tasks["us1"])
     assert os.path.isdir(os.path.join(root, "userseq"))

@@ -3604,6 +3604,17 @@ def test_streaming_path_trigrams_matches_batch(spark, tmp_path):
                             spark, SF).collect()))
     assert got_m == want_m and len(want_m) > 10
 
+    # third reader (r14): per-type burstiness — exact integer
+    # moments off the exploded timelines
+    from galaxy_spark.streaming.state_store import \
+        streaming_interarrival_burstiness
+    got_b = sorted(map(tuple, streaming_interarrival_burstiness(
+        store).collect()))
+    want_b = sorted(map(tuple,
+                        all_queries()["events_interarrival_burstiness"](
+                            spark, SF).collect()))
+    assert got_b == want_b and len(want_b) >= 3
+
     # idempotence WITHOUT the claim: full-slice re-merge, new epoch
     lin = sorted(store.lineages())[0]
     store.merge(partial_user_seq(
