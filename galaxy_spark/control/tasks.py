@@ -539,14 +539,18 @@ class TaskManager:
         _b, cooc, _d = self.item_cf_stores(task_id)
         return streaming_degree_assortativity(cooc)
 
-    def common_neighbors(self, task_id: str) -> DataFrame:
+    def common_neighbors(self, task_id: str,
+                         max_degree: int | None = None) -> DataFrame:
         """Per-edge common-neighbor/Jaccard link features (==
-        batch ``graph_common_neighbors`` for uncapped hubs)."""
+        batch ``graph_common_neighbors`` with the same
+        ``max_degree``, for uncapped hubs). ``max_degree`` is the
+        hot-node sampling lever — per-read, not per-task, because
+        it shapes the ANSWER (sampled features), not the state."""
         from galaxy_spark.streaming.state_store import \
             streaming_common_neighbors
 
         _b, cooc, _d = self.item_cf_stores(task_id)
-        return streaming_common_neighbors(cooc)
+        return streaming_common_neighbors(cooc, max_degree)
 
     def resource_allocation(self, task_id: str) -> DataFrame:
         """RA link-prediction index (== batch

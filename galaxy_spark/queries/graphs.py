@@ -1260,38 +1260,45 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str,
     knob promises. Default OFF so the oracle stays exact."""
     li = load_table(spark, sf_dir, "lineitem")
     if max_degree is not None:
-        # sampled-feature path — the cap bounds the ADJACENCY
-        # ARRAYS only; the pair universe stays every existing edge
-        # (r13 review: capping the edge list itself silently
-        # dropped most of a hot node's edges from the OUTPUT,
-        # which is feature-row loss, not feature sampling)
-        edges = _copurchase_edges(li)
-        adj = (cap_mega_baskets(edges, max_degree,
-                                order_col="src", item_col="dst")
-               .groupBy(F.col("src").alias("node"))
-               .agg(F.collect_set("dst").alias("nbrs"))
-               .localCheckpoint(eager=False))   # both join sides
-        pairs = edges.filter(F.col("src") < F.col("dst")) \
-            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        na = adj.select(F.col("node").alias("a"),
-                        F.col("nbrs").alias("nbrs_a"))
-        nb = adj.select(F.col("node").alias("b"),
-                        F.col("nbrs").alias("nbrs_b"))
-        n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
-            .cast("long")
-        return (pairs.join(na, "a").join(nb, "b")
-                .withColumn("n_common", n_common)
-                .filter(F.col("n_common") >= 1)
-                .select("a", "b", "n_common",
-                        F.expr("CAST(n_common * 10000 DIV "
-                               "(size(nbrs_a) + size(nbrs_b) "
-                               "- n_common) AS BIGINT)")
-                        .alias("jaccard_bp"))
-                .orderBy(F.col("n_common").desc(),
-                         F.col("jaccard_bp").desc(), "a", "b")
-                .limit(50))
+        return common_neighbors_capped_from_edges(
+            _copurchase_edges(li), max_degree)
     half = _copurchase_half(li).localCheckpoint(eager=False)
     return common_neighbors_from_half(half)
+
+
+def common_neighbors_capped_from_edges(edges: DataFrame,
+                                       max_degree: int) -> DataFrame:
+    """The sampled-feature path over a SYMMETRIC edge frame — the
+    cap bounds the ADJACENCY ARRAYS only; the pair universe stays
+    every existing edge (r13 review: capping the edge list itself
+    silently dropped most of a hot node's edges from the OUTPUT,
+    which is feature-row loss, not feature sampling). Exposed
+    edges-first so the streaming hub reader can pass the same knob
+    over state-derived edges (``streaming_common_neighbors``)."""
+    adj = (cap_mega_baskets(edges, max_degree,
+                            order_col="src", item_col="dst")
+           .groupBy(F.col("src").alias("node"))
+           .agg(F.collect_set("dst").alias("nbrs"))
+           .localCheckpoint(eager=False))   # both join sides
+    pairs = edges.filter(F.col("src") < F.col("dst")) \
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    na = adj.select(F.col("node").alias("a"),
+                    F.col("nbrs").alias("nbrs_a"))
+    nb = adj.select(F.col("node").alias("b"),
+                    F.col("nbrs").alias("nbrs_b"))
+    n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
+        .cast("long")
+    return (pairs.join(na, "a").join(nb, "b")
+            .withColumn("n_common", n_common)
+            .filter(F.col("n_common") >= 1)
+            .select("a", "b", "n_common",
+                    F.expr("CAST(n_common * 10000 DIV "
+                           "(size(nbrs_a) + size(nbrs_b) "
+                           "- n_common) AS BIGINT)")
+                    .alias("jaccard_bp"))
+            .orderBy(F.col("n_common").desc(),
+                     F.col("jaccard_bp").desc(), "a", "b")
+            .limit(50))
 
 
 def common_neighbors_from_half(half: DataFrame) -> DataFrame:

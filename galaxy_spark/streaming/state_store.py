@@ -2603,14 +2603,27 @@ def streaming_degree_assortativity(cooc_store: ParquetCoocStore
     return assortativity_from_half(_half_from_cooc(cooc_store))
 
 
-def streaming_common_neighbors(cooc_store: ParquetCoocStore
+def streaming_common_neighbors(cooc_store: ParquetCoocStore,
+                               max_degree: int | None = None
                                ) -> DataFrame:
     """Per-edge common-neighbor/Jaccard link features off the same
     hub — the SIXTH reader (== batch ``graph_common_neighbors``
-    exact path, imported tail): the whole graph-analytics family
-    now reads one maintained pair store."""
-    from galaxy_spark.queries.graphs import common_neighbors_from_half
+    with the same ``max_degree``, imported tails): the whole
+    graph-analytics family now reads one maintained pair store.
+    ``max_degree`` is the batch query's hot-node lever reached
+    from the hub (r13 verdict #7): adjacency arrays hash-sample at
+    k while the pair universe stays every stored edge — the
+    symmetric frame it needs is state with BOTH orientations,
+    which the cooc store already holds."""
+    from galaxy_spark.queries.graphs import (
+        common_neighbors_capped_from_edges, common_neighbors_from_half)
 
+    if max_degree is not None:
+        edges = (cooc_store.state()
+                 .select(F.col("part_a").alias("src"),
+                         F.col("part_b").alias("dst"))
+                 .localCheckpoint(eager=False))  # adj + pair sides
+        return common_neighbors_capped_from_edges(edges, max_degree)
     return common_neighbors_from_half(_half_from_cooc(cooc_store))
 
 

@@ -4905,6 +4905,15 @@ def test_streaming_item_cf_matches_batch(spark, tmp_path):
                          all_queries()["graph_common_neighbors"](
                              spark, SF).collect()))
     assert got_cn == want_cn and len(want_cn) == 50
+    # the max_degree hot-node lever reaches the reader too (r13
+    # verdict #7) — == batch under the SAME cap, and the cap
+    # genuinely bites (sampled != exact)
+    from galaxy_spark.queries.graphs import graph_common_neighbors
+    got_cap = sorted(map(tuple, streaming_common_neighbors(
+        cooc, max_degree=3).collect()))
+    want_cap = sorted(map(tuple, graph_common_neighbors(
+        spark, SF, max_degree=3).collect()))
+    assert got_cap == want_cap and got_cap != got_cn
     got_ra = sorted(map(tuple,
                         streaming_resource_allocation(cooc).collect()))
     want_ra = sorted(map(tuple,
