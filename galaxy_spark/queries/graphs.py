@@ -122,11 +122,18 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |V| beyond broadcast reach, drop the two hints and the same
     # plan runs as a shuffle join on src — one more exchange per
     # round, still linear.
+    # r14: the per-node out-contribution rank/deg is computed on
+    # the |V|-row frame BEFORE the broadcast, not per edge row
+    # after the join — the decimal round runs |V| times a round
+    # instead of 2|E| times (interleaved A/B 6.59 -> 5.36 s median
+    # at sf0.1 under load; identical ranks, the division is
+    # per-node constant either way)
     for _ in range(_PR_ROUNDS):
-        contrib = (edges.join(F.broadcast(ranks), edges.src == ranks.node)
-                   .select(F.col("dst").alias("cnode"),
-                           F.round(F.col("rank") / F.col("deg"), 9)
-                           .cast("decimal(28,9)").alias("c")))
+        outc = ranks.select("node",
+                            F.round(F.col("rank") / F.col("deg"), 9)
+                            .cast("decimal(28,9)").alias("c"))
+        contrib = (edges.join(F.broadcast(outc), edges.src == outc.node)
+                   .select(F.col("dst").alias("cnode"), "c"))
         ranks = (contrib.groupBy("cnode")
                  .agg(F.sum("c").alias("mass"))
                  .join(F.broadcast(deg), F.col("cnode") == F.col("node"))
@@ -353,23 +360,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bounded (<=7).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # build once (the shared array-explode build), read 3x
-    edges = _copurchase_half(li).localCheckpoint(eager=False)
-    adj = edges.groupBy("src").agg(
-        F.sort_array(F.collect_set("dst")).alias("succ"))
-    per_edge = (edges
-                .join(adj.select(F.col("src"),
-                                 F.col("succ").alias("succ_a")), "src")
-                .join(adj.select(F.col("src").alias("dst"),
-                                 F.col("succ").alias("succ_b")), "dst")
-                # an edge whose dst has no successors closes nothing;
-                # the inner join dropping it is exact
-                .select("src", F.size(F.array_intersect(
-                    "succ_a", "succ_b")).alias("nc")))
-    return per_edge.agg(
-        F.sum("nc").cast("long").alias("n_triangles"),
-        F.countDistinct(F.when(F.col("nc") > 0, F.col("src")))
-        .alias("n_apex_nodes"))
+    # build once, read 3x; the closure runs on the SHARED
+    # triangle-credit engine (r14): the per-edge intersect-size
+    # fold is exactly the oriented triangle frame — sum(nc) is its
+    # row count, the apex set is its distinct ta — so the query
+    # rides `_oriented_triangles_from_half`'s broadcast-adjacency
+    # plan (no sort_array: counts are order-free, the sort cost
+    # +0.1 s was measured and dropped in the r14 audit; the
+    # symmetric-join form measured 4.03 -> 3.16 s median in the
+    # interleaved A/B)
+    half = _copurchase_half(li).localCheckpoint(eager=False)
+    tri = _oriented_triangles_from_half(half)
+    return tri.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.countDistinct("ta").alias("n_apex_nodes"))
 
 
 _BFS_ROUNDS = 3
@@ -497,8 +501,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("src").alias("node")))
     visited = seeds.withColumn("dist", F.lit(0))
     frontier = seeds
+    # frontier and visited are ≤|V|-row state — BROADCAST both into
+    # their joins (r14: unhinted, the checkpointed frames carry no
+    # size estimate, so each round planned a sort-merge shuffle of
+    # the 2|E| edge frame; interleaved A/B 6.82 -> 4.70 s median at
+    # sf0.1). At billion-node visited sets drop the hints — the
+    # docstring's shuffle-join fallback, one more exchange per round.
     for k in range(1, _BFS_ROUNDS + 1):
-        cand = (edges.join(frontier, edges.src == frontier.node)
+        cand = (edges.join(F.broadcast(frontier),
+                           edges.src == frontier.node)
                 .select(F.col("dst").alias("node")).distinct())
         # `new` is consumed TWICE (union into visited + next round's
         # frontier) and closes over the whole previous round — cut
@@ -506,7 +517,8 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-executing rounds 1..k (the quadratic-rounds
         # trap); `visited` then unions only checkpointed frames and
         # needs no checkpoint of its own
-        new = (cand.join(visited.select("node"), "node", "left_anti")
+        new = (cand.join(F.broadcast(visited.select("node")),
+                         "node", "left_anti")
                .withColumn("dist", F.lit(k))
                .localCheckpoint(eager=False))
         visited = visited.union(new)
@@ -912,16 +924,24 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(0).cast("long").alias("cost")))
     dist = seeds.localCheckpoint(eager=False)
     frontier = dist
+    # frontier / dist / improved are ≤|V|-row state — BROADCAST
+    # them into the relax and refresh joins (r14: unhinted, the
+    # checkpointed frames have no size estimate, so every round
+    # planned sort-merge shuffles of the 2|E| weighted-edge frame;
+    # interleaved A/B 4.98 -> 4.40 s median at sf0.1). At
+    # billion-node settled maps drop the hints — same plan, one
+    # more exchange per join.
     for k in range(1, _SSSP_ROUNDS + 1):
         cand = (edges
-                .join(frontier.select(F.col("node").alias("src"),
-                                      F.col("cost").alias("fcost")),
-                      "src")
+                .join(F.broadcast(frontier.select(
+                    F.col("node").alias("src"),
+                    F.col("cost").alias("fcost"))), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min(F.col("fcost") + F.col("w"))
                      .alias("cost")))
         improved = (cand
-                    .join(dist.withColumnRenamed("cost", "old"),
+                    .join(F.broadcast(dist.withColumnRenamed("cost",
+                                                             "old")),
                           "node", "left_outer")
                     .filter(F.col("old").isNull()
                             | (F.col("cost") < F.col("old")))
@@ -939,11 +959,13 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-4 frontier has collapsed to near-empty by then
         if k < _SSSP_ROUNDS:
             improved = improved.localCheckpoint(eager=False)
-            dist = (dist.join(improved, "node", "left_anti")
+            dist = (dist.join(F.broadcast(improved), "node",
+                              "left_anti")
                     .union(improved)
                     .localCheckpoint(eager=False))
         else:
-            dist = (dist.join(improved, "node", "left_anti")
+            dist = (dist.join(F.broadcast(improved), "node",
+                              "left_anti")
                     .union(improved))
         frontier = improved
     return dist.select(F.col("node").alias("part"), "cost")
@@ -1153,22 +1175,37 @@ def graph_label_propagation(spark: SparkSession,
     within a node's ballot — so both engines step through identical
     label states; no float appears anywhere.
 
-    Shape at scale: each round is one edges ⋈ labels equi-join,
-    one partial-aggregated (node, label) ballot count, and one
-    max_by fold onto |V| rows — two bounded exchanges per round,
-    rounds fixed, the PageRank budget exactly. Label state is |V|
-    rows, eagerly checkpointed per round (the CC/k-core
-    discipline) so round r never re-evaluates rounds 1..r-1; the
-    final community_size window runs over |V| rows partitioned by
+    Shape at scale: round 1 collapses to one partial-aggregated
+    MIN fold over the edge list (identity labels make every ballot
+    a distinct unit count — see the in-code note); each later
+    round is one edges ⋈ broadcast(labels) equi-join, one
+    partial-aggregated (node, label) ballot count, and one max_by
+    fold onto |V| rows — two bounded exchanges per round, rounds
+    fixed, the PageRank budget exactly. Label state is |V| rows,
+    eagerly checkpointed per round (the CC/k-core discipline) so
+    round r never re-evaluates rounds 1..r-1; the final
+    community_size window runs over |V| rows partitioned by
     label."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li)
-    labels = (edges.select(F.col("src").alias("node"))
-              .distinct()
-              .select("node", F.col("node").alias("label"))
+    # Round 1 is SCAN-LOCAL (r14, the HyperBall-r1 move): l0 is the
+    # identity labeling, so every round-1 ballot is a distinct
+    # (dst, src) pair with cnt = 1 — the plurality winner under the
+    # (cnt, -label) order is simply MIN(src) per dst. One
+    # partial-aggregated fold replaces round 1's join + two-key
+    # ballot exchange. Rounds 2..k BROADCAST the |V|-row label
+    # state into the edge join (unhinted, the localCheckpointed
+    # frames have no size estimate and each round planned a
+    # sort-merge shuffle of the 2|E| edge frame). Interleaved A/B
+    # at sf0.1: 6.41 -> 4.15 s median (loaded window). At |V|
+    # beyond broadcast reach drop the hint — same plan, one more
+    # exchange per round.
+    labels = (edges.groupBy(F.col("dst").alias("node"))
+              .agg(F.min("src").alias("label"))
               .localCheckpoint(eager=True))
-    for _ in range(_LPA_ROUNDS):
-        ballots = (edges.join(labels, edges.src == labels.node)
+    for _ in range(_LPA_ROUNDS - 1):
+        ballots = (edges.join(F.broadcast(labels),
+                              edges.src == labels.node)
                    .groupBy(F.col("dst").alias("bnode"), "label")
                    .agg(F.count("*").alias("cnt")))
         labels = (ballots.groupBy(F.col("bnode").alias("node"))
@@ -1288,7 +1325,10 @@ def common_neighbors_capped_from_edges(edges: DataFrame,
                     F.col("nbrs").alias("nbrs_b"))
     n_common = F.size(F.array_intersect("nbrs_a", "nbrs_b")) \
         .cast("long")
-    return (pairs.join(na, "a").join(nb, "b")
+    # the capped adjacency frames are ≤|V| rows of ≤max_degree
+    # arrays — broadcast both arms (r14, the engine-wide hint
+    # discipline; the cap makes the broadcast bound EXPLICIT)
+    return (pairs.join(F.broadcast(na), "a").join(F.broadcast(nb), "b")
             .withColumn("n_common", n_common)
             .filter(F.col("n_common") >= 1)
             .select("a", "b", "n_common",
@@ -1318,11 +1358,13 @@ def common_neighbors_from_half(half: DataFrame) -> DataFrame:
     cn = (credits.groupBy("a", "b")
           .agg(F.count("*").cast("long").alias("n_common")))
     deg = _half_degrees(half)
+    # |V|-row degree side broadcasts (r14): unhinted, the two
+    # scalar joins each re-shuffled the 1.2M-row cn frame
     return (cn
-            .join(deg.select(F.col("node").alias("a"),
-                             F.col("d").alias("da")), "a")
-            .join(deg.select(F.col("node").alias("b"),
-                             F.col("d").alias("db")), "b")
+            .join(F.broadcast(deg.select(F.col("node").alias("a"),
+                                         F.col("d").alias("da"))), "a")
+            .join(F.broadcast(deg.select(F.col("node").alias("b"),
+                                         F.col("d").alias("db"))), "b")
             .select("a", "b", "n_common",
                     F.expr("CAST(n_common * 10000 DIV "
                            "(da + db - n_common) AS BIGINT)")
@@ -1339,14 +1381,31 @@ def _oriented_triangles_from_half(half: DataFrame) -> DataFrame:
     id-oriented successor arrays. Exposed half-first so streaming
     readers can run the same enumeration over edges derived from
     store state (the cooc store's n ≥ 1 pairs ARE the co-purchase
-    edges)."""
+    edges).
+
+    r14: the |V|-row adjacency frame BROADCASTS into both join
+    arms — without the hints the localCheckpointed half frame has
+    no size estimate, so Catalyst planned SortMergeJoins whose
+    second exchange shipped every half row WITH its succ_a array
+    (Σ deg array elements through the wire); AQE's runtime
+    conversion still paid that map-side shuffle write. Measured in
+    interleaved A/B at sf0.1 on each consumer: common-neighbors
+    7.88 -> 6.18, clustering 5.27 -> 4.22, RA 5.71 -> 4.45,
+    triangle 4.03 -> 3.16 s median (loaded-host window; plan diff:
+    2 SMJ + 2 edge exchanges -> 2 BHJ, the edge frame never
+    shuffles). At |V| beyond broadcast reach drop the hints (or
+    degree-orient first — ``operators.graph.degree_orient`` bounds
+    every array at ~sqrt(|E|)); the same plan runs as a shuffle
+    join with one more exchange."""
     adj = (half.groupBy("src")
            .agg(F.collect_set("dst").alias("succ")))
     return (half
-            .join(adj.select("src", F.col("succ").alias("sa")),
+            .join(F.broadcast(adj.select("src",
+                                         F.col("succ").alias("sa"))),
                   "src")
-            .join(adj.select(F.col("src").alias("dst"),
-                             F.col("succ").alias("sb")), "dst")
+            .join(F.broadcast(adj.select(F.col("src").alias("dst"),
+                                         F.col("succ").alias("sb"))),
+                  "dst")
             .select(F.col("src").alias("ta"),
                     F.col("dst").alias("tb"),
                     F.explode(F.array_intersect("sa", "sb"))
@@ -1367,8 +1426,11 @@ def clustering_from_half(half: DataFrame) -> DataFrame:
     tcount = (credits.groupBy("node")
               .agg(F.count("*").cast("long").alias("n_triangles")))
     deg = _half_degrees(half)
+    # the ≤|V|-row triangle-count side broadcasts into the LEFT
+    # join (r14, build-right; part of the engine-wide 5.27 ->
+    # 4.22 s interleaved A/B)
     return (deg.filter(F.col("d") >= 2)
-            .join(tcount, "node", "left")
+            .join(F.broadcast(tcount), "node", "left")
             .select(F.col("node").alias("part"),
                     F.col("d").cast("long").alias("degree"),
                     F.coalesce(F.col("n_triangles"), F.lit(0))
@@ -1454,9 +1516,11 @@ def resource_allocation_from_half(half: DataFrame) -> DataFrame:
                    .alias("e"))
                .select("e.a", "e.b", "e.c"))
     deg = _half_degrees(half)
+    # |V|-row degree side broadcasts (r14): unhinted, pricing the
+    # credits re-shuffled the 3·#tri credit frame on c
     return (credits
-            .join(deg.select(F.col("node").alias("c"),
-                             F.col("d").alias("dc")), "c")
+            .join(F.broadcast(deg.select(F.col("node").alias("c"),
+                                         F.col("d").alias("dc"))), "c")
             .groupBy("a", "b")
             .agg(F.count("*").cast("long").alias("n_common"),
                  F.sum(F.expr("1000000 DIV dc")).cast("long")
@@ -1594,11 +1658,15 @@ def assortativity_from_half(half: DataFrame) -> DataFrame:
     edges = half.union(half.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     deg = _half_degrees(half)
+    # |V|-row degree sides broadcast (r14): unhinted, each scalar
+    # join re-shuffled the 2|E| edge-end frame (interleaved A/B
+    # 4.92 -> 3.49 s median at sf0.1); at |V| beyond broadcast
+    # reach drop the hints — same plan, two more exchanges
     ends = (edges
-            .join(deg.select(F.col("node").alias("src"),
-                             F.col("d").alias("dx")), "src")
-            .join(deg.select(F.col("node").alias("dst"),
-                             F.col("d").alias("dy")), "dst")
+            .join(F.broadcast(deg.select(F.col("node").alias("src"),
+                                         F.col("d").alias("dx"))), "src")
+            .join(F.broadcast(deg.select(F.col("node").alias("dst"),
+                                         F.col("d").alias("dy"))), "dst")
             .select("dx", "dy"))
     dec = "decimal(38,0)"
     s = ends.agg(
