@@ -59,11 +59,22 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     # Materialize the (small relative to corpus) edge list once; it
     # is re-joined every round.
     sym = sym.localCheckpoint(eager=True)
+    # Broadcast discipline (r14): the DUP-PAIR edge list and the
+    # per-round improvement frame are both far smaller than the
+    # corpus-sized label state (dedup graphs: |E| ~ Σ cluster²,
+    # nbr_min ≤ touched nodes), and the checkpointed frames carry
+    # no size estimate, so unhinted every round planned sort-merge
+    # shuffles of the |corpus| label frame. With the hints a round
+    # is ONE exchange (the dst-keyed min fold). At an edge list
+    # beyond broadcast reach drop the hints — same plan, shuffle
+    # joins, the docstring's scale note.
     for _ in range(max_iter):
-        nbr_min = (sym.join(labels, sym["src"] == labels["id"])
+        nbr_min = (F.broadcast(sym).join(labels,
+                                         sym["src"] == labels["id"])
                    .groupBy("dst")
                    .agg(F.min("component").alias("nbr_component")))
-        stepped = (labels.join(nbr_min, labels["id"] == nbr_min["dst"],
+        stepped = (labels.join(F.broadcast(nbr_min),
+                               labels["id"] == nbr_min["dst"],
                                "left")
                    .select(labels["id"],
                            F.col("component"),
@@ -115,11 +126,16 @@ def connected_components_fixed(vertices: DataFrame, edges: DataFrame,
     sym = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=False)
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("component"))
+    # same broadcast discipline as the checked variant above: the
+    # dup-pair edges and per-round min frame broadcast, the
+    # corpus-sized label state never shuffles through a join
     for _ in range(rounds):
-        nbr_min = (sym.join(labels, sym["src"] == labels["id"])
+        nbr_min = (F.broadcast(sym).join(labels,
+                                         sym["src"] == labels["id"])
                    .groupBy("dst")
                    .agg(F.min("component").alias("nbr_component")))
-        labels = (labels.join(nbr_min, labels["id"] == nbr_min["dst"],
+        labels = (labels.join(F.broadcast(nbr_min),
+                              labels["id"] == nbr_min["dst"],
                               "left")
                   .select(labels["id"],
                           F.least(F.col("component"),
@@ -147,7 +163,10 @@ def components_with_size(vertices: DataFrame, edges: DataFrame,
                                           src_col, dst_col, rounds)
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("component_size"))
-    return comp.join(sizes, "component").select(
+    # the ≤|components|-row size frame broadcasts back onto the
+    # label frame (r14: unhinted this was the one SortMergeJoin
+    # left in the cluster queries' output plans)
+    return comp.join(F.broadcast(sizes), "component").select(
         "id", "component", "component_size")
 
 

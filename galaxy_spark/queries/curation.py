@@ -492,7 +492,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = a.select(F.col("vec_id").alias("id_b"),
                   F.col("embedding").alias("vec_b"))
     cos = similarity.cosine(F.col("vec_a"), F.col("vec_b"))
-    return (cand.join(va, "id_a").join(vb, "id_b")
+    # r14: the OUTPUT-SIZED candidate side broadcasts into the two
+    # vector re-attach joins — unhinted, the checkpointed frames
+    # carry no size estimate and both joins planned sort-merge
+    # shuffles of the |corpus| embedding frame (locally a wash,
+    # 3.02 vs 3.00 s interleaved: AQE converted at runtime anyway;
+    # kept because the INITIAL plan now never exchanges the corpus
+    # frame, which is the 100 TB shape — candidates ≪ corpus)
+    witha = F.broadcast(cand).join(va, "id_a")
+    return (F.broadcast(witha).join(vb, "id_b")
             .withColumn("cos_sim_raw", cos)
             .filter(F.col("cos_sim_raw") >= 0.4)
             .select("id_a", "id_b",
