@@ -435,7 +435,12 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
               .select("q_id", "q_vec",
                       F.col("cent_id").alias("cluster_id")))
 
-    cands = probes.join(assigned, "cluster_id")
+    # the probe frame is |queries| x n_probe rows (small by the
+    # query-side contract) — broadcast it so the corpus-sized
+    # inverted-list frame never shuffles on cluster_id (r14:
+    # unhinted, this planned a SortMergeJoin that exchanged every
+    # assigned corpus vector WITH its embedding payload)
+    cands = F.broadcast(probes).join(assigned, "cluster_id")
     if exclude_self:
         cands = cands.filter(F.col("q_id") != F.col("neighbor_id"))
     scored = cands.select(
