@@ -95,7 +95,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = li.select(F.col("l_orderkey").alias("o"),
                       F.col("l_partkey").alias("p")).distinct()
     half = (pairs.alias("a")
-            .join(pairs.alias("b"),
+            .join(pairs.alias("b").hint("SHUFFLE_HASH"),
                   (F.col("a.o") == F.col("b.o"))
                   & (F.col("a.p") < F.col("b.p")))
             .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
@@ -410,11 +410,28 @@ def _copurchase_half(li: DataFrame) -> DataFrame:
     so host drift hits both alike) and was a wash on the
     half-only consumers; reverted, details in SCALE.md r14. The
     microbenchmark-vs-in-plan reversal is the recorded lesson:
-    the union/checkpoint context changes which build wins."""
+    the union/checkpoint context changes which build wins.
+
+    r14 follow-up: the order-keyed self-join is pinned to a
+    SHUFFLED HASH join (hint on one arm). Unhinted, Catalyst's
+    size estimate auto-BROADCAST the distinct basket frame — an
+    O(|fact|) side collected to the driver and hashed on every
+    executor, exactly the frame the 100 TB story must never
+    broadcast (at scale the estimate crosses the threshold and the
+    plan silently degrades to sort-merge instead). The hint makes
+    the scale-honest plan the measured-fastest one locally too:
+    interleaved A/B on graph_triangle_count (the consumer where
+    the build dominates) 3.47 -> 2.87 s median, wins every pair;
+    an order-alternating rerun 3.15 -> 2.77 agreed. Per-partition
+    build memory is one order-key slice of the basket frame — AQE
+    sizes those partitions, the guide's endorsed shuffled-hash
+    case. A no-distinct build (dedup folded into the edge
+    distinct) was also measured and LOST in-query (CN 4.35 ->
+    5.13, LPA 3.97 -> 4.34) — the baskets distinct stays."""
     baskets = (li.select(F.col("l_orderkey").alias("o"),
                          F.col("l_partkey").alias("p")).distinct())
     return (baskets.alias("a")
-            .join(baskets.alias("b"),
+            .join(baskets.alias("b").hint("SHUFFLE_HASH"),
                   (F.col("a.o") == F.col("b.o"))
                   & (F.col("a.p") < F.col("b.p")))
             .select(F.col("a.p").alias("src"),
@@ -904,7 +921,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (li.select(F.col("l_orderkey").alias("o"),
                          F.col("l_partkey").alias("p")).distinct())
     halfw = (baskets.alias("a")
-             .join(baskets.alias("b"),
+             .join(baskets.alias("b").hint("SHUFFLE_HASH"),
                    (F.col("a.o") == F.col("b.o"))
                    & (F.col("a.p") < F.col("b.p")))
              .groupBy(F.col("a.p").alias("src"),
