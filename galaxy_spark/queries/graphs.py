@@ -236,7 +236,7 @@ def mining_frequent_pairs(spark: SparkSession, sf_dir: str,
         .localCheckpoint(eager=False))
     item_count = baskets.groupBy("p").agg(F.count("*").alias("n_baskets"))
     pair_support = (baskets.alias("a")
-                    .join(baskets.alias("b"),
+                    .join(baskets.alias("b").hint("SHUFFLE_HASH"),
                           (F.col("a.o") == F.col("b.o"))
                           & (F.col("a.p") < F.col("b.p")))
                     .groupBy(F.col("a.p").alias("src"),
@@ -309,7 +309,7 @@ def mining_pair_lift(spark: SparkSession, sf_dir: str,
     item_count = baskets.groupBy("p").agg(
         F.count("*").cast("long").alias("d"))
     pair_support = (baskets.alias("a")
-                    .join(baskets.alias("b"),
+                    .join(baskets.alias("b").hint("SHUFFLE_HASH"),
                           (F.col("a.o") == F.col("b.o"))
                           & (F.col("a.p") < F.col("b.p")))
                     .groupBy(F.col("a.p").alias("part_a"),
@@ -1055,7 +1055,7 @@ def similarity_item_cf_topk(spark: SparkSession, sf_dir: str,
         basket_cap)
         .localCheckpoint(eager=False))
     pairs = (baskets.alias("a")
-             .join(baskets.alias("b"),
+             .join(baskets.alias("b").hint("SHUFFLE_HASH"),
                    (F.col("a.o") == F.col("b.o"))
                    & (F.col("a.p") != F.col("b.p")))
              .groupBy(F.col("a.p").alias("part_a"),
