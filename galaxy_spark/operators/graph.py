@@ -28,6 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from galaxy_spark.operators.util import (state_broadcast,
+                                         within_broadcast_budget)
+
 
 def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     """Both orientations of each edge in ONE pass: an explode of the
@@ -43,7 +46,8 @@ def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 def connected_components(vertices: DataFrame, edges: DataFrame,
                          id_col: str = "id",
                          src_col: str = "src", dst_col: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         broadcast_state: bool | None = None) -> DataFrame:
     """Label every vertex with the smallest vertex id reachable from
     it (its component id). Returns ``(id, component)``.
 
@@ -52,6 +56,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     Raises if fixpoint isn't reached in ``max_iter`` rounds — for
     dedup-cluster graphs that means the edge set isn't the
     quasi-clique shape this operator is documented for.
+
+    ``broadcast_state`` controls the per-round broadcast hints on
+    the edge list and the improvement frame (see the in-loop note).
+    ``None`` (default) size-derives the decision from one count of
+    the already-materialized edge checkpoint against the budget in
+    ``operators.util.bcast_max_rows`` — callers with edge lists
+    past broadcast reach degrade to the shuffle-join plan without
+    editing the operator (r14 verdict/advice).
     """
     sym = _symmetrize(edges, src_col, dst_col)
     labels = vertices.select(F.col(id_col).alias("id"),
@@ -59,6 +71,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     # Materialize the (small relative to corpus) edge list once; it
     # is re-joined every round.
     sym = sym.localCheckpoint(eager=True)
+    if broadcast_state is None:
+        broadcast_state = within_broadcast_budget(sym)
     # Broadcast discipline (r14): the DUP-PAIR edge list and the
     # per-round improvement frame are both far smaller than the
     # corpus-sized label state (dedup graphs: |E| ~ Σ cluster²,
@@ -66,14 +80,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     # no size estimate, so unhinted every round planned sort-merge
     # shuffles of the |corpus| label frame. With the hints a round
     # is ONE exchange (the dst-keyed min fold). At an edge list
-    # beyond broadcast reach drop the hints — same plan, shuffle
-    # joins, the docstring's scale note.
+    # beyond broadcast reach the size gate drops the hints — same
+    # plan, shuffle joins, the docstring's scale note.
     for _ in range(max_iter):
-        nbr_min = (F.broadcast(sym).join(labels,
-                                         sym["src"] == labels["id"])
+        nbr_min = (state_broadcast(sym, broadcast_state)
+                   .join(labels, sym["src"] == labels["id"])
                    .groupBy("dst")
                    .agg(F.min("component").alias("nbr_component")))
-        stepped = (labels.join(F.broadcast(nbr_min),
+        stepped = (labels.join(state_broadcast(nbr_min, broadcast_state),
                                labels["id"] == nbr_min["dst"],
                                "left")
                    .select(labels["id"],
@@ -101,7 +115,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
 def connected_components_fixed(vertices: DataFrame, edges: DataFrame,
                                id_col: str = "id",
                                src_col: str = "src", dst_col: str = "dst",
-                               rounds: int = 6) -> DataFrame:
+                               rounds: int = 6,
+                               broadcast_state: bool | None = None
+                               ) -> DataFrame:
     """``connected_components`` as ONE lazy plan: a fixed number of
     min-propagation rounds with no driver actions, no checkpoints.
 
@@ -122,19 +138,28 @@ def connected_components_fixed(vertices: DataFrame, edges: DataFrame,
     rounds=6 — and the edge subtree (the expensive pair generation
     upstream) would re-run every round as the streamed side of a
     broadcast join, which has no exchange for Spark to reuse.
+
+    ``broadcast_state`` gates the per-round hints exactly as in the
+    checked variant. The ``None`` default costs ONE driver action
+    (a count that materializes the lazy edge checkpoint at build
+    time — work the first consumer action pays anyway); callers
+    that need a fully action-free build pass an explicit bool.
     """
     sym = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=False)
+    if broadcast_state is None:
+        broadcast_state = within_broadcast_budget(sym)
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("component"))
     # same broadcast discipline as the checked variant above: the
-    # dup-pair edges and per-round min frame broadcast, the
-    # corpus-sized label state never shuffles through a join
+    # dup-pair edges and per-round min frame broadcast (size-gated
+    # since r15), the corpus-sized label state never shuffles
+    # through a join while the gate holds
     for _ in range(rounds):
-        nbr_min = (F.broadcast(sym).join(labels,
-                                         sym["src"] == labels["id"])
+        nbr_min = (state_broadcast(sym, broadcast_state)
+                   .join(labels, sym["src"] == labels["id"])
                    .groupBy("dst")
                    .agg(F.min("component").alias("nbr_component")))
-        labels = (labels.join(F.broadcast(nbr_min),
+        labels = (labels.join(state_broadcast(nbr_min, broadcast_state),
                               labels["id"] == nbr_min["dst"],
                               "left")
                   .select(labels["id"],
@@ -150,17 +175,23 @@ def components_with_size(vertices: DataFrame, edges: DataFrame,
                          id_col: str = "id",
                          src_col: str = "src",
                          dst_col: str = "dst",
-                         rounds: int | None = 6) -> DataFrame:
+                         rounds: int | None = 6,
+                         broadcast_state: bool | None = None) -> DataFrame:
     """``(id, component, component_size)`` — one shuffle on the
     component id past the propagation fixpoint. ``rounds=None``
     selects the convergence-checked iterative variant; an integer
-    selects the lazy fixed-round plan (default: dedup-graph safe)."""
+    selects the lazy fixed-round plan (default: dedup-graph safe).
+    ``broadcast_state`` forwards to the propagation (the size join
+    back onto the labels broadcasts the ≤|components|-row count
+    frame unconditionally — output-contract bounded)."""
     if rounds is None:
         comp = connected_components(vertices, edges, id_col,
-                                    src_col, dst_col)
+                                    src_col, dst_col,
+                                    broadcast_state=broadcast_state)
     else:
         comp = connected_components_fixed(vertices, edges, id_col,
-                                          src_col, dst_col, rounds)
+                                          src_col, dst_col, rounds,
+                                          broadcast_state=broadcast_state)
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("component_size"))
     # the ≤|components|-row size frame broadcasts back onto the
@@ -171,7 +202,8 @@ def components_with_size(vertices: DataFrame, edges: DataFrame,
 
 
 def degree_orient(edges: DataFrame, src_col: str = "src",
-                  dst_col: str = "dst") -> DataFrame:
+                  dst_col: str = "dst",
+                  broadcast_state: bool = True) -> DataFrame:
     """Re-orient an UNDIRECTED edge set so every edge points from
     its lower-degree endpoint to its higher-degree one (ties broken
     by id) — the classic skew fix for triangle counting
@@ -189,9 +221,12 @@ def degree_orient(edges: DataFrame, src_col: str = "src",
 
     Plan: one degree aggregation over the symmetrized ends (one
     shuffle), then a broadcast-sized (|V| rows) degree join onto
-    each endpoint — or a shuffle join at billion-node |V| — and a
-    scan-local CASE to flip. Cost is O(|E|) with no new skew:
-    degrees partial-aggregate map-side.
+    each endpoint — or a shuffle join at billion-node |V|
+    (``broadcast_state=False``; the degree frame is not
+    checkpointed here, so the decision is the caller's rather than
+    a count that would re-run the aggregation) — and a scan-local
+    CASE to flip. Cost is O(|E|) with no new skew: degrees
+    partial-aggregate map-side.
     """
     # _symmetrize always emits columns named src/dst — group on
     # those, not the caller's names (non-default src_col/dst_col
@@ -205,15 +240,18 @@ def degree_orient(edges: DataFrame, src_col: str = "src",
                    | ((F.col("da") == F.col("db"))
                       & (F.col(src_col) < F.col(dst_col))))
     return (edges
-            .join(F.broadcast(da), edges[src_col] == F.col("__a"))
-            .join(F.broadcast(db), edges[dst_col] == F.col("__b"))
+            .join(state_broadcast(da, broadcast_state),
+                  edges[src_col] == F.col("__a"))
+            .join(state_broadcast(db, broadcast_state),
+                  edges[dst_col] == F.col("__b"))
             .select(F.when(lower_first, F.col(src_col))
                     .otherwise(F.col(dst_col)).alias(src_col),
                     F.when(lower_first, F.col(dst_col))
                     .otherwise(F.col(src_col)).alias(dst_col)))
 
 
-def triangle_count_oriented(edges: DataFrame) -> DataFrame:
+def triangle_count_oriented(edges: DataFrame,
+                            broadcast_state: bool = True) -> DataFrame:
     """Edge-iterator triangle count over a DEGREE-ORIENTED edge set
     (see degree_orient): same successor-adjacency intersect plan as
     the registered graph_triangle_count query, but with adjacency
@@ -223,7 +261,8 @@ def triangle_count_oriented(edges: DataFrame) -> DataFrame:
     succ(a) with succ(b) for each oriented edge (a, b); because the
     orientation is acyclic, every triangle is counted exactly once
     from its unique source-of-two-edges node."""
-    oriented = degree_orient(edges).localCheckpoint(eager=False)
+    oriented = degree_orient(edges, broadcast_state=broadcast_state) \
+        .localCheckpoint(eager=False)
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_set("dst")).alias("succ"))
     per_edge = (oriented

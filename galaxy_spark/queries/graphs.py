@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from galaxy_spark.operators.util import (state_broadcast,
+                                         within_broadcast_budget)
 from galaxy_spark.registry import register
 from galaxy_spark.tables import load_table
 
@@ -119,24 +121,31 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank state is |V| rows — broadcast it into the edge scan so a
     # round shuffles only the partial-aggregated contributions, not
     # the 2x-|E| edge frame (2.0 s -> 0.6 s a round at sf0.1). At
-    # |V| beyond broadcast reach, drop the two hints and the same
-    # plan runs as a shuffle join on src — one more exchange per
-    # round, still linear.
+    # |V| beyond broadcast reach the hints DROP THEMSELVES (r15,
+    # the r14 verdict's scale-safety fix): the gate is one count of
+    # the checkpointed |V|-row degree frame — blocks the first
+    # round materializes anyway — against the configured budget
+    # (operators.util.bcast_max_rows), and past it the same plan
+    # runs as a shuffle join on src — one more exchange per round,
+    # still linear, never a forced over-budget broadcast.
     # r14: the per-node out-contribution rank/deg is computed on
     # the |V|-row frame BEFORE the broadcast, not per edge row
     # after the join — the decimal round runs |V| times a round
     # instead of 2|E| times (interleaved A/B 6.59 -> 5.36 s median
     # at sf0.1 under load; identical ranks, the division is
     # per-node constant either way)
+    small = within_broadcast_budget(deg)
     for _ in range(_PR_ROUNDS):
         outc = ranks.select("node",
                             F.round(F.col("rank") / F.col("deg"), 9)
                             .cast("decimal(28,9)").alias("c"))
-        contrib = (edges.join(F.broadcast(outc), edges.src == outc.node)
+        contrib = (edges.join(state_broadcast(outc, small),
+                              edges.src == outc.node)
                    .select(F.col("dst").alias("cnode"), "c"))
         ranks = (contrib.groupBy("cnode")
                  .agg(F.sum("c").alias("mass"))
-                 .join(F.broadcast(deg), F.col("cnode") == F.col("node"))
+                 .join(state_broadcast(deg, small),
+                       F.col("cnode") == F.col("node"))
                  .crossJoin(F.broadcast(tele))
                  .select("node", "deg",
                          (F.col("t")
@@ -243,8 +252,13 @@ def mining_frequent_pairs(spark: SparkSession, sf_dir: str,
                              F.col("b.p").alias("dst"))
                     .agg(F.count("*").alias("support"))
                     .filter(F.col("support") >= 2))
+    # the |items|-row count side broadcasts while the checkpointed
+    # basket frame (its upper bound) fits the budget; past it the
+    # confidence join degrades to a shuffle join (r15 size gate)
     return (pair_support
-            .join(F.broadcast(item_count), F.col("src") == F.col("p"))
+            .join(state_broadcast(item_count,
+                                  within_broadcast_budget(baskets)),
+                  F.col("src") == F.col("p"))
             .select("src", "dst", "support",
                     F.round(F.col("support") * F.lit(1.0)
                             / F.col("n_baskets"), 4).alias("confidence")))
@@ -316,8 +330,10 @@ def mining_pair_lift(spark: SparkSession, sf_dir: str,
                              F.col("b.p").alias("part_b"))
                     .agg(F.count("*").alias("n_co_orders")))
     # the scoring tail is shared with the streaming item-CF hub's
-    # lift reader (imported, not copied)
-    return pair_lift_from_counts(pair_support, item_count, nb)
+    # lift reader (imported, not copied); the checkpointed basket
+    # frame bounds the |items|-row degree side (r15 size gate)
+    return pair_lift_from_counts(pair_support, item_count, nb,
+                                 within_broadcast_budget(baskets))
 
 
 @register(
@@ -511,21 +527,26 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     edges = _copurchase_edges(li)
-    seeds = (edges.select("src").distinct()
-             .join(F.broadcast(part.filter(F.col("p_size") == 1)
-                               .select(F.col("p_partkey").alias("src"))),
-                   "src")
-             .select(F.col("src").alias("node")))
-    visited = seeds.withColumn("dist", F.lit(0))
-    frontier = seeds
     # frontier and visited are ≤|V|-row state — BROADCAST both into
     # their joins (r14: unhinted, the checkpointed frames carry no
     # size estimate, so each round planned a sort-merge shuffle of
     # the 2|E| edge frame; interleaved A/B 6.82 -> 4.70 s median at
-    # sf0.1). At billion-node visited sets drop the hints — the
-    # docstring's shuffle-join fallback, one more exchange per round.
+    # sf0.1). r15 scale-safety: the hints are SIZE-GATED on one
+    # count of the checkpointed edge frame (|visited| ≤ |V| ≤ |E|
+    # on this symmetric graph) — at billion-node visited sets the
+    # gate drops them and the same plan runs as shuffle joins, one
+    # more exchange per round, instead of a forced broadcast.
+    small = within_broadcast_budget(edges)
+    seeds = (edges.select("src").distinct()
+             .join(state_broadcast(
+                 part.filter(F.col("p_size") == 1)
+                 .select(F.col("p_partkey").alias("src")), small),
+                   "src")
+             .select(F.col("src").alias("node")))
+    visited = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
     for k in range(1, _BFS_ROUNDS + 1):
-        cand = (edges.join(F.broadcast(frontier),
+        cand = (edges.join(state_broadcast(frontier, small),
                            edges.src == frontier.node)
                 .select(F.col("dst").alias("node")).distinct())
         # `new` is consumed TWICE (union into visited + next round's
@@ -534,7 +555,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-executing rounds 1..k (the quadratic-rounds
         # trap); `visited` then unions only checkpointed frames and
         # needs no checkpoint of its own
-        new = (cand.join(F.broadcast(visited.select("node")),
+        new = (cand.join(state_broadcast(visited.select("node"), small),
                          "node", "left_anti")
                .withColumn("dist", F.lit(k))
                .localCheckpoint(eager=False))
@@ -674,6 +695,12 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                hll_bucket_rho)
     li = load_table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li)
+    # r15 scale-safety: every broadcast below (the sample set, the
+    # into-sample edge slice, the sample's 1/2-hop frontiers) is
+    # bounded by the edge count, so one count of the checkpointed
+    # edge frame gates them all; past the budget they degrade to
+    # shuffle joins on node id — the hints' documented fallback.
+    small = within_broadcast_budget(edges)
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
     samp = (nodes.filter(F.col("node") % _HB_SAMPLE_MOD == 0)
             .localCheckpoint(eager=False))
@@ -707,11 +734,11 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |V| x occupied r1 frame (2.4 s -> 1.8 s at sf0.1); at a
     # sample x degree beyond broadcast reach, drop the hint and the
     # same plan runs as a shuffle join on src
-    e_in = edges.join(F.broadcast(samp), edges.dst == samp.node,
-                      "left_semi")
-    p2 = (F.broadcast(e_in).join(r1, e_in.src == r1.node)
+    e_in = edges.join(state_broadcast(samp, small),
+                      edges.dst == samp.node, "left_semi")
+    p2 = (state_broadcast(e_in, small).join(r1, e_in.src == r1.node)
           .select(F.col("dst").alias("node"), "bucket", "register"))
-    r2 = (r1.join(F.broadcast(samp), "node").select(
+    r2 = (r1.join(state_broadcast(samp, small), "node").select(
               "node", "bucket", "register")
           .union(p2)
           .groupBy("node", "bucket")
@@ -721,9 +748,10 @@ def graph_hyperball_ball2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.pow(F.lit(2.0), F.lit(50) - F.col("register"))
                       .cast("long")).cast("long").alias("t_occ")))
     h0 = samp.select("node", F.col("node").alias("w"))
-    h1 = (edges.join(F.broadcast(samp), edges.src == samp.node)
+    h1 = (edges.join(state_broadcast(samp, small),
+                     edges.src == samp.node)
           .select("node", F.col("dst").alias("w")))
-    h2 = (F.broadcast(h1.withColumnRenamed("w", "mid"))
+    h2 = (state_broadcast(h1.withColumnRenamed("w", "mid"), small)
           .join(edges, F.col("mid") == edges.src)
           .select("node", F.col("dst").alias("w")))
     exact = (h0.union(h1).union(h2).distinct()
@@ -933,32 +961,36 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("src").alias("dst"),
                                  w.alias("w")))
              .localCheckpoint(eager=False))
-    seeds = (edges.select("src").distinct()
-             .join(F.broadcast(part.filter(F.col("p_size") == 1)
-                               .select(F.col("p_partkey")
-                                       .alias("src"))), "src")
-             .select(F.col("src").alias("node"),
-                     F.lit(0).cast("long").alias("cost")))
-    dist = seeds.localCheckpoint(eager=False)
-    frontier = dist
     # frontier / dist / improved are ≤|V|-row state — BROADCAST
     # them into the relax and refresh joins (r14: unhinted, the
     # checkpointed frames have no size estimate, so every round
     # planned sort-merge shuffles of the 2|E| weighted-edge frame;
-    # interleaved A/B 4.98 -> 4.40 s median at sf0.1). At
-    # billion-node settled maps drop the hints — same plan, one
-    # more exchange per join.
+    # interleaved A/B 4.98 -> 4.40 s median at sf0.1). r15
+    # scale-safety: the hints are size-gated on one count of the
+    # checkpointed edge frame (|dist| ≤ |V| ≤ |E| here) — at
+    # billion-node settled maps the gate drops them and the same
+    # plan runs as shuffle joins, one more exchange per join.
+    small = within_broadcast_budget(edges)
+    seeds = (edges.select("src").distinct()
+             .join(state_broadcast(
+                 part.filter(F.col("p_size") == 1)
+                 .select(F.col("p_partkey").alias("src")), small),
+                   "src")
+             .select(F.col("src").alias("node"),
+                     F.lit(0).cast("long").alias("cost")))
+    dist = seeds.localCheckpoint(eager=False)
+    frontier = dist
     for k in range(1, _SSSP_ROUNDS + 1):
         cand = (edges
-                .join(F.broadcast(frontier.select(
+                .join(state_broadcast(frontier.select(
                     F.col("node").alias("src"),
-                    F.col("cost").alias("fcost"))), "src")
+                    F.col("cost").alias("fcost")), small), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min(F.col("fcost") + F.col("w"))
                      .alias("cost")))
         improved = (cand
-                    .join(F.broadcast(dist.withColumnRenamed("cost",
-                                                             "old")),
+                    .join(state_broadcast(
+                        dist.withColumnRenamed("cost", "old"), small),
                           "node", "left_outer")
                     .filter(F.col("old").isNull()
                             | (F.col("cost") < F.col("old")))
@@ -976,13 +1008,13 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round-4 frontier has collapsed to near-empty by then
         if k < _SSSP_ROUNDS:
             improved = improved.localCheckpoint(eager=False)
-            dist = (dist.join(F.broadcast(improved), "node",
-                              "left_anti")
+            dist = (dist.join(state_broadcast(improved, small),
+                              "node", "left_anti")
                     .union(improved)
                     .localCheckpoint(eager=False))
         else:
-            dist = (dist.join(F.broadcast(improved), "node",
-                              "left_anti")
+            dist = (dist.join(state_broadcast(improved, small),
+                              "node", "left_anti")
                     .union(improved))
         frontier = improved
     return dist.select(F.col("node").alias("part"), "cost")
@@ -1063,21 +1095,29 @@ def similarity_item_cf_topk(spark: SparkSession, sf_dir: str,
              .agg(F.count("*").cast("long").alias("n_co_orders")))
     deg = baskets.groupBy(F.col("p")).agg(
         F.count("*").cast("long").alias("d"))
-    return cf_score_topk(pairs, deg)
+    # the checkpointed basket frame bounds the |items|-row degree
+    # side (r15 size gate)
+    return cf_score_topk(pairs, deg, within_broadcast_budget(baskets))
 
 
-def cf_score_topk(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+def cf_score_topk(pairs: DataFrame, deg: DataFrame,
+                  small: bool | None = None) -> DataFrame:
     """The item-CF scoring tail over any (part_a, part_b,
     n_co_orders) + (p, d) degree frame — shared with the streaming
     co-occurrence hub's reader (state_store), imported not copied,
     so the integer-basis-point cosine and the top-3 rank can never
-    drift between tiers."""
+    drift between tiers. ``small`` size-gates the |items|-row
+    degree broadcasts (r15): callers with a cheaper bound pass it;
+    ``None`` counts ``deg`` itself (in the streaming reader that is
+    a parquet-state scan with real statistics)."""
+    if small is None:
+        small = within_broadcast_budget(deg)
     scored = (pairs
-              .join(F.broadcast(deg.withColumnRenamed("p", "part_a")
-                                .withColumnRenamed("d", "da")),
+              .join(state_broadcast(deg.withColumnRenamed("p", "part_a")
+                                    .withColumnRenamed("d", "da"), small),
                     "part_a")
-              .join(F.broadcast(deg.withColumnRenamed("p", "part_b")
-                                .withColumnRenamed("d", "db")),
+              .join(state_broadcast(deg.withColumnRenamed("p", "part_b")
+                                    .withColumnRenamed("d", "db"), small),
                     "part_b")
               .select("part_a", "part_b", "n_co_orders",
                       F.expr("CAST(n_co_orders * n_co_orders * 10000"
@@ -1092,19 +1132,23 @@ def cf_score_topk(pairs: DataFrame, deg: DataFrame) -> DataFrame:
                     "rank"))
 
 
-def frequent_pairs_from_counts(cooc: DataFrame,
-                               deg: DataFrame) -> DataFrame:
+def frequent_pairs_from_counts(cooc: DataFrame, deg: DataFrame,
+                               small: bool | None = None) -> DataFrame:
     """The frequent-pairs tail (support >= 2 + confidence) over
     any ordered co-occurrence + degree frame — the
     ``mining_frequent_pairs`` output shape, shared with the
-    streaming hub's second reader."""
+    streaming hub's second reader. ``small`` size-gates the degree
+    broadcast (r15; ``None`` counts ``deg``)."""
+    if small is None:
+        small = within_broadcast_budget(deg)
     return (cooc.filter((F.col("part_a") < F.col("part_b"))
                         & (F.col("n_co_orders") >= 2))
             .select(F.col("part_a").alias("src"),
                     F.col("part_b").alias("dst"),
                     F.col("n_co_orders").alias("support"))
-            .join(F.broadcast(deg.withColumnRenamed("p", "src")
-                              .withColumnRenamed("d", "n_baskets")),
+            .join(state_broadcast(deg.withColumnRenamed("p", "src")
+                                  .withColumnRenamed("d", "n_baskets"),
+                                  small),
                   "src")
             .select("src", "dst", "support",
                     F.round(F.col("support") * F.lit(1.0)
@@ -1113,11 +1157,16 @@ def frequent_pairs_from_counts(cooc: DataFrame,
 
 
 def pair_lift_from_counts(cooc: DataFrame, deg: DataFrame,
-                          nb: DataFrame) -> DataFrame:
+                          nb: DataFrame,
+                          small: bool | None = None) -> DataFrame:
     """The pair-lift tail (support >= 2 + integer-basis-point lift)
     over ordered co-occurrence + degree frames and a 1-row basket
     total — the ``mining_pair_lift`` output shape, shared with the
-    streaming hub's third reader."""
+    streaming hub's third reader. ``small`` size-gates the degree
+    broadcasts (r15; ``None`` counts ``deg``); the 1-row ``nb``
+    total always broadcasts."""
+    if small is None:
+        small = within_broadcast_budget(deg)
     ia = deg.select(F.col("p").alias("src"),
                     F.col("d").alias("na"))
     ib = deg.select(F.col("p").alias("dst"),
@@ -1128,8 +1177,8 @@ def pair_lift_from_counts(cooc: DataFrame, deg: DataFrame,
                     F.col("part_b").alias("dst"),
                     F.col("n_co_orders").cast("long")
                     .alias("support"))
-            .join(F.broadcast(ia), "src")
-            .join(F.broadcast(ib), "dst")
+            .join(state_broadcast(ia, small), "src")
+            .join(state_broadcast(ib, small), "dst")
             .crossJoin(F.broadcast(nb))
             .select("src", "dst", "support",
                     F.expr("CAST(support * n * 10000 DIV "
@@ -1220,8 +1269,12 @@ def graph_label_propagation(spark: SparkSession,
     labels = (edges.groupBy(F.col("dst").alias("node"))
               .agg(F.min("src").alias("label"))
               .localCheckpoint(eager=True))
+    # r15 size gate: |V| counted off the eagerly-checkpointed
+    # round-1 labels (free — blocks already materialized); past the
+    # budget the hint drops and the rounds run as shuffle joins
+    small = within_broadcast_budget(labels)
     for _ in range(_LPA_ROUNDS - 1):
-        ballots = (edges.join(F.broadcast(labels),
+        ballots = (edges.join(state_broadcast(labels, small),
                               edges.src == labels.node)
                    .groupBy(F.col("dst").alias("bnode"), "label")
                    .agg(F.count("*").alias("cnt")))
@@ -1363,7 +1416,10 @@ def common_neighbors_from_half(half: DataFrame) -> DataFrame:
     edge frame (caller localCheckpoints it). Shared verbatim by
     ``graph_common_neighbors`` and the streaming item-CF hub's
     reader (``streaming_common_neighbors``)."""
-    tri = _oriented_triangles_from_half(half)
+    # one size gate per query: the half count bounds the adjacency
+    # payload AND the |V|-row degree frame (|V| ≤ 2·|half|)
+    small = within_broadcast_budget(half)
+    tri = _oriented_triangles_from_half(half, small)
     credits = (tri.select(F.explode(F.array(
                    F.struct(F.col("ta").alias("a"),
                             F.col("tb").alias("b")),
@@ -1378,10 +1434,12 @@ def common_neighbors_from_half(half: DataFrame) -> DataFrame:
     # |V|-row degree side broadcasts (r14): unhinted, the two
     # scalar joins each re-shuffled the 1.2M-row cn frame
     return (cn
-            .join(F.broadcast(deg.select(F.col("node").alias("a"),
-                                         F.col("d").alias("da"))), "a")
-            .join(F.broadcast(deg.select(F.col("node").alias("b"),
-                                         F.col("d").alias("db"))), "b")
+            .join(state_broadcast(deg.select(F.col("node").alias("a"),
+                                             F.col("d").alias("da")),
+                                  small), "a")
+            .join(state_broadcast(deg.select(F.col("node").alias("b"),
+                                             F.col("d").alias("db")),
+                                  small), "b")
             .select("a", "b", "n_common",
                     F.expr("CAST(n_common * 10000 DIV "
                            "(da + db - n_common) AS BIGINT)")
@@ -1391,7 +1449,8 @@ def common_neighbors_from_half(half: DataFrame) -> DataFrame:
             .limit(50))
 
 
-def _oriented_triangles_from_half(half: DataFrame) -> DataFrame:
+def _oriented_triangles_from_half(half: DataFrame,
+                                  small: bool | None = None) -> DataFrame:
     """Triangle frame (ta < tb < tc) over an id-oriented (src <
     dst) half edge frame — each triangle enumerated exactly once
     via its lowest edge (a, b): c ∈ succ(a) ∩ succ(b) over
@@ -1410,18 +1469,27 @@ def _oriented_triangles_from_half(half: DataFrame) -> DataFrame:
     7.88 -> 6.18, clustering 5.27 -> 4.22, RA 5.71 -> 4.45,
     triangle 4.03 -> 3.16 s median (loaded-host window; plan diff:
     2 SMJ + 2 edge exchanges -> 2 BHJ, the edge frame never
-    shuffles). At |V| beyond broadcast reach drop the hints (or
-    degree-orient first — ``operators.graph.degree_orient`` bounds
-    every array at ~sqrt(|E|)); the same plan runs as a shuffle
-    join with one more exchange."""
+    shuffles). r15 scale-safety: the hints are SIZE-GATED — the
+    adjacency payload is exactly Σ successor-array lengths = the
+    half-edge count, so one count of the caller-checkpointed half
+    frame against the budget (``operators.util.bcast_max_rows``)
+    decides them; past broadcast reach the same plan runs as a
+    shuffle join with one more exchange instead of a forced
+    broadcast (degree-orienting first —
+    ``operators.graph.degree_orient`` bounds every array at
+    ~sqrt(|E|) — remains the 100 TB refinement)."""
+    if small is None:
+        small = within_broadcast_budget(half)
     adj = (half.groupBy("src")
            .agg(F.collect_set("dst").alias("succ")))
     return (half
-            .join(F.broadcast(adj.select("src",
-                                         F.col("succ").alias("sa"))),
+            .join(state_broadcast(adj.select("src",
+                                             F.col("succ").alias("sa")),
+                                  small),
                   "src")
-            .join(F.broadcast(adj.select(F.col("src").alias("dst"),
-                                         F.col("succ").alias("sb"))),
+            .join(state_broadcast(adj.select(F.col("src").alias("dst"),
+                                             F.col("succ").alias("sb")),
+                                  small),
                   "dst")
             .select(F.col("src").alias("ta"),
                     F.col("dst").alias("tb"),
@@ -1437,7 +1505,8 @@ def clustering_from_half(half: DataFrame) -> DataFrame:
     ``graph_clustering_coefficient`` and the streaming item-CF
     hub's reader (``streaming_clustering_coefficient``), so the
     twin equality is structural."""
-    tri = _oriented_triangles_from_half(half)
+    small = within_broadcast_budget(half)
+    tri = _oriented_triangles_from_half(half, small)
     credits = tri.select(F.explode(F.array(
         F.col("ta"), F.col("tb"), F.col("tc"))).alias("node"))
     tcount = (credits.groupBy("node")
@@ -1445,9 +1514,9 @@ def clustering_from_half(half: DataFrame) -> DataFrame:
     deg = _half_degrees(half)
     # the ≤|V|-row triangle-count side broadcasts into the LEFT
     # join (r14, build-right; part of the engine-wide 5.27 ->
-    # 4.22 s interleaved A/B)
+    # 4.22 s interleaved A/B), size-gated since r15
     return (deg.filter(F.col("d") >= 2)
-            .join(F.broadcast(tcount), "node", "left")
+            .join(state_broadcast(tcount, small), "node", "left")
             .select(F.col("node").alias("part"),
                     F.col("d").cast("long").alias("degree"),
                     F.coalesce(F.col("n_triangles"), F.lit(0))
@@ -1521,7 +1590,8 @@ def resource_allocation_from_half(half: DataFrame) -> DataFrame:
     localCheckpoints it). Shared verbatim by
     ``graph_resource_allocation`` and the streaming item-CF hub's
     reader (``streaming_resource_allocation``)."""
-    tri = _oriented_triangles_from_half(half)
+    small = within_broadcast_budget(half)
+    tri = _oriented_triangles_from_half(half, small)
     # credit each triangle's three edges, carrying the OPPOSITE
     # vertex whose degree prices the credit
     mk = lambda x, y, z: F.struct(x.alias("a"), y.alias("b"),
@@ -1536,8 +1606,9 @@ def resource_allocation_from_half(half: DataFrame) -> DataFrame:
     # |V|-row degree side broadcasts (r14): unhinted, pricing the
     # credits re-shuffled the 3·#tri credit frame on c
     return (credits
-            .join(F.broadcast(deg.select(F.col("node").alias("c"),
-                                         F.col("d").alias("dc"))), "c")
+            .join(state_broadcast(deg.select(F.col("node").alias("c"),
+                                             F.col("d").alias("dc")),
+                                  small), "c")
             .groupBy("a", "b")
             .agg(F.count("*").cast("long").alias("n_common"),
                  F.sum(F.expr("1000000 DIV dc")).cast("long")
@@ -1677,13 +1748,17 @@ def assortativity_from_half(half: DataFrame) -> DataFrame:
     deg = _half_degrees(half)
     # |V|-row degree sides broadcast (r14): unhinted, each scalar
     # join re-shuffled the 2|E| edge-end frame (interleaved A/B
-    # 4.92 -> 3.49 s median at sf0.1); at |V| beyond broadcast
-    # reach drop the hints — same plan, two more exchanges
+    # 4.92 -> 3.49 s median at sf0.1); size-gated since r15 — at
+    # |V| beyond the budget the hints drop themselves and the same
+    # plan runs with two more exchanges
+    small = within_broadcast_budget(half)
     ends = (edges
-            .join(F.broadcast(deg.select(F.col("node").alias("src"),
-                                         F.col("d").alias("dx"))), "src")
-            .join(F.broadcast(deg.select(F.col("node").alias("dst"),
-                                         F.col("d").alias("dy"))), "dst")
+            .join(state_broadcast(deg.select(F.col("node").alias("src"),
+                                             F.col("d").alias("dx")),
+                                  small), "src")
+            .join(state_broadcast(deg.select(F.col("node").alias("dst"),
+                                             F.col("d").alias("dy")),
+                                  small), "dst")
             .select("dx", "dy"))
     dec = "decimal(38,0)"
     s = ends.agg(

@@ -1137,3 +1137,85 @@ def test_assortativity_no_window_partial_agg(q):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p
+
+
+def test_graph_family_pins_r14_broadcast_shapes(q):
+    """r15 (r14 verdict #3): the graph family's r14 plan shapes are
+    CI-pinned — the |V|-state / adjacency sides join as
+    BroadcastHashJoin and NO SortMergeJoin survives in any final
+    plan (a dropped hint or conf change would silently restore the
+    9-exchange SMJ plans this family shipped before r14)."""
+    from galaxy_spark.plans import physical_plan
+
+    for name, min_bhj in [("graph_common_neighbors", 4),
+                          ("graph_resource_allocation", 3),
+                          ("graph_clustering_coefficient", 3),
+                          ("graph_degree_assortativity", 2),
+                          ("graph_sssp_weighted", 5),
+                          ("graph_triangle_count", 2)]:
+        df = q(name)
+        p = physical_plan(df)
+        assert "SortMergeJoin" not in p, name
+        assert broadcast_join_count(df) >= min_bhj, name
+
+
+def test_basket_self_joins_pin_shuffled_hash(spark, q):
+    """r15 (r14 verdict #3): the order-keyed basket self-joins stay
+    SHUFFLE_HASH-pinned — never an auto-broadcast of the O(|fact|)
+    basket frame (the r14 before-plan), never a sort-merge
+    fallback. Checked on the three mining/CF queries whose final
+    plans expose the build, and on the shared co-purchase half
+    build directly (the graph queries hide it behind the edge
+    checkpoint)."""
+    from galaxy_spark.plans import physical_plan
+    from galaxy_spark.queries.graphs import _copurchase_half
+    from galaxy_spark.tables import load_table
+
+    for name in ["mining_frequent_pairs", "mining_pair_lift",
+                 "similarity_item_cf_topk"]:
+        p = physical_plan(q(name))
+        assert "ShuffledHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+    half = _copurchase_half(load_table(spark, SF_SMOKE, "lineitem"))
+    hp = physical_plan(half)
+    assert "ShuffledHashJoin" in hp
+    assert "BroadcastHashJoin" not in hp
+
+
+def test_graph_state_broadcasts_are_size_gated(q, monkeypatch):
+    """r15 (r14 verdict #1): the graph family's state/adjacency
+    broadcast hints are SIZE-GATED on a measured count against
+    $GALAXY_SPARK_BCAST_MAX_ROWS — past the budget the same plan
+    degrades to shuffle joins (one more exchange each) instead of
+    forcing a broadcast that would OOM the driver at 100 TB."""
+    from galaxy_spark.plans import physical_plan
+
+    monkeypatch.setenv("GALAXY_SPARK_BCAST_MAX_ROWS", "0")
+    df = q("graph_common_neighbors")
+    p = physical_plan(df)
+    assert "BroadcastHashJoin" not in p, \
+        "budget=0 must drop every gated hint"
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, \
+        "the degraded plan must fall back to a shuffle join"
+
+
+def test_connected_components_gate_preserves_results(spark, monkeypatch):
+    """r15 (r14 advice): connected_components(_fixed) take a
+    broadcast_state parameter (None = size-derived); the hinted,
+    unhinted, and budget-0 auto paths must label identically."""
+    from galaxy_spark.operators.graph import connected_components_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+
+    def comps(**kw):
+        out = connected_components_fixed(verts, edges, rounds=3, **kw)
+        return sorted(tuple(r) for r in out.collect())
+
+    base = comps(broadcast_state=True)
+    assert base[-1] == (99, 99), "isolated vertex keeps its id"
+    assert comps(broadcast_state=False) == base
+    monkeypatch.setenv("GALAXY_SPARK_BCAST_MAX_ROWS", "0")
+    assert comps() == base, "size-derived gate must not change labels"
