@@ -5,6 +5,13 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": ...}
 
+The line is kept COMPACT (~1.5 kB < the 2,000-char stdout tail the
+driver stores) since r15; the per-query median/exec dicts and the
+full cdc/canary blocks go to a sidecar JSON
+($SPARK_GRAFT_BENCH_DETAIL, default
+/tmp/galaxy_spark_bench_detail.json). "queries" values and all
+timers are unchanged from rounds 4-14 (best-of-3 build+exec).
+
 Results are materialized with the noop sink so timings measure full
 distributed compute without driver-side collect overhead.
 """
@@ -339,7 +346,7 @@ def main() -> None:
     # subtotal is the number comparable against BENCH_r02/BENCH_r03
     # "value" (same timer, same denominator)
     r3_subset = BENCH_QUERIES[:17]
-    print(json.dumps({
+    full = {
         "metric": "galaxy_spark headline query wall time",
         "value": total,
         "unit": "sec",
@@ -353,7 +360,44 @@ def main() -> None:
         "host_canary": canary,
         "chunk_canaries": chunk_canaries,
         "sf": sf,
-    }))
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        # full-surface artifact mode: one line with every dict, as
+        # in rounds 6-14 (this path is never the driver's stored
+        # artifact; its consumers read the saved file whole)
+        print(json.dumps(full))
+    else:
+        # Headline (driver) mode prints ONE COMPACT line (~1.5 kB):
+        # the r13/r14 artifacts proved the stored stdout tail is
+        # 2,000 chars, and the old ~2.9 kB line truncated mid-dict,
+        # so round-over-round PERF comparison lost its parse
+        # (BENCH_r13 parsed: null -> PERF_r14 n_common: 0). The
+        # "queries" dict keeps the SAME values and semantics
+        # (best-of-3 build+exec) as every earlier round — only the
+        # bulky queries_median / queries_exec dicts leave stdout
+        # for the sidecar below; total_median and the exec-based
+        # r3_comparable_total stay as scalars, the timers are
+        # untouched.
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            "/tmp/galaxy_spark_bench_detail.json")
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(full, fh)
+        except OSError:
+            pass
+        print(json.dumps({
+            "metric": full["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "total_median": full["total_median"],
+            "r3_comparable_total": full["r3_comparable_total"],
+            "cdc_eps": cdc["events_per_sec"],
+            "canary": [canary["py_loop"], canary["np_gemm"],
+                       *chunk_canaries],
+            "sf": sf,
+        }, separators=(",", ":")))
     spark.stop()
 
 
