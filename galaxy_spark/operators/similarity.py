@@ -700,17 +700,29 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float,
     # true pair is lost), and the exact fold — which still defines
     # every emitted value, bit-identical to the SQL oracle — runs
     # only on near-threshold survivors (~the output size).
+    #
+    # r15 (guide §4.2): mapInArrow instead of mapInPandas — the
+    # Arrow list<double> columns flatten to their contiguous
+    # values buffer and reshape to (rows, dim) with ZERO per-row
+    # work, where the pandas path materialized one ndarray cell
+    # per row and np.stack re-copied them (per-batch setup was the
+    # verify stage's CPU, not the dot itself).
     def prescore(batches):
-        for pdf in batches:
-            if pdf.empty:
+        import pyarrow as pa
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            cos = np.einsum("ij,ij->i", A, B) \
-                / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
-            yield pdf[cos >= threshold - 1e-6]
+            A = np.asarray(rb.column("va").flatten()) \
+                .reshape(rb.num_rows, -1)
+            B = np.asarray(rb.column("vb").flatten()) \
+                .reshape(rb.num_rows, -1)
+            na = np.asarray(rb.column("na"))
+            nb_ = np.asarray(rb.column("nb"))
+            cos = np.einsum("ij,ij->i", A, B) / (na * nb_)
+            mask = cos >= threshold - 1e-6
+            yield rb if mask.all() else rb.filter(pa.array(mask))
 
-    survivors = paired.mapInPandas(prescore, paired.schema)
+    survivors = paired.mapInArrow(prescore, paired.schema)
     return (survivors
             .select("id_a", "id_b",
                     (_dot(F.col("va"), F.col("vb"))
