@@ -498,9 +498,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles of the |corpus| embedding frame (locally a wash,
     # 3.02 vs 3.00 s interleaved: AQE converted at runtime anyway;
     # kept because the INITIAL plan now never exchanges the corpus
-    # frame, which is the 100 TB shape — candidates ≪ corpus)
+    # frame, which is the 100 TB shape — candidates ≪ corpus).
+    # r15 (r14 advice): BOTH broadcasts now carry only the bare
+    # (id_a, id_b) pairs — the old second join broadcast the
+    # vec_a-widened frame, i.e. candidates × embedding-dim bytes,
+    # undercutting the candidates-are-small argument. Each vector
+    # attaches through its own bare-pair broadcast (the corpus
+    # still never exchanges; ReuseExchange shares the one broadcast
+    # of cand), and the two candidate-sized halves meet on the pair
+    # key — a bounded shuffle of output-sized rows, never a forced
+    # embedding-payload broadcast.
+    cand = cand.select("id_a", "id_b")
     witha = F.broadcast(cand).join(va, "id_a")
-    return (F.broadcast(witha).join(vb, "id_b")
+    withb = F.broadcast(cand).join(vb, "id_b")
+    return (witha.join(withb, ["id_a", "id_b"])
             .withColumn("cos_sim_raw", cos)
             .filter(F.col("cos_sim_raw") >= 0.4)
             .select("id_a", "id_b",
